@@ -10,16 +10,65 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * sums through decimal so results are hash-deterministic.
   */
 object SparkEntry {
+  import pipeline._
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_hourly_user_agg")(spark, "/root/testdata/sf0.001")
 
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A2 flagship: tumbling 1h event-time window per user (transaction_processor.py:282-292)
-    "q_hourly_user_agg" -> ((s, dir) =>
-      pipeline.Aggregate.hourlyUserAgg(Tables.events(s, dir)))
+    "q_hourly_user_agg" -> ((s, d) => Aggregate.hourlyUserAgg(ev(s, d))),
+    // A3: sliding 1h/30min window (spark_config.yml:36-38)
+    "q_sliding_window" -> ((s, d) => Aggregate.slidingWindowAgg(ev(s, d))),
+    // P4/P5/P7: validity predicate + status + error array (transaction_processor.py:229-241)
+    "q_validity_flags" -> ((s, d) => Validate.validityFlags(ev(s, d))),
+    // A5: validation summary (transaction_validator.py:197-218)
+    "q_validation_summary" -> ((s, d) => Validate.validationSummary(ev(s, d))),
+    // A6: uniqueness expectation (transaction_validator.py:79-84)
+    "q_unique_violations" -> ((s, d) =>
+      Validate.uniqueViolations(Tables.lineitem(s, d), "l_orderkey")),
+    // A7: range expectation (transaction_validator.py:110-119)
+    "q_range_check" -> ((s, d) =>
+      Validate.rangeCheck(Tables.orders(s, d), "o_totalprice", 0.01, 1000000.0)),
+    // A8: set membership expectation (transaction_validator.py:100-139)
+    "q_set_membership" -> ((s, d) =>
+      Validate.setMembershipViolations(Tables.orders(s, d), "o_orderstatus", Seq("O", "F"))),
+    // A9: not-null expectation (transaction_validator.py:72-98)
+    "q_null_counts" -> ((s, d) =>
+      Validate.nullCounts(ev(s, d), Seq("event_id", "user_id", "event_type", "value"))),
+    // S8: dead-letter split (kafka_config.yml:27-30)
+    "q_dead_letter" -> ((s, d) => Validate.deadLetter(ev(s, d))),
+    // P6: nested CASE categorization (transaction_processor.py:256-265)
+    "q_categorize" -> ((s, d) => Enrich.categorize(ev(s, d))),
+    // P8: broadcast dimension enrichment (transaction_processor.py:267 stub)
+    "q_dim_enrich" -> ((s, d) =>
+      Enrich.dimEnrich(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    // multi-source union (kafka_config.yml:16-19)
+    "q_multi_source_union" -> ((s, d) =>
+      Enrich.multiSourceUnion(Tables.orders(s, d), Tables.lineitem(s, d))),
+    // reconciliation anti-join (README.md:3,102)
+    "q_reconcile_anti" -> ((s, d) =>
+      Enrich.reconcileAnti(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q_reconcile_semi" -> ((s, d) =>
+      Enrich.reconcileSemi(Tables.customer(s, d), Tables.orders(s, d))),
+    // fact-dim join + agg (warehouse summary shape, S7)
+    "q_revenue_by_nation" -> ((s, d) =>
+      Enrich.revenueByNation(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    // P2: JSON decode + star-expand (transaction_processor.py:165-169)
+    "q_json_decode" -> ((s, d) => Ingest.jsonDecode(ev(s, d))),
+    "q_json_field_agg" -> ((s, d) => Ingest.jsonFieldAgg(ev(s, d))),
+    // SQL window functions (SURVEY §2.4)
+    "q_latest_per_user" -> ((s, d) => Windows.latestPerUser(ev(s, d))),
+    "q_running_sum" -> ((s, d) => Windows.runningSumPerUser(ev(s, d))),
+    "q_topk_orders" -> ((s, d) => Windows.topKOrders(Tables.orders(s, d), 100)),
+    "q_monthly_rollup" -> ((s, d) => Windows.monthlyRollup(Tables.orders(s, d))),
+    "q_distinct_users" -> ((s, d) => Windows.distinctUsers(ev(s, d))),
+    // lineage record hashing (data_lineage.py:201-217)
+    "q_lineage_hash" -> ((s, d) => Lineage.recordHashes(ev(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -30,6 +79,145 @@ object SparkEntry {
          count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_sliding_window" ->
+      """SELECT window_start, user_id, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM (
+           SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS window_start, user_id, value FROM events
+           UNION ALL
+           SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, user_id, value FROM events
+         ) GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_validity_flags" ->
+      """SELECT event_id, user_id, event_type, value,
+         (event_id IS NOT NULL AND user_id IS NOT NULL AND value > 0
+          AND event_type IN ('click','view','purchase','signup')) AS is_valid,
+         CASE WHEN (event_id IS NOT NULL AND user_id IS NOT NULL AND value > 0
+          AND event_type IN ('click','view','purchase','signup'))
+          THEN 'valid' ELSE 'invalid' END AS validation_status,
+         list_filter([
+           CASE WHEN event_id IS NULL THEN 'missing transaction_id' END,
+           CASE WHEN user_id IS NULL THEN 'missing account_id' END,
+           CASE WHEN NOT (value > 0) OR value IS NULL THEN 'invalid amount' END,
+           CASE WHEN event_type IS NOT NULL AND event_type NOT IN ('click','view','purchase','signup')
+                THEN 'invalid type: ' || event_type END
+         ], x -> x IS NOT NULL) AS validation_errors,
+         CAST(len(list_filter([
+           CASE WHEN event_id IS NULL THEN 'missing transaction_id' END,
+           CASE WHEN user_id IS NULL THEN 'missing account_id' END,
+           CASE WHEN NOT (value > 0) OR value IS NULL THEN 'invalid amount' END,
+           CASE WHEN event_type IS NOT NULL AND event_type NOT IN ('click','view','purchase','signup')
+                THEN 'invalid type: ' || event_type END
+         ], x -> x IS NOT NULL)) AS INTEGER) AS n_errors
+         FROM events ORDER BY event_id""",
+    "q_validation_summary" ->
+      """SELECT count(*) AS n_total,
+         count(CASE WHEN event_id IS NOT NULL AND user_id IS NOT NULL AND value > 0
+           AND event_type IN ('click','view','purchase','signup') THEN 1 END) AS n_valid,
+         count(CASE WHEN NOT (event_id IS NOT NULL AND user_id IS NOT NULL AND value > 0
+           AND event_type IN ('click','view','purchase','signup')) THEN 1 END) AS n_invalid,
+         CAST(count(CASE WHEN event_id IS NOT NULL AND user_id IS NOT NULL AND value > 0
+           AND event_type IN ('click','view','purchase','signup') THEN 1 END) AS DOUBLE)
+           / count(*) AS success_rate
+         FROM events""",
+    "q_unique_violations" ->
+      """SELECT l_orderkey, count(*) AS n_dup FROM lineitem
+         GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""",
+    "q_range_check" ->
+      """SELECT count(*) AS n_total,
+         count(CASE WHEN o_totalprice IS NOT NULL
+           AND (o_totalprice < 0.01 OR o_totalprice > 1000000.0) THEN 1 END) AS n_violations,
+         min(o_totalprice) AS min_amount, max(o_totalprice) AS max_amount
+         FROM orders""",
+    "q_set_membership" ->
+      """SELECT o_orderstatus, count(*) AS n_bad FROM orders
+         WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F')
+         GROUP BY 1 ORDER BY 1""",
+    "q_null_counts" ->
+      """SELECT count(*) AS n_total,
+         count(CASE WHEN event_id IS NULL THEN 1 END) AS n_null_event_id,
+         count(CASE WHEN user_id IS NULL THEN 1 END) AS n_null_user_id,
+         count(CASE WHEN event_type IS NULL THEN 1 END) AS n_null_event_type,
+         count(CASE WHEN value IS NULL THEN 1 END) AS n_null_value
+         FROM events""",
+    "q_dead_letter" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         WHERE NOT (event_id IS NOT NULL AND user_id IS NOT NULL AND value > 0
+           AND event_type IN ('click','view','purchase','signup'))
+         ORDER BY event_id""",
+    "q_categorize" ->
+      """SELECT event_id, event_type, value,
+         CASE WHEN event_type = 'purchase' AND value > 1000 THEN 'large_purchase'
+              WHEN event_type = 'signup' AND value > 500 THEN 'large_signup'
+              WHEN event_type = 'view' AND value > 100 THEN 'long_view'
+              ELSE event_type END AS category
+         FROM events ORDER BY event_id""",
+    "q_dim_enrich" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name AS nation, r_name AS region
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         ORDER BY c_custkey""",
+    "q_multi_source_union" ->
+      """SELECT id, line, src, amount FROM (
+           SELECT o_orderkey AS id, 0 AS line, 'orders' AS src, o_totalprice AS amount FROM orders
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'lineitem', l_extendedprice FROM lineitem
+         ) ORDER BY src, id, line""",
+    "q_reconcile_anti" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+         ORDER BY o_orderkey""",
+    "q_reconcile_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q_revenue_by_nation" ->
+      """SELECT n_name AS nation, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY 1""",
+    "q_json_decode" ->
+      """SELECT event_id, event_type,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+         FROM events ORDER BY event_id""",
+    "q_json_field_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+         CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_latest_per_user" ->
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1 ORDER BY user_id""",
+    "q_running_sum" ->
+      """SELECT event_id, user_id, value,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value,
+         CAST(row_number() OVER w AS INTEGER) AS event_seq
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q_monthly_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(month(o_orderdate) AS INTEGER) AS o_month,
+         count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
+         FROM orders GROUP BY ROLLUP (1, 2)
+         ORDER BY o_year NULLS FIRST, o_month NULLS FIRST""",
+    "q_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_lineage_hash" ->
+      """SELECT event_id, user_id,
+         sha256(concat_ws('|', CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),
+                event_type, props)) AS record_hash
+         FROM events ORDER BY event_id"""
   )
 }

@@ -37,4 +37,17 @@ object Aggregate {
         col("sum_value"),
         (col("sum_value") / col("n_events")).as("avg_value"))
       .orderBy("window_start", "user_id")
+
+  /** A3: sliding window (1 h window / 30 min slide,
+    * `src/config/spark_config.yml:36-38` semantics at hour scale). */
+  def slidingWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("user_id"), col("n_events"), col("sum_value"))
+      .orderBy("window_start", "user_id")
 }

@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Enrichment stages — dimension joins, categorization, multi-source
+  * union, reconciliation.
+  *
+  * Reference semantics:
+  *  - P6 nested CASE categorization with type×amount thresholds
+  *    (`src/spark/transaction_processor.py:256-265`)
+  *  - P8 account/customer dimension enrichment — stubbed in the
+  *    reference ("you'd join with account and customer data here",
+  *    `transaction_processor.py:267`) — realized here as broadcast
+  *    hash joins over the customer→nation→region star.
+  *  - Multi-source ingestion (`src/config/kafka_config.yml:16-19`,
+  *    `README.md:12`) → union-by-name of normalized sources.
+  *  - Reconciliation / discrepancy resolution (`README.md:3,102`) →
+  *    anti/semi joins between sources.
+  *
+  * Scale: dimension tables (nation=25, region=5, customer ≪ fact) are
+  * broadcast — zero shuffle on the fact side; the plan keeps the fact
+  * table's partitioning intact. Anti/semi joins shuffle once on the
+  * join key; at 100 TB they benefit from AQE skew handling which the
+  * session enables.
+  */
+object Enrich {
+
+  /** P6: nested CASE categorization, preserving the reference's
+    * threshold structure (deposit>1000 / withdrawal>500 / payment>100 →
+    * large_*, else passthrough type). */
+  def categorize(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"), col("event_type"), col("value"),
+      when(col("event_type") === "purchase" && col("value") > 1000, "large_purchase")
+        .when(col("event_type") === "signup" && col("value") > 500, "large_signup")
+        .when(col("event_type") === "view" && col("value") > 100, "long_view")
+        .otherwise(col("event_type")).as("category"))
+      .orderBy("event_id")
+
+  /** P8: broadcast dimension enrichment across the star schema. */
+  def dimEnrich(customer: DataFrame, nation: DataFrame,
+                region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(
+        col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name").as("nation"), col("r_name").as("region"))
+      .orderBy("c_custkey")
+
+  /** Multi-source union: normalize two sources to one schema and union. */
+  def multiSourceUnion(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val a = orders.select(
+      col("o_orderkey").as("id"), lit(0).as("line"),
+      lit("orders").as("src"), col("o_totalprice").as("amount"))
+    val b = lineitem.select(
+      col("l_orderkey").as("id"), col("l_linenumber").as("line"),
+      lit("lineitem").as("src"), col("l_extendedprice").as("amount"))
+    a.unionByName(b).orderBy("src", "id", "line")
+  }
+
+  /** Reconciliation: orders with no lineitems — the discrepancy set
+    * between two sources (anti join). */
+  def reconcileAnti(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.join(lineitem, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** Matched-rows check: customers that DO have orders (semi). */
+  def reconcileSemi(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Fact-to-dim join + aggregate: revenue per nation (the shape the
+    * reference's warehouse summary tables imply, S7). */
+  def revenueByNation(orders: DataFrame, customer: DataFrame,
+                      nation: DataFrame): DataFrame =
+    orders
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Aggregate.moneySum(col("o_totalprice")).as("total_revenue"))
+      .orderBy("nation")
+}

