@@ -68,7 +68,18 @@ object SparkEntry {
     "q_monthly_rollup" -> ((s, d) => Windows.monthlyRollup(Tables.orders(s, d))),
     "q_distinct_users" -> ((s, d) => Windows.distinctUsers(ev(s, d))),
     // lineage record hashing (data_lineage.py:201-217)
-    "q_lineage_hash" -> ((s, d) => Lineage.recordHashes(ev(s, d)))
+    "q_lineage_hash" -> ((s, d) => Lineage.recordHashes(ev(s, d))),
+    // ---- LLM-data-pipeline operators (north star, BASELINE.json) ----
+    "q_exact_dedup" -> ((s, d) => llm.Dedup.exactDedup(Tables.documents(s, d))),
+    "q_jaccard_pairs" -> ((s, d) => llm.Dedup.jaccardPairs(Tables.documents(s, d), 0.5)),
+    "q_minhash_lsh" -> ((s, d) => llm.Dedup.minhashLshPairs(Tables.documents(s, d))),
+    "q_simhash" -> ((s, d) => llm.Dedup.simhash(Tables.documents(s, d))),
+    "q_simhash_pairs" -> ((s, d) => llm.Dedup.simhashPairs(Tables.documents(s, d), 8)),
+    "q_cosine_topk" -> ((s, d) => llm.Similarity.bruteForceTopK(Tables.embeddings(s, d), 10)),
+    "q_ann_ivf" -> ((s, d) => llm.Similarity.ivfTopK(Tables.embeddings(s, d), 10)),
+    "q_text_stats" -> ((s, d) => llm.TextStats.textStats(Tables.documents(s, d))),
+    "q_language_id" -> ((s, d) => llm.TextStats.languageId(Tables.documents(s, d))),
+    "q_media_metadata" -> ((s, d) => llm.Multimodal.mediaMetadata(Tables.documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -218,6 +229,16 @@ object SparkEntry {
       """SELECT event_id, user_id,
          sha256(concat_ws('|', CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),
                 event_type, props)) AS record_hash
-         FROM events ORDER BY event_id"""
+         FROM events ORDER BY event_id""",
+    "q_exact_dedup" -> llm.Dedup.sqlExactDedup,
+    "q_jaccard_pairs" -> llm.Dedup.sqlJaccardPairs(0.5),
+    "q_minhash_lsh" -> llm.Dedup.sqlMinhashLshPairs,
+    "q_simhash" -> llm.Dedup.sqlSimhash,
+    "q_simhash_pairs" -> llm.Dedup.sqlSimhashPairs(8),
+    "q_cosine_topk" -> llm.Similarity.sqlBruteForceTopK(10),
+    "q_ann_ivf" -> llm.Similarity.sqlIvfTopK(10),
+    "q_text_stats" -> llm.TextStats.sqlTextStats,
+    "q_language_id" -> llm.TextStats.sqlLanguageId,
+    "q_media_metadata" -> llm.Multimodal.sqlMediaMetadata
   )
 }

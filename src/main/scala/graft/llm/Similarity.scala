@@ -1,0 +1,150 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: brute-force cosine top-k as the exact
+  * baseline, and an IVF (inverted-file) variant as the scale path.
+  *
+  * Numeric portability: dot products and norms are left-folds over
+  * array<double> (`aggregate` in Spark ≡ `list_reduce` in DuckDB, and
+  * 0.0 + x ≡ x in IEEE), so cosine values are bit-identical to the
+  * oracle — no tolerance needed.
+  *
+  * Scale design (100 TB):
+  *  - brute force is O(n²·d); it exists as the correctness baseline
+  *    and for small query sets (broadcast the queries, stream the
+  *    corpus — no shuffle of the corpus).
+  *  - IVF: centroids are broadcast; assignment is a map-only pass;
+  *    the corpus is then partitioned (bucketed) by centroid_id, so a
+  *    probe touches only nprobe/ncentroid of the data. At cluster
+  *    scale the centroid count grows with the corpus (√n rule) and the
+  *    assignment pass feeds a bucketed table write.
+  */
+object Similarity {
+
+  val Dim = 64
+
+  /** Left-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Left-fold L2 norm. */
+  def norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** embeddings → (vec_id, v: array<double>, nrm). */
+  def prepared(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  val sqlPrepared: String =
+    """n AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                (a, b) -> a + b)) AS nrm
+         FROM embeddings)"""
+
+  private def cosine(pfx1: String, pfx2: String): Column =
+    (dot(col(s"$pfx1.v"), col(s"$pfx2.v")) /
+      (col(s"$pfx1.nrm") * col(s"$pfx2.nrm"))).as("cosine")
+
+  private val sqlCosine =
+    s"list_reduce(list_transform(generate_series(1, $Dim), i -> a.v[i] * b.v[i]), " +
+      "(x, y) -> x + y) / (a.nrm * b.nrm)"
+
+  /** Brute-force cosine top-k: every vector queries the whole corpus. */
+  def bruteForceTopK(embeddings: DataFrame, k: Int): DataFrame = {
+    val n = prepared(embeddings)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    n.as("a").join(n.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("query_id"),
+        col("b.vec_id").as("neighbor_id"),
+        cosine("a", "b"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "cosine")
+      .orderBy("query_id", "rnk")
+  }
+
+  def sqlBruteForceTopK(k: Int): String =
+    s"""WITH $sqlPrepared,
+        p AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+            $sqlCosine AS cosine
+          FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        r AS (SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+              AS INTEGER) AS rnk FROM p)
+        SELECT query_id, rnk, neighbor_id, cosine FROM r
+        WHERE rnk <= $k ORDER BY query_id, rnk"""
+
+  val NumCentroids = 8
+  val NumProbes = 2
+
+  /** IVF top-k: centroids are the first NumCentroids vectors (a
+    * deterministic stand-in for k-means — the bucketing/probing
+    * mechanics are the operator under test); every vector is assigned
+    * to its max-cosine centroid; a query probes its NumProbes nearest
+    * centroids' buckets only. */
+  def ivfTopK(embeddings: DataFrame, k: Int): DataFrame = {
+    val n = prepared(embeddings).cache()
+    val cents = n.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val scored = n.join(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    val ranked = scored.withColumn("crnk", row_number().over(wAssign))
+    val assign = ranked.filter(col("crnk") === 1)
+      .select(col("vec_id").as("member_id"), col("centroid_id"))
+    val probes = ranked.filter(col("crnk") <= NumProbes)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    probes
+      .join(assign, "centroid_id")
+      .filter(col("query_id") =!= col("member_id"))
+      .select(col("query_id"), col("member_id").as("neighbor_id")).distinct()
+      .join(n.as("a"), col("query_id") === col("a.vec_id"))
+      .join(n.as("b"), col("neighbor_id") === col("b.vec_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine("a", "b"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "cosine")
+      .orderBy("query_id", "rnk")
+  }
+
+  def sqlIvfTopK(k: Int): String =
+    s"""WITH $sqlPrepared,
+        cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
+                  FROM n WHERE vec_id < $NumCentroids),
+        scored AS (
+          SELECT n.vec_id, centroid_id,
+            list_reduce(list_transform(generate_series(1, $Dim), i -> v[i] * cv[i]),
+              (x, y) -> x + y) / (nrm * cnrm) AS ccos
+          FROM n CROSS JOIN cents),
+        ranked AS (SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS crnk
+          FROM scored),
+        assign AS (SELECT vec_id AS member_id, centroid_id FROM ranked WHERE crnk = 1),
+        probes AS (SELECT vec_id AS query_id, centroid_id FROM ranked WHERE crnk <= $NumProbes),
+        cand AS (
+          SELECT DISTINCT query_id, member_id AS neighbor_id
+          FROM probes JOIN assign USING (centroid_id)
+          WHERE query_id <> member_id),
+        p AS (
+          SELECT query_id, neighbor_id, $sqlCosine AS cosine
+          FROM cand JOIN n a ON query_id = a.vec_id
+                    JOIN n b ON neighbor_id = b.vec_id),
+        r AS (SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+              AS INTEGER) AS rnk FROM p)
+        SELECT query_id, rnk, neighbor_id, cosine FROM r
+        WHERE rnk <= $k ORDER BY query_id, rnk"""
+}

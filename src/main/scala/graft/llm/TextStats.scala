@@ -1,0 +1,116 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: token counting, quality
+  * scoring, language identification (marker-word heuristic), and
+  * document fingerprinting. All row-local projections; every formula
+  * has a DuckDB twin generated from the same constants.
+  */
+object TextStats {
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Marker vocabularies for the n-gram language-ID heuristic. A real
+    * deployment learns these from labeled corpora; the heuristic's
+    * *mechanics* (score per language, deterministic argmax) are the
+    * operator under test. Ordered alphabetically = tie-break order. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("window", "batch", "merge"),
+    "en" -> Seq("the", "a", "and"),
+    "es" -> Seq("table", "scan", "row"),
+    "fr" -> Seq("query", "filter", "join"),
+    "zh" -> Seq("data", "stream", "value"))
+
+  private def inList(vals: Seq[String]): String =
+    vals.map(v => s"'$v'").mkString("(", ",", ")")
+
+  private def sqlArray(vals: Seq[String]): String =
+    vals.map(v => s"'$v'").mkString("[", ",", "]")
+
+  /** Per-document statistics + quality score + fingerprint. */
+  def textStats(documents: DataFrame): DataFrame = {
+    val nWords = size(col("words")).cast("long")
+    val sumLen = expr("aggregate(words, 0, (acc, w) -> acc + length(w))").cast("long")
+    val nStop = expr(
+      s"size(filter(words, w -> w IN ${inList(Stopwords).replace("(", "(").replace(")", ")")}))")
+    documents
+      .withColumn("words", TextPrep.wordsCol)
+      .select(
+        col("doc_id"), col("lang"),
+        nWords.as("n_words"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+          .cast("long").as("n_tokens"),
+        expr("aggregate(words, 0, (acc, w) -> acc + CAST(ceil(length(w) / 4.0) AS INT))")
+          .cast("long").as("n_tokens_bpeish"),
+        (sumLen.cast("double") / nWords.cast("double")).as("avg_word_len"),
+        (nStop.cast("double") / nWords.cast("double")).as("stopword_ratio"),
+        md5(col("text")).as("fingerprint"))
+      .withColumn("quality_score",
+        lit(0.4) * least(lit(1.0), col("n_words").cast("double") / 50.0) +
+          lit(0.3) * (lit(1.0) - col("stopword_ratio")) +
+          lit(0.3) * least(lit(1.0), col("avg_word_len") / 8.0))
+      .orderBy("doc_id")
+  }
+
+  val sqlTextStats: String = {
+    val w = TextPrep.sqlWords
+    s"""SELECT doc_id, lang,
+        CAST(len($w) AS BIGINT) AS n_words,
+        CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+', 0)) AS BIGINT) AS n_tokens,
+        CAST(list_sum(list_transform($w, w -> CAST(ceil(length(w) / 4.0) AS INTEGER))) AS BIGINT) AS n_tokens_bpeish,
+        CAST(list_sum(list_transform($w, w -> length(w))) AS DOUBLE)
+          / CAST(len($w) AS DOUBLE) AS avg_word_len,
+        CAST(len(list_filter($w, w -> w IN ${inList(Stopwords)})) AS DOUBLE)
+          / CAST(len($w) AS DOUBLE) AS stopword_ratio,
+        md5(text) AS fingerprint,
+        0.4 * least(1.0, CAST(len($w) AS DOUBLE) / 50.0)
+          + 0.3 * (1.0 - CAST(len(list_filter($w, w -> w IN ${inList(Stopwords)})) AS DOUBLE)
+                          / CAST(len($w) AS DOUBLE))
+          + 0.3 * least(1.0, (CAST(list_sum(list_transform($w, w -> length(w))) AS DOUBLE)
+                          / CAST(len($w) AS DOUBLE)) / 8.0) AS quality_score
+        FROM documents ORDER BY doc_id"""
+  }
+
+  /** Language ID: count marker-word hits per language, predict the
+    * argmax with alphabetical tie-break. */
+  def languageId(documents: DataFrame): DataFrame = {
+    val scored = documents
+      .withColumn("words", TextPrep.wordsCol)
+      .select(
+        (col("doc_id") +: col("lang").as("lang_actual") +:
+          LangMarkers.map { case (l, ms) =>
+            expr(s"size(filter(words, w -> w IN ${inList(ms)}))").as(s"score_$l")
+          }): _*)
+    val pred = LangMarkers.map(_._1).foldRight(lit(null): Column) {
+      case (l, elseCol) =>
+        val isMax = LangMarkers.map(_._1).filter(_ != l)
+          .map(o => col(s"score_$l") >= col(s"score_$o"))
+          .reduce(_ && _)
+        when(isMax, lit(l)).otherwise(elseCol)
+    }
+    scored
+      .withColumn("lang_pred", pred)
+      .withColumn("lang_match", col("lang_pred") === col("lang_actual"))
+      .orderBy("doc_id")
+  }
+
+  val sqlLanguageId: String = {
+    val w = TextPrep.sqlWords
+    val scores = LangMarkers.map { case (l, ms) =>
+      s"CAST(len(list_filter($w, x -> x IN ${inList(ms)})) AS INTEGER) AS score_$l"
+    }.mkString(", ")
+    val langs = LangMarkers.map(_._1)
+    val pred = langs.map { l =>
+      val cond = langs.filter(_ != l)
+        .map(o => s"score_$l >= score_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE NULL END")
+    s"""WITH scored AS (
+          SELECT doc_id, lang AS lang_actual, $scores FROM documents)
+        SELECT *, $pred AS lang_pred,
+          ($pred) = lang_actual AS lang_match
+        FROM scored ORDER BY doc_id"""
+  }
+}
