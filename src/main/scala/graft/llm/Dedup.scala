@@ -41,8 +41,8 @@ object Dedup {
     * set-similarity join (intersection counts from a co-group on the
     * shingle, sizes joined back). */
   def jaccardPairs(documents: DataFrame, threshold: Double): DataFrame = {
-    val s = TextPrep.shingleSets(documents).cache()
-    val sizes = s.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val s = TextPrep.shingleSets(documents)
+    val sizes = TextPrep.docShingles(documents).select("doc_id", "n")
     val inter = s.as("a")
       .join(s.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -75,25 +75,27 @@ object Dedup {
   val NumBands = 4
   val RowsPerBand: Int = NumHashes / NumBands
 
-  /** MinHash signature: per seed i, the minimum md5("i:" ++ shingle)
-    * over the doc's distinct shingle set. md5 hex strings are totally
-    * ordered and engine-identical, so signatures are portable. */
-  def minhashSignatures(documents: DataFrame): DataFrame = {
-    val s = TextPrep.shingleSets(documents)
-    s.groupBy("doc_id")
-      .agg(
-        min(md5(concat(lit("0:"), col("sh")))).as("h0"),
-        (1 until NumHashes).map(i =>
-          min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i")): _*)
-  }
+  /** MinHash signature: per seed i, min over the doc's shingle set of
+    * h_i(sh) = (a(sh) + i·b(sh)) mod P, where a/b are md5-derived base
+    * hashes precomputed in docShingles (Kirsch–Mitzenmacher — one md5
+    * per shingle, all seeds arithmetic). Row-local, no shuffle. */
+  def minhashSignatures(documents: DataFrame): DataFrame =
+    signaturesFrom(TextPrep.docShingles(documents))
+
+  private def signaturesFrom(docsPrep: DataFrame): DataFrame =
+    docsPrep.select(
+      col("doc_id") +:
+        (0 until NumHashes).map(i =>
+          array_min(zip_with(col("ha"), col("hb"),
+            (a, b) => (a + lit(i.toLong) * b) % TextPrep.HashP)).as(s"h$i")): _*)
 
   /** LSH banding: hash each run of RowsPerBand signature slots to a
     * bucket key; docs sharing any (band, bucket) become candidates. */
   private def bandKeys(sig: DataFrame): DataFrame = {
     val bands = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat_ws(",",
-          (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}")): _*))
+        concat_ws(",",
+          (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}")): _*)
           .as("bkey"))
     }
     sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
@@ -104,55 +106,59 @@ object Dedup {
     * buckets, verified with exact Jaccard. Output is every candidate
     * pair with its true Jaccard — bit-portable to the oracle. */
   def minhashLshPairs(documents: DataFrame): DataFrame = {
-    val s = TextPrep.shingleSets(documents).cache()
-    val sizes = s.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val bk = bandKeys(minhashSignatures(documents))
+    // One shared, cached prep: the shingle arrays feed four plan
+    // branches (two band-join sides, two verification sides) and Spark
+    // does not reuse the exchange across them — without the cache the
+    // interpreted shingle pipeline runs 4×. 5000 compact rows/SF0.1.
+    val docs = TextPrep.docShingles(documents).cache()
+    val bk = bandKeys(signaturesFrom(docs))
     val cand = bk.as("x")
       .join(bk.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val inter = s.as("a")
-      .join(s.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
+    // Verification ONLY for LSH candidates (this is the point of LSH:
+    // the candidate set, not the corpus, drives the verification cost).
+    // array_intersect on the two shingle arrays is row-local.
     cand
-      .join(inter, Seq("doc_a", "doc_b"))
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(docs.select(col("doc_id"), col("shs").as("shs_a"), col("n").as("na")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(docs.select(col("doc_id"), col("shs").as("shs_b"), col("n").as("nb")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumn("i", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
       .select(col("doc_a"), col("doc_b"),
         (col("i").cast("double") /
-          (col("sa.n") + col("sb.n") - col("i")).cast("double")).as("jaccard"))
+          (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
   val sqlMinhashLshPairs: String = {
     val minCols = (0 until NumHashes)
-      .map(i => s"min(md5('$i:' || sh)) AS h$i").mkString(", ")
+      .map(i => s"list_min(list_transform(generate_series(1, len(ha)), " +
+        s"j -> (ha[j] + $i * hb[j]) % ${TextPrep.HashP})) AS h$i")
+      .mkString(", ")
     val bandSelects = (0 until NumBands).map { b =>
       val parts = (0 until RowsPerBand)
-        .map(r => s"h${b * RowsPerBand + r}").mkString(" || ',' || ")
-      s"SELECT doc_id, $b AS band, md5($parts) AS bkey FROM sig"
+        .map(r => s"h${b * RowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $parts) AS bkey FROM sig"
     }.mkString(" UNION ALL ")
     s"""WITH ${TextPrep.sqlShingleCtes},
-        sig AS (SELECT doc_id, $minCols FROM s GROUP BY doc_id),
+        sig AS (SELECT doc_id, $minCols FROM docs),
         bands AS ($bandSelects),
         cand AS (
           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
           FROM bands x JOIN bands y
             ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-        inter AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
-        SELECT c.doc_a, c.doc_b,
-          CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
-        FROM cand c JOIN inter USING (doc_a, doc_b)
-        JOIN sizes sa ON c.doc_a = sa.doc_id
-        JOIN sizes sb ON c.doc_b = sb.doc_id
-        ORDER BY c.doc_a, c.doc_b"""
+        verified AS (
+          SELECT c.doc_a, c.doc_b,
+            CAST(len(list_intersect(da.shs, db.shs)) AS BIGINT) AS i,
+            da.n AS na, db.n AS nb
+          FROM cand c JOIN docs da ON c.doc_a = da.doc_id
+                      JOIN docs db ON c.doc_b = db.doc_id)
+        SELECT doc_a, doc_b,
+          CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) AS jaccard
+        FROM verified ORDER BY doc_a, doc_b"""
   }
 
   val SimhashBits = 32
