@@ -82,6 +82,11 @@ object SparkEntry {
     "q_media_metadata" -> ((s, d) => llm.Multimodal.mediaMetadata(Tables.documents(s, d)))
   )
 
+  /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
+  private val validPred: String =
+    """COALESCE((event_id IS NOT NULL AND user_id IS NOT NULL AND value > 0
+       AND event_type IN ('click','view','purchase','signup')), FALSE)"""
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -100,11 +105,9 @@ object SparkEntry {
            SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, user_id, value FROM events
          ) GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_validity_flags" ->
-      """SELECT event_id, user_id, event_type, value,
-         (event_id IS NOT NULL AND user_id IS NOT NULL AND value > 0
-          AND event_type IN ('click','view','purchase','signup')) AS is_valid,
-         CASE WHEN (event_id IS NOT NULL AND user_id IS NOT NULL AND value > 0
-          AND event_type IN ('click','view','purchase','signup'))
+      s"""SELECT event_id, user_id, event_type, value,
+         $validPred AS is_valid,
+         CASE WHEN $validPred
           THEN 'valid' ELSE 'invalid' END AS validation_status,
          list_filter([
            CASE WHEN event_id IS NULL THEN 'missing transaction_id' END,
@@ -122,13 +125,10 @@ object SparkEntry {
          ], x -> x IS NOT NULL)) AS INTEGER) AS n_errors
          FROM events ORDER BY event_id""",
     "q_validation_summary" ->
-      """SELECT count(*) AS n_total,
-         count(CASE WHEN event_id IS NOT NULL AND user_id IS NOT NULL AND value > 0
-           AND event_type IN ('click','view','purchase','signup') THEN 1 END) AS n_valid,
-         count(CASE WHEN NOT (event_id IS NOT NULL AND user_id IS NOT NULL AND value > 0
-           AND event_type IN ('click','view','purchase','signup')) THEN 1 END) AS n_invalid,
-         CAST(count(CASE WHEN event_id IS NOT NULL AND user_id IS NOT NULL AND value > 0
-           AND event_type IN ('click','view','purchase','signup') THEN 1 END) AS DOUBLE)
+      s"""SELECT count(*) AS n_total,
+         count(CASE WHEN $validPred THEN 1 END) AS n_valid,
+         count(CASE WHEN NOT $validPred THEN 1 END) AS n_invalid,
+         CAST(count(CASE WHEN $validPred THEN 1 END) AS DOUBLE)
            / count(*) AS success_rate
          FROM events""",
     "q_unique_violations" ->
@@ -152,9 +152,8 @@ object SparkEntry {
          count(CASE WHEN value IS NULL THEN 1 END) AS n_null_value
          FROM events""",
     "q_dead_letter" ->
-      """SELECT event_id, user_id, event_type, value FROM events
-         WHERE NOT (event_id IS NOT NULL AND user_id IS NOT NULL AND value > 0
-           AND event_type IN ('click','view','purchase','signup'))
+      s"""SELECT event_id, user_id, event_type, value FROM events
+         WHERE NOT $validPred
          ORDER BY event_id""",
     "q_categorize" ->
       """SELECT event_id, event_type, value,

@@ -31,10 +31,14 @@ object Validate {
     * the designated-invalid `error` class. */
   val allowedTypes: Seq[String] = Seq("click", "view", "purchase", "signup")
 
-  /** P4: conjunctive validity predicate. */
+  /** P4: conjunctive validity predicate. Null-safe: a null in any
+    * operand means "not proven valid" → false (SQL three-valued logic
+    * would otherwise leave is_valid NULL for e.g. a null amount). */
   def isValid(df: DataFrame): Column =
-    col("event_id").isNotNull && col("user_id").isNotNull &&
-      col("value") > lit(0) && col("event_type").isin(allowedTypes: _*)
+    coalesce(
+      col("event_id").isNotNull && col("user_id").isNotNull &&
+        col("value") > lit(0) && col("event_type").isin(allowedTypes: _*),
+      lit(false))
 
   /** P4+P5+P7: per-row validity flags, status, and error list. */
   def validityFlags(events: DataFrame): DataFrame = {

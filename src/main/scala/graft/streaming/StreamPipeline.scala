@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.pipeline.Schemas
+
+/** The reference's flagship streaming pipeline
+  * (`src/spark/transaction_processor.py:146-294`) as pure
+  * `DataFrame => DataFrame` stages. Structured Streaming's unified API
+  * means every stage here runs unchanged on a batch frame (unit tests,
+  * oracle) or a streaming frame (MemoryStream / Kafka).
+  *
+  * Source/sink wiring (the only streaming-only parts) live in
+  * [[Sources]]; stateful sessionization in [[Sessionize]].
+  */
+object StreamPipeline {
+
+  /** P1+P2: Kafka-shaped (key, value) → typed columns. CAST key,
+    * from_json(value) against the declared schema (permissive: missing
+    * fields → null), star-expand. (`transaction_processor.py:164-169`) */
+  def parse(kafkaShaped: DataFrame): DataFrame =
+    kafkaShaped
+      .selectExpr("CAST(key AS STRING) AS kafka_key", "CAST(value AS STRING) AS json")
+      .withColumn("data", from_json(col("json"), Schemas.transactionSchema))
+      .select(col("kafka_key") +: Schemas.transactionSchema.fieldNames.map(f => col(s"data.$f")): _*)
+
+  /** P3: event/processing/ingestion times. (`transaction_processor.py:172-175`) */
+  def typed(parsed: DataFrame): DataFrame =
+    parsed
+      .withColumn("event_time", to_timestamp(col("timestamp")))
+      .withColumn("processing_time", to_timestamp(col("processing_timestamp")))
+      .withColumn("ingestion_time", current_timestamp())
+
+  /** P4 validity predicate. (`transaction_processor.py:229-235`) */
+  val isValid: Column =
+    col("transaction_id").isNotNull && col("account_id").isNotNull &&
+      col("transaction_type").isNotNull && col("amount").isNotNull &&
+      col("amount") > 0
+
+  /** P4+P5: validity flag + status. (`transaction_processor.py:229-241`) */
+  def validate(df: DataFrame): DataFrame =
+    df.withColumn("is_valid", isValid)
+      .withColumn("validation_result", when(col("is_valid"), "valid").otherwise("invalid"))
+
+  /** P6: transaction_category — exact reference thresholds
+    * (deposit>1000, withdrawal>500, payment>100;
+    * `transaction_processor.py:256-265`). */
+  def enrich(df: DataFrame): DataFrame =
+    df.withColumn("transaction_category",
+      when(col("transaction_type") === "deposit" && col("amount") > 1000, "large_deposit")
+        .when(col("transaction_type") === "withdrawal" && col("amount") > 500, "large_withdrawal")
+        .when(col("transaction_type") === "payment" && col("amount") > 100, "large_payment")
+        .otherwise(col("transaction_type")))
+
+  /** P8 realized: broadcast join with the accounts dimension, filling
+    * customer_id and folding account fields into metadata
+    * (`src/models/transaction.py:97-110`; stubbed in the reference at
+    * `transaction_processor.py:267`). */
+  def enrichWithAccounts(df: DataFrame, accounts: DataFrame): DataFrame =
+    df.join(broadcast(accounts.withColumnRenamed("customer_id", "acct_customer_id")),
+        Seq("account_id"), "left")
+      .withColumn("customer_id", coalesce(col("customer_id"), col("acct_customer_id")))
+      .withColumn("metadata",
+        when(col("account_type").isNotNull,
+          map_concat(coalesce(col("metadata"), map()),
+            map(lit("account_type"), col("account_type"),
+              lit("account_status"), col("account_status"))))
+          .otherwise(col("metadata")))
+      .withColumn("enrichment_status",
+        when(col("account_type").isNotNull, "enriched_with_account")
+          .otherwise(lit("no_account_info")))
+      .drop("acct_customer_id", "account_type", "account_status")
+
+  /** A1+A2 flagship: watermarked tumbling 1 h window per account with
+    * count/sum/avg (`transaction_processor.py:282-292`). Streaming-safe:
+    * in append mode the 30 min watermark bounds state. */
+  def windowedAgg(df: DataFrame,
+                  watermark: String = "30 minutes",
+                  window_ : String = "1 hour"): DataFrame =
+    df.withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_), col("account_id"))
+      .agg(
+        count(col("transaction_id")).as("transaction_count"),
+        sum(col("amount")).as("total_amount"),
+        avg(col("amount")).as("avg_amount"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("account_id"), col("transaction_count"),
+        col("total_amount"), col("avg_amount"))
+
+  /** S2: Kafka-sink shape — key = account_id, value = full row JSON
+    * (null-stripped by to_json). (`transaction_processor.py:187-197`) */
+  def kafkaSinkShape(df: DataFrame): DataFrame =
+    df.select(
+      col("account_id").cast("string").as("key"),
+      to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** S8: dead-letter routing — returns (valid, deadLetter). In
+    * streaming both branches run off the same source; with foreachBatch
+    * a single pass writes both. */
+  def deadLetterSplit(df: DataFrame): (DataFrame, DataFrame) = {
+    val validated = validate(df)
+    (validated.filter(col("is_valid")), validated.filter(!col("is_valid")))
+  }
+
+  /** Full parse→type→validate→enrich chain (the reference's
+    * start_streaming body before aggregation). */
+  def pipeline(kafkaShaped: DataFrame): DataFrame =
+    enrich(validate(typed(parse(kafkaShaped))))
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog today", "en", "s0", 49L),
+    (1L, "the quick brown fox jumps over the lazy dog today", "en", "s1", 49L), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat today", "en", "s2", 49L), // near dup of 0
+    (3L, "completely different words here about spark engines", "en", "s3", 52L),
+    (4L, "tiny doc", "de", "s4", 8L) // < 3 words after split? 2 words → filtered
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    val out = Dedup.exactDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(out === Seq((0L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("jaccard pairs finds the near-dup and the exact dup") {
+    val pairs = Dedup.jaccardPairs(docs, 0.5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) === 1.0)
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) > 0.5 && pairs((0L, 2L)) < 1.0)
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash LSH candidates recover exact duplicates with jaccard 1.0") {
+    val out = Dedup.minhashLshPairs(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((0L, 1L)) === 1.0)
+  }
+
+  test("simhash: identical texts identical hashes; near-dups within small hamming") {
+    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) === sh(1L))
+    val d02 = java.lang.Long.bitCount(sh(0L) ^ sh(2L))
+    val d03 = java.lang.Long.bitCount(sh(0L) ^ sh(3L))
+    assert(d02 < d03)
+  }
+
+  test("cosine topk: self-similar vectors rank first, cosine in [-1,1]") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val top = Similarity.bruteForceTopK(e, 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(top(0L)._1 === 1L && top(0L)._2 > 0.99)
+    assert(top(1L)._1 === 0L)
+    assert(top(3L)._2 <= 1.0 && top(3L)._2 >= -1.0)
+  }
+
+  test("ivf topk returns well-formed ranks and respects k") {
+    val emb = Tables.embeddings(spark, sf())
+    val out = Similarity.ivfTopK(emb.limit(50), 5)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getLong(0))
+    byQuery.values.foreach { rs =>
+      val ranks = rs.map(_.getInt(1)).sorted.toSeq
+      assert(ranks === (1 to ranks.length))
+      assert(ranks.length <= 5)
+    }
+  }
+
+  test("text stats formulas: token counts, ratios, quality bounded") {
+    val one = Seq((0L, "the cat sat on the mat", "en", "s", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextStats.textStats(one).collect().head
+    assert(r.getAs[Long]("n_words") === 6)
+    assert(r.getAs[Long]("n_tokens") === 6)
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 2.0 / 6) < 1e-12)
+    assert(math.abs(r.getAs[Double]("avg_word_len") - 17.0 / 6) < 1e-12)
+    val q = r.getAs[Double]("quality_score")
+    assert(q > 0.0 && q <= 1.0)
+  }
+
+  test("language id picks argmax with alphabetical tie-break") {
+    val d = Seq(
+      (0L, "window batch merge window", "de", "s", 10L),     // de markers
+      (1L, "table scan row row", "es", "s", 10L),            // es markers
+      (2L, "zzz yyy xxx", "zh", "s", 10L))                   // no markers → tie → de
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextStats.languageId(d).select("doc_id", "lang_pred")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) === "de")
+    assert(out(1L) === "es")
+    assert(out(2L) === "de") // all scores 0 → first alphabetical wins
+  }
+
+  test("multimodal: typed decode stub preserves batching shape and determinism") {
+    val feats = Multimodal.mediaFeatures(docs).collect()
+    assert(feats.length === 5)
+    val r = feats.head
+    assert(r.getAs[String]("media_type") === "image") // doc_id 0 % 3
+    assert(r.getAs[String]("content_hash").length === 64)
+    assert(r.getSeq[Long](r.fieldIndex("frame_offsets")).length === 10)
+    // determinism: same input → same features
+    val again = Multimodal.mediaFeatures(docs).collect()
+    assert(feats.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
+  test("media metadata frame offsets evenly spaced") {
+    val m = Multimodal.mediaMetadata(docs).filter(col("doc_id") === 0).collect().head
+    val n = m.getAs[Long]("n_bytes")
+    val offs = m.getSeq[Long](m.fieldIndex("frame_offsets")).toSeq
+    assert(offs === (0 until 10).map(i => i * (n / 10)))
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Aggregate, Enrich, Generator, Ingest, Lineage, Windows}
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("A2 window agg equals ungrouped totals per (window, user)") {
+    val ev = Tables.events(spark, sf())
+    val agg = Aggregate.hourlyUserAgg(ev)
+    val total = agg.agg(sum("n_events")).collect().head.getLong(0)
+    assert(total === ev.count())
+  }
+
+  test("A3 sliding window assigns each event to exactly 2 windows") {
+    val ev = Tables.events(spark, sf())
+    val agg = Aggregate.slidingWindowAgg(ev)
+    assert(agg.agg(sum("n_events")).collect().head.getLong(0) === 2 * ev.count())
+  }
+
+  test("moneySum is exact and order-independent") {
+    val df = (1 to 1000).map(i => i * 0.01).toDF("v")
+    val a = df.repartition(7).agg(Aggregate.moneySum(col("v"))).collect().head.getDouble(0)
+    val b = df.repartition(1).agg(Aggregate.moneySum(col("v"))).collect().head.getDouble(0)
+    assert(a === b)
+    assert(a === 5005.0)
+  }
+
+  test("P6 categorize passthrough for non-matching types") {
+    val df = Seq((1L, "error", 9999.0)).toDF("event_id", "event_type", "value")
+    assert(Enrich.categorize(df).collect().head.getString(3) === "error")
+  }
+
+  test("dim enrich joins the full star without row loss") {
+    val out = Enrich.dimEnrich(Tables.customer(spark, sf()),
+      Tables.nation(spark, sf()), Tables.region(spark, sf()))
+    assert(out.count() === Tables.customer(spark, sf()).count())
+    assert(out.filter(col("nation").isNull || col("region").isNull).count() === 0)
+  }
+
+  test("anti + semi partition orders exactly") {
+    val orders = Tables.orders(spark, sf())
+    val li = Tables.lineitem(spark, sf())
+    val anti = Enrich.reconcileAnti(orders, li).count()
+    val semi = orders.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi").count()
+    assert(anti + semi === orders.count())
+  }
+
+  test("P2 json decode extracts k as int") {
+    val df = Seq((1L, "click", """{"k": 42}"""), (2L, "view", """{"k": 0}"""))
+      .toDF("event_id", "event_type", "props")
+    val out = Ingest.jsonDecode(df).collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out === Map(1L -> 42, 2L -> 0))
+  }
+
+  test("S2/S4 kafka round-trip preserves fields") {
+    val df = Seq((7L, "click", 1.5)).toDF("user_id", "event_type", "value")
+    val shaped = Ingest.kafkaShaped(df)
+    val schema = df.schema
+    val back = Ingest.kafkaParse(shaped, schema)
+    val r = back.collect().head
+    assert(r.getAs[String]("key") === "7")
+    assert(r.getAs[Long]("user_id") === 7L)
+    assert(r.getAs[String]("event_type") === "click")
+    assert(r.getAs[Double]("value") === 1.5)
+  }
+
+  test("lineage hash is stable and 64 hex chars") {
+    val df = Seq((1L, 2L, "click", """{"k":1}""")).toDF("event_id", "user_id", "event_type", "props")
+    val h1 = Lineage.recordHashes(df).collect().head.getString(2)
+    val h2 = Lineage.recordHashes(df).collect().head.getString(2)
+    assert(h1 === h2 && h1.matches("[0-9a-f]{64}"))
+  }
+
+  test("lineage read-back ordered by stage") {
+    val ev = Seq((1L, 2L, "click", "{}"), (9L, 2L, "view", "{}"))
+      .toDF("event_id", "user_id", "event_type", "props")
+    val lin = Lineage.lineageStep(ev, "receive", "consumer", "1.0")
+      .unionByName(Lineage.lineageStep(ev, "validate", "validator", "1.0"))
+    val steps = Lineage.lineageFor(lin, 1L).select("processing_stage")
+      .collect().map(_.getString(0)).toSeq
+    assert(steps === Seq("receive", "validate"))
+  }
+
+  test("window functions: latest-per-user picks max ts with tiebreak") {
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 5L, "a", 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 5L, "b", 2.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 5L, "c", 3.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Windows.latestPerUser(df).collect().head
+    assert(r.getAs[Long]("event_id") === 3L) // same ts → higher event_id wins
+  }
+
+  test("running sum accumulates in event order") {
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 5L, "a", 1.5),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 5L, "a", 2.5)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Windows.runningSumPerUser(df).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("running_value")).toMap
+    assert(out === Map(1L -> 1.5, 2L -> 4.0))
+  }
+
+  test("G1 generator: deterministic, per-type amount ranges hold") {
+    val t1 = Generator.transactions(spark, 500)
+    val t2 = Generator.transactions(spark, 500)
+    assert(t1.collect().map(_.toString).sorted.toSeq === t2.collect().map(_.toString).sorted.toSeq)
+    val ranges = Map(
+      "deposit" -> (50.0, 5000.0), "withdrawal" -> (20.0, 1000.0),
+      "transfer" -> (10.0, 3000.0), "payment" -> (5.0, 500.0), "refund" -> (5.0, 200.0))
+    t1.select("transaction_type", "amount").collect().foreach { r =>
+      val (lo, hi) = ranges(r.getString(0))
+      assert(r.getDouble(1) >= lo && r.getDouble(1) <= hi,
+        s"${r.getString(0)} amount ${r.getDouble(1)} out of [$lo,$hi]")
+    }
+    // merchant_info only for payments
+    val m = t1.filter(col("merchant_info").isNotNull)
+      .select("transaction_type").distinct().collect().map(_.getString(0)).toSeq
+    assert(m === Seq("payment"))
+  }
+
+  test("G1 status skew: completed is the most frequent status") {
+    val counts = Generator.transactions(spark, 2000)
+      .groupBy("status").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("completed") > counts.filter(_._1 != "completed").values.max)
+  }
+}
