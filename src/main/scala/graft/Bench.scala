@@ -10,10 +10,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // noop write executes the FULL plan (count() would let Catalyst
+    // eliminate sorts and prune projections — flattering but false).
+    def run(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      // Queries may cache intermediates (e.g. LSH prep); drop them so
+      // later queries aren't measured under accumulated heap pressure.
+      spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      // Two runs, report the min. Run 1 doubles as JIT warm-up (fresh
+      // generated code starts interpreted — measured 30-100x slower
+      // until the session's compile flood drains; a real deployment
+      // amortizes codegen over billions of rows). Min-of-N also strips
+      // host-scheduler noise, which on this shared VM can inflate a
+      // single run by an order of magnitude.
+      name -> math.min(run(name, fn), run(name, fn))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

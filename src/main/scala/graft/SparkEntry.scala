@@ -69,6 +69,15 @@ object SparkEntry {
     "q_distinct_users" -> ((s, d) => Windows.distinctUsers(ev(s, d))),
     // lineage record hashing (data_lineage.py:201-217)
     "q_lineage_hash" -> ((s, d) => Lineage.recordHashes(ev(s, d))),
+    // A10: timestamp parseability expectation (validation_config.yml:42-43)
+    "q_parse_check" -> ((s, d) =>
+      Validate.parseCheck(Tables.orders(s, d), "o_orderdate")),
+    // A11: per-record history scan (data_lineage.py:159-199)
+    "q_user_history" -> ((s, d) => Validate.userHistory(ev(s, d), 42L)),
+    // grouping-sets summary lattice (S7 warehouse shape)
+    "q_status_cube" -> ((s, d) => Windows.statusPriorityCube(Tables.orders(s, d))),
+    // approx_count_distinct scale path — rows-only check (no oracle: HLL is engine-specific)
+    "q_approx_distinct" -> ((s, d) => Windows.approxDistinctUsers(ev(s, d))),
     // ---- LLM-data-pipeline operators (north star, BASELINE.json) ----
     "q_exact_dedup" -> ((s, d) => llm.Dedup.exactDedup(Tables.documents(s, d))),
     "q_jaccard_pairs" -> ((s, d) => llm.Dedup.jaccardPairs(Tables.documents(s, d), 0.5)),
@@ -229,6 +238,19 @@ object SparkEntry {
          sha256(concat_ws('|', CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),
                 event_type, props)) AS record_hash
          FROM events ORDER BY event_id""",
+    "q_parse_check" ->
+      """SELECT count(*) AS n_total,
+         count(CASE WHEN TRY_CAST(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP) IS NULL
+           AND o_orderdate IS NOT NULL THEN 1 END) AS n_unparseable
+         FROM orders""",
+    "q_user_history" ->
+      """SELECT event_id, ts, event_type, value FROM events
+         WHERE user_id = 42 ORDER BY ts, event_id""",
+    "q_status_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "q_exact_dedup" -> llm.Dedup.sqlExactDedup,
     "q_jaccard_pairs" -> llm.Dedup.sqlJaccardPairs(0.5),
     "q_minhash_lsh" -> llm.Dedup.sqlMinhashLshPairs,

@@ -101,6 +101,22 @@ object Validate {
       count(lit(1)).as("n_total"),
       cols.map(c => count(when(col(c).isNull, 1)).as(s"n_null_$c")): _*)
 
+  /** A10: parseability expectation — timestamps must round-trip
+    * through a string parse (GE expect_column_values_to_be_parseable,
+    * validation_config.yml:42-43). */
+  def parseCheck(df: DataFrame, tsCol: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_total"),
+      count(when(to_timestamp(col(tsCol).cast("string")).isNull &&
+        col(tsCol).isNotNull, 1)).as("n_unparseable"))
+
+  /** A11: per-record history — filter by key, order by time (the
+    * lineage read-back access pattern, data_lineage.py:159-199). */
+  def userHistory(events: DataFrame, userId: Long): DataFrame =
+    events.filter(col("user_id") === userId)
+      .select("event_id", "ts", "event_type", "value")
+      .orderBy("ts", "event_id")
+
   /** S8: dead-letter branch — the invalid records, routed aside. */
   def deadLetter(events: DataFrame): DataFrame =
     events.filter(!isValid(events))

@@ -62,6 +62,29 @@ object Windows {
         Aggregate.moneySum(col("o_totalprice")).as("total_amount"))
       .orderBy(col("o_year").asc_nulls_first, col("o_month").asc_nulls_first)
 
+  /** Grouping-sets summary: CUBE over (status, priority) — every
+    * combination plus margins, the full warehouse-summary lattice. */
+  def statusPriorityCube(orders: DataFrame): DataFrame =
+    orders
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Aggregate.moneySum(col("o_totalprice")).as("total_amount"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Approximate distinct (HLL sketch) — the scale path for
+    * cardinality: fixed-size state, no shuffle of distinct values.
+    * Oracle-less (sketch internals are engine-specific); the driver
+    * records a rows-only check and DistinctSpec asserts the relative
+    * error against the exact count. */
+  def approxDistinctUsers(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id")).as("n_users_approx"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
   /** Distinct + approximate distinct side by side (scale path:
     * approx_count_distinct is a fixed-size HLL sketch, no shuffle of
     * distinct values). Oracle covers the exact columns only. */

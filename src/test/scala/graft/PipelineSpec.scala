@@ -127,3 +127,43 @@ class PipelineSpec extends SparkSpec {
     assert(counts("completed") > counts.filter(_._1 != "completed").values.max)
   }
 }
+
+class CoverageSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("P10 dot-path config getter") {
+    val conf: graft.util.Conf.Nested = Map(
+      "spark" -> Map("streaming" -> Map("batch_interval" -> 10), "master" -> "local"))
+    assert(graft.util.Conf.get(conf, "spark.streaming.batch_interval") === 10)
+    assert(graft.util.Conf.get(conf, "spark.master") === "local")
+    assert(graft.util.Conf.get(conf, "spark.missing.path", "dflt") === "dflt")
+    assert(graft.util.Conf.get(conf, "spark.master.too.deep", -1) === -1)
+  }
+
+  test("A10 parse check: all order dates parseable") {
+    val r = graft.pipeline.Validate.parseCheck(Tables.orders(spark, sf()), "o_orderdate")
+      .collect().head
+    assert(r.getAs[Long]("n_unparseable") === 0L)
+  }
+
+  test("cube emits all four grouping margins") {
+    val out = graft.pipeline.Windows.statusPriorityCube(Tables.orders(spark, sf()))
+    val rows = out.collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length === 1)
+    assert(grand.head.getAs[Long]("n_orders") === Tables.orders(spark, sf()).count())
+    assert(rows.exists(r => !r.isNullAt(0) && r.isNullAt(1)))  // status margin
+    assert(rows.exists(r => r.isNullAt(0) && !r.isNullAt(1)))  // priority margin
+  }
+
+  test("approx distinct within 10% of exact") {
+    val ev = Tables.events(spark, sf())
+    val approx = graft.pipeline.Windows.approxDistinctUsers(ev)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.pipeline.Windows.distinctUsers(ev)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e).toDouble / e < 0.1, s"$k: approx=${approx(k)} exact=$e")
+    }
+  }
+}
