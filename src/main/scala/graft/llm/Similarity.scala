@@ -59,19 +59,30 @@ object Similarity {
     s"list_reduce(list_transform(generate_series(1, $Dim), i -> a.v[i] * b.v[i]), " +
       "(x, y) -> x + y) / (a.nrm * b.nrm)"
 
-  /** Brute-force cosine top-k: every vector queries the whole corpus. */
+  /** Brute-force cosine top-k: every vector queries the whole corpus.
+    *
+    * Top-k selection uses the custom bounded-heap aggregate
+    * (graft.functions.TopKByScore) instead of a Window: the window
+    * route shuffles ALL n·q scored pairs to rank them; the heap
+    * partial-aggregates map-side so at most k rows per query per map
+    * partition reach the shuffle — the only shape that survives a
+    * 100 TB corpus. */
   def bruteForceTopK(embeddings: DataFrame, k: Int): DataFrame = {
+    graft.functions.TopKByScore.register(embeddings.sparkSession)
     val n = prepared(embeddings)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
     n.as("a").join(n.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(
         col("a.vec_id").as("query_id"),
         col("b.vec_id").as("neighbor_id"),
         cosine("a", "b"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("query_id", "rnk", "neighbor_id", "cosine")
+      .groupBy("query_id")
+      .agg(call_function("top_k_by", col("cosine"), col("neighbor_id"), lit(k)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        col("entry.id").as("neighbor_id"),
+        col("entry.score").as("cosine"))
       .orderBy("query_id", "rnk")
   }
 

@@ -114,3 +114,35 @@ class LlmSpec extends SparkSpec {
     assert(offs === (0 until 10).map(i => i * (n / 10)))
   }
 }
+
+class TopKAggSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("top_k_by: bounded heap matches window ranking incl. ties, across partitions") {
+    graft.functions.TopKByScore.register(spark)
+    val rows = Seq(
+      (1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 12L, 0.9), (1L, 13L, 0.1), (1L, 14L, 0.8),
+      (2L, 20L, 0.5), (2L, 21L, 0.5), (2L, 22L, 0.5), (2L, 23L, 0.4))
+    val df = rows.toDF("q", "id", "score").repartition(7)
+    val out = df.groupBy("q")
+      .agg(call_function("top_k_by", col("score"), col("id"), lit(3)).as("top"))
+      .select(col("q"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("q"), col("pos"), col("e.id"), col("e.score"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // q=1: score desc, id asc on ties → 10(0.9), 12(0.9), 11(0.8)
+    assert(out === Set(
+      (1L, 0, 10L, 0.9), (1L, 1, 12L, 0.9), (1L, 2, 11L, 0.8),
+      (2L, 0, 20L, 0.5), (2L, 1, 21L, 0.5), (2L, 2, 22L, 0.5)))
+  }
+
+  test("top_k_by: k larger than group returns whole group sorted") {
+    graft.functions.TopKByScore.register(spark)
+    val df = Seq((1L, 5L, 0.3), (1L, 6L, 0.7)).toDF("q", "id", "score")
+    val top = df.groupBy("q")
+      .agg(call_function("top_k_by", col("score"), col("id"), lit(10)).as("top"))
+      .select(explode(col("top")).as("e")).select("e.id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(top === Seq(6L, 5L))
+  }
+}
