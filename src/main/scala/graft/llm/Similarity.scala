@@ -98,6 +98,30 @@ object Similarity {
         SELECT query_id, rnk, neighbor_id, cosine FROM r
         WHERE rnk <= $k ORDER BY query_id, rnk"""
 
+  /** Embedding-cosine near-duplicate pairs (the semantic-dedup
+    * variant): unordered pairs above a cosine threshold. Exact
+    * all-pairs here as the baseline; at corpus scale the IVF/LSH
+    * bucketing below restricts candidate generation the same way the
+    * MinHash bands do for lexical dedup. */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val n = prepared(embeddings)
+    n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"),
+        cosine("a", "b"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  def sqlCosineNearDupPairs(threshold: Double): String =
+    s"""WITH $sqlPrepared,
+        p AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $sqlCosine AS cosine
+          FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b, cosine FROM p
+        WHERE cosine >= $threshold ORDER BY vec_a, vec_b"""
+
   val NumCentroids = 8
   val NumProbes = 2
 
