@@ -86,6 +86,7 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, d) => llm.Dedup.simhashPairs(Tables.documents(s, d), 8)),
     "q_cosine_topk" -> ((s, d) => llm.Similarity.bruteForceTopK(Tables.embeddings(s, d), 10)),
     "q_embed_neardup" -> ((s, d) => llm.Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.4)),
+    "q_embed_lsh" -> ((s, d) => llm.Similarity.lshNearDupPairs(Tables.embeddings(s, d), 0.3)),
     "q_ann_ivf" -> ((s, d) => llm.Similarity.ivfTopK(Tables.embeddings(s, d), 10)),
     "q_text_stats" -> ((s, d) => llm.TextStats.textStats(Tables.documents(s, d))),
     "q_language_id" -> ((s, d) => llm.TextStats.languageId(Tables.documents(s, d))),
@@ -259,6 +260,7 @@ object SparkEntry {
     "q_simhash_pairs" -> llm.Dedup.sqlSimhashPairs(8),
     "q_cosine_topk" -> llm.Similarity.sqlBruteForceTopK(10),
     "q_embed_neardup" -> llm.Similarity.sqlCosineNearDupPairs(0.4),
+    "q_embed_lsh" -> llm.Similarity.sqlLshNearDupPairs(0.3),
     "q_ann_ivf" -> llm.Similarity.sqlIvfTopK(10),
     "q_text_stats" -> llm.TextStats.sqlTextStats,
     "q_language_id" -> llm.TextStats.sqlLanguageId,

@@ -122,6 +122,67 @@ object Similarity {
         SELECT vec_a, vec_b, cosine FROM p
         WHERE cosine >= $threshold ORDER BY vec_a, vec_b"""
 
+  val NumPlanes = 8
+
+  /** Deterministic random hyperplanes for sign-projection LSH: weight
+    * (p,d) = (md5("p:d") mod 2001 - 1000)/1000 ∈ [-1,1]. Computed once
+    * here and embedded as literals in BOTH the Spark plan and the
+    * oracle SQL — no in-engine randomness, perfectly portable. */
+  lazy val planes: Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until NumPlanes).map { p =>
+      (0 until Dim).map { d =>
+        val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
+      }
+    }
+  }
+
+  /** Sign-projection LSH near-dup: bucket = the NumPlanes sign bits of
+    * the plane projections; pairs sharing a bucket are candidates,
+    * verified by exact cosine ≥ threshold. The corpus-scale shape:
+    * bucketing is map-only, the join key space is 2^NumPlanes, and
+    * only same-bucket pairs are ever scored.
+    *
+    * This is a SINGLE hash table, so recall at moderate similarity is
+    * intentionally low (collision prob (1-θ/π)^NumPlanes; measured
+    * 4/59 of the exact ≥0.4 pairs at sf0.01) — production ANN ORs L
+    * independent tables to trade compute for recall; the per-table
+    * mechanics here are the portable part. */
+  def lshNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val n = prepared(embeddings)
+    val bucket = (0 until NumPlanes).map { p =>
+      when(dot(col("v"), array(planes(p).map(lit): _*)) >= 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val b = n.withColumn("bucket", bucket)
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"),
+        cosine("a", "b"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  def sqlLshNearDupPairs(threshold: Double): String = {
+    val bucketExpr = (0 until NumPlanes).map { p =>
+      val w = planes(p).mkString("[", ", ", "]")
+      s"CASE WHEN list_reduce(list_transform(generate_series(1, $Dim), " +
+        s"i -> v[i] * ($w)[i]), (x, y) -> x + y) >= 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH $sqlPrepared,
+        bkt AS (SELECT vec_id, v, nrm, $bucketExpr AS bucket FROM n),
+        p AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $sqlCosine AS cosine
+          FROM bkt a JOIN bkt b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b, cosine FROM p
+        WHERE cosine >= $threshold ORDER BY vec_a, vec_b"""
+  }
+
   val NumCentroids = 8
   val NumProbes = 2
 
