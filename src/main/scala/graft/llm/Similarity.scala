@@ -205,8 +205,7 @@ object Similarity {
       .select(col("vec_id").as("member_id"), col("centroid_id"))
     val probes = ranked.filter(col("crnk") <= NumProbes)
       .select(col("vec_id").as("query_id"), col("centroid_id"))
-    val wTop = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
+    graft.functions.TopKByScore.register(embeddings.sparkSession)
     probes
       .join(assign, "centroid_id")
       .filter(col("query_id") =!= col("member_id"))
@@ -214,9 +213,14 @@ object Similarity {
       .join(n.as("a"), col("query_id") === col("a.vec_id"))
       .join(n.as("b"), col("neighbor_id") === col("b.vec_id"))
       .select(col("query_id"), col("neighbor_id"), cosine("a", "b"))
-      .withColumn("rnk", row_number().over(wTop))
-      .filter(col("rnk") <= k)
-      .select("query_id", "rnk", "neighbor_id", "cosine")
+      .groupBy("query_id")
+      .agg(call_function("top_k_by", col("cosine"), col("neighbor_id"), lit(k)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        col("entry.id").as("neighbor_id"),
+        col("entry.score").as("cosine"))
       .orderBy("query_id", "rnk")
   }
 
