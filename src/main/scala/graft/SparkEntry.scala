@@ -116,25 +116,24 @@ object SparkEntry {
            SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, user_id, value FROM events
          ) GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_validity_flags" ->
-      s"""SELECT event_id, user_id, event_type, value,
-         $validPred AS is_valid,
-         CASE WHEN $validPred
-          THEN 'valid' ELSE 'invalid' END AS validation_status,
-         list_filter([
-           CASE WHEN event_id IS NULL THEN 'missing transaction_id' END,
-           CASE WHEN user_id IS NULL THEN 'missing account_id' END,
-           CASE WHEN NOT (value > 0) OR value IS NULL THEN 'invalid amount' END,
-           CASE WHEN event_type IS NOT NULL AND event_type NOT IN ('click','view','purchase','signup')
-                THEN 'invalid type: ' || event_type END
-         ], x -> x IS NOT NULL) AS validation_errors,
-         CAST(len(list_filter([
-           CASE WHEN event_id IS NULL THEN 'missing transaction_id' END,
-           CASE WHEN user_id IS NULL THEN 'missing account_id' END,
-           CASE WHEN NOT (value > 0) OR value IS NULL THEN 'invalid amount' END,
-           CASE WHEN event_type IS NOT NULL AND event_type NOT IN ('click','view','purchase','signup')
-                THEN 'invalid type: ' || event_type END
-         ], x -> x IS NOT NULL)) AS INTEGER) AS n_errors
-         FROM events ORDER BY event_id""",
+      s"""SELECT event_id, user_id, event_type, value, is_valid,
+         validation_status,
+         coalesce(array_to_string(errs, '|'), '') AS validation_errors,
+         CAST(len(errs) AS INTEGER) AS n_errors
+         FROM (
+           SELECT event_id, user_id, event_type, value,
+             $validPred AS is_valid,
+             CASE WHEN $validPred
+              THEN 'valid' ELSE 'invalid' END AS validation_status,
+             list_filter([
+               CASE WHEN event_id IS NULL THEN 'missing transaction_id' END,
+               CASE WHEN user_id IS NULL THEN 'missing account_id' END,
+               CASE WHEN NOT (value > 0) OR value IS NULL THEN 'invalid amount' END,
+               CASE WHEN event_type IS NOT NULL AND event_type NOT IN ('click','view','purchase','signup')
+                    THEN 'invalid type: ' || event_type END
+             ], x -> x IS NOT NULL) AS errs
+           FROM events)
+         ORDER BY event_id""",
     "q_validation_summary" ->
       s"""SELECT count(*) AS n_total,
          count(CASE WHEN $validPred THEN 1 END) AS n_valid,

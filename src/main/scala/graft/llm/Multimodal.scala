@@ -80,14 +80,16 @@ object Multimodal {
 
   /** Metadata + content-hash projection — oracle-checkable (sha256 of
     * utf-8 text bytes ≡ DuckDB sha256(text); frame offsets are pure
-    * integer arithmetic). */
+    * integer arithmetic, projected as a ','-joined canonical string so
+    * the driver's pandas hash-compare can sort the column). */
   def mediaMetadata(documents: DataFrame): DataFrame =
     mediaTable(documents)
       .select(
         col("doc_id"), col("media_type"), col("n_bytes"),
         sha2(col("content"), 256).as("content_hash"),
-        expr("transform(sequence(0, 9), i -> CAST(i * (n_bytes DIV 10) AS BIGINT))")
-          .as("frame_offsets"))
+        array_join(
+          expr("transform(sequence(0, 9), i -> CAST(i * (n_bytes DIV 10) AS BIGINT))"),
+          ",").as("frame_offsets"))
       .orderBy("doc_id")
 
   val sqlMediaMetadata: String =
@@ -95,7 +97,7 @@ object Multimodal {
        ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
        CAST(length(text) AS BIGINT) AS n_bytes,
        sha256(text) AS content_hash,
-       list_transform(generate_series(0, 9),
-         i -> CAST(i * (length(text) // 10) AS BIGINT)) AS frame_offsets
+       array_to_string(list_transform(generate_series(0, 9),
+         i -> CAST(i * (length(text) // 10) AS BIGINT)), ',') AS frame_offsets
        FROM documents ORDER BY doc_id"""
 }

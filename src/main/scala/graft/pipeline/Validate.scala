@@ -40,23 +40,33 @@ object Validate {
         col("value") > lit(0) && col("event_type").isin(allowedTypes: _*),
       lit(false))
 
-  /** P4+P5+P7: per-row validity flags, status, and error list. */
+  /** P7 error-string collection as a compacted array expression. */
+  def errorArray: Column =
+    array_compact(array(
+      when(col("event_id").isNull, "missing transaction_id"),
+      when(col("user_id").isNull, "missing account_id"),
+      when(!(col("value") > lit(0)) || col("value").isNull, "invalid amount"),
+      when(col("event_type").isNotNull &&
+        !col("event_type").isin(allowedTypes: _*),
+        concat(lit("invalid type: "), col("event_type")))
+    ))
+
+  /** P4+P5+P7: per-row validity flags, status, and error list.
+    * The error array is projected as a '|'-joined canonical string so
+    * the driver's pandas hash-compare (which cannot sort array cells)
+    * stays applicable; n_errors preserves the count. */
   def validityFlags(events: DataFrame): DataFrame = {
     val valid = isValid(events)
     events.select(
       col("event_id"), col("user_id"), col("event_type"), col("value"),
       valid.as("is_valid"),
       when(valid, "valid").otherwise("invalid").as("validation_status"),
-      // P7 error-string collection as a compacted array expression
-      array_compact(array(
-        when(col("event_id").isNull, "missing transaction_id"),
-        when(col("user_id").isNull, "missing account_id"),
-        when(!(col("value") > lit(0)) || col("value").isNull, "invalid amount"),
-        when(col("event_type").isNotNull &&
-          !col("event_type").isin(allowedTypes: _*),
-          concat(lit("invalid type: "), col("event_type")))
-      )).as("validation_errors"))
-      .withColumn("n_errors", size(col("validation_errors")))
+      errorArray.as("errs"))
+      .select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        col("is_valid"), col("validation_status"),
+        concat_ws("|", col("errs")).as("validation_errors"),
+        size(col("errs")).as("n_errors"))
       .orderBy("event_id")
   }
 

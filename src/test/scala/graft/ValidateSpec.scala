@@ -30,12 +30,22 @@ class ValidateSpec extends SparkSpec {
   test("P7 error strings collected per violation") {
     val errs = Validate.validityFlags(events)
       .select("event_id", "validation_errors")
-      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(errs(1L).isEmpty)
-    assert(errs(2L) === Seq("missing account_id"))
-    assert(errs(3L) === Seq("invalid type: error"))
-    assert(errs(4L) === Seq("invalid amount"))
-    assert(errs(7L) === Seq("invalid amount"))
+    assert(errs(2L) === "missing account_id")
+    assert(errs(3L) === "invalid type: error")
+    assert(errs(4L) === "invalid amount")
+    assert(errs(7L) === "invalid amount")
+  }
+
+  test("P7 multiple violations joined with |") {
+    val multi = Seq((Option.empty[Long], Option.empty[Long],
+      Some("error"), Some(-1.0)))
+      .toDF("event_id", "user_id", "event_type", "value")
+    val r = Validate.validityFlags(multi).collect().head
+    assert(r.getAs[String]("validation_errors") ===
+      "missing transaction_id|missing account_id|invalid amount|invalid type: error")
+    assert(r.getAs[Int]("n_errors") === 4)
   }
 
   test("A5 validation summary counts and rate") {
