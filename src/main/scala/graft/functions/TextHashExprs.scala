@@ -1,0 +1,251 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-dedup hash pipeline.
+  *
+  * The previous route built shingles + MinHash bases out of built-in
+  * higher-order functions (`transform` / `zip_with` / `array_min`).
+  * Those are interpreted (no codegen), allocate an intermediate array
+  * per lambda, and are so sensitive to re-inlining and JIT state that
+  * the round-1 driver bench recorded 128 s for `q_minhash_lsh` in-suite
+  * vs 1.2 s isolated. These expressions do the same arithmetic in one
+  * compiled pass per row — a single md5 per distinct shingle / word,
+  * no intermediate Catalyst arrays — and sit inside whole-stage codegen
+  * as a plain static call, so cost is stable under any session state.
+  *
+  * Hash definitions are bit-identical to the DuckDB oracle SQL
+  * (md5 hex, 15-hex-digit base-16 parses, mod P arithmetic): see
+  * graft.llm.TextPrep for the SQL twins.
+  */
+object TextHash {
+
+  /** Modulus for the arithmetic MinHash hash family (Kirsch–
+    * Mitzenmacher: h_i = (a + i*b) mod P; fits a + 15*b in a long). */
+  val HashP = 1000000007L
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private val mdLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private def md5Hex(s: String): String = {
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  private val emptyShingles: InternalRow = {
+    val e = new GenericArrayData(Array.empty[Any])
+    val el = new GenericArrayData(Array.empty[Long])
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](e, el, el))
+  }
+
+  /** Distinct word n-gram shingles of lower(text) + the two md5-derived
+    * MinHash base hashes per shingle. Matches the SQL twin exactly:
+    * words = regex-split(lower(text), " ") keeping empties; shingle =
+    * space-join of n consecutive words; ha = parse(hex[0,15)) mod P,
+    * hb = parse(hex[16,31)) mod P. Returns struct(shs, ha, hb). */
+  def computeShingles(text: UTF8String, n: Int): InternalRow = {
+    val words = text.toLowerCase.toString.split(" ", -1)
+    if (words.length < n) return emptyShingles
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val m = seen.size
+    val shs = new Array[Any](m)
+    val ha = new Array[Long](m)
+    val hb = new Array[Long](m)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      val s = it.next()
+      val hex = md5Hex(s)
+      ha(k) = java.lang.Long.parseLong(hex.substring(0, 15), 16) % HashP
+      hb(k) = java.lang.Long.parseLong(hex.substring(16, 31), 16) % HashP
+      shs(k) = UTF8String.fromString(s)
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new GenericArrayData(shs), new GenericArrayData(ha),
+        new GenericArrayData(hb)))
+  }
+
+  /** MinHash signature: sig(i) = min_j (ha(j) + i*hb(j)) mod P for
+    * i in [0, k). One pass over the base hashes; empty input yields an
+    * empty signature (callers filter size(shs) > 0 upstream). */
+  def computeMinhash(ha: ArrayData, hb: ArrayData, k: Int): ArrayData = {
+    val m = ha.numElements()
+    if (m == 0) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      var mn = Long.MaxValue
+      var j = 0
+      while (j < m) {
+        val v = (ha.getLong(j) + i * hb.getLong(j)) % HashP
+        if (v < mn) mn = v
+        j += 1
+      }
+      out(i) = mn
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash over the word multiset of lower(text).
+    * Bit j (0-based) is set iff the sum over words of the per-word vote
+    * is >= 0, where word w votes +1 on bit j iff:
+    *   j <  32: hex digit j of md5(w) has nibble bit 8 (digit in 8..f)
+    *   j >= 32: hex digit j-32 of md5(w) has nibble bit 4
+    *            (digit in {4,5,6,7,c,d,e,f})
+    * One md5 per word occurrence; portable to any engine with md5. */
+  def computeSimhash(text: UTF8String): Long = {
+    val words = text.toLowerCase.toString.split(" ", -1)
+    val votes = new Array[Int](64)
+    var wi = 0
+    while (wi < words.length) {
+      val hex = md5Hex(words(wi))
+      var i = 0
+      while (i < 32) {
+        val nib = Character.digit(hex.charAt(i), 16)
+        if ((nib & 8) != 0) votes(i) += 1 else votes(i) -= 1
+        if ((nib & 4) != 0) votes(32 + i) += 1 else votes(32 + i) -= 1
+        i += 1
+      }
+      wi += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) >= 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+}
+
+/** `shingle_hashes(text, n)` → struct(shs: array<string>,
+  * ha: array<long>, hb: array<long>). */
+case class ShingleHashes(child: Expression, shingleWords: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("shs", ArrayType(StringType, containsNull = false), nullable = false),
+    StructField("ha", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("hb", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires a string argument, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.computeShingles(input.asInstanceOf[UTF8String], shingleWords)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHash.computeShingles($c, $shingleWords);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `minhash_sigs(ha, hb, k)` → array<long> of the k MinHash mins. */
+case class MinhashSigs(left: Expression, right: Expression, numHashes: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"minhash_sigs requires two array<bigint> arguments, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.computeMinhash(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextHash.computeMinhash($a, $b, $numHashes);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `simhash64(text)` → bigint 64-bit SimHash fingerprint (row-local —
+  * no explode, no shuffle). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires a string argument, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.computeSimhash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHash.computeSimhash($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextHashExprs {
+  private def intArg(e: Expression): Int =
+    e.eval(InternalRow.empty).asInstanceOf[Number].intValue()
+
+  /** Register SQL-callable text-hash functions on a session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "shingle_hashes", exprs => ShingleHashes(exprs(0), intArg(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_sigs", exprs => MinhashSigs(exprs(0), exprs(1), intArg(exprs(2))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs(0)), "built-in")
+  }
+}

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact,
@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   *
   * Everything is hash-portable: the hash family is md5 (identical in
   * Spark and DuckDB), so every stage — including the MinHash signatures
-  * and LSH candidate sets — is oracle-checkable bit-for-bit.
+  * and the SimHash fingerprints — is oracle-checkable bit-for-bit.
   *
   * Scale design (100 TB):
   *  - exact dedup = one hash-aggregate on a 32-byte digest, shuffled by
@@ -17,8 +17,14 @@ import org.apache.spark.sql.functions._
   *    shingle → pair counts), NOT an O(n²) cross join; the shuffle key
   *    is the shingle, so hot shingles are the skew concern — AQE skew
   *    handling plus the distinct-per-doc projection bound it.
-  *  - LSH reduces pair generation to per-bucket joins; band buckets are
-  *    the shuffle key, bucket sizes are tiny under uniform hashing.
+  *  - MinHash-LSH reduces pair generation to per-bucket joins; band
+  *    buckets are the shuffle key, bucket sizes are tiny under uniform
+  *    hashing.
+  *  - SimHash near-dup uses Hamming-LSH banding (4×16-bit bands of a
+  *    64-bit fingerprint): full recall is GUARANTEED for hamming ≤ 3
+  *    (pigeonhole — 3 differing bits cannot touch all 4 bands), and the
+  *    join key space is 2^16 per band, so no per-language quadratic
+  *    self-join survives anywhere.
   */
 object Dedup {
 
@@ -75,19 +81,19 @@ object Dedup {
   val NumBands = 4
   val RowsPerBand: Int = NumHashes / NumBands
 
-  /** MinHash signature: per seed i, min over the doc's shingle set of
-    * h_i(sh) = (a(sh) + i·b(sh)) mod P, where a/b are md5-derived base
-    * hashes precomputed in docShingles (Kirsch–Mitzenmacher — one md5
-    * per shingle, all seeds arithmetic). Row-local, no shuffle. */
+  /** MinHash signature columns h0..h{k-1}: per seed i, min over the
+    * doc's shingle set of h_i(sh) = (a(sh) + i·b(sh)) mod P, where a/b
+    * are the md5-derived base hashes from docShingles. Computed by the
+    * native minhash_sigs expression in one pass — row-local, no
+    * shuffle. */
   def minhashSignatures(documents: DataFrame): DataFrame =
     signaturesFrom(TextPrep.docShingles(documents))
+      .select(col("doc_id") +:
+        (0 until NumHashes).map(i => col("sig").getItem(i).as(s"h$i")): _*)
 
   private def signaturesFrom(docsPrep: DataFrame): DataFrame =
-    docsPrep.select(
-      col("doc_id") +:
-        (0 until NumHashes).map(i =>
-          array_min(zip_with(col("ha"), col("hb"),
-            (a, b) => (a + lit(i.toLong) * b) % TextPrep.HashP)).as(s"h$i")): _*)
+    docsPrep.select(col("doc_id"),
+      call_function("minhash_sigs", col("ha"), col("hb"), lit(NumHashes)).as("sig"))
 
   /** LSH banding: hash each run of RowsPerBand signature slots to a
     * bucket key; docs sharing any (band, bucket) become candidates. */
@@ -95,7 +101,7 @@ object Dedup {
     val bands = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",",
-          (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}")): _*)
+          (0 until RowsPerBand).map(r => col("sig").getItem(b * RowsPerBand + r)): _*)
           .as("bkey"))
     }
     sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
@@ -104,13 +110,14 @@ object Dedup {
 
   /** MinHash+LSH near-dup detection: candidates from shared band
     * buckets, verified with exact Jaccard. Output is every candidate
-    * pair with its true Jaccard — bit-portable to the oracle. */
+    * pair with its true Jaccard — bit-portable to the oracle.
+    *
+    * No cache: shingle prep is a compiled expression (one md5 per
+    * distinct shingle), so recomputing it per plan branch is cheaper
+    * than materializing 100 TB of shingle arrays — and the scan +
+    * exchange subtrees are deduplicated by ReuseExchange anyway. */
   def minhashLshPairs(documents: DataFrame): DataFrame = {
-    // One shared, cached prep: the shingle arrays feed four plan
-    // branches (two band-join sides, two verification sides) and Spark
-    // does not reuse the exchange across them — without the cache the
-    // interpreted shingle pipeline runs 4×. 5000 compact rows/SF0.1.
-    val docs = TextPrep.docShingles(documents).cache()
+    val docs = TextPrep.docShingles(documents)
     val bk = bandKeys(signaturesFrom(docs))
     val cand = bk.as("x")
       .join(bk.as("y"),
@@ -161,62 +168,98 @@ object Dedup {
         FROM verified ORDER BY doc_a, doc_b"""
   }
 
-  val SimhashBits = 32
+  val SimhashBits = 64
+  val SimhashBands = 4
+  val SimhashBandBits: Int = SimhashBits / SimhashBands // 16
 
-  /** 32-bit SimHash over the word multiset: bit j is the sign of the
-    * sum of per-word ±1 votes, where a word votes +1 on bit j iff hex
-    * digit j of md5(word) has its high nibble bit set. Portable to any
-    * engine with md5. */
-  def simhash(documents: DataFrame): DataFrame = {
-    val w = documents
-      .select(col("doc_id"), explode(TextPrep.wordsCol).as("w"))
-    val votes = w.groupBy("doc_id").agg(
-      sum(when(substring(md5(col("w")), 1, 1)
-        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as("s0"),
-      (1 until SimhashBits).map(j =>
-        sum(when(substring(md5(col("w")), j + 1, 1)
-          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as(s"s$j")): _*)
-    val sh = (0 until SimhashBits)
-      .map(j => when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    votes.select(col("doc_id"), sh.as("simhash")).orderBy("doc_id")
+  /** Internal: (doc_id, lang, hi, lo) where hi/lo are the two unsigned
+    * 32-bit halves of the 64-bit SimHash fingerprint (split so both
+    * engines stay in non-negative BIGINT arithmetic — no signed-bit-63
+    * portability games). simhash64 is a native row-local expression:
+    * one md5 per word occurrence, no explode, no shuffle. */
+  private def fingerprints(documents: DataFrame): DataFrame = {
+    graft.functions.TextHashExprs.register(documents.sparkSession)
+    val fp = call_function("simhash64", col("text"))
+    documents.select(
+      col("doc_id"), col("lang"),
+      shiftrightunsigned(fp, 32).as("hi"),
+      fp.bitwiseAND(lit(4294967295L)).as("lo"))
   }
 
-  val sqlSimhash: String = {
-    val hexHigh = "('8','9','a','b','c','d','e','f')"
-    val sums = (0 until SimhashBits).map(j =>
-      s"sum(CASE WHEN substr(md5(w), ${j + 1}, 1) IN $hexHigh THEN 1 ELSE -1 END) AS s$j")
+  /** 64-bit SimHash fingerprint per document, as two unsigned 32-bit
+    * halves. Bit j votes: +1 iff hex digit (j mod 32) of md5(word) has
+    * nibble bit 8 (j < 32) / nibble bit 4 (j >= 32). */
+  def simhash(documents: DataFrame): DataFrame =
+    fingerprints(documents)
+      .select("doc_id", "hi", "lo")
+      .withColumnRenamed("hi", "simhash_hi")
+      .withColumnRenamed("lo", "simhash_lo")
+      .orderBy("doc_id")
+
+  val sqlSimhash: String = sqlSimhashCte +
+    " SELECT doc_id, hi AS simhash_hi, lo AS simhash_lo FROM sh ORDER BY doc_id"
+
+  /** DuckDB twin CTE `sh(doc_id, lang, hi, lo)` — the quadratic-free
+    * per-doc fingerprint (explode + group-by in SQL; the Spark side is
+    * row-local). */
+  private lazy val sqlSimhashCte: String = {
+    val high = "('8','9','a','b','c','d','e','f')"
+    val bit4 = "('4','5','6','7','c','d','e','f')"
+    val sums = ((0 until 32).map(j =>
+      s"sum(CASE WHEN substr(md5(w), ${j + 1}, 1) IN $high THEN 1 ELSE -1 END) AS s$j") ++
+      (32 until 64).map(j =>
+        s"sum(CASE WHEN substr(md5(w), ${j - 31}, 1) IN $bit4 THEN 1 ELSE -1 END) AS s$j"))
       .mkString(", ")
-    val assemble = (0 until SimhashBits)
+    val lo = (0 until 32)
       .map(j => s"CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-    s"""WITH w AS (SELECT doc_id, unnest(${TextPrep.sqlWords}) AS w FROM documents),
-        b AS (SELECT doc_id, $sums FROM w GROUP BY doc_id)
-        SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM b ORDER BY doc_id"""
+    val hi = (32 until 64)
+      .map(j => s"CASE WHEN s$j >= 0 THEN ${1L << (j - 32)} ELSE 0 END").mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, lang, unnest(${TextPrep.sqlWords}) AS w FROM documents),
+        b AS (SELECT doc_id, lang, $sums FROM w GROUP BY doc_id, lang),
+        sh AS (SELECT doc_id, lang,
+          CAST($hi AS BIGINT) AS hi, CAST($lo AS BIGINT) AS lo FROM b)"""
   }
 
-  /** SimHash near-dup pairs: same-language blocking, Hamming distance
-    * via bit_count(xor) under a cutoff. */
+  /** SimHash near-dup pairs via Hamming-LSH banding: the 64-bit
+    * fingerprint is split into 4 bands of 16 bits; docs sharing
+    * (band, band-value, lang) are candidates; candidates are verified
+    * with the exact Hamming distance. For maxDist ≤ 3 recall is exact
+    * (3 differing bits cannot touch all 4 bands), so the independently
+    * written quadratic oracle SQL provably produces the same rows.
+    * Join keys are (band, 16-bit value, lang) — bucket sizes stay tiny
+    * at corpus scale, unlike a per-language self-join. */
   def simhashPairs(documents: DataFrame, maxDist: Int): DataFrame = {
-    val sh = simhash(documents)
-      .join(documents.select("doc_id", "lang"), "doc_id")
-    sh.as("a")
-      .join(sh.as("b"),
-        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+    require(maxDist < SimhashBands,
+      s"banded recall guarantee needs maxDist < $SimhashBands")
+    val sh = fingerprints(documents)
+    val bandStructs = (0 until SimhashBands).map { b =>
+      val half = if (b < 2) col("lo") else col("hi")
+      val bval = shiftrightunsigned(half, (b % 2) * SimhashBandBits)
+        .bitwiseAND(lit(0xFFFFL))
+      struct(lit(b).as("band"), bval.as("bval"))
+    }
+    val banded = sh.select(col("doc_id"), col("lang"), col("hi"), col("lo"),
+      explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("lang"), col("hi"), col("lo"),
+        col("bk.band").as("band"), col("bk.bval").as("bval"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        (bit_count(col("a.hi").bitwiseXOR(col("b.hi"))) +
+          bit_count(col("a.lo").bitwiseXOR(col("b.lo")))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxDist)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
-  def sqlSimhashPairs(maxDist: Int): String = {
-    val inner = sqlSimhash.replace("ORDER BY doc_id", "")
-    s"""WITH sh AS (SELECT t.doc_id, t.simhash, d.lang
-          FROM ($inner) t JOIN documents d ON t.doc_id = d.doc_id)
+  def sqlSimhashPairs(maxDist: Int): String =
+    s"""$sqlSimhashCte
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-          CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+          CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
         FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= $maxDist
         ORDER BY doc_a, doc_b"""
-  }
 }

@@ -7,15 +7,15 @@ import org.apache.spark.sql.functions._
   * tokenization and shingling, defined ONCE here with their DuckDB
   * oracle SQL twins so Spark and oracle can never drift.
   *
-  * Performance shape (measured at sf0.1, see Dedup scaladoc):
-  *  - the shingle pipeline is interpreted (higher-order functions), so
-  *    it must be evaluated exactly once per document — Catalyst's
-  *    CollapseProject happily inlines a projected alias into every
-  *    consumer expression, and lambda bodies re-evaluate inlined
-  *    subexpressions per element. Both are defused here: a
-  *    single-element `transform(array(x), v -> …)` binds `x` to a
-  *    lambda variable (evaluated once no matter what references it),
-  *    and a pinned repartition materializes the arrays before fan-out.
+  * The shingle + MinHash-base computation is a native codegen'd
+  * Catalyst expression (graft.functions.ShingleHashes): one compiled
+  * pass per row, one md5 per distinct shingle. The previous
+  * higher-order-function pipeline was interpreted and needed a
+  * repartition-sandwich + cache to be usable at all; the round-1
+  * driver bench still recorded 128 s in-suite for q_minhash_lsh.
+  * The native expression is stable under any session state and needs
+  * no barriers — duplicate references inside one projection are
+  * handled by codegen subexpression elimination.
   */
 object TextPrep {
 
@@ -23,52 +23,29 @@ object TextPrep {
 
   /** Modulus for the arithmetic MinHash hash family (fits i*b sums in
     * a long with headroom). */
-  val HashP = 1000000007L
+  val HashP: Long = graft.functions.TextHash.HashP
 
   /** Word tokens: space-split of lowercased text (corpus is [a-z0-9 ]). */
   def wordsCol: Column = split(lower(col("text")), " ")
 
   val sqlWords = "string_split(lower(text), ' ')"
 
-  /** Distinct word-3-gram shingles + per-shingle base hashes, computed
-    * in ONE bound evaluation per row: struct(shs, ha, hb).
-    * ha/hb are the two 60-bit halves of md5(shingle) mod HashP — the
-    * base of the Kirsch–Mitzenmacher seed family (one md5 per shingle,
-    * every MinHash seed derived arithmetically). */
-  private val boundShingleStruct: Column = expr(
-    s"""transform(array(
-          transform(array(split(lower(text), ' ')), ws ->
-            CASE WHEN size(ws) >= $ShingleWords
-              THEN array_distinct(transform(sequence(0, size(ws) - $ShingleWords),
-                i -> concat_ws(' ', slice(ws, i + 1, $ShingleWords))))
-              ELSE array() END)[0]
-        ), shs -> named_struct(
-          'shs', shs,
-          'ha', transform(shs, sh ->
-            CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT) % $HashP),
-          'hb', transform(shs, sh ->
-            CAST(conv(substring(md5(sh), 17, 15), 16, 10) AS BIGINT) % $HashP)
-        ))[0]""")
-
   /** documents → (doc_id, lang, shs, ha, hb, n).
     *
-    * The repartition sandwich is deliberate:
-    *  - first (pinned count) parallelizes the expensive interpreted
-    *    projection — the documents parquet is one small file → one
-    *    scan task otherwise;
-    *  - second is the materialization barrier so downstream consumers
-    *    reference attributes, not re-inlined expression trees;
-    *  - explicit partition counts because AQE would coalesce these
-    *    byte-tiny exchanges to 1–2 tasks and serialize the expensive
-    *    projection above them.
+    * shs = distinct word-3-gram shingles; ha/hb = the two 60-bit halves
+    * of md5(shingle) mod HashP — the base of the Kirsch–Mitzenmacher
+    * seed family (one md5 per shingle, every MinHash seed derived
+    * arithmetically).
+    *
+    * No repartition: at cluster scale the parquet scan is already
+    * split; locally the per-row expression is cheap enough that a
+    * shuffle would cost more than it saves.
     */
   def docShingles(documents: DataFrame): DataFrame = {
-    val parts = documents.sparkSession.sparkContext.defaultParallelism
+    graft.functions.TextHashExprs.register(documents.sparkSession)
     documents
-      .select(col("doc_id"), col("lang"), col("text"))
-      .repartition(parts, col("doc_id"))
-      .select(col("doc_id"), col("lang"), boundShingleStruct.as("d"))
-      .repartition(parts, col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        call_function("shingle_hashes", col("text"), lit(ShingleWords)).as("d"))
       .select(col("doc_id"), col("lang"),
         col("d.shs").as("shs"), col("d.ha").as("ha"), col("d.hb").as("hb"))
       .filter(size(col("shs")) > 0)

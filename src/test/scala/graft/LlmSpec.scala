@@ -36,11 +36,30 @@ class LlmSpec extends SparkSpec {
   }
 
   test("simhash: identical texts identical hashes; near-dups within small hamming") {
-    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sh = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1) << 32) | r.getLong(2))).toMap
     assert(sh(0L) === sh(1L))
     val d02 = java.lang.Long.bitCount(sh(0L) ^ sh(2L))
     val d03 = java.lang.Long.bitCount(sh(0L) ^ sh(3L))
     assert(d02 < d03)
+  }
+
+  test("simhash banded pairs equal the quadratic same-lang definition") {
+    val d = Tables.documents(spark, sf())
+    val banded = Dedup.simhashPairs(d, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // Quadratic reference: same-lang all-pairs, exact hamming filter.
+    val sh = Dedup.simhash(d)
+      .join(d.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"),
+        shiftleft(col("simhash_hi"), 32).bitwiseOR(col("simhash_lo")).as("fp"))
+    val quad = sh.as("a").join(sh.as("b"),
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("int").as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded === quad)
   }
 
   test("cosine topk: self-similar vectors rank first, cosine in [-1,1]") {
