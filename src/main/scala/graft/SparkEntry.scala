@@ -76,7 +76,7 @@ object SparkEntry {
     "q_user_history" -> ((s, d) => Validate.userHistory(ev(s, d), 42L)),
     // grouping-sets summary lattice (S7 warehouse shape)
     "q_status_cube" -> ((s, d) => Windows.statusPriorityCube(Tables.orders(s, d))),
-    // approx_count_distinct scale path — rows-only check (no oracle: HLL is engine-specific)
+    // approx_count_distinct scale path — oracle via exact counts + 5% tolerance boolean
     "q_approx_distinct" -> ((s, d) => Windows.approxDistinctUsers(ev(s, d))),
     // ---- LLM-data-pipeline operators (north star, BASELINE.json) ----
     "q_exact_dedup" -> ((s, d) => llm.Dedup.exactDedup(Tables.documents(s, d))),
@@ -167,9 +167,12 @@ object SparkEntry {
          ORDER BY event_id""",
     "q_categorize" ->
       """SELECT event_id, event_type, value,
-         CASE WHEN event_type = 'purchase' AND value > 1000 THEN 'large_purchase'
-              WHEN event_type = 'signup' AND value > 500 THEN 'large_signup'
-              WHEN event_type = 'view' AND value > 100 THEN 'long_view'
+         CASE WHEN event_type = 'purchase'
+                THEN CASE WHEN value > 1000 THEN 'large_purchase' ELSE 'regular_purchase' END
+              WHEN event_type = 'signup'
+                THEN CASE WHEN value > 500 THEN 'large_signup' ELSE 'regular_signup' END
+              WHEN event_type = 'view'
+                THEN CASE WHEN value > 100 THEN 'long_view' ELSE 'regular_view' END
               ELSE event_type END AS category
          FROM events ORDER BY event_id""",
     "q_dim_enrich" ->
@@ -252,6 +255,7 @@ object SparkEntry {
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q_approx_distinct" -> Windows.sqlApproxDistinctUsers,
     "q_exact_dedup" -> llm.Dedup.sqlExactDedup,
     "q_jaccard_pairs" -> llm.Dedup.sqlJaccardPairs(0.5),
     "q_minhash_lsh" -> llm.Dedup.sqlMinhashLshPairs,

@@ -103,6 +103,12 @@ object TopKByScore {
       sa < sb || (sa == sb && ia > ib)
 
     def insert(s: Double, i: Long): Unit = {
+      // NaN scores are dropped: weaker()'s < / == are both false for
+      // NaN, so a NaN entry could neither be evicted nor evict — it
+      // would silently poison the heap and diverge from the SQL
+      // oracle's row_number ordering. (Zero-norm embeddings make
+      // cosine 0/0 = NaN.)
+      if (java.lang.Double.isNaN(s)) return
       if (size < k) {
         scores(size) = s; ids(size) = i; size += 1
         siftUp(size - 1)

@@ -36,10 +36,16 @@ case class DotProductD(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw DotProductD.lengthMismatch(n, y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) throw DotProductD.nullElement()
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -49,9 +55,15 @@ case class DotProductD(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw graft.functions.DotProductD.lengthMismatch($n, $b.numElements());
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    throw graft.functions.DotProductD.nullElement();
+         |  }
          |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $s;
@@ -61,6 +73,15 @@ case class DotProductD(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+object DotProductD {
+  /** Malformed embeddings fail loudly instead of yielding silently
+    * wrong cosines (the previous code truncated to the shorter array). */
+  def lengthMismatch(a: Int, b: Int): IllegalArgumentException =
+    new IllegalArgumentException(s"dot_d: vector length mismatch ($a vs $b)")
+  def nullElement(): IllegalArgumentException =
+    new IllegalArgumentException("dot_d: null vector element")
 }
 
 object VectorExprs {

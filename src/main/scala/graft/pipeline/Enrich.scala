@@ -27,14 +27,18 @@ import org.apache.spark.sql.functions._
 object Enrich {
 
   /** P6: nested CASE categorization, preserving the reference's
-    * threshold structure (deposit>1000 / withdrawal>500 / payment>100 →
-    * large_*, else passthrough type). */
+    * structure exactly (`transaction_processor.py:256-265`): per-type
+    * threshold branches emit "large_" / "regular_" labels; types
+    * outside the threshold map pass through unchanged. */
   def categorize(events: DataFrame): DataFrame =
     events.select(
       col("event_id"), col("event_type"), col("value"),
-      when(col("event_type") === "purchase" && col("value") > 1000, "large_purchase")
-        .when(col("event_type") === "signup" && col("value") > 500, "large_signup")
-        .when(col("event_type") === "view" && col("value") > 100, "long_view")
+      when(col("event_type") === "purchase",
+        when(col("value") > 1000, "large_purchase").otherwise("regular_purchase"))
+        .when(col("event_type") === "signup",
+          when(col("value") > 500, "large_signup").otherwise("regular_signup"))
+        .when(col("event_type") === "view",
+          when(col("value") > 100, "long_view").otherwise("regular_view"))
         .otherwise(col("event_type")).as("category"))
       .orderBy("event_id")
 

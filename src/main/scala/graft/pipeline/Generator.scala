@@ -63,6 +63,17 @@ object Generator {
           map(lit("name"), pick(9, Seq("Amazon", "Walmart", "Target", "Costco")),
             lit("category"), pick(10, Seq("retail", "food", "gas", "services", "entertainment")),
             lit("merchant_id"), concat(lit("M"), lpad(pmod(hash(col("id"), lit(11)), lit(100000)).cast("string"), 5, "0")))))
+      // data_source IS drawn by the reference producer
+      // (`transaction_producer.py:128`); the remaining Transaction
+      // fields exist in the model but are left unset by the producer
+      // (`transaction.py:26-38`) — emitted here as typed nulls so the
+      // generated frame carries the full schema.
+      .withColumn("data_source", pick(12, Schemas.sources))
+      .withColumn("reference_id", lit(null).cast("string"))
+      .withColumn("location", lit(null).cast("map<string,string>"))
+      .withColumn("tags", lit(null).cast("array<string>"))
+      .withColumn("metadata", lit(null).cast("map<string,string>"))
+      .withColumn("batch_id", lit(null).cast("string"))
       .drop("id")
   }
 }

@@ -75,15 +75,26 @@ object Windows {
 
   /** Approximate distinct (HLL sketch) — the scale path for
     * cardinality: fixed-size state, no shuffle of distinct values.
-    * Oracle-less (sketch internals are engine-specific); the driver
-    * records a rows-only check and DistinctSpec asserts the relative
-    * error against the exact count. */
+    * Sketch estimates are engine-specific, so the oracle-checkable
+    * output is the EXACT count plus a tolerance boolean: the row
+    * hash-matches iff Spark's sketch lands within 5% of the exact
+    * count the oracle computes (which emits literal TRUE). */
   def approxDistinctUsers(events: DataFrame): DataFrame =
     events.groupBy("event_type")
       .agg(
-        approx_count_distinct(col("user_id")).as("n_users_approx"),
-        count(lit(1)).as("n_events"))
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("approx"))
+      .select(
+        col("event_type"), col("n_users"), col("n_events"),
+        (abs(col("approx") - col("n_users")) <=
+          lit(0.05) * col("n_users")).as("approx_within_5pct"))
       .orderBy("event_type")
+
+  val sqlApproxDistinctUsers: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events, TRUE AS approx_within_5pct
+       FROM events GROUP BY 1 ORDER BY 1"""
 
   /** Distinct + approximate distinct side by side (scale path:
     * approx_count_distinct is a fixed-size HLL sketch, no shuffle of

@@ -42,14 +42,18 @@ object StreamPipeline {
     df.withColumn("is_valid", isValid)
       .withColumn("validation_result", when(col("is_valid"), "valid").otherwise("invalid"))
 
-  /** P6: transaction_category — exact reference thresholds
-    * (deposit>1000, withdrawal>500, payment>100;
+  /** P6: transaction_category — the reference's nested CASE exactly
+    * (deposit>1000, withdrawal>500, payment>100 → large_*, else
+    * regular_* for those three types, passthrough for any other;
     * `transaction_processor.py:256-265`). */
   def enrich(df: DataFrame): DataFrame =
     df.withColumn("transaction_category",
-      when(col("transaction_type") === "deposit" && col("amount") > 1000, "large_deposit")
-        .when(col("transaction_type") === "withdrawal" && col("amount") > 500, "large_withdrawal")
-        .when(col("transaction_type") === "payment" && col("amount") > 100, "large_payment")
+      when(col("transaction_type") === "deposit",
+        when(col("amount") > 1000, "large_deposit").otherwise("regular_deposit"))
+        .when(col("transaction_type") === "withdrawal",
+          when(col("amount") > 500, "large_withdrawal").otherwise("regular_withdrawal"))
+        .when(col("transaction_type") === "payment",
+          when(col("amount") > 100, "large_payment").otherwise("regular_payment"))
         .otherwise(col("transaction_type")))
 
   /** P8 realized: broadcast join with the accounts dimension, filling

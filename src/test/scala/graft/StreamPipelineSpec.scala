@@ -38,9 +38,9 @@ class StreamPipelineSpec extends SparkSpec {
       .select("transaction_id", "transaction_category")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(out === Map(
-      "T1" -> "large_deposit", "T2" -> "deposit",
-      "T3" -> "large_withdrawal", "T4" -> "withdrawal",
-      "T5" -> "large_payment", "T6" -> "payment",
+      "T1" -> "large_deposit", "T2" -> "regular_deposit",
+      "T3" -> "large_withdrawal", "T4" -> "regular_withdrawal",
+      "T5" -> "large_payment", "T6" -> "regular_payment",
       "T7" -> "refund"))
   }
 
