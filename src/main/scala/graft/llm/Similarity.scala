@@ -122,63 +122,87 @@ object Similarity {
         SELECT vec_a, vec_b, cosine FROM p
         WHERE cosine >= $threshold ORDER BY vec_a, vec_b"""
 
-  val NumPlanes = 8
+  val NumPlanes = 6
+  val NumTables = 16
 
   /** Deterministic random hyperplanes for sign-projection LSH: weight
-    * (p,d) = (md5("p:d") mod 2001 - 1000)/1000 ∈ [-1,1]. Computed once
-    * here and embedded as literals in BOTH the Spark plan and the
+    * (t,p,d) = (md5("t:p:d") mod 2001 - 1000)/1000 ∈ [-1,1]. Computed
+    * once here and embedded as literals in BOTH the Spark plan and the
     * oracle SQL — no in-engine randomness, perfectly portable. */
-  lazy val planes: Seq[Seq[Double]] = {
+  lazy val planes: Seq[Seq[Seq[Double]]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until NumPlanes).map { p =>
-      (0 until Dim).map { d =>
-        val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(15)
-        ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
+    (0 until NumTables).map { t =>
+      (0 until NumPlanes).map { p =>
+        (0 until Dim).map { d =>
+          val hex = md.digest(s"$t:$p:$d".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(15)
+          ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
+        }
       }
     }
   }
 
-  /** Sign-projection LSH near-dup: bucket = the NumPlanes sign bits of
-    * the plane projections; pairs sharing a bucket are candidates,
-    * verified by exact cosine ≥ threshold. The corpus-scale shape:
-    * bucketing is map-only, the join key space is 2^NumPlanes, and
-    * only same-bucket pairs are ever scored.
-    *
-    * This is a SINGLE hash table, so recall at moderate similarity is
-    * intentionally low (collision prob (1-θ/π)^NumPlanes; measured
-    * 4/59 of the exact ≥0.4 pairs at sf0.01) — production ANN ORs L
-    * independent tables to trade compute for recall; the per-table
-    * mechanics here are the portable part. */
-  def lshNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val n = prepared(embeddings)
-    val bucket = (0 until NumPlanes).map { p =>
-      when(dot(col("v"), array(planes(p).map(lit): _*)) >= 0, lit(1L << p))
+  private def bucketCol(t: Int): Column =
+    (0 until NumPlanes).map { p =>
+      when(dot(col("v"), array(planes(t)(p).map(lit): _*)) >= 0, lit(1L << p))
         .otherwise(lit(0L))
     }.reduce(_ + _)
-    val b = n.withColumn("bucket", bucket)
-    b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(
-        col("a.vec_id").as("vec_a"),
-        col("b.vec_id").as("vec_b"),
-        cosine("a", "b"))
+
+  /** Multi-table sign-projection LSH near-dup: NumTables independent
+    * hash tables, each bucketing on the sign bits of NumPlanes random
+    * projections; pairs sharing a bucket in ANY table are candidates
+    * (OR-amplification), deduplicated, then verified by exact
+    * cosine ≥ threshold.
+    *
+    * Recall: a pair at angle θ collides in one table with prob
+    * (1-θ/π)^NumPlanes, overall 1-(1-p)^NumTables — at cosine 0.4
+    * that is ≈ 0.65, and ≥ 0.999 for true near-dups (cosine ≥ 0.9).
+    * Measured against the exact ≥ 0.4 baseline at sf0.01: see
+    * SCALE.md (round-1's single 8-plane table measured 4/59).
+    *
+    * Scale shape: bucketing is map-only (96 codegen'd dot products per
+    * row); the single candidate join shuffles on (table, bucket);
+    * verification joins fetch vectors only for deduplicated candidate
+    * pairs. */
+  def lshNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val n = prepared(embeddings)
+    val tableBuckets = (0 until NumTables).map { t =>
+      struct(lit(t).as("tbl"), bucketCol(t).as("bucket"))
+    }
+    val b = n.select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val cand = b.as("x").join(b.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(n.as("a"), col("vec_a") === col("a.vec_id"))
+      .join(n.as("b"), col("vec_b") === col("b.vec_id"))
+      .select(col("vec_a"), col("vec_b"), cosine("a", "b"))
       .filter(col("cosine") >= threshold)
       .orderBy("vec_a", "vec_b")
   }
 
   def sqlLshNearDupPairs(threshold: Double): String = {
-    val bucketExpr = (0 until NumPlanes).map { p =>
-      val w = planes(p).mkString("[", ", ", "]")
-      s"CASE WHEN list_reduce(list_transform(generate_series(1, $Dim), " +
-        s"i -> v[i] * ($w)[i]), (x, y) -> x + y) >= 0 THEN ${1L << p} ELSE 0 END"
-    }.mkString(" + ")
+    val tableSelects = (0 until NumTables).map { t =>
+      val bucketExpr = (0 until NumPlanes).map { p =>
+        val w = planes(t)(p).mkString("[", ", ", "]")
+        s"CASE WHEN list_reduce(list_transform(generate_series(1, $Dim), " +
+          s"i -> v[i] * ($w)[i]), (x, y) -> x + y) >= 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bucketExpr AS bucket FROM n"
+    }.mkString(" UNION ALL ")
     s"""WITH $sqlPrepared,
-        bkt AS (SELECT vec_id, v, nrm, $bucketExpr AS bucket FROM n),
+        bkt AS ($tableSelects),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+          FROM bkt x JOIN bkt y
+            ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
         p AS (
-          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $sqlCosine AS cosine
-          FROM bkt a JOIN bkt b
-            ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+          SELECT vec_a, vec_b, $sqlCosine AS cosine
+          FROM cand JOIN n a ON vec_a = a.vec_id
+                    JOIN n b ON vec_b = b.vec_id)
         SELECT vec_a, vec_b, cosine FROM p
         WHERE cosine >= $threshold ORDER BY vec_a, vec_b"""
   }
