@@ -207,18 +207,62 @@ object Similarity {
         WHERE cosine >= $threshold ORDER BY vec_a, vec_b"""
   }
 
-  val NumCentroids = 8
-  val NumProbes = 2
+  val NumProbes = 4
+  val KMeansIters = 2
 
-  /** IVF top-k: centroids are the first NumCentroids vectors (a
-    * deterministic stand-in for k-means — the bucketing/probing
-    * mechanics are the operator under test); every vector is assigned
+  /** Deterministic k-means-lite fit: ⌈√n⌉ centroids seeded from the
+    * first-√n vectors by id, KMeansIters Lloyd iterations. Assignment
+    * is max-cosine (ties → lower centroid id); the centroid update is
+    * the per-component mean with the summation order PINNED to vec_id
+    * order (sorted collect + left fold) so Spark and the DuckDB oracle
+    * produce bit-identical centroids — a group-by double sum would be
+    * partial-agg-order nondeterministic.
+    *
+    * Each iteration's centroids are materialized to the driver and
+    * rebroadcast — the model is √n × Dim doubles (16 MB at n = 10⁹),
+    * the standard fit-then-broadcast shape, NOT a data-sized collect;
+    * it also keeps the lineage flat instead of replicating the fit DAG
+    * under every consumer branch. */
+  def fitCentroids(embeddings: DataFrame): DataFrame = {
+    val n = prepared(embeddings).cache()
+    import n.sparkSession.implicits._
+    val cCount = math.ceil(math.sqrt(n.count().toDouble)).toLong
+    var cents = n.filter(col("vec_id") < cCount)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    for (_ <- 0 until KMeansIters) {
+      val withNorm = cents.withColumn("cnrm", norm(col("cv")))
+      val scored = n.join(broadcast(withNorm))
+        .select(col("vec_id"), col("cid"),
+          (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("cid"))
+      val assign = scored.withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1).select("vec_id", "cid")
+      val means = assign.join(n.select("vec_id", "v"), "vec_id")
+        .select(col("cid"), col("vec_id"), posexplode(col("v")).as(Seq("d", "component")))
+        .groupBy("cid", "d")
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("component")))).as("xs"))
+        .select(col("cid"), col("d"),
+          (expr("aggregate(xs, 0.0D, (acc, x) -> acc + x.component)") /
+            size(col("xs"))).as("m"))
+        .groupBy("cid")
+        .agg(sort_array(collect_list(struct(col("d"), col("m")))).as("ds"))
+        .select(col("cid"), expr("transform(ds, x -> x.m)").as("cv"))
+      val fitted = means.as[(Long, Seq[Double])].collect().toSeq
+      cents = fitted.toDF("cid", "cv")
+    }
+    cents
+  }
+
+  /** IVF top-k over k-means-fitted centroids: every vector is assigned
     * to its max-cosine centroid; a query probes its NumProbes nearest
-    * centroids' buckets only. */
+    * centroids' buckets only, so the probe touches nprobe/ncentroids
+    * of the corpus. */
   def ivfTopK(embeddings: DataFrame, k: Int): DataFrame = {
     val n = prepared(embeddings).cache()
-    val cents = n.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val cents = fitCentroids(embeddings)
+      .select(col("cid").as("centroid_id"), col("cv"))
+      .withColumn("cnrm", norm(col("cv")))
     val scored = n.join(broadcast(cents))
       .select(col("vec_id"), col("centroid_id"),
         (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
@@ -248,14 +292,42 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
-  def sqlIvfTopK(k: Int): String =
+  /** DuckDB twin of the deterministic k-means fit + IVF probe. The
+    * fit is the same fixed-iteration Lloyd loop: assignment by
+    * max-cosine (ties → lower cid), component means with the summation
+    * order pinned to vec_id (list ORDER BY + left fold ≡ Spark's
+    * sorted collect + aggregate fold). */
+  def sqlIvfTopK(k: Int): String = {
+    def dotE(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, $Dim), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    val fitCtes = (1 to KMeansIters).map { i =>
+      s"""s$i AS (
+            SELECT n.vec_id, c.cid,
+              ${dotE("n.v", "c.cv")} / (n.nrm * sqrt(${dotE("c.cv", "c.cv")})) AS ccos
+            FROM n CROSS JOIN c${i - 1} c),
+          a$i AS (
+            SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+              FROM s$i) WHERE rn = 1),
+          m$i AS (
+            SELECT a.cid, d.d AS d,
+              list_reduce(list(n.v[d.d] ORDER BY n.vec_id), (x, y) -> x + y)
+                / count(*) AS m
+            FROM a$i a JOIN n USING (vec_id)
+            CROSS JOIN generate_series(1, $Dim) d(d)
+            GROUP BY a.cid, d.d),
+          c$i AS (SELECT cid, list(m ORDER BY d) AS cv FROM m$i GROUP BY cid)"""
+    }.mkString(",\n")
     s"""WITH $sqlPrepared,
-        cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm
-                  FROM n WHERE vec_id < $NumCentroids),
+        c0 AS (SELECT vec_id AS cid, v AS cv FROM n
+               WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM n)),
+        $fitCtes,
+        cents AS (SELECT cid AS centroid_id, cv,
+                    sqrt(${dotE("cv", "cv")}) AS cnrm FROM c$KMeansIters),
         scored AS (
           SELECT n.vec_id, centroid_id,
-            list_reduce(list_transform(generate_series(1, $Dim), i -> v[i] * cv[i]),
-              (x, y) -> x + y) / (nrm * cnrm) AS ccos
+            ${dotE("n.v", "cv")} / (nrm * cnrm) AS ccos
           FROM n CROSS JOIN cents),
         ranked AS (SELECT *, row_number() OVER (
             PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS crnk
@@ -275,4 +347,5 @@ object Similarity {
               AS INTEGER) AS rnk FROM p)
         SELECT query_id, rnk, neighbor_id, cosine FROM r
         WHERE rnk <= $k ORDER BY query_id, rnk"""
+  }
 }
