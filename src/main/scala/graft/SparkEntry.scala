@@ -69,6 +69,9 @@ object SparkEntry {
     "q_distinct_users" -> ((s, d) => Windows.distinctUsers(ev(s, d))),
     // lineage record hashing (data_lineage.py:201-217)
     "q_lineage_hash" -> ((s, d) => Lineage.recordHashes(ev(s, d))),
+    // full lineage record model + processing-time-ordered read-back
+    // (data_lineage.py:61-76, :159-199)
+    "q_lineage_readback" -> ((s, d) => Lineage.lineageReadback(ev(s, d), 42L)),
     // A10: timestamp parseability expectation (validation_config.yml:42-43)
     "q_parse_check" -> ((s, d) =>
       Validate.parseCheck(Tables.orders(s, d), "o_orderdate")),
@@ -242,6 +245,7 @@ object SparkEntry {
          sha256(concat_ws('|', CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),
                 event_type, props)) AS record_hash
          FROM events ORDER BY event_id""",
+    "q_lineage_readback" -> Lineage.sqlLineageReadback(42L),
     "q_parse_check" ->
       """SELECT count(*) AS n_total,
          count(CASE WHEN TRY_CAST(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP) IS NULL

@@ -44,8 +44,86 @@ object Lineage {
       .withColumn("process_name", lit(processName))
       .withColumn("process_version", lit(version))
 
-  /** Read-back: all lineage steps for one record, in processing order. */
-  def lineageFor(lineage: DataFrame, eventId: Long): DataFrame =
-    lineage.filter(col("event_id") === eventId)
-      .orderBy("processing_stage")
+  /** The pipeline's processing stages in order: (stage, seq,
+    * process_name) — the reference's ingest → validate → transform
+    * flow (`data_lineage.py:146-148` examples, consumer/validator/
+    * processor process names). */
+  val Stages: Seq[(String, Int, String)] = Seq(
+    ("receive", 1, "KafkaConsumer"),
+    ("validate", 2, "TransactionValidator"),
+    ("enrich", 3, "TransactionProcessor"))
+
+  /** Full lineage record table per `data_lineage.py:61-76`: one row
+    * per (record, stage) with the reference's complete column set.
+    * Nondeterministic reference fields get deterministic equivalents
+    * so the table is oracle-checkable: lineage_id = sha256(record|stage)
+    * instead of uuid4, processing_timestamp = source_timestamp + seq
+    * minutes instead of wall-clock now() (stage order is preserved —
+    * that is the property read-back depends on). */
+  def lineageRecords(events: DataFrame,
+                     sourceSystem: String = "events"): DataFrame = {
+    val h = events.select(
+      col("event_id"), col("ts"),
+      sha2(concat_ws("|",
+        col("event_id").cast("string"),
+        col("user_id").cast("string"),
+        col("event_type"),
+        col("props")), 256).as("input_record_hash"))
+    Stages.map { case (stage, seq, pname) =>
+      h.select(
+        sha2(concat_ws("|", col("event_id").cast("string"), lit(stage)), 256)
+          .as("lineage_id"),
+        col("event_id").as("transaction_id"),
+        lit(sourceSystem).as("source_system"),
+        col("ts").as("source_timestamp"),
+        lit(stage).as("processing_stage"),
+        expr(s"ts + INTERVAL $seq MINUTE").as("processing_timestamp"),
+        lit(pname).as("process_name"),
+        lit("1.0").as("process_version"),
+        col("input_record_hash"),
+        sha2(concat(col("input_record_hash"), lit(stage)), 256)
+          .as("output_record_hash"),
+        lit("success").as("status"),
+        lit(s"""{"stage":"$stage","seq":$seq}""").as("metadata"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Read-back: all lineage steps for one record, ordered by
+    * processing TIME (`data_lineage.py:177-179` orders by
+    * processing_timestamp — stage-name order would be alphabetical,
+    * not processing order). lineage_id tie-breaks for a total order. */
+  def lineageFor(lineage: DataFrame, transactionId: Long): DataFrame =
+    lineage.filter(col("transaction_id") === transactionId)
+      .orderBy("processing_timestamp", "lineage_id")
+
+  /** q_lineage_readback: build the lineage table over events, read
+    * back one transaction's history in processing order. */
+  def lineageReadback(events: DataFrame, transactionId: Long): DataFrame =
+    lineageFor(lineageRecords(events), transactionId)
+
+  def sqlLineageReadback(transactionId: Long): String = {
+    val stageSelects = Stages.map { case (stage, seq, pname) =>
+      s"""SELECT
+            sha256(concat_ws('|', CAST(event_id AS VARCHAR), '$stage')) AS lineage_id,
+            event_id AS transaction_id,
+            'events' AS source_system,
+            ts AS source_timestamp,
+            '$stage' AS processing_stage,
+            ts + INTERVAL $seq MINUTE AS processing_timestamp,
+            '$pname' AS process_name,
+            '1.0' AS process_version,
+            input_record_hash,
+            sha256(concat(input_record_hash, '$stage')) AS output_record_hash,
+            'success' AS status,
+            '{"stage":"$stage","seq":$seq}' AS metadata
+          FROM h"""
+    }.mkString(" UNION ALL ")
+    s"""WITH h AS (
+          SELECT event_id, ts,
+            sha256(concat_ws('|', CAST(event_id AS VARCHAR),
+              CAST(user_id AS VARCHAR), event_type, props)) AS input_record_hash
+          FROM events WHERE event_id = $transactionId),
+        l AS ($stageSelects)
+        SELECT * FROM l ORDER BY processing_timestamp, lineage_id"""
+  }
 }

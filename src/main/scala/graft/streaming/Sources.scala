@@ -39,6 +39,23 @@ object Sources {
       .outputMode("append")
       .trigger(Trigger.ProcessingTime("10 seconds"))
 
+  /** S3: console debug sink — complete mode, untruncated, 10 s
+    * processing-time trigger, exactly the reference's debugging output
+    * (`transaction_processor.py:200-205`, `spark_config.yml:46-47`). */
+  def consoleWriter(df: DataFrame): DataStreamWriter[Row] =
+    df.writeStream
+      .format("console")
+      .option("truncate", "false")
+      .outputMode("complete")
+      .trigger(Trigger.ProcessingTime("10 seconds"))
+
+  /** S9: the alerts-route predicate for the banking.alerts topic
+    * (`kafka_config.yml:25`): transactions that need operator
+    * attention — failed ones and large ones (the enrich stage's
+    * large_* categories). */
+  val isAlert: org.apache.spark.sql.Column =
+    col("status") === "failed" || col("transaction_category").startsWith("large_")
+
   /** File-based streaming source over a directory of JSON transaction
     * files — same schema path as the Kafka value column. */
   def jsonDirReader(spark: SparkSession, dir: String): DataFrame =
@@ -63,6 +80,26 @@ object Sources {
       }
       .start()
 
+  /** S8+S9: one-pass triple routing via foreachBatch — valid records
+    * to the main sink, invalid to dead-letter, alerts (failed/large,
+    * a subset of the enriched stream like the reference's
+    * banking.alerts topic) to the alerts sink. One source scan feeds
+    * all three branches. */
+  def routedSinkQuery(parsed: DataFrame, mainDir: String, deadDir: String,
+                      alertDir: String, checkpoint: String): StreamingQuery =
+    parsed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (valid, dead) = StreamPipeline.deadLetterSplit(batch)
+        val enriched = StreamPipeline.enrich(valid)
+        enriched.write.mode("append").parquet(mainDir)
+        dead.write.mode("append").parquet(deadDir)
+        enriched.filter(isAlert).write.mode("append").parquet(alertDir)
+        ()
+      }
+      .start()
+
   /** S7: partitioned warehouse sink layout
     * (`spark_config.yml:50-69` — transactions by year/month/day). */
   def writeWarehouse(df: DataFrame, path: String): Unit =
@@ -71,5 +108,15 @@ object Sources {
       .withColumn("day", dayofmonth(col("event_time")))
       .write.mode("append")
       .partitionBy("year", "month", "day")
+      .parquet(path)
+
+  /** S7: the transaction_summary warehouse table — (year, month)
+    * partitioning per `spark_config.yml:64-69`, fed by the windowed
+    * aggregate (window_start drives the partition columns). */
+  def writeSummaryTable(aggregated: DataFrame, path: String): Unit =
+    aggregated.withColumn("year", year(col("window_start")))
+      .withColumn("month", month(col("window_start")))
+      .write.mode("append")
+      .partitionBy("year", "month")
       .parquet(path)
 }

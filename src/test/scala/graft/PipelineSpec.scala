@@ -73,14 +73,22 @@ class PipelineSpec extends SparkSpec {
     assert(h1 === h2 && h1.matches("[0-9a-f]{64}"))
   }
 
-  test("lineage read-back ordered by stage") {
-    val ev = Seq((1L, 2L, "click", "{}"), (9L, 2L, "view", "{}"))
-      .toDF("event_id", "user_id", "event_type", "props")
-    val lin = Lineage.lineageStep(ev, "receive", "consumer", "1.0")
-      .unionByName(Lineage.lineageStep(ev, "validate", "validator", "1.0"))
-    val steps = Lineage.lineageFor(lin, 1L).select("processing_stage")
-      .collect().map(_.getString(0)).toSeq
-    assert(steps === Seq("receive", "validate"))
+  test("lineage read-back ordered by processing time, not stage name") {
+    val ev = Seq(
+      (1L, 2L, "click", "{}", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (9L, 2L, "view", "{}", java.sql.Timestamp.valueOf("2024-01-01 11:00:00")))
+      .toDF("event_id", "user_id", "event_type", "props", "ts")
+    val out = Lineage.lineageReadback(ev, 1L).collect()
+    val steps = out.map(_.getAs[String]("processing_stage")).toSeq
+    // processing order — alphabetical would give enrich,receive,validate
+    assert(steps === Seq("receive", "validate", "enrich"))
+    assert(out.map(_.getAs[Long]("transaction_id")).distinct.toSeq === Seq(1L))
+    val r = out.head
+    assert(r.getAs[String]("lineage_id").matches("[0-9a-f]{64}"))
+    assert(r.getAs[String]("output_record_hash") !==
+      r.getAs[String]("input_record_hash"))
+    assert(r.getAs[String]("status") === "success")
+    assert(r.getAs[String]("metadata") === """{"stage":"receive","seq":1}""")
   }
 
   test("window functions: latest-per-user picks max ts with tiebreak") {

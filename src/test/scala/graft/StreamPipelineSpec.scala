@@ -114,6 +114,57 @@ class StreamPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S3 console sink wiring: complete mode, console format, untruncated") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val agg = StreamPipeline.windowedAgg(StreamPipeline.typed(
+      StreamPipeline.parse(mem.toDF().toDF("key", "value"))))
+    // console sink is side-effect-only; starting and draining it proves
+    // the complete-mode query plan is valid end-to-end
+    val q = Sources.consoleWriter(agg)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_console").toString)
+      .start()
+    try {
+      mem.addData(("A", txnJson("T1", "ACC1", "deposit", 10.0, "2024-01-01T00:00:00")))
+      q.processAllAvailable()
+      assert(q.isActive)
+    } finally q.stop()
+  }
+
+  test("S9 triple routing: valid, dead-letter, and alert subsets") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_route").toString
+    val mem = MemoryStream[(String, String)]
+    val parsed = StreamPipeline.typed(StreamPipeline.parse(mem.toDF().toDF("key", "value")))
+    val q = Sources.routedSinkQuery(parsed, s"$tmp/main", s"$tmp/dead",
+      s"$tmp/alerts", s"$tmp/ckpt")
+    try {
+      mem.addData(
+        ("A", txnJson("T1", "ACC1", "deposit", 10.0, "2024-01-01T00:00:00")),   // valid, no alert
+        ("A", txnJson("T2", "ACC1", "deposit", 5000.0, "2024-01-01T00:00:00")), // valid, large → alert
+        ("A", txnJson("T3", "ACC1", "deposit", -5.0, "2024-01-01T00:00:00")))   // invalid → dead
+      q.processAllAvailable()
+      def ids(p: String) = spark.read.parquet(p).select("transaction_id")
+        .collect().map(_.getString(0)).toSet
+      assert(ids(s"$tmp/main") === Set("T1", "T2"))
+      assert(ids(s"$tmp/dead") === Set("T3"))
+      assert(ids(s"$tmp/alerts") === Set("T2"))
+    } finally q.stop()
+  }
+
+  test("S7 transaction_summary write partitions by year/month") {
+    val tmp = Files.createTempDirectory("graft_sum").toString
+    val agg = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "ACC1", 2L, 30.0),
+      (Timestamp.valueOf("2024-02-01 10:00:00"), "ACC1", 1L, 9.0))
+      .toDF("window_start", "account_id", "transaction_count", "total_amount")
+    Sources.writeSummaryTable(agg, tmp)
+    assert(new java.io.File(s"$tmp/year=2024/month=1").exists())
+    val pruned = spark.read.parquet(tmp).filter(col("month") === 2)
+    assert(pruned.select("transaction_count").collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("S7 warehouse write partitions by year/month/day and prunes on read") {
     val tmp = Files.createTempDirectory("graft_wh").toString
     val df = StreamPipeline.typed(StreamPipeline.parse(Seq(
