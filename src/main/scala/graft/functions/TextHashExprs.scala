@@ -124,6 +124,56 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** Rabin-Karp polynomial hash parameters for winnowing: Horner fold
+    * acc = (acc*B + char) mod P over k-char grams. */
+  val RollB = 257L
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    * rolling Rabin-Karp hash over character k-grams of lower(text),
+    * minimum hash of every w-window of consecutive gram hashes,
+    * distinct minima sorted ascending. The rolling update
+    * h' = (h - c_out·B^(k-1))·B + c_in (mod P) makes the gram pass
+    * O(n) instead of O(n·k); the SQL oracle computes each gram hash
+    * directly by Horner — identical values by construction. */
+  def computeWinnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toLowerCase.toString
+    val n = s.length
+    val numGrams = n - k + 1
+    val numWindows = numGrams - w + 1
+    if (numWindows <= 0) return new GenericArrayData(Array.empty[Long])
+    val h = new Array[Long](numGrams)
+    // B^(k-1) mod P for the roll-out term
+    var bk = 1L
+    var i = 0
+    while (i < k - 1) { bk = bk * RollB % HashP; i += 1 }
+    // first gram by Horner
+    var acc = 0L
+    i = 0
+    while (i < k) { acc = (acc * RollB + s.charAt(i).toLong) % HashP; i += 1 }
+    h(0) = acc
+    i = 1
+    while (i < numGrams) {
+      val out = s.charAt(i - 1).toLong * bk % HashP
+      acc = ((acc - out + HashP) % HashP * RollB + s.charAt(i + k - 1).toLong) % HashP
+      h(i) = acc
+      i += 1
+    }
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    i = 0
+    while (i < numWindows) {
+      var mn = h(i)
+      var j = 1
+      while (j < w) { if (h(i + j) < mn) mn = h(i + j); j += 1 }
+      seen.add(mn)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = it.next(); m += 1 }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over the word multiset of lower(text).
     * Bit j (0-based) is set iff the sum over words of the per-word vote
     * is >= 0, where word w votes +1 on bit j iff:
@@ -234,6 +284,29 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `winnow_fps(text, k, w)` → array<bigint> of the document's
+  * winnowing fingerprints (distinct window minima, sorted). */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"winnow_fps requires a string argument, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.computeWinnow(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHash.computeWinnow($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextHashExprs {
   private def intArg(e: Expression): Int =
     e.eval(InternalRow.empty).asInstanceOf[Number].intValue()
@@ -247,5 +320,9 @@ object TextHashExprs {
       "minhash_sigs", exprs => MinhashSigs(exprs(0), exprs(1), intArg(exprs(2))), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "winnow_fps",
+      exprs => WinnowFingerprints(exprs(0), intArg(exprs(1)), intArg(exprs(2))),
+      "built-in")
   }
 }

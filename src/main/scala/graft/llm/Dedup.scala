@@ -168,6 +168,47 @@ object Dedup {
         FROM verified ORDER BY doc_a, doc_b"""
   }
 
+  val WinnowK = 8
+  val WinnowW = 4
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    * rolling Rabin-Karp hashes over character 8-grams, the minimum of
+    * every 4-window of gram hashes, distinct minima per document.
+    * Guarantees any shared substring of length ≥ k + w - 1 produces a
+    * shared fingerprint — the plagiarism/near-dup detection primitive.
+    * Row-local native expression (O(n) rolling update), exploded to
+    * (doc_id, fp) rows so fingerprint-postings joins are relational. */
+  def winnowFingerprints(documents: DataFrame): DataFrame = {
+    graft.functions.TextHashExprs.register(documents.sparkSession)
+    documents
+      .select(col("doc_id"),
+        explode(call_function("winnow_fps", col("text"),
+          lit(WinnowK), lit(WinnowW))).as("fp"))
+      .orderBy("doc_id", "fp")
+  }
+
+  val sqlWinnowFingerprints: String =
+    s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        pos AS (
+          SELECT doc_id, t, len(t) AS n,
+            unnest(generate_series(1, len(t) - $WinnowK + 1)) AS i
+          FROM d),
+        h AS (
+          SELECT doc_id, i, n,
+            list_reduce(
+              list_transform(generate_series(CAST(i AS INTEGER), CAST(i + $WinnowK - 1 AS INTEGER)),
+                x -> CAST(ascii(substr(t, x, 1)) AS BIGINT)),
+              (a, c) -> (a * ${graft.functions.TextHash.RollB} + c) % ${TextPrep.HashP}) AS hv
+          FROM pos),
+        w AS (
+          SELECT doc_id, i, n,
+            min(hv) OVER (PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS fp
+          FROM h)
+        SELECT DISTINCT doc_id, fp FROM w
+        WHERE i <= n - $WinnowK + 1 - ${WinnowW - 1}
+        ORDER BY doc_id, fp"""
+
   val SimhashBits = 64
   val SimhashBands = 4
   val SimhashBandBits: Int = SimhashBits / SimhashBands // 16

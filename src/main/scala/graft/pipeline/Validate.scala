@@ -70,6 +70,19 @@ object Validate {
       .orderBy("event_id")
   }
 
+  /** GE-style validation-results artifact
+    * (`transaction_validator.py:227-256`: per-record results + a
+    * summary, persisted as JSON): per-record rows as JSON lines under
+    * dir/results, the one-row summary (with a run timestamp) under
+    * dir/summary. Distributed writes — no driver-side collect. */
+  def saveValidationResults(events: DataFrame, dir: String): Unit = {
+    validityFlags(events).write.mode("overwrite").json(s"$dir/results")
+    validationSummary(events)
+      .withColumn("timestamp",
+        date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss"))
+      .write.mode("overwrite").json(s"$dir/summary")
+  }
+
   /** A5: batch validation summary — counts + success rate. */
   def validationSummary(events: DataFrame): DataFrame = {
     val valid = isValid(events)

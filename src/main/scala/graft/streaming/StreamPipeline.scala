@@ -99,6 +99,16 @@ object StreamPipeline {
       col("account_id").cast("string").as("key"),
       to_json(struct(df.columns.map(col): _*)).as("value"))
 
+  /** Streaming exact dedup: the uniqueness expectation as a streaming
+    * operator — duplicate transaction_ids arriving within the
+    * watermark horizon are dropped, with state bounded by the
+    * watermark (dropDuplicatesWithinWatermark evicts keys older than
+    * the horizon; an unbounded dropDuplicates would grow state
+    * forever on a 100 TB stream). */
+  def dedupStream(df: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    df.withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("transaction_id")
+
   /** S8: dead-letter routing — returns (valid, deadLetter). In
     * streaming both branches run off the same source; with foreachBatch
     * a single pass writes both. */

@@ -62,6 +62,24 @@ class LlmSpec extends SparkSpec {
     assert(banded === quad)
   }
 
+  test("winnowing: shared substring yields shared fingerprint; short docs none") {
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today", "en", "s0", 49L),
+      (1L, "once more the quick brown fox jumps over the lazy dog again", "en", "s1", 60L),
+      (2L, "entirely unrelated content about database engines", "en", "s2", 49L),
+      (3L, "tiny", "en", "s3", 4L)) // shorter than k+w-1 → no fingerprints
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val fps = Dedup.winnowFingerprints(d).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    // guarantee: any shared substring of length >= k+w-1 (11) shares a fingerprint
+    assert((fps(0L) & fps(1L)).nonEmpty)
+    assert(!fps.contains(3L))
+    // determinism
+    val again = Dedup.winnowFingerprints(d).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    assert(fps === again)
+  }
+
   test("cosine topk: self-similar vectors rank first, cosine in [-1,1]") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),

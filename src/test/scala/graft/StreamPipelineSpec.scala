@@ -114,6 +114,40 @@ class StreamPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate transaction_ids within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val deduped = StreamPipeline.dedupStream(StreamPipeline.typed(
+      StreamPipeline.parse(mem.toDF().toDF("key", "value"))))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        ("A", txnJson("T1", "ACC1", "deposit", 10.0, "2024-01-01T00:00:00")),
+        ("A", txnJson("T1", "ACC1", "deposit", 10.0, "2024-01-01T00:05:00")), // dup id
+        ("A", txnJson("T2", "ACC1", "deposit", 20.0, "2024-01-01T00:01:00")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("transaction_id")
+        .collect().map(_.getString(0)).toSeq
+      assert(ids.sorted === Seq("T1", "T2"))
+    } finally q.stop()
+  }
+
+  test("validation results artifact: per-record JSON lines + summary") {
+    val tmp = Files.createTempDirectory("graft_vr").toString
+    val ev = Seq[(java.lang.Long, java.lang.Long, String, java.lang.Double)](
+      (1L, 2L, "click", 1.0),
+      (2L, null, "click", 1.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+    graft.pipeline.Validate.saveValidationResults(ev, tmp)
+    val results = spark.read.json(s"$tmp/results")
+    assert(results.count() === 2)
+    assert(results.filter(col("is_valid") === false).count() === 1)
+    val s = spark.read.json(s"$tmp/summary").collect().head
+    assert(s.getAs[Long]("n_total") === 2 && s.getAs[Long]("n_valid") === 1)
+    assert(s.getAs[String]("timestamp").matches("\\d{4}-\\d{2}-\\d{2}T.*"))
+  }
+
   test("S3 console sink wiring: complete mode, console format, untruncated") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String)]
