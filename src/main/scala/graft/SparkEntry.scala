@@ -81,6 +81,10 @@ object SparkEntry {
     "q_status_cube" -> ((s, d) => Windows.statusPriorityCube(Tables.orders(s, d))),
     // approx_count_distinct scale path — oracle via exact counts + 5% tolerance boolean
     "q_approx_distinct" -> ((s, d) => Windows.approxDistinctUsers(ev(s, d))),
+    // column profiling: bounds, stabilized mean, exact percentiles
+    "q_value_profile" -> ((s, d) => Windows.valueProfile(ev(s, d))),
+    // as-of join — most recent same-user click at or before each purchase
+    "q_asof_join" -> ((s, d) => Asof.lastClickBeforePurchase(ev(s, d))),
     // ---- LLM-data-pipeline operators (north star, BASELINE.json) ----
     "q_exact_dedup" -> ((s, d) => llm.Dedup.exactDedup(Tables.documents(s, d))),
     "q_jaccard_pairs" -> ((s, d) => llm.Dedup.jaccardPairs(Tables.documents(s, d), 0.5)),
@@ -261,6 +265,8 @@ object SparkEntry {
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "q_approx_distinct" -> Windows.sqlApproxDistinctUsers,
+    "q_value_profile" -> Windows.sqlValueProfile,
+    "q_asof_join" -> Asof.sqlLastClickBeforePurchase,
     "q_exact_dedup" -> llm.Dedup.sqlExactDedup,
     "q_jaccard_pairs" -> llm.Dedup.sqlJaccardPairs(0.5),
     "q_minhash_lsh" -> llm.Dedup.sqlMinhashLshPairs,

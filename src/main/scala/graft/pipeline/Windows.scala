@@ -96,6 +96,33 @@ object Windows {
        count(*) AS n_events, TRUE AS approx_within_5pct
        FROM events GROUP BY 1 ORDER BY 1"""
 
+  /** GE-style column profile per group: counts, bounds, stabilized
+    * mean, exact interpolated median/p95. Exact percentiles sort
+    * within groups (one shuffle); the approx_percentile sketch is the
+    * 100 TB path when exactness isn't required — profiled here
+    * exactly because the oracle can check exact values. */
+  def valueProfile(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        (Aggregate.moneySum(col("value")) / count(lit(1))).as("avg_v"),
+        expr("percentile(value, array(0.5D, 0.95D))").as("pct"))
+      .select(col("event_type"), col("n"), col("min_v"), col("max_v"),
+        col("avg_v"),
+        col("pct").getItem(0).as("p50"),
+        col("pct").getItem(1).as("p95"))
+      .orderBy("event_type")
+
+  val sqlValueProfile: String =
+    """SELECT event_type, count(*) AS n, min(value) AS min_v,
+       max(value) AS max_v,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_v,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95
+       FROM events GROUP BY 1 ORDER BY 1"""
+
   /** Distinct + approximate distinct side by side (scale path:
     * approx_count_distinct is a fixed-size HLL sketch, no shuffle of
     * distinct values). Oracle covers the exact columns only. */

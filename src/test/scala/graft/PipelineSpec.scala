@@ -91,6 +91,32 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[String]("metadata") === """{"stage":"receive","seq":1}""")
   }
 
+  test("as-of join: latest click at-or-before each purchase, null when none") {
+    import graft.pipeline.Asof
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 09:00:00"), 5L, "click", 1.0),
+      (2L, t("2024-01-01 10:00:00"), 5L, "click", 2.0),
+      (3L, t("2024-01-01 10:00:00"), 5L, "purchase", 9.0),  // tie → click 2 counts (<=)
+      (4L, t("2024-01-01 11:00:00"), 5L, "purchase", 8.0),  // latest prior click = 2
+      (5L, t("2024-01-01 08:00:00"), 6L, "purchase", 7.0))  // user 6 has no click → nulls
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Asof.lastClickBeforePurchase(ev).collect()
+      .map(r => r.getLong(0) -> Option(r.get(4)).map(_.asInstanceOf[Long])).toMap
+    assert(out === Map(3L -> Some(2L), 4L -> Some(2L), 5L -> None))
+  }
+
+  test("value profile: exact percentiles and stabilized mean") {
+    val ev = Seq(
+      (1L, "click", 1.0), (2L, "click", 2.0), (3L, "click", 3.0), (4L, "click", 4.0))
+      .toDF("event_id", "event_type", "value")
+    val r = Windows.valueProfile(ev).collect().head
+    assert(r.getAs[Double]("p50") === 2.5)   // interpolated median of 1..4
+    assert(math.abs(r.getAs[Double]("p95") - 3.85) < 1e-12) // 1 + 0.95*3 interpolation
+    assert(r.getAs[Double]("avg_v") === 2.5)
+    assert(r.getAs[Double]("min_v") === 1.0 && r.getAs[Double]("max_v") === 4.0)
+  }
+
   test("window functions: latest-per-user picks max ts with tiebreak") {
     val df = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 5L, "a", 1.0),
