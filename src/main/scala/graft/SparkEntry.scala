@@ -85,6 +85,10 @@ object SparkEntry {
     "q_value_profile" -> ((s, d) => Windows.valueProfile(ev(s, d))),
     // as-of join — most recent same-user click at or before each purchase
     "q_asof_join" -> ((s, d) => Asof.lastClickBeforePurchase(ev(s, d))),
+    // bucketed range join — same-user events within 1h after each purchase
+    "q_range_join" -> ((s, d) => Asof.eventsWithinHourAfterPurchase(ev(s, d))),
+    // pivot — monthly counts spread into per-type columns
+    "q_pivot" -> ((s, d) => Windows.monthlyTypePivot(ev(s, d))),
     // ---- LLM-data-pipeline operators (north star, BASELINE.json) ----
     "q_exact_dedup" -> ((s, d) => llm.Dedup.exactDedup(Tables.documents(s, d))),
     "q_jaccard_pairs" -> ((s, d) => llm.Dedup.jaccardPairs(Tables.documents(s, d), 0.5)),
@@ -267,6 +271,8 @@ object SparkEntry {
     "q_approx_distinct" -> Windows.sqlApproxDistinctUsers,
     "q_value_profile" -> Windows.sqlValueProfile,
     "q_asof_join" -> Asof.sqlLastClickBeforePurchase,
+    "q_range_join" -> Asof.sqlEventsWithinHourAfterPurchase,
+    "q_pivot" -> Windows.sqlMonthlyTypePivot,
     "q_exact_dedup" -> llm.Dedup.sqlExactDedup,
     "q_jaccard_pairs" -> llm.Dedup.sqlJaccardPairs(0.5),
     "q_minhash_lsh" -> llm.Dedup.sqlMinhashLshPairs,

@@ -64,6 +64,52 @@ object Asof {
       .orderBy("event_id")
   }
 
+  /** Range (interval) join, bucketed: per purchase, aggregate the same
+    * user's events in the hour after it. A naive inequality join
+    * degenerates to per-key nested loops; bucketing time into 1-hour
+    * grains and probing (bucket, bucket+1) makes the join key
+    * (user_id, bucket) — a bounded equi-join — with the exact range
+    * predicate as a post-filter. Each event falls in exactly one
+    * probed bucket, so no dedup is needed. The oracle is the plain
+    * inequality join — independent implementation, same rows. */
+  def eventsWithinHourAfterPurchase(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val e = events.select(col("user_id").as("e_user"), col("ts").as("ets"),
+        col("value"))
+      .withColumn("bucket", date_trunc("hour", col("ets")))
+    val probes = p.withColumn("bucket",
+      explode(array(date_trunc("hour", col("ts")),
+        expr("date_trunc('hour', ts) + INTERVAL 1 HOUR"))))
+    val agg = probes.join(e,
+        col("user_id") === col("e_user") &&
+          probes("bucket") === e("bucket") &&
+          col("ets") > col("ts") &&
+          col("ets") <= expr("ts + INTERVAL 1 HOUR"))
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_following"),
+        Aggregate.moneySum(col("value")).as("sum_following"))
+    p.select("event_id")
+      .join(agg, Seq("event_id"), "left")
+      .select(col("event_id"),
+        coalesce(col("n_following"), lit(0L)).as("n_following"),
+        coalesce(col("sum_following"), lit(0.0)).as("sum_following"))
+      .orderBy("event_id")
+  }
+
+  val sqlEventsWithinHourAfterPurchase: String =
+    """WITH p AS (
+         SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+       agg AS (
+         SELECT p.event_id, count(*) AS n_following,
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_following
+         FROM p JOIN events e ON p.user_id = e.user_id
+           AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+         GROUP BY 1)
+       SELECT p.event_id, coalesce(n_following, 0) AS n_following,
+         coalesce(sum_following, 0.0) AS sum_following
+       FROM p LEFT JOIN agg USING (event_id) ORDER BY event_id"""
+
   /** DuckDB twin uses the engine's native ASOF LEFT JOIN — an
     * independent implementation of the same semantics. */
   val sqlLastClickBeforePurchase: String =

@@ -96,6 +96,33 @@ object Windows {
        count(*) AS n_events, TRUE AS approx_within_5pct
        FROM events GROUP BY 1 ORDER BY 1"""
 
+  /** Pivot: monthly event counts spread into one column per event
+    * type. Explicit pivot values — no extra distinct-values job, and
+    * the output schema is static (required at 100 TB: an inferred
+    * pivot would scan the corpus twice and could explode the column
+    * count). Missing combinations are 0, not null, to match the
+    * conditional-aggregation oracle. */
+  val PivotTypes: Seq[String] = Seq("click", "view", "purchase", "signup", "error")
+
+  def monthlyTypePivot(events: DataFrame): DataFrame = {
+    val pivoted = events
+      .select(year(col("ts")).as("y"), month(col("ts")).as("m"), col("event_type"))
+      .groupBy("y", "m")
+      .pivot("event_type", PivotTypes)
+      .agg(count(lit(1)))
+    pivoted.select(
+      col("y") +: col("m") +:
+        PivotTypes.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy("y", "m")
+  }
+
+  val sqlMonthlyTypePivot: String = {
+    val cols = PivotTypes.map(t =>
+      s"count(CASE WHEN event_type = '$t' THEN 1 END) AS n_$t").mkString(", ")
+    s"""SELECT CAST(year(ts) AS INTEGER) AS y, CAST(month(ts) AS INTEGER) AS m, $cols
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
+
   /** GE-style column profile per group: counts, bounds, stabilized
     * mean, exact interpolated median/p95. Exact percentiles sort
     * within groups (one shuffle); the approx_percentile sketch is the

@@ -106,6 +106,36 @@ class PipelineSpec extends SparkSpec {
     assert(out === Map(3L -> Some(2L), 4L -> Some(2L), 5L -> None))
   }
 
+  test("range join: same-user events in the hour after each purchase") {
+    import graft.pipeline.Asof
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 10:30:00"), 5L, "purchase", 9.0),
+      (2L, t("2024-01-01 10:45:00"), 5L, "click", 1.0),    // within (10:30, 11:30]
+      (3L, t("2024-01-01 11:30:00"), 5L, "view", 2.0),     // boundary: included (<=)
+      (4L, t("2024-01-01 11:30:01"), 5L, "click", 4.0),    // outside
+      (5L, t("2024-01-01 10:30:00"), 5L, "click", 8.0),    // same instant: excluded (>)
+      (6L, t("2024-01-01 10:40:00"), 6L, "click", 1.0),    // other user
+      (7L, t("2024-01-01 23:00:00"), 7L, "purchase", 1.0)) // no followers
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Asof.eventsWithinHourAfterPurchase(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out === Map(1L -> ((2L, 3.0)), 7L -> ((0L, 0.0))))
+  }
+
+  test("pivot: per-type monthly counts with zeros for absent types") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-05 00:00:00"), "click"),
+      (2L, t("2024-01-06 00:00:00"), "click"),
+      (3L, t("2024-02-01 00:00:00"), "view"))
+      .toDF("event_id", "ts", "event_type")
+    val rows = Windows.monthlyTypePivot(ev).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows((2024, 1)) === ((2L, 0L))) // 2 clicks, 0 views
+    assert(rows((2024, 2)) === ((0L, 1L)))
+  }
+
   test("value profile: exact percentiles and stabilized mean") {
     val ev = Seq(
       (1L, "click", 1.0), (2L, "click", 2.0), (3L, "click", 3.0), (4L, "click", 4.0))
