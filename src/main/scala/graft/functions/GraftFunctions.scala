@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** One registry of every custom Catalyst function this library adds,
+  * with the two ways to install it:
+  *
+  *  - [[GraftFunctions.registerAll]] on an existing session (what the
+  *    operators call internally, idempotent), or
+  *  - `spark.sql.extensions=graft.GraftExtensions` at session build
+  *    time, which makes the functions available in plain `spark.sql`
+  *    text on every session of the application — the standard way to
+  *    ship library functions to SQL-only users.
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression): Int =
+    e.eval(InternalRow.empty).asInstanceOf[Number].intValue()
+
+  /** (name, builder) for every SQL-callable function. */
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "dot_d" -> (e => DotProductD(e(0), e(1))),
+    "top_k_by" -> (e => TopKByScore(e(0), e(1), intArg(e(2))).toAggregateExpression()),
+    "shingle_hashes" -> (e => ShingleHashes(e(0), intArg(e(1)))),
+    "minhash_sigs" -> (e => MinhashSigs(e(0), e(1), intArg(e(2)))),
+    "simhash64" -> (e => SimHash64(e(0))),
+    "winnow_fps" -> (e => WinnowFingerprints(e(0), intArg(e(1)), intArg(e(2)))))
+
+  /** Register every function on a live session (idempotent). */
+  def registerAll(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  private[functions] def inject(ext: SparkSessionExtensions): Unit =
+    all.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name), builder))
+    }
+}
+
+/** `--conf spark.sql.extensions=graft.functions.GraftExtensions` */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.inject(ext)
+}

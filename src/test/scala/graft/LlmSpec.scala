@@ -62,6 +62,24 @@ class LlmSpec extends SparkSpec {
     assert(banded === quad)
   }
 
+  test("registerAll exposes every custom function to plain SQL text") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    assert(spark.sql("SELECT dot_d(array(1.0D,2.0D), array(3.0D,4.0D))")
+      .collect().head.getDouble(0) === 11.0)
+    assert(spark.sql("SELECT simhash64('hello world')").collect().head.getLong(0) ===
+      spark.sql("SELECT simhash64('hello world')").collect().head.getLong(0))
+    assert(spark.sql("SELECT size(shingle_hashes('a b c d', 3).shs)")
+      .collect().head.getInt(0) === 2)
+    assert(spark.sql("SELECT size(winnow_fps('abcdefghijklmno', 8, 4))")
+      .collect().head.getInt(0) > 0)
+    val sig = spark.sql(
+      "SELECT minhash_sigs(array(5L, 7L), array(3L, 2L), 4)").collect().head.getSeq[Long](0)
+    assert(sig === Seq(5L, 8L, 11L, 13L)) // min over (a + i*b) % P per seed i
+    assert(spark.sql(
+      "SELECT top_k_by(s, i, 2) FROM VALUES (0.1D, 1L), (0.9D, 2L), (0.5D, 3L) AS t(s, i)")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(1)) === Seq(2L, 3L))
+  }
+
   test("winnowing: shared substring yields shared fingerprint; short docs none") {
     val d = Seq(
       (0L, "the quick brown fox jumps over the lazy dog today", "en", "s0", 49L),
