@@ -38,7 +38,7 @@ object Similarity {
 
   /** embeddings → (vec_id, v: array<double>, nrm). */
   def prepared(embeddings: DataFrame): DataFrame = {
-    graft.functions.VectorExprs.register(embeddings.sparkSession)
+    graft.functions.GraftFunctions.registerAll(embeddings.sparkSession)
     embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
@@ -234,10 +234,12 @@ object Similarity {
       val scored = n.join(broadcast(withNorm))
         .select(col("vec_id"), col("cid"),
           (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("ccos").desc, col("cid"))
-      val assign = scored.withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1).select("vec_id", "cid")
+      // argmax via the bounded-heap aggregate (map-side combine; a
+      // Window would shuffle-sort every (vec, centroid) score row).
+      // Same (ccos desc, cid asc) order the oracle's row_number uses.
+      val assign = scored.groupBy("vec_id")
+        .agg(call_function("top_k_by", col("ccos"), col("cid"), lit(1)).as("top"))
+        .select(col("vec_id"), col("top").getItem(0).getField("id").as("cid"))
       val means = assign.join(n.select("vec_id", "v"), "vec_id")
         .select(col("cid"), col("vec_id"), posexplode(col("v")).as(Seq("d", "component")))
         .groupBy("cid", "d")
@@ -266,14 +268,18 @@ object Similarity {
     val scored = n.join(broadcast(cents))
       .select(col("vec_id"), col("centroid_id"),
         (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("centroid_id"))
-    val ranked = scored.withColumn("crnk", row_number().over(wAssign))
-    val assign = ranked.filter(col("crnk") === 1)
+    // top-NumProbes centroids per vector via the bounded-heap aggregate
+    // (map-side combine) — pos 0 is the assignment, all positions are
+    // the probe set; identical to the oracle's row_number ranking.
+    val topc = scored.groupBy("vec_id")
+      .agg(call_function("top_k_by", col("ccos"), col("centroid_id"),
+        lit(NumProbes)).as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("vec_id"), col("pos"), col("e.id").as("centroid_id"))
+    val assign = topc.filter(col("pos") === 0)
       .select(col("vec_id").as("member_id"), col("centroid_id"))
-    val probes = ranked.filter(col("crnk") <= NumProbes)
+    val probes = topc
       .select(col("vec_id").as("query_id"), col("centroid_id"))
-    graft.functions.TopKByScore.register(embeddings.sparkSession)
     probes
       .join(assign, "centroid_id")
       .filter(col("query_id") =!= col("member_id"))
