@@ -110,6 +110,21 @@ object Sources {
       .partitionBy("year", "month", "day")
       .parquet(path)
 
+  /** Bucketed warehouse table: co-locates rows by join key so repeated
+    * fact-fact joins on that key need NO shuffle at read time (both
+    * sides' bucketing lines up → SortMergeJoin without exchanges).
+    * This is the 100 TB answer to "every reconciliation join reshuffles
+    * the fact table"; `bucketBy` requires a catalog table, not a bare
+    * path. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** S7: the transaction_summary warehouse table — (year, month)
     * partitioning per `spark_config.yml:64-69`, fed by the windowed
     * aggregate (window_start drives the partition columns). */

@@ -62,6 +62,31 @@ class LlmSpec extends SparkSpec {
     assert(banded === quad)
   }
 
+  test("native text-hash expressions: null, empty, and short inputs") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    // null text propagates null through every expression
+    val nulls = spark.sql(
+      """SELECT shingle_hashes(CAST(NULL AS STRING), 3) AS sh,
+         simhash64(CAST(NULL AS STRING)) AS s64,
+         winnow_fps(CAST(NULL AS STRING), 8, 4) AS wf""").collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1) && nulls.isNullAt(2))
+    // empty / too-short text yields empty shingle + fingerprint sets
+    val short = spark.sql(
+      """SELECT size(shingle_hashes('', 3).shs) AS a,
+         size(winnow_fps('abc', 8, 4)) AS b,
+         minhash_sigs(CAST(array() AS ARRAY<BIGINT>),
+                      CAST(array() AS ARRAY<BIGINT>), 4) AS c""").collect().head
+    assert(short.getInt(0) === 0 && short.getInt(1) === 0)
+    assert(short.getSeq[Long](2).isEmpty)
+    // simhash of empty text is still defined (votes of the "" word)
+    assert(!spark.sql("SELECT simhash64('')").collect().head.isNullAt(0))
+    // uppercase folds: shingles of mixed case equal lowercase shingles
+    val fold = spark.sql(
+      "SELECT shingle_hashes('A B C', 3).shs = shingle_hashes('a b c', 3).shs")
+      .collect().head.getBoolean(0)
+    assert(fold)
+  }
+
   test("registerAll exposes every custom function to plain SQL text") {
     graft.functions.GraftFunctions.registerAll(spark)
     assert(spark.sql("SELECT dot_d(array(1.0D,2.0D), array(3.0D,4.0D))")

@@ -199,6 +199,19 @@ class StreamPipelineSpec extends SparkSpec {
     assert(pruned.select("transaction_count").collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("bucketed warehouse tables join without an exchange") {
+    val orders = Tables.orders(spark, sf()).limit(500)
+    Sources.writeBucketed(orders.select("o_orderkey", "o_totalprice"),
+      "orders_bucketed", "o_orderkey", 4)
+    try {
+      val t = spark.table("orders_bucketed")
+      val joined = t.as("a").join(t.as("b"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      // bucketing co-locates both sides: no shuffle before the join
+      assert(!plan.contains("Exchange hashpartitioning"))
+    } finally spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+  }
+
   test("S7 warehouse write partitions by year/month/day and prunes on read") {
     val tmp = Files.createTempDirectory("graft_wh").toString
     val df = StreamPipeline.typed(StreamPipeline.parse(Seq(
