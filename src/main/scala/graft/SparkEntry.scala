@@ -24,6 +24,8 @@ object SparkEntry {
     "q_hourly_user_agg" -> ((s, d) => Aggregate.hourlyUserAgg(ev(s, d))),
     // A3: sliding 1h/30min window (spark_config.yml:36-38)
     "q_sliding_window" -> ((s, d) => Aggregate.slidingWindowAgg(ev(s, d))),
+    // session windows (30-min gap) — declarative twin of Sessionize
+    "q_session_agg" -> ((s, d) => Aggregate.sessionAgg(ev(s, d))),
     // P4/P5/P7: validity predicate + status + error array (transaction_processor.py:229-241)
     "q_validity_flags" -> ((s, d) => Validate.validityFlags(ev(s, d))),
     // A5: validation summary (transaction_validator.py:197-218)
@@ -127,6 +129,7 @@ object SparkEntry {
            UNION ALL
            SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, user_id, value FROM events
          ) GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_session_agg" -> Aggregate.sqlSessionAgg,
     "q_validity_flags" ->
       s"""SELECT event_id, user_id, event_type, value, is_valid,
          validation_status,

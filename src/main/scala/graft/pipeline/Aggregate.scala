@@ -50,4 +50,41 @@ object Aggregate {
         col("window.start").as("window_start"),
         col("user_id"), col("n_events"), col("sum_value"))
       .orderBy("window_start", "user_id")
+
+  /** Session-window aggregation: events of one user separated by gaps
+    * under 30 minutes merge into one session (the declarative twin of
+    * streaming/Sessionize's flatMapGroupsWithState — session_window
+    * runs unchanged on batch and streaming frames). The oracle is the
+    * classic gaps-and-islands SQL: a new session starts where the gap
+    * from the previous event exceeds the timeout; sessions group by
+    * the running count of session starts. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("sum_value"))
+      .select(
+        col("user_id"),
+        col("sw.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  val sqlSessionAgg: String =
+    """WITH g AS (
+         SELECT user_id, ts, value,
+           -- inclusive <=: Spark merges an event landing exactly on the
+           -- previous session's end (verified by unit test)
+           CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       s AS (
+         SELECT user_id, ts, value,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM g)
+       SELECT user_id, min(ts) AS session_start,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM s GROUP BY user_id, session_id
+       ORDER BY user_id, session_start"""
 }

@@ -91,6 +91,21 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[String]("metadata") === """{"stage":"receive","seq":1}""")
   }
 
+  test("session agg: gaps up to the timeout merge, beyond it split") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00"), 5L, 1.0),
+      (2L, t("2024-01-01 10:29:59"), 5L, 2.0),  // gap < 30min → same session
+      (3L, t("2024-01-01 10:59:59"), 5L, 4.0),  // chained (< 30min from #2)
+      (4L, t("2024-01-01 11:29:59"), 7L, 8.0),
+      (5L, t("2024-01-01 11:59:59"), 7L, 16.0), // exactly 30min → still merges
+      (6L, t("2024-01-01 12:30:00"), 7L, 32.0)) // 30min 1s → new session
+      .toDF("event_id", "ts", "user_id", "value")
+    val out = Aggregate.sessionAgg(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((5L, 3L, 7.0), (7L, 2L, 24.0), (7L, 1L, 32.0)))
+  }
+
   test("as-of join: latest click at-or-before each purchase, null when none") {
     import graft.pipeline.Asof
     def t(s: String) = java.sql.Timestamp.valueOf(s)
