@@ -77,6 +77,23 @@ object Enrich {
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
+  /** Skew-salted join: when one join key dominates (a hot account, a
+    * viral document), AQE's skew splitting handles most cases, but the
+    * deterministic fallback is salting — the fact side spreads each
+    * key over `salts` shuffle partitions via a hash-derived salt (no
+    * randomness: same row → same salt on any cluster), and the small
+    * side is replicated once per salt value. Join key becomes
+    * (key, salt) — a hot key's rows land on `salts` reducers instead
+    * of one. Result is row-identical to the unsalted join. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 salts: Int, saltSource: String): DataFrame = {
+    val salted = fact.withColumn("salt",
+      pmod(hash(col(saltSource)), lit(salts)))
+    val replicated = dim.withColumn("salt",
+      explode(array((0 until salts).map(lit): _*)))
+    salted.join(replicated, Seq(key, "salt")).drop("salt")
+  }
+
   /** Fact-to-dim join + aggregate: revenue per nation (the shape the
     * reference's warehouse summary tables imply, S7). */
   def revenueByNation(orders: DataFrame, customer: DataFrame,

@@ -32,6 +32,20 @@ class PipelineSpec extends SparkSpec {
     assert(Enrich.categorize(df).collect().head.getString(3) === "error")
   }
 
+  test("salted join equals plain join and spreads a hot key over salts") {
+    val fact = Seq.tabulate(100)(i => (1L, i.toLong)) // one hot key
+      .toDF("k", "row_id")
+    val dim = Seq((1L, "hot"), (2L, "cold")).toDF("k", "label")
+    val salted = Enrich.saltedJoin(fact, dim, "k", 4, "row_id")
+    val plain = fact.join(dim, "k")
+    assert(salted.count() === plain.count())
+    assert(salted.select("label").distinct().collect().map(_.getString(0)).toSeq === Seq("hot"))
+    // the hot key's rows really do carry more than one salt value
+    val saltCount = fact.withColumn("salt",
+      pmod(hash(col("row_id")), lit(4))).select("salt").distinct().count()
+    assert(saltCount > 1)
+  }
+
   test("dim enrich joins the full star without row loss") {
     val out = Enrich.dimEnrich(Tables.customer(spark, sf()),
       Tables.nation(spark, sf()), Tables.region(spark, sf()))
