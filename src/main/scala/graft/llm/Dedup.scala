@@ -112,12 +112,28 @@ object Dedup {
     * buckets, verified with exact Jaccard. Output is every candidate
     * pair with its true Jaccard — bit-portable to the oracle.
     *
-    * No cache: shingle prep is a compiled expression (one md5 per
-    * distinct shingle), so recomputing it per plan branch is cheaper
-    * than materializing 100 TB of shingle arrays — and the scan +
-    * exchange subtrees are deduplicated by ReuseExchange anyway. */
-  def minhashLshPairs(documents: DataFrame): DataFrame = {
-    val docs = TextPrep.docShingles(documents)
+    * The plan re-derives shingles per branch (4 scans of the text
+    * column): the prep is one compiled md5 pass per row, so locally
+    * recomputation beats materialization. At corpus scale, write the
+    * signature index ONCE with [[writeShingleIndex]] and run
+    * [[minhashLshPairsFromIndex]] over it — the standard two-stage
+    * dedup pipeline (index build, then pair generation reads compact
+    * signatures instead of re-scanning 100 TB of text 4×). */
+  def minhashLshPairs(documents: DataFrame): DataFrame =
+    pairsFrom(TextPrep.docShingles(documents))
+
+  /** Stage 1 at scale: persist (doc_id, lang, shs, ha, hb, n) as the
+    * dedup index — signatures are ~100× smaller than the text. */
+  def writeShingleIndex(documents: DataFrame, path: String): Unit =
+    TextPrep.docShingles(documents).write.mode("overwrite").parquet(path)
+
+  /** Stage 2 at scale: LSH pair generation over a persisted index. */
+  def minhashLshPairsFromIndex(spark: org.apache.spark.sql.SparkSession,
+                               path: String): DataFrame =
+    pairsFrom(spark.read.parquet(path))
+
+  private def pairsFrom(docs: DataFrame): DataFrame = {
+    graft.functions.TextHashExprs.register(docs.sparkSession)
     val bk = bandKeys(signaturesFrom(docs))
     val cand = bk.as("x")
       .join(bk.as("y"),

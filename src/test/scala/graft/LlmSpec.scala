@@ -35,6 +35,25 @@ class LlmSpec extends SparkSpec {
     assert(out((0L, 1L)) === 1.0)
   }
 
+  test("minhash LSH over a persisted shingle index matches the direct path") {
+    val dir = java.nio.file.Files.createTempDirectory("shingle_idx").toFile
+    try {
+      val path = new java.io.File(dir, "idx").getAbsolutePath
+      Dedup.writeShingleIndex(docs, path)
+      val direct = Dedup.minhashLshPairs(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val indexed = Dedup.minhashLshPairsFromIndex(spark, path).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(indexed === direct)
+      assert(indexed.nonEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("simhash: identical texts identical hashes; near-dups within small hamming") {
     val sh = Dedup.simhash(docs).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1) << 32) | r.getLong(2))).toMap
