@@ -15,8 +15,11 @@ import org.apache.spark.sql.functions._
   *    withdrawal 20–1000, transfer 10–3000, payment 5–500,
   *    refund 5–200 (`:87-96`)
   *  - timestamps uniform over the 24 h before a fixed anchor (`:99-103`)
-  *  - status skew: completed ×3 (`:124`)
-  *  - merchant_info only for payments (`:106-113`)
+  *  - status: 4-slot draw [pending, completed ×3] — failed/rejected
+  *    never generated (`:124`)
+  *  - merchant_info only for payments, 12-merchant catalog (`:69-72,106-113`)
+  *  - currency always USD (producer never draws it; model default,
+  *    `transaction.py:21`); tags/metadata empty-not-null (`:29-30`)
   *
   * Scale: spark.range parallelizes generation across the cluster with
   * zero input I/O and no shuffle.
@@ -48,21 +51,25 @@ object Generator {
         element_at(amountLo, col("transaction_type")) +
           h(4) * (element_at(amountHi, col("transaction_type")) -
             element_at(amountLo, col("transaction_type"))), 2))
-      .withColumn("currency", pick(5, Schemas.currencies))
+      .withColumn("currency", lit("USD"))
       .withColumn("timestamp",
         date_format(timestamp_seconds(lit(anchorEpochSec) - (h(6) * 86400).cast("long")),
           "yyyy-MM-dd'T'HH:mm:ss"))
       .withColumn("status",
-        // completed ×3 weight: draw from 6 slots, 3 of them completed
-        element_at(array((Schemas.statuses ++ Seq("completed", "completed")).map(lit): _*),
-          (pmod(hash(col("id"), lit(7)), lit(6)) + 1).cast("int")))
+        // the producer's exact 4-slot draw: pending 1/4, completed 3/4
+        element_at(array(Seq("pending", "completed", "completed", "completed").map(lit): _*),
+          (pmod(hash(col("id"), lit(7)), lit(4)) + 1).cast("int")))
       .withColumn("source", pick(8, Schemas.sources))
       .withColumn("description", concat(initcap(col("transaction_type")), lit(" transaction")))
       .withColumn("merchant_info",
         when(col("transaction_type") === "payment",
-          map(lit("name"), pick(9, Seq("Amazon", "Walmart", "Target", "Costco")),
+          map(lit("name"), pick(9, Seq("Amazon", "Walmart", "Target", "Costco",
+              "Starbucks", "McDonald's", "Shell", "Exxon", "AT&T", "Verizon",
+              "Netflix", "Spotify")),
             lit("category"), pick(10, Seq("retail", "food", "gas", "services", "entertainment")),
-            lit("merchant_id"), concat(lit("M"), lpad(pmod(hash(col("id"), lit(11)), lit(100000)).cast("string"), 5, "0")))))
+            // randint(10000, 99999): always 5 digits
+            lit("merchant_id"), concat(lit("M"),
+              (pmod(hash(col("id"), lit(11)), lit(90000)) + 10000).cast("string")))))
       // data_source IS drawn by the reference producer
       // (`transaction_producer.py:128`); the remaining Transaction
       // fields exist in the model but are left unset by the producer
@@ -71,8 +78,10 @@ object Generator {
       .withColumn("data_source", pick(12, Schemas.sources))
       .withColumn("reference_id", lit(null).cast("string"))
       .withColumn("location", lit(null).cast("map<string,string>"))
-      .withColumn("tags", lit(null).cast("array<string>"))
-      .withColumn("metadata", lit(null).cast("map<string,string>"))
+      // tags/metadata default to empty-not-null in the model
+      // (`transaction.py:29-30`), so to_dict emits [] / {}
+      .withColumn("tags", array().cast("array<string>"))
+      .withColumn("metadata", map().cast("map<string,string>"))
       .withColumn("batch_id", lit(null).cast("string"))
       .drop("id")
   }

@@ -109,6 +109,45 @@ object StreamPipeline {
     df.withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("transaction_id")
 
+  /** Stream-stream interval join (fraud-pattern correlation): every
+    * transaction that follows a large transaction on the same account
+    * within `horizon`. Both inputs are watermarked and the join
+    * predicate bounds each side's event time relative to the other —
+    * the two conditions Spark needs to evict join state, so an inner
+    * stream-stream join runs with bounded memory on an unbounded
+    * stream. (Downstream of the reference's alerts route,
+    * `src/config/kafka_config.yml:25` — the correlation its alert
+    * consumers perform.)
+    *
+    * The same code runs on batch frames (watermarks are no-ops),
+    * which is how the unit oracle checks it. */
+  def followsLargeTxn(txns: DataFrame,
+                      threshold: Double = 1000.0,
+                      watermark: String = "30 minutes",
+                      horizon: String = "1 hour"): DataFrame = {
+    val large = txns
+      .select(col("account_id").as("l_account_id"),
+        col("transaction_id").as("large_id"),
+        col("amount").as("large_amount"),
+        col("event_time").as("large_time"))
+      .filter(col("large_amount") > threshold)
+      .withWatermark("large_time", watermark)
+    val follow = txns
+      .select(col("account_id").as("f_account_id"),
+        col("transaction_id").as("follow_id"),
+        col("amount").as("follow_amount"),
+        col("event_time").as("follow_time"))
+      .withWatermark("follow_time", watermark)
+    large.join(follow,
+        col("l_account_id") === col("f_account_id") &&
+          col("follow_time") > col("large_time") &&
+          col("follow_time") <= col("large_time") + expr(s"INTERVAL $horizon"))
+      .select(col("l_account_id").as("account_id"),
+        col("large_id"), col("follow_id"),
+        col("large_amount"), col("follow_amount"),
+        col("large_time"), col("follow_time"))
+  }
+
   /** S8: dead-letter routing — returns (valid, deadLetter). In
     * streaming both branches run off the same source; with foreachBatch
     * a single pass writes both. */

@@ -218,6 +218,21 @@ class PipelineSpec extends SparkSpec {
     val counts = Generator.transactions(spark, 2000)
       .groupBy("status").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts("completed") > counts.filter(_._1 != "completed").values.max)
+    // the producer's 4-slot draw only ever emits pending/completed
+    assert(counts.keySet === Set("pending", "completed"))
+  }
+
+  test("G1 field parity: USD currency, empty tags/metadata, 5-digit merchant ids") {
+    val t = Generator.transactions(spark, 500)
+    assert(t.select("currency").distinct().collect().map(_.getString(0)).toSeq === Seq("USD"))
+    val r = t.select("tags", "metadata").collect().head
+    assert(r.getSeq[String](0).isEmpty && r.getMap[String, String](1).isEmpty)
+    assert(!r.isNullAt(0) && !r.isNullAt(1))
+    val mids = Generator.transactions(spark, 500)
+      .filter(col("merchant_info").isNotNull)
+      .select(element_at(col("merchant_info"), "merchant_id"))
+      .collect().map(_.getString(0))
+    assert(mids.nonEmpty && mids.forall(_.matches("M[1-9]\\d{4}")))
   }
 }
 

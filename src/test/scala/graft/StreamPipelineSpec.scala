@@ -114,6 +114,24 @@ class StreamPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corrupt JSON routes to dead-letter: truncated, wrong-type, empty, non-json") {
+    val df = Seq(
+      ("k1", txnJson("T1", "ACC1", "deposit", 10.0, "2024-01-01T00:00:00")), // clean
+      ("k2", """{"transaction_id":"T2","account_id":"ACC1","transa"""),      // truncated
+      ("k3", """{"transaction_id":"T3","account_id":"ACC1","transaction_type":"deposit","amount":"not_a_number","timestamp":"2024-01-01T00:00:00"}"""), // wrong type
+      ("k4", ""),                                                            // empty
+      ("k5", "plainly not json at all"))                                     // garbage
+      .toDF("key", "value")
+    val (valid, dead) = StreamPipeline.deadLetterSplit(
+      StreamPipeline.typed(StreamPipeline.parse(df)))
+    assert(valid.select("transaction_id").collect().map(_.getString(0)).toSeq === Seq("T1"))
+    // permissive from_json nulls the unparseable rows; the validity
+    // predicate then routes every one of them to the dead letter
+    assert(dead.count() === 4)
+    val deadKeys = dead.select("kafka_key").collect().map(_.getString(0)).toSet
+    assert(deadKeys === Set("k2", "k3", "k4", "k5"))
+  }
+
   test("streaming dedup drops duplicate transaction_ids within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String)]
@@ -130,6 +148,30 @@ class StreamPipelineSpec extends SparkSpec {
       val ids = spark.table("dedup_out").select("transaction_id")
         .collect().map(_.getString(0)).toSeq
       assert(ids.sorted === Seq("T1", "T2"))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join correlates followers of large txns") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val txns = StreamPipeline.typed(StreamPipeline.parse(mem.toDF().toDF("key", "value")))
+    val joined = StreamPipeline.followsLargeTxn(txns)
+    val q = joined.writeStream.format("memory").queryName("interval_join")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        ("A", txnJson("L1", "ACC1", "deposit", 5000.0, "2024-01-01T10:00:00")), // large
+        ("A", txnJson("F1", "ACC1", "withdrawal", 200.0, "2024-01-01T10:30:00")), // within 1h
+        ("A", txnJson("F2", "ACC1", "withdrawal", 300.0, "2024-01-01T12:00:00")), // outside 1h
+        ("A", txnJson("F3", "ACC2", "withdrawal", 400.0, "2024-01-01T10:15:00"))) // other acct
+      q.processAllAvailable()
+      // advance both watermarks far enough to emit the joined rows
+      mem.addData(("A", txnJson("Z", "ACC9", "deposit", 1.0, "2024-01-01T14:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("interval_join")
+        .select("large_id", "follow_id")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(out === Set(("L1", "F1")))
     } finally q.stop()
   }
 
