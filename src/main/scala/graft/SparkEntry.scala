@@ -104,7 +104,14 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, d) => llm.Similarity.ivfTopK(Tables.embeddings(s, d), 10)),
     "q_text_stats" -> ((s, d) => llm.TextStats.textStats(Tables.documents(s, d))),
     "q_language_id" -> ((s, d) => llm.TextStats.languageId(Tables.documents(s, d))),
-    "q_media_metadata" -> ((s, d) => llm.Multimodal.mediaMetadata(Tables.documents(s, d)))
+    "q_media_metadata" -> ((s, d) => llm.Multimodal.mediaMetadata(Tables.documents(s, d))),
+    // corpus curation: PII scrub, reproducible split/sample, quality ranking
+    "q_pii_redact" -> ((s, d) => llm.Curate.redactPii(Tables.documents(s, d))),
+    "q_split_assign" -> ((s, d) => llm.Curate.splitAssign(Tables.documents(s, d))),
+    "q_stratified_sample" -> ((s, d) => llm.Curate.stratifiedSample(Tables.documents(s, d))),
+    "q_quality_topk" -> ((s, d) => llm.Curate.qualityTopK(Tables.documents(s, d))),
+    // dedup end-game: connected components over the near-dup pair graph
+    "q_dup_clusters" -> ((s, d) => llm.Dedup.dupClusters(Tables.documents(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -288,6 +295,11 @@ object SparkEntry {
     "q_ann_ivf" -> llm.Similarity.sqlIvfTopK(10),
     "q_text_stats" -> llm.TextStats.sqlTextStats,
     "q_language_id" -> llm.TextStats.sqlLanguageId,
-    "q_media_metadata" -> llm.Multimodal.sqlMediaMetadata
+    "q_media_metadata" -> llm.Multimodal.sqlMediaMetadata,
+    "q_pii_redact" -> llm.Curate.sqlRedactPii,
+    "q_split_assign" -> llm.Curate.sqlSplitAssign,
+    "q_stratified_sample" -> llm.Curate.sqlStratifiedSample,
+    "q_quality_topk" -> llm.Curate.sqlQualityTopK(),
+    "q_dup_clusters" -> llm.Dedup.sqlDupClusters()
   )
 }

@@ -1,0 +1,185 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: PII
+  * redaction, deterministic train/val/test splitting, and stratified
+  * sampling. All row-local projections — no shuffle anywhere, so each
+  * scales linearly with the corpus and pushes straight down onto the
+  * parquet scan.
+  *
+  * Determinism contract: no RNG. Splits and samples key off
+  * md5(salt || doc_id), so membership is stable across clusters,
+  * repartitions, and re-runs — the property a reproducible training
+  * run needs (re-running the pipeline on the same corpus must yield
+  * the same split).
+  */
+object Curate {
+
+  // ---- PII redaction ------------------------------------------------
+
+  /** Patterns valid in both Java regex (Spark) and RE2 (DuckDB):
+    * character classes, bounded repetition, \b word boundaries —
+    * no backreferences or lookarounds. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Scrub emails, SSNs, and phone numbers from a text column,
+    * emitting match counts alongside the redacted text. Order matters:
+    * emails first (their local parts may contain digit runs), SSNs
+    * before phones (both are digit-dash shapes; the 3-2-4 grouping is
+    * claimed by <SSN>).
+    */
+  def redactCol(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        SsnRe, "<SSN>"),
+      PhoneRe, "<PHONE>")
+
+  /** The synthetic corpus carries no PII, so the oracle-checked query
+    * deterministically plants one email, one phone, and one SSN per
+    * document (derived from doc_id, identically in the DuckDB twin)
+    * before scrubbing — the regexes are exercised on every row instead
+    * of vacuously matching nothing. */
+  private def planted: Column =
+    concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or call 555-867-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" ssn 123-45-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+
+  def redactPii(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), planted.as("t"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("t"), lit(EmailRe)).as("n_emails"),
+        regexp_count(col("t"), lit(SsnRe)).as("n_ssns"),
+        regexp_count(col("t"), lit(PhoneRe)).as("n_phones"),
+        redactCol(col("t")).as("redacted"))
+      .orderBy("doc_id")
+
+  val sqlRedactPii: String = {
+    val planted = "text || ' contact user' || CAST(doc_id AS VARCHAR) " +
+      "|| '@example.com or call 555-867-' " +
+      "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') " +
+      "|| ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    // single-quoted SQL literals: backslashes are literal, no doubling
+    val email = EmailRe
+    s"""WITH p AS (SELECT doc_id, $planted AS t FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(t, '$SsnRe')) AS BIGINT) AS n_ssns,
+          CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phones,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(t, '$email', '<EMAIL>', 'g'),
+              '$SsnRe', '<SSN>', 'g'),
+            '$PhoneRe', '<PHONE>', 'g') AS redacted
+        FROM p ORDER BY doc_id"""
+  }
+
+  // ---- deterministic split ------------------------------------------
+
+  val TrainPct = 80
+  val ValPct = 10 // test gets the remainder
+
+  /** 60-bit integer from the first 15 hex digits of md5(salt:doc_id) —
+    * the same md5-arithmetic portability trick as the MinHash base
+    * hashes (TextPrep.sqlShingleCtes). */
+  private def hashBucket(salt: String, mod: Int): Column =
+    conv(substring(md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 15),
+      16, 10).cast("long") % mod
+
+  private def sqlHashBucket(salt: String, mod: Int): String =
+    s"CAST(concat('0x', substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % $mod"
+
+  /** Assign every document to train/validation/test by hash bucket.
+    * Adding documents never reassigns existing ones, and the split
+    * survives any repartitioning — unlike randomSplit, whose output
+    * depends on partitioning and seed plumbing. */
+  def splitAssign(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), hashBucket("split", 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < TrainPct, "train")
+          .when(col("bucket") < TrainPct + ValPct, "validation")
+          .otherwise("test"))
+      .orderBy("doc_id")
+
+  val sqlSplitAssign: String =
+    s"""SELECT doc_id, ${sqlHashBucket("split", 100)} AS bucket,
+        CASE WHEN ${sqlHashBucket("split", 100)} < $TrainPct THEN 'train'
+             WHEN ${sqlHashBucket("split", 100)} < ${TrainPct + ValPct} THEN 'validation'
+             ELSE 'test' END AS split
+        FROM documents ORDER BY doc_id"""
+
+  // ---- stratified sampling ------------------------------------------
+
+  /** Per-stratum sampling rates in permille. A corpus-mixing config:
+    * downsample the dominant language, keep more of the rest. */
+  val SampleRates: Seq[(String, Int)] =
+    Seq("en" -> 100, "de" -> 300, "es" -> 300, "fr" -> 300, "zh" -> 300)
+  val DefaultRate = 200
+
+  /** Deterministic stratified sample: keep a document iff its salted
+    * hash bucket falls under its language's permille rate. The salt
+    * includes the stratum, so per-language subsamples are independent
+    * draws even for equal doc_ids. Map-only — the 100 TB version is
+    * the same single projection + filter. */
+  def stratifiedSample(documents: DataFrame): DataFrame = {
+    val rate = SampleRates.foldRight(lit(DefaultRate): Column) {
+      case ((l, r), e) => when(col("lang") === l, lit(r)).otherwise(e)
+    }
+    documents
+      .withColumn("b",
+        conv(substring(md5(concat(lit("sample:"), col("lang"), lit(":"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 1000)
+      .filter(col("b") < rate)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val sqlStratifiedSample: String = {
+    val rate = SampleRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString("CASE ", " ", s" ELSE $DefaultRate END")
+    val b = "CAST(concat('0x', substr(md5('sample:' || lang || ':' || " +
+      "CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000"
+    s"""SELECT doc_id, lang, source FROM documents
+        WHERE $b < $rate ORDER BY doc_id"""
+  }
+
+  // ---- grouped quality top-k ----------------------------------------
+
+  val QualityK = 10
+
+  /** Top-k documents per language by quality score, via the
+    * bounded-heap top_k_by aggregate: only k rows per group leave each
+    * map partition, vs a Window's full shuffle-sort of the corpus.
+    * Tie order (score desc, doc_id asc) matches the oracle's
+    * row_number. */
+  def qualityTopK(documents: DataFrame, k: Int = QualityK): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(documents.sparkSession)
+    TextStats.textStats(documents)
+      .groupBy("lang")
+      .agg(call_function("top_k_by", col("quality_score"), col("doc_id"), lit(k)).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rnk"),
+        col("e.id").as("doc_id"), col("e.score").as("quality_score"))
+      .orderBy("lang", "rnk")
+  }
+
+  def sqlQualityTopK(k: Int = QualityK): String =
+    s"""WITH stats AS (${TextStats.sqlTextStats}),
+        ranked AS (
+          SELECT lang, doc_id, quality_score,
+            row_number() OVER (PARTITION BY lang
+              ORDER BY quality_score DESC, doc_id ASC) AS rnk
+          FROM stats)
+        SELECT lang, CAST(rnk AS INTEGER) AS rnk, doc_id, quality_score
+        FROM ranked WHERE rnk <= $k ORDER BY lang, rnk"""
+}

@@ -156,7 +156,10 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  val sqlMinhashLshPairs: String = {
+  /** The CTE chain (shingles → signatures → bands → candidates →
+    * verified intersections) shared by the pair query and the
+    * clustering oracle. */
+  private lazy val sqlMinhashCtes: String = {
     val minCols = (0 until NumHashes)
       .map(i => s"list_min(list_transform(generate_series(1, len(ha)), " +
         s"j -> (ha[j] + $i * hb[j]) % ${TextPrep.HashP})) AS h$i")
@@ -166,7 +169,7 @@ object Dedup {
         .map(r => s"h${b * RowsPerBand + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, concat_ws(',', $parts) AS bkey FROM sig"
     }.mkString(" UNION ALL ")
-    s"""WITH ${TextPrep.sqlShingleCtes},
+    s"""${TextPrep.sqlShingleCtes},
         sig AS (SELECT doc_id, $minCols FROM docs),
         bands AS ($bandSelects),
         cand AS (
@@ -178,11 +181,87 @@ object Dedup {
             CAST(len(list_intersect(da.shs, db.shs)) AS BIGINT) AS i,
             da.n AS na, db.n AS nb
           FROM cand c JOIN docs da ON c.doc_a = da.doc_id
-                      JOIN docs db ON c.doc_b = db.doc_id)
+                      JOIN docs db ON c.doc_b = db.doc_id)"""
+  }
+
+  val sqlMinhashLshPairs: String =
+    s"""WITH $sqlMinhashCtes
         SELECT doc_a, doc_b,
           CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) AS jaccard
         FROM verified ORDER BY doc_a, doc_b"""
+
+  val ClusterThreshold = 0.5
+
+  /** Near-dup clustering: connected components over the MinHash-LSH
+    * pair graph (edges = verified pairs with jaccard ≥ threshold),
+    * labeling every document with the minimum doc_id in its component.
+    * The dedup end-game: keep cluster_id == doc_id representatives,
+    * drop the rest.
+    *
+    * Implementation is iterative min-label propagation: each round,
+    * every node takes the min of its own label and its neighbors'.
+    * Rounds needed = graph diameter; LSH components are near-cliques
+    * (every high-jaccard pair is an edge, not just a spanning tree),
+    * so convergence is 1–2 rounds in practice and checked exactly via
+    * a changed-label count. Each round is one shuffle of the EDGE
+    * list (not the corpus); labels are localCheckpoint'd so lineage
+    * stays flat instead of growing per iteration. At pathological
+    * diameters (long chains) the large-star/small-star variant
+    * [Kiveris et al., SoCC'14] halves rounds — same join shape.
+    *
+    * Documents with no near-dup edge (or too short to shingle) are
+    * singleton clusters of themselves. */
+  def dupClusters(documents: DataFrame,
+                  threshold: Double = ClusterThreshold,
+                  maxRounds: Int = 20): DataFrame = {
+    val edges = minhashLshPairs(documents)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val sym = edges
+      .union(edges.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .localCheckpoint() // pair generation runs once, not once per round
+    var labels = documents.select(col("doc_id"))
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("doc_id", "nid"), col("dst") === col("nid"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("nmin"))
+      val updated = labels.withColumnRenamed("label", "old")
+        .join(neighborMin, col("doc_id") === col("src"), "left")
+        .select(col("doc_id"), col("old"),
+          least(col("old"), coalesce(col("nmin"), col("old"))).as("label"))
+        .localCheckpoint()
+      converged = updated.filter(col("label") =!= col("old")).limit(1).isEmpty
+      labels = updated.select("doc_id", "label")
+      round += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
   }
+
+  /** DuckDB twin: transitive closure by recursive CTE over the same
+    * edge list, cluster = min(self, reachable). */
+  def sqlDupClusters(threshold: Double = ClusterThreshold): String =
+    s"""WITH RECURSIVE $sqlMinhashCtes,
+        edges AS (
+          SELECT doc_a, doc_b FROM verified
+          WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= $threshold),
+        sym AS (
+          SELECT doc_a AS src, doc_b AS dst FROM edges
+          UNION ALL SELECT doc_b, doc_a FROM edges),
+        reach(src, dst) AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        minr AS (SELECT src, min(dst) AS m FROM reach GROUP BY src)
+        SELECT d.doc_id, least(d.doc_id, coalesce(minr.m, d.doc_id)) AS cluster_id
+        FROM documents d LEFT JOIN minr ON d.doc_id = minr.src
+        ORDER BY d.doc_id"""
 
   val WinnowK = 8
   val WinnowW = 4

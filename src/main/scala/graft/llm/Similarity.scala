@@ -224,6 +224,13 @@ object Similarity {
     * under every consumer branch. */
   def fitCentroids(embeddings: DataFrame): DataFrame = {
     val n = prepared(embeddings).cache()
+    // every action inside the fit loop is eager (collect), so the
+    // cache's whole lifecycle is inside this call — no leak outlives it
+    try fitFrom(n)
+    finally { n.unpersist(); () }
+  }
+
+  private def fitFrom(n: DataFrame): DataFrame = {
     import n.sparkSession.implicits._
     val cCount = math.ceil(math.sqrt(n.count().toDouble)).toLong
     var cents = n.filter(col("vec_id") < cCount)
@@ -259,9 +266,13 @@ object Similarity {
     * to its max-cosine centroid; a query probes its NumProbes nearest
     * centroids' buckets only, so the probe touches nprobe/ncentroids
     * of the corpus. */
+  /* Cache lifecycle: the prepared projection is cached once and shared
+   * between the fit (eager) and the returned probe plan (lazy); the
+   * probe plan references it, so it is released when the caller runs
+   * its action and unpersists / clearCache()s (Bench and Verify do). */
   def ivfTopK(embeddings: DataFrame, k: Int): DataFrame = {
     val n = prepared(embeddings).cache()
-    val cents = fitCentroids(embeddings)
+    val cents = fitFrom(n)
       .select(col("cid").as("centroid_id"), col("cv"))
       .withColumn("cnrm", norm(col("cv")))
     val scored = n.join(broadcast(cents))

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+import graft.llm.{Curate, Dedup, Multimodal, Similarity, TextStats}
 
 class LlmSpec extends SparkSpec {
   import spark.implicits._
@@ -52,6 +52,77 @@ class LlmSpec extends SparkSpec {
       }
       rm(dir)
     }
+  }
+
+  test("dup clusters: exact+near dups share a component, rest singletons") {
+    val out = Dedup.dupClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 0/1 are exact dups (jaccard 1.0) → same cluster, min id 0
+    assert(out(0L) === 0L && out(1L) === 0L)
+    // disjoint docs are their own representatives
+    assert(out(3L) === 3L && out(4L) === 4L)
+    // labels are component minima: every cluster_id is a member doc_id
+    assert(out.values.toSet.subsetOf(out.keySet))
+    // transitivity: near-dup of an exact dup lands in the same cluster
+    assert(out(2L) === out(0L) || out(2L) === 2L) // edge exists iff LSH banded them
+  }
+
+  test("PII redaction scrubs emails, phones, ssns and counts matches") {
+    val d = Seq((1L, "write to alice.smith+x@corp.example.org or call 555-123-4567, ssn 987-65-4320 ok"))
+      .toDF("doc_id", "text")
+    val r = d.select(Curate.redactCol(col("text"))).collect().head.getString(0)
+    assert(r === "write to <EMAIL> or call <PHONE>, ssn <SSN> ok")
+    // no false positives on clean text
+    val clean = "just words and 123 numbers 2024-01-01 date"
+    assert(Seq((2L, clean)).toDF("doc_id", "text")
+      .select(Curate.redactCol(col("text"))).collect().head.getString(0) === clean)
+  }
+
+  test("split assignment is deterministic, exhaustive, and stable under growth") {
+    val d = Tables.documents(spark, sf())
+    val a1 = Curate.splitAssign(d).collect().map(r => (r.getLong(0), r.getString(2)))
+    val a2 = Curate.splitAssign(d).collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(a1.toSeq === a2.toSeq)
+    assert(a1.map(_._2).toSet === Set("train", "validation", "test"))
+    // adding documents must not reassign existing ones
+    val half = Curate.splitAssign(d.filter(col("doc_id") < 50)).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(half.forall { case (id, s) => a1.toMap.apply(id) === s })
+    // hash split lands near 80/10/10
+    val frac = a1.groupBy(_._2).view.mapValues(_.length.toDouble / a1.length).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9)
+  }
+
+  test("stratified sample: deterministic subset honoring per-lang rates") {
+    val d = Tables.documents(spark, sf())
+    val s1 = Curate.stratifiedSample(d).collect().map(_.getLong(0)).toSeq
+    assert(s1 === Curate.stratifiedSample(d).collect().map(_.getLong(0)).toSeq)
+    assert(s1.toSet.subsetOf(d.select("doc_id").collect().map(_.getLong(0)).toSet))
+    val byLang = Curate.stratifiedSample(d).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en sampled at 10%, others at 30% — en's realized rate must be lower
+    val enRate = byLang.getOrElse("en", 0L).toDouble / totals("en")
+    val deRate = byLang.getOrElse("de", 0L).toDouble / totals("de")
+    assert(enRate < deRate)
+  }
+
+  test("quality top-k matches the row_number ranking per language") {
+    val d = Tables.documents(spark, sf())
+    val topk = Curate.qualityTopK(d, 3).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    val expected = TextStats.textStats(d)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(col("quality_score").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= 3)
+      .select(col("lang"), col("rnk"), col("doc_id"))
+      .orderBy("lang", "rnk")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(topk === expected)
+    // k bounds the per-group output
+    assert(topk.groupBy(_._1).values.forall(_.length <= 3))
   }
 
   test("simhash: identical texts identical hashes; near-dups within small hamming") {
