@@ -85,6 +85,8 @@ object SparkEntry {
     "q_approx_distinct" -> ((s, d) => Windows.approxDistinctUsers(ev(s, d))),
     // column profiling: bounds, stabilized mean, exact percentiles
     "q_value_profile" -> ((s, d) => Windows.valueProfile(ev(s, d))),
+    // percentile sketch — oracle via exact percentiles + tolerance boolean
+    "q_approx_quantiles" -> ((s, d) => Windows.approxQuantiles(ev(s, d))),
     // as-of join — most recent same-user click at or before each purchase
     "q_asof_join" -> ((s, d) => Asof.lastClickBeforePurchase(ev(s, d))),
     // bucketed range join — same-user events within 1h after each purchase
@@ -102,6 +104,8 @@ object SparkEntry {
     "q_embed_neardup" -> ((s, d) => llm.Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.4)),
     "q_embed_lsh" -> ((s, d) => llm.Similarity.lshNearDupPairs(Tables.embeddings(s, d), 0.3)),
     "q_ann_ivf" -> ((s, d) => llm.Similarity.ivfTopK(Tables.embeddings(s, d), 10)),
+    // int8 symmetric quantization — the ANN memory-reduction path
+    "q_embed_quantize" -> ((s, d) => llm.Similarity.quantizeInt8(Tables.embeddings(s, d))),
     "q_text_stats" -> ((s, d) => llm.TextStats.textStats(Tables.documents(s, d))),
     "q_language_id" -> ((s, d) => llm.TextStats.languageId(Tables.documents(s, d))),
     "q_media_metadata" -> ((s, d) => llm.Multimodal.mediaMetadata(Tables.documents(s, d))),
@@ -280,6 +284,7 @@ object SparkEntry {
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "q_approx_distinct" -> Windows.sqlApproxDistinctUsers,
     "q_value_profile" -> Windows.sqlValueProfile,
+    "q_approx_quantiles" -> Windows.sqlApproxQuantiles,
     "q_asof_join" -> Asof.sqlLastClickBeforePurchase,
     "q_range_join" -> Asof.sqlEventsWithinHourAfterPurchase,
     "q_pivot" -> Windows.sqlMonthlyTypePivot,
@@ -293,6 +298,7 @@ object SparkEntry {
     "q_embed_neardup" -> llm.Similarity.sqlCosineNearDupPairs(0.4),
     "q_embed_lsh" -> llm.Similarity.sqlLshNearDupPairs(0.3),
     "q_ann_ivf" -> llm.Similarity.sqlIvfTopK(10),
+    "q_embed_quantize" -> llm.Similarity.sqlQuantizeInt8,
     "q_text_stats" -> llm.TextStats.sqlTextStats,
     "q_language_id" -> llm.TextStats.sqlLanguageId,
     "q_media_metadata" -> llm.Multimodal.sqlMediaMetadata,

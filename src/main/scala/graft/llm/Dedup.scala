@@ -141,9 +141,13 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // Verification ONLY for LSH candidates (this is the point of LSH:
-    // the candidate set, not the corpus, drives the verification cost).
-    // array_intersect on the two shingle arrays is row-local.
+    verifyPairs(cand, docs)
+  }
+
+  /** Verification ONLY for LSH candidates (this is the point of LSH:
+    * the candidate set, not the corpus, drives the verification cost).
+    * array_intersect on the two shingle arrays is row-local. */
+  private def verifyPairs(cand: DataFrame, docs: DataFrame): DataFrame =
     cand
       .join(docs.select(col("doc_id"), col("shs").as("shs_a"), col("n").as("na")),
         col("doc_a") === col("doc_id")).drop("doc_id")
@@ -154,6 +158,32 @@ object Dedup {
         (col("i").cast("double") /
           (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+
+  /** Incremental dedup of a new batch against a persisted index: only
+    * pairs TOUCHING the batch (new-vs-index and new-vs-new) are
+    * generated — the index-vs-index pairs were emitted when the index
+    * was built. The daily-ingest shape: cost scales with
+    * |batch| × bucket collision rate, never with the corpus. The
+    * batch's band keys are the small join side (broadcastable when the
+    * batch is); doc_ids must be unique across index and batch. */
+  def minhashLshPairsIncremental(spark: org.apache.spark.sql.SparkSession,
+                                 indexPath: String,
+                                 newDocs: DataFrame): DataFrame = {
+    graft.functions.TextHashExprs.register(spark)
+    val idxPrep = spark.read.parquet(indexPath)
+    val newPrep = TextPrep.docShingles(newDocs)
+    val all = idxPrep.unionByName(newPrep)
+    val newBk = bandKeys(signaturesFrom(newPrep))
+    val allBk = bandKeys(signaturesFrom(all))
+    val cand = newBk.as("x")
+      .join(allBk.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(
+        least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+    verifyPairs(cand, all)
   }
 
   /** The CTE chain (shingles → signatures → bands → candidates →

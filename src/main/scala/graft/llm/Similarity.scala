@@ -206,6 +206,48 @@ object Similarity {
         WHERE cosine >= $threshold ORDER BY vec_a, vec_b"""
   }
 
+  /** Symmetric per-vector int8 quantization: scale = max|v|/127,
+    * q_i = clamp(round(v_i/scale)). The ANN memory path — an int8
+    * corpus is 8× smaller than float64, so 8× more vectors fit in
+    * executor memory / page cache before any probe math changes.
+    * Row-local, no shuffle.
+    *
+    * Rounding is floor(x + 0.5) EXPLICITLY on both sides: library
+    * round() half-even/half-up conventions differ across engines, and
+    * the oracle hash-compares every cell. Reconstruction error is
+    * bounded by scale/2 per component (checked in the unit test and
+    * emitted per row). Zero vectors quantize to zeros (scale 0 guard).
+    *
+    * The quantized array is emitted as a CSV string: the driver's
+    * pandas compare cannot sort array cells (round-1 lesson). */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    prepared(embeddings)
+      .withColumn("scale", expr("array_max(transform(v, x -> abs(x))) / 127.0D"))
+      .withColumn("q", expr(
+        "CASE WHEN scale = 0.0D THEN transform(v, x -> 0) " +
+          "ELSE transform(v, x -> CAST(greatest(-127.0D, least(127.0D, " +
+          "floor(x / scale + 0.5D))) AS INT)) END"))
+      .select(col("vec_id"), col("scale"),
+        expr("array_join(transform(q, x -> CAST(x AS STRING)), ',')").as("q_csv"),
+        expr("array_max(zip_with(v, q, (x, qi) -> abs(x - CAST(qi AS DOUBLE) * scale)))")
+          .as("max_abs_err"))
+      .orderBy("vec_id")
+
+  val sqlQuantizeInt8: String =
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s AS (SELECT vec_id, v,
+          list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM n),
+        qd AS (SELECT vec_id, v, scale,
+          CASE WHEN scale = 0.0 THEN list_transform(v, x -> 0)
+          ELSE list_transform(v, x -> CAST(greatest(-127.0, least(127.0,
+            floor(x / scale + 0.5))) AS INTEGER)) END AS q
+          FROM s)
+        SELECT vec_id, scale,
+          array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',') AS q_csv,
+          list_max(list_transform(generate_series(1, $Dim),
+            i -> abs(v[i] - CAST(q[i] AS DOUBLE) * scale))) AS max_abs_err
+        FROM qd ORDER BY vec_id"""
+
   val NumProbes = 4
   val KMeansIters = 2
 

@@ -96,6 +96,36 @@ object Windows {
        count(*) AS n_events, TRUE AS approx_within_5pct
        FROM events GROUP BY 1 ORDER BY 1"""
 
+  /** approx_percentile next to the exact interpolated percentile, with
+    * a tolerance boolean the oracle can check (same pattern as
+    * approxDistinctUsers). The sketch (QuantileSummaries, bounded
+    * size) is the scale path: exact percentile materializes every
+    * group's values through the shuffle, the sketch never does. The
+    * sketch bounds RANK error (±n/accuracy), so the value tolerance is
+    * expressed as a fraction of each group's value range. */
+  def approxQuantiles(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(
+        expr("percentile(value, array(0.5D, 0.95D))").as("pct"),
+        expr("approx_percentile(value, array(0.5D, 0.95D), 1000)").as("apct"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+      .select(col("event_type"),
+        col("pct").getItem(0).as("p50"),
+        col("pct").getItem(1).as("p95"),
+        ((abs(col("apct").getItem(0) - col("pct").getItem(0)) <=
+          lit(0.05) * (col("max_v") - col("min_v"))) &&
+          (abs(col("apct").getItem(1) - col("pct").getItem(1)) <=
+            lit(0.05) * (col("max_v") - col("min_v")))).as("approx_within_tol"))
+      .orderBy("event_type")
+
+  val sqlApproxQuantiles: String =
+    """SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       TRUE AS approx_within_tol
+       FROM events GROUP BY 1 ORDER BY 1"""
+
   /** Pivot: monthly event counts spread into one column per event
     * type. Explicit pivot values — no extra distinct-values job, and
     * the output schema is static (required at 100 TB: an inferred

@@ -67,6 +67,50 @@ class LlmSpec extends SparkSpec {
     assert(out(2L) === out(0L) || out(2L) === 2L) // edge exists iff LSH banded them
   }
 
+  test("incremental minhash dedup: only pairs touching the new batch") {
+    val dir = java.nio.file.Files.createTempDirectory("incr_idx").toFile
+    try {
+      val path = new java.io.File(dir, "idx").getAbsolutePath
+      Dedup.writeShingleIndex(docs, path)
+      val batch = Seq(
+        (10L, "the quick brown fox jumps over the lazy dog today", "en", "s10", 49L), // dup of 0/1
+        (11L, "entirely novel content unseen by any indexed document", "en", "s11", 53L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val out = Dedup.minhashLshPairsIncremental(spark, path, batch).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      // new exact dup pairs with both indexed copies
+      assert(out((0L, 10L)) === 1.0 && out((1L, 10L)) === 1.0)
+      // NO index-vs-index pair resurfaces
+      assert(out.keys.forall { case (a, b) => a >= 10L || b >= 10L })
+      // the novel doc pairs with nothing
+      assert(!out.keys.exists { case (a, b) => a == 11L || b == 11L })
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
+  test("int8 quantization: error bounded by scale/2, zero vector safe") {
+    val e = Seq(
+      (0L, Seq.fill(64)(0.5f).updated(0, -1.27f)),
+      (1L, Seq.fill(64)(0.0f))) // zero vector: scale 0 guard
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(e).collect()
+    val r0 = out.find(_.getLong(0) == 0L).get
+    val scale = r0.getDouble(1)
+    assert(math.abs(scale - 1.27f / 127.0) < 1e-9)
+    val q = r0.getString(2).split(",").map(_.toInt)
+    assert(q(0) === -127)
+    assert(q.drop(1).forall(_ == math.floor(0.5f / scale + 0.5).toInt))
+    assert(r0.getDouble(3) <= scale / 2 + 1e-12)
+    val r1 = out.find(_.getLong(0) == 1L).get
+    assert(r1.getDouble(1) === 0.0)
+    assert(r1.getString(2).split(",").forall(_ == "0"))
+    assert(r1.getDouble(3) === 0.0)
+  }
+
   test("PII redaction scrubs emails, phones, ssns and counts matches") {
     val d = Seq((1L, "write to alice.smith+x@corp.example.org or call 555-123-4567, ssn 987-65-4320 ok"))
       .toDF("doc_id", "text")

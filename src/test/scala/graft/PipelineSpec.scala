@@ -264,6 +264,16 @@ class CoverageSpec extends SparkSpec {
     assert(rows.exists(r => r.isNullAt(0) && !r.isNullAt(1)))  // priority margin
   }
 
+  test("approx quantiles sketch lands within the tolerance band") {
+    val ev = Tables.events(spark, sf())
+    val rows = graft.pipeline.Windows.approxQuantiles(ev).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("approx_within_tol"), s"${r.getString(0)} out of tolerance")
+      assert(r.getAs[Double]("p95") >= r.getAs[Double]("p50"))
+    }
+  }
+
   test("approx distinct within 10% of exact") {
     val ev = Tables.events(spark, sf())
     val approx = graft.pipeline.Windows.approxDistinctUsers(ev)
