@@ -1,0 +1,135 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextHash, TopKByScore}
+
+/** Property tests for the custom Catalyst kernels — the optimized
+  * imperative implementations (rolling hashes, bounded heaps, single
+  * md5 passes) are each checked against a straightforward functional
+  * reimplementation on arbitrary inputs. The oracle queries prove
+  * Spark ≡ DuckDB on the corpus; these prove the kernels match their
+  * specification on inputs the corpus never exercises (empty strings,
+  * NaN scores, tie storms, adversarial word shapes).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop, n: Int = 300): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(n).withInitialSeed(42L), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private val word: Gen[String] =
+    Gen.oneOf(Gen.alphaLowerStr.map(_.take(6)), Gen.const(""), Gen.numStr.map(_.take(4)))
+  private val text: Gen[String] =
+    Gen.listOfN(12, word).map(_.mkString(" ")).flatMap(t =>
+      Gen.oneOf(t, t.toUpperCase, ""))
+
+  test("shingle_hashes matches the spec reimplementation") {
+    check(Prop.forAll(text, Gen.choose(1, 4)) { (t, n) =>
+      val row = TextHash.computeShingles(UTF8String.fromString(t), n)
+      val got = (0 until row.getArray(0).numElements()).map { i =>
+        (row.getArray(0).getUTF8String(i).toString,
+          row.getArray(1).getLong(i), row.getArray(2).getLong(i))
+      }
+      val words = t.toLowerCase.split(" ", -1)
+      val expected =
+        if (words.length < n) Seq.empty
+        else words.sliding(n).map(_.mkString(" ")).toSeq.distinct.map { sh =>
+          val h = md5Hex(sh)
+          (sh,
+            java.lang.Long.parseLong(h.substring(0, 15), 16) % TextHash.HashP,
+            java.lang.Long.parseLong(h.substring(16, 31), 16) % TextHash.HashP)
+        }
+      got == expected
+    })
+  }
+
+  test("minhash_sigs is the arithmetic-family minimum per seed") {
+    val bases = Gen.listOf(Gen.zip(
+      Gen.choose(0L, TextHash.HashP - 1), Gen.choose(0L, TextHash.HashP - 1)))
+    check(Prop.forAll(bases, Gen.choose(1, 16)) { (hs, k) =>
+      val ha = new GenericArrayData(hs.map(_._1).toArray)
+      val hb = new GenericArrayData(hs.map(_._2).toArray)
+      val sig = TextHash.computeMinhash(ha, hb, k)
+      if (hs.isEmpty) sig.numElements() == 0
+      else (0 until k).forall { i =>
+        sig.getLong(i) == hs.map { case (a, b) => (a + i * b) % TextHash.HashP }.min
+      }
+    })
+  }
+
+  test("simhash64 matches the bit-vote spec") {
+    check(Prop.forAll(text) { t =>
+      val got = TextHash.computeSimhash(UTF8String.fromString(t))
+      val words = t.toLowerCase.split(" ", -1)
+      val expected = (0 until 64).foldLeft(0L) { (fp, j) =>
+        val votes = words.map { w =>
+          val nib = Character.digit(md5Hex(w).charAt(j % 32), 16)
+          val hit = if (j < 32) (nib & 8) != 0 else (nib & 4) != 0
+          if (hit) 1 else -1
+        }.sum
+        if (votes >= 0) fp | (1L << j) else fp
+      }
+      got == expected
+    })
+  }
+
+  test("winnow_fps equals direct gram-hash window minima") {
+    check(Prop.forAll(text, Gen.choose(2, 8), Gen.choose(1, 5)) { (t, k, w) =>
+      val got = {
+        val a = TextHash.computeWinnow(UTF8String.fromString(t), k, w)
+        (0 until a.numElements()).map(a.getLong)
+      }
+      val s = t.toLowerCase
+      val grams = if (s.length < k) Seq.empty
+        else (0 to s.length - k).map { i =>
+          s.substring(i, i + k).foldLeft(0L)((acc, c) =>
+            (acc * TextHash.RollB + c.toLong) % TextHash.HashP)
+        }
+      val expected =
+        if (grams.length < w) Seq.empty
+        else grams.sliding(w).map(_.min).toSeq.distinct.sorted
+      got == expected
+    })
+  }
+
+  test("top_k_by heap equals sort-take under ties and NaN") {
+    val entry = Gen.zip(
+      Gen.oneOf(Gen.choose(-10.0, 10.0), Gen.oneOf(0.0, 1.0, Double.NaN)),
+      Gen.choose(0L, 20L))
+    check(Prop.forAll(Gen.listOf(entry), Gen.choose(1, 8)) { (xs, k) =>
+      val heap = new TopKByScore.Heap(k)
+      xs.foreach { case (s, i) => heap.insert(s, i) }
+      val got = heap.sortedDesc().toSeq
+      val expected = xs.filterNot(_._1.isNaN)
+        .sortBy { case (s, i) => (-s, i) }.take(k)
+      got == expected
+    })
+  }
+
+  test("heap merge is equivalent to inserting the union") {
+    val entry = Gen.zip(Gen.choose(-5.0, 5.0), Gen.choose(0L, 30L))
+    check(Prop.forAll(Gen.listOf(entry), Gen.listOf(entry), Gen.choose(1, 6)) {
+      (xs, ys, k) =>
+        val h1 = new TopKByScore.Heap(k)
+        xs.foreach { case (s, i) => h1.insert(s, i) }
+        val h2 = new TopKByScore.Heap(k)
+        ys.foreach { case (s, i) => h2.insert(s, i) }
+        h1.mergeFrom(h2)
+        val direct = new TopKByScore.Heap(k)
+        (xs ++ ys).foreach { case (s, i) => direct.insert(s, i) }
+        h1.sortedDesc().toSeq == direct.sortedDesc().toSeq
+    })
+  }
+}
