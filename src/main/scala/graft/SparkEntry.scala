@@ -114,6 +114,8 @@ object SparkEntry {
     "q_split_assign" -> ((s, d) => llm.Curate.splitAssign(Tables.documents(s, d))),
     "q_stratified_sample" -> ((s, d) => llm.Curate.stratifiedSample(Tables.documents(s, d))),
     "q_quality_topk" -> ((s, d) => llm.Curate.qualityTopK(Tables.documents(s, d))),
+    "q_doc_chunks" -> ((s, d) => llm.Curate.docChunks(Tables.documents(s, d))),
+    "q_pack_sequences" -> ((s, d) => llm.Curate.packSequences(Tables.documents(s, d))),
     // dedup end-game: connected components over the near-dup pair graph
     "q_dup_clusters" -> ((s, d) => llm.Dedup.dupClusters(Tables.documents(s, d)))
   )
@@ -306,6 +308,8 @@ object SparkEntry {
     "q_split_assign" -> llm.Curate.sqlSplitAssign,
     "q_stratified_sample" -> llm.Curate.sqlStratifiedSample,
     "q_quality_topk" -> llm.Curate.sqlQualityTopK(),
+    "q_doc_chunks" -> llm.Curate.sqlDocChunks,
+    "q_pack_sequences" -> llm.Curate.sqlPackSequences,
     "q_dup_clusters" -> llm.Dedup.sqlDupClusters()
   )
 }

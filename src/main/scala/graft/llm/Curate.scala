@@ -153,6 +153,94 @@ object Curate {
         WHERE $b < $rate ORDER BY doc_id"""
   }
 
+  // ---- document chunking --------------------------------------------
+
+  val ChunkLen = 50
+  val ChunkStride = 40 // 10-word overlap between consecutive chunks
+
+  /** Split every document into overlapping fixed-length token windows —
+    * the standard long-document preprocessing for a bounded-context
+    * model. Start positions are 0, stride, 2·stride, …; the last chunk
+    * may be short. Row-local (explode of a per-row index sequence), so
+    * it scales as a map-only pass; output size is input × (len/stride)
+    * overlap factor. */
+  def docChunks(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), split(lower(col("text")), " ").as("words"))
+      .withColumn("n", size(col("words")))
+      .filter(col("n") > 0)
+      .withColumn("n_chunks",
+        lit(1) + greatest(lit(0L),
+          ceil((col("n") - lit(ChunkLen)).cast("double") / ChunkStride).cast("long")))
+      .select(col("doc_id"), col("words"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        array_join(slice(col("words"),
+          (col("chunk_id") * ChunkStride + 1).cast("int"), lit(ChunkLen)), " ").as("chunk_text"),
+        least(lit(ChunkLen),
+          col("n") - col("chunk_id") * ChunkStride).cast("long").as("n_chunk_tokens"))
+      .orderBy("doc_id", "chunk_id")
+
+  val sqlDocChunks: String =
+    s"""WITH d AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS words,
+            CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n
+          FROM documents),
+        c AS (
+          SELECT doc_id, words, n,
+            unnest(generate_series(0,
+              greatest(CAST(0 AS BIGINT),
+                CAST(ceil((n - $ChunkLen) / CAST($ChunkStride AS DOUBLE)) AS BIGINT)))) AS chunk_id
+          FROM d WHERE n > 0)
+        SELECT doc_id, chunk_id,
+          array_to_string(words[chunk_id * $ChunkStride + 1 : chunk_id * $ChunkStride + $ChunkLen], ' ') AS chunk_text,
+          least($ChunkLen, n - chunk_id * $ChunkStride) AS n_chunk_tokens
+        FROM c ORDER BY doc_id, chunk_id"""
+
+  // ---- sequence packing ---------------------------------------------
+
+  val PackCapacity = 256L
+
+  /** Concat-and-chunk sequence packing: documents are concatenated in
+    * doc_id order within each language shard and cut into fixed
+    * PackCapacity-token training sequences; each document records the
+    * sequence its first token lands in and how many sequences it
+    * spans. The LLM-pretraining batching shape. The running sum is a
+    * window per (lang) shard — at corpus scale the shard key is the
+    * partition key, so no global ordering bottleneck exists. */
+  def packSequences(documents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    documents
+      .select(col("doc_id"), col("lang"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("cum_before") / PackCapacity).cast("long").as("seq_id"),
+        ((col("cum_before") + col("n_tokens") - 1) / PackCapacity).cast("long")
+          .minus((col("cum_before") / PackCapacity).cast("long")).plus(1)
+          .as("n_seqs_spanned"))
+      .orderBy("doc_id")
+  }
+
+  val sqlPackSequences: String =
+    s"""WITH t AS (
+          SELECT doc_id, lang,
+            CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, lang, n_tokens,
+            CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+          FROM t)
+        SELECT doc_id, lang, n_tokens,
+          CAST(cum_before // $PackCapacity AS BIGINT) AS seq_id,
+          CAST((cum_before + n_tokens - 1) // $PackCapacity
+            - cum_before // $PackCapacity + 1 AS BIGINT) AS n_seqs_spanned
+        FROM c ORDER BY doc_id"""
+
   // ---- grouped quality top-k ----------------------------------------
 
   val QualityK = 10

@@ -152,6 +152,37 @@ class LlmSpec extends SparkSpec {
     assert(enRate < deRate)
   }
 
+  test("doc chunks: stride overlap, short-tail chunk, single-chunk short docs") {
+    val d = Seq(
+      (0L, (1 to 95).map(i => s"w$i").mkString(" ")), // 95 words → chunks at 0, 40 (55 left → 50), 80 (15 left)
+      (1L, "short doc here"))                         // 3 words → 1 chunk
+      .toDF("doc_id", "text")
+    val out = Curate.docChunks(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2).split(" ").length, r.getLong(3)))
+    val doc0 = out.filter(_._1 == 0L)
+    assert(doc0.map(_._2).toSeq === Seq(0L, 1L, 2L))
+    assert(doc0.map(_._4).toSeq === Seq(50L, 50L, 15L))
+    assert(doc0.map(_._3).toSeq === Seq(50, 50, 15))
+    // overlap: chunk 1 starts at word 41 (stride 40)
+    val c1 = Curate.docChunks(d).filter(col("doc_id") === 0 && col("chunk_id") === 1)
+      .collect().head.getString(2)
+    assert(c1.startsWith("w41 "))
+    assert(out.filter(_._1 == 1L).toSeq === Seq((1L, 0L, 3, 3L)))
+  }
+
+  test("sequence packing: contiguous seq ids, span math, shard independence") {
+    val d = Seq(
+      (0L, (1 to 200).map(_ => "w").mkString(" "), "en"),
+      (1L, (1 to 100).map(_ => "w").mkString(" "), "en"), // straddles 256 boundary
+      (2L, (1 to 10).map(_ => "w").mkString(" "), "de"))  // separate shard restarts at 0
+      .toDF("doc_id", "text", "lang")
+    val out = Curate.packSequences(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out(0L) === ((0L, 1L)))  // tokens 0-199 in seq 0
+    assert(out(1L) === ((0L, 2L)))  // tokens 200-299 span seqs 0 and 1
+    assert(out(2L) === ((0L, 1L)))  // de shard packs from 0
+  }
+
   test("quality top-k matches the row_number ranking per language") {
     val d = Tables.documents(spark, sf())
     val topk = Curate.qualityTopK(d, 3).collect()
