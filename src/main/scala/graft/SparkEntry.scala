@@ -108,6 +108,7 @@ object SparkEntry {
     "q_embed_quantize" -> ((s, d) => llm.Similarity.quantizeInt8(Tables.embeddings(s, d))),
     "q_text_stats" -> ((s, d) => llm.TextStats.textStats(Tables.documents(s, d))),
     "q_language_id" -> ((s, d) => llm.TextStats.languageId(Tables.documents(s, d))),
+    "q_corpus_mix" -> ((s, d) => llm.TextStats.corpusMix(Tables.documents(s, d))),
     "q_media_metadata" -> ((s, d) => llm.Multimodal.mediaMetadata(Tables.documents(s, d))),
     // corpus curation: PII scrub, reproducible split/sample, quality ranking
     "q_pii_redact" -> ((s, d) => llm.Curate.redactPii(Tables.documents(s, d))),
@@ -303,6 +304,7 @@ object SparkEntry {
     "q_embed_quantize" -> llm.Similarity.sqlQuantizeInt8,
     "q_text_stats" -> llm.TextStats.sqlTextStats,
     "q_language_id" -> llm.TextStats.sqlLanguageId,
+    "q_corpus_mix" -> llm.TextStats.sqlCorpusMix,
     "q_media_metadata" -> llm.Multimodal.sqlMediaMetadata,
     "q_pii_redact" -> llm.Curate.sqlRedactPii,
     "q_split_assign" -> llm.Curate.sqlSplitAssign,

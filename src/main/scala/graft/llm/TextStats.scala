@@ -73,6 +73,42 @@ object TextStats {
         FROM documents ORDER BY doc_id"""
   }
 
+  /** Corpus-composition report: per (lang, source) document and token
+    * counts plus normalized mixture weights — the table a training-mix
+    * recipe (domain weights, upsampling factors) is derived from.
+    * One partial+final aggregate; the totals side is a broadcast of a
+    * single row, so the corpus shuffles only its counter rows. */
+  def corpusMix(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("lang"), col("source"),
+      size(TextPrep.wordsCol).cast("long").as("n_toks"))
+    val grouped = toks.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val tot = grouped.agg(
+      sum(col("n_docs")).as("tot_docs"), sum(col("n_tokens")).as("tot_tokens"))
+    grouped.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_docs").cast("double") / col("tot_docs")).as("pct_docs"),
+        (col("n_tokens").cast("double") / col("tot_tokens")).as("pct_tokens"))
+      .orderBy("lang", "source")
+  }
+
+  val sqlCorpusMix: String = {
+    val w = TextPrep.sqlWords
+    s"""WITH t AS (
+          SELECT lang, source, CAST(len($w) AS BIGINT) AS n_toks FROM documents),
+        g AS (
+          SELECT lang, source, count(*) AS n_docs,
+            CAST(sum(n_toks) AS BIGINT) AS n_tokens
+          FROM t GROUP BY 1, 2),
+        tot AS (
+          SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM g)
+        SELECT lang, source, n_docs, n_tokens,
+          CAST(n_docs AS DOUBLE) / tot_docs AS pct_docs,
+          CAST(n_tokens AS DOUBLE) / tot_tokens AS pct_tokens
+        FROM g, tot ORDER BY lang, source"""
+  }
+
   /** Language ID: count marker-word hits per language, predict the
     * argmax with alphabetical tie-break. */
   def languageId(documents: DataFrame): DataFrame = {

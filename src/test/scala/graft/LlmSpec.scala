@@ -183,6 +183,14 @@ class LlmSpec extends SparkSpec {
     assert(out(2L) === ((0L, 1L)))  // de shard packs from 0
   }
 
+  test("corpus mix: counts and weights sum to one") {
+    val out = TextStats.corpusMix(Tables.documents(spark, sf())).collect()
+    assert(out.nonEmpty)
+    assert(math.abs(out.map(_.getDouble(4)).sum - 1.0) < 1e-9)
+    assert(math.abs(out.map(_.getDouble(5)).sum - 1.0) < 1e-9)
+    out.foreach(r => assert(r.getLong(2) > 0 && r.getLong(3) > 0))
+  }
+
   test("quality top-k matches the row_number ranking per language") {
     val d = Tables.documents(spark, sf())
     val topk = Curate.qualityTopK(d, 3).collect()
