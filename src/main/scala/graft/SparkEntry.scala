@@ -66,6 +66,7 @@ object SparkEntry {
     // SQL window functions (SURVEY §2.4)
     "q_latest_per_user" -> ((s, d) => Windows.latestPerUser(ev(s, d))),
     "q_running_sum" -> ((s, d) => Windows.runningSumPerUser(ev(s, d))),
+    "q_rolling_stats" -> ((s, d) => Windows.rollingStats(ev(s, d))),
     "q_topk_orders" -> ((s, d) => Windows.topKOrders(Tables.orders(s, d), 100)),
     "q_monthly_rollup" -> ((s, d) => Windows.monthlyRollup(Tables.orders(s, d))),
     "q_distinct_users" -> ((s, d) => Windows.distinctUsers(ev(s, d))),
@@ -253,6 +254,7 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+    "q_rolling_stats" -> Windows.sqlRollingStats,
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",

@@ -42,6 +42,39 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** Per-user bounded rolling-frame features: sum/avg/max over the
+    * current + 3 preceding events by event time (ROWS BETWEEN frame).
+    * The time-series feature-engineering shape: one shuffle on the
+    * partition key, per-partition sort, O(frame) state per row. Sums
+    * are decimal-stabilized so frame accumulation order can't differ
+    * between engines; max is order-free. */
+  def rollingStats(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    events.select(
+      col("event_id"), col("user_id"), col("value"),
+      count(lit(1)).over(w).as("roll_n"),
+      sum(col("value").cast("decimal(18,2)")).over(w)
+        .cast("double").as("roll_sum"),
+      (sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
+        count(lit(1)).over(w)).as("roll_avg"),
+      max(col("value")).over(w).as("roll_max"))
+      .orderBy("event_id")
+  }
+
+  val sqlRollingStats: String =
+    """SELECT event_id, user_id, value,
+       count(*) OVER w AS roll_n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         / count(*) OVER w AS roll_avg,
+       max(value) OVER w AS roll_max
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+       ORDER BY event_id"""
+
   /** Top-k rows by amount — executes as TakeOrderedAndProject. */
   def topKOrders(orders: DataFrame, k: Int): DataFrame =
     orders.select("o_orderkey", "o_custkey", "o_totalprice")

@@ -264,6 +264,19 @@ class CoverageSpec extends SparkSpec {
     assert(rows.exists(r => r.isNullAt(0) && !r.isNullAt(1)))  // priority margin
   }
 
+  test("rolling stats: bounded 4-row frame, growing head frames") {
+    import spark.implicits._
+    val df = List.tabulate(6) { j =>
+      val i = j + 1
+      (i.toLong, java.sql.Timestamp.valueOf(s"2024-01-01 10:0$i:00"), 5L, i.toDouble)
+    }.toDF("event_id", "ts", "user_id", "value")
+    val out = graft.pipeline.Windows.rollingStats(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getDouble(4), r.getDouble(6)))).toMap
+    assert(out(1L) === ((1L, 1.0, 1.0)))
+    assert(out(4L) === ((4L, 10.0, 4.0)))       // full frame 1..4
+    assert(out(6L) === ((4L, 3.0 + 4 + 5 + 6, 6.0))) // sliding: 3..6
+  }
+
   test("approx quantiles sketch lands within the tolerance band") {
     val ev = Tables.events(spark, sf())
     val rows = graft.pipeline.Windows.approxQuantiles(ev).collect()
