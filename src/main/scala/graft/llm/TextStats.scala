@@ -73,6 +73,55 @@ object TextStats {
         FROM documents ORDER BY doc_id"""
   }
 
+  val KeywordK = 5
+
+  /** Per-document keyword extraction: rank a document's words by
+    * salience = tf × (N / df) — term frequency × inverse document
+    * frequency in unlogged rational form. The ln() of classic TF-IDF
+    * is deliberately avoided: transcendental functions are only
+    * 1-ulp-accurate and engine-specific, so scores wouldn't be
+    * hash-portable; tf·N/df is exact-integer arithmetic until one
+    * IEEE division, bit-identical in any engine. Stopwords excluded.
+    *
+    * Shape: two hash aggregates (per-(doc,word) tf, per-word df) and
+    * one join keyed on the word — the df side is tiny (vocabulary,
+    * not corpus) and broadcastable. */
+  def keywords(documents: DataFrame, k: Int = KeywordK): DataFrame = {
+    val words = documents
+      .select(col("doc_id"), explode(TextPrep.wordsCol).as("w"))
+      .filter(!col("w").isin(Stopwords: _*))
+    val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = documents.count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("salience").desc, col("w").asc)
+    tf.join(broadcast(dfreq), "w")
+      .withColumn("salience", col("tf") * lit(n) / col("df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("w"), col("tf"), col("df"), col("salience"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  def sqlKeywords(k: Int = KeywordK): String =
+    s"""WITH wds AS (
+          SELECT doc_id, unnest(${TextPrep.sqlWords}) AS w FROM documents),
+        tf AS (
+          SELECT doc_id, w, count(*) AS tf FROM wds
+          WHERE w NOT IN ${inList(Stopwords)} GROUP BY 1, 2),
+        dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.w, tf.tf, dfreq.df,
+            tf.tf * n.n / dfreq.df AS salience
+          FROM tf JOIN dfreq USING (w) CROSS JOIN n),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY salience DESC, w ASC) AS rnk
+          FROM scored)
+        SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, w, tf, df, salience
+        FROM ranked WHERE rnk <= $k ORDER BY doc_id, rnk"""
+
   /** Corpus-composition report: per (lang, source) document and token
     * counts plus normalized mixture weights — the table a training-mix
     * recipe (domain weights, upsampling factors) is derived from.

@@ -183,6 +183,22 @@ class LlmSpec extends SparkSpec {
     assert(out(2L) === ((0L, 1L)))  // de shard packs from 0
   }
 
+  test("keywords: rare terms outrank common ones, stopwords excluded") {
+    val d = Seq(
+      (0L, "the spark engine spark engine zebra"),
+      (1L, "the spark engine common words"),
+      (2L, "the spark engine common words"))
+      .toDF("doc_id", "text")
+    val out = TextStats.keywords(d, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val doc0 = out.filter(_._1 == 0L).map(_._3).toSeq
+    // zebra: tf=1, df=1 → salience 3; spark: tf=2, df=3 → salience 2
+    assert(doc0.head === "zebra")
+    assert(doc0.contains("spark"))
+    assert(!out.map(_._3).contains("the")) // stopword gone
+    assert(out.groupBy(_._1).values.forall(_.length <= 3))
+  }
+
   test("corpus mix: counts and weights sum to one") {
     val out = TextStats.corpusMix(Tables.documents(spark, sf())).collect()
     assert(out.nonEmpty)
