@@ -111,6 +111,7 @@ object SparkEntry {
     "q_language_id" -> ((s, d) => llm.TextStats.languageId(Tables.documents(s, d))),
     "q_corpus_mix" -> ((s, d) => llm.TextStats.corpusMix(Tables.documents(s, d))),
     "q_keywords" -> ((s, d) => llm.TextStats.keywords(Tables.documents(s, d))),
+    "q_repetition" -> ((s, d) => llm.TextStats.repetitionStats(Tables.documents(s, d))),
     "q_media_metadata" -> ((s, d) => llm.Multimodal.mediaMetadata(Tables.documents(s, d))),
     // corpus curation: PII scrub, reproducible split/sample, quality ranking
     "q_pii_redact" -> ((s, d) => llm.Curate.redactPii(Tables.documents(s, d))),
@@ -309,6 +310,7 @@ object SparkEntry {
     "q_language_id" -> llm.TextStats.sqlLanguageId,
     "q_corpus_mix" -> llm.TextStats.sqlCorpusMix,
     "q_keywords" -> llm.TextStats.sqlKeywords(),
+    "q_repetition" -> llm.TextStats.sqlRepetitionStats,
     "q_media_metadata" -> llm.Multimodal.sqlMediaMetadata,
     "q_pii_redact" -> llm.Curate.sqlRedactPii,
     "q_split_assign" -> llm.Curate.sqlSplitAssign,

@@ -73,6 +73,69 @@ object TextStats {
         FROM documents ORDER BY doc_id"""
   }
 
+  val MaxDupNgramRatio = 0.2
+  val MaxTopWordFrac = 0.2
+
+  /** Repetition quality filters in the style of the Gopher rules
+    * (Rae et al., 2021 — public paper): the fraction of duplicate
+    * word-3-grams in a document and the frequency share of its most
+    * common word. High values flag boilerplate / degenerate repetition
+    * that exact and near dedup both miss (repetition is WITHIN a
+    * document). Row-local: the 3-gram distinct count reuses the native
+    * shingle expression; the top-word share is a per-row fold over the
+    * word array (docs are bounded; no shuffle, no explode). */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    graft.functions.TextHashExprs.register(documents.sparkSession)
+    documents
+      .select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_words"),
+        size(call_function("shingle_hashes", col("text"), lit(3)).getField("shs"))
+          .cast("long").as("n_distinct_3grams"),
+        call_function("top_word_count", col("text")).as("top_word_count"))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        greatest(lit(0L), col("n_words") - 2).as("n_3grams"),
+        col("n_distinct_3grams"),
+        (col("top_word_count").cast("double") / col("n_words").cast("double"))
+          .as("top_word_frac"))
+      .withColumn("dup_3gram_ratio",
+        when(col("n_3grams") > 0,
+          lit(1.0) - col("n_distinct_3grams").cast("double") / col("n_3grams").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("repetition_ok",
+        col("dup_3gram_ratio") <= MaxDupNgramRatio && col("top_word_frac") <= MaxTopWordFrac)
+      .select("doc_id", "n_words", "n_3grams", "n_distinct_3grams",
+        "dup_3gram_ratio", "top_word_frac", "repetition_ok")
+      .orderBy("doc_id")
+  }
+
+  val sqlRepetitionStats: String = {
+    val w = TextPrep.sqlWords
+    s"""WITH d AS (
+          SELECT doc_id, $w AS words,
+            CAST(len(list_distinct(${TextPrep.sqlShingles(w)})) AS BIGINT) AS n_distinct_3grams
+          FROM documents),
+        b AS (
+          SELECT doc_id,
+            CAST(len(words) AS BIGINT) AS n_words,
+            greatest(CAST(0 AS BIGINT), CAST(len(words) AS BIGINT) - 2) AS n_3grams,
+            CASE WHEN len(words) >= 3 THEN n_distinct_3grams ELSE 0 END AS n_distinct_3grams,
+            CAST(list_max(list_transform(words, w -> len(list_filter(words, x -> x = w)))) AS DOUBLE)
+              / CAST(len(words) AS DOUBLE) AS top_word_frac
+          FROM d)
+        SELECT doc_id, n_words, n_3grams, n_distinct_3grams,
+          CASE WHEN n_3grams > 0
+            THEN 1.0 - CAST(n_distinct_3grams AS DOUBLE) / CAST(n_3grams AS DOUBLE)
+            ELSE 0.0 END AS dup_3gram_ratio,
+          top_word_frac,
+          (CASE WHEN n_3grams > 0
+            THEN 1.0 - CAST(n_distinct_3grams AS DOUBLE) / CAST(n_3grams AS DOUBLE)
+            ELSE 0.0 END) <= $MaxDupNgramRatio
+            AND top_word_frac <= $MaxTopWordFrac AS repetition_ok
+        FROM b ORDER BY doc_id"""
+  }
+
   val KeywordK = 5
 
   /** Per-document keyword extraction: rank a document's words by

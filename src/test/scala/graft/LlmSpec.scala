@@ -199,6 +199,23 @@ class LlmSpec extends SparkSpec {
     assert(out.groupBy(_._1).values.forall(_.length <= 3))
   }
 
+  test("repetition stats: degenerate docs flagged, diverse docs pass") {
+    val d = Seq(
+      (0L, "spam spam spam spam spam spam spam spam"),          // pure repetition
+      (1L, "every single word here is fully distinct text now"), // diverse
+      (2L, "ab"))                                                // 1 word, no 3-grams
+      .toDF("doc_id", "text")
+    val out = TextStats.repetitionStats(d).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(4), r.getDouble(5), r.getBoolean(6)))).toMap
+    val (dup0, top0, ok0) = out(0L)
+    assert(dup0 > 0.8 && top0 === 1.0 && !ok0)
+    val (dup1, top1, ok1) = out(1L)
+    assert(dup1 === 0.0 && top1 < 0.2 && ok1)
+    // single word: no 3-grams (ratio 0), but top word frac is 1.0 → flagged
+    val (dup2, top2, ok2) = out(2L)
+    assert(dup2 === 0.0 && top2 === 1.0 && !ok2)
+  }
+
   test("corpus mix: counts and weights sum to one") {
     val out = TextStats.corpusMix(Tables.documents(spark, sf())).collect()
     assert(out.nonEmpty)

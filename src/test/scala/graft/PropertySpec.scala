@@ -104,6 +104,15 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("top_word_count equals naive multiset maximum") {
+    check(Prop.forAll(text) { t =>
+      val got = TextHash.computeTopWordCount(UTF8String.fromString(t))
+      val expected = t.toLowerCase.split(" ", -1)
+        .groupBy(identity).values.map(_.length.toLong).max
+      got == expected
+    })
+  }
+
   test("top_k_by heap equals sort-take under ties and NaN") {
     val entry = Gen.zip(
       Gen.oneOf(Gen.choose(-10.0, 10.0), Gen.oneOf(0.0, 1.0, Double.NaN)),
