@@ -334,6 +334,74 @@ object Dedup {
         WHERE i <= n - $WinnowK + 1 - ${WinnowW - 1}
         ORDER BY doc_id, fp"""
 
+  val MinSharedFps = 2
+  val MaxPostingDocs = 20
+
+  /** Cross-document containment detection: pairs of documents sharing
+    * ≥ minShared winnowing fingerprints. The winnowing guarantee makes
+    * this a CONTAINMENT primitive, not just near-dup: any shared
+    * substring of length ≥ k+w-1 chars produces a shared fingerprint,
+    * so quotation/boilerplate/cross-posting shows up even when global
+    * similarity is near zero — which is why MinHash (a global-Jaccard
+    * method) cannot subsume it.
+    *
+    * Stop-fingerprints: a fingerprint appearing in more than
+    * MaxPostingDocs documents is corpus-wide boilerplate, not
+    * containment evidence, and its posting list contributes
+    * O(df²) join pairs — dropped BEFORE the self-join, the standard
+    * IR stop-list move. Without the cap this corpus's hot
+    * fingerprints generate 113 M intermediate pairs at sf0.1 (95 s
+    * in-suite, measured); with it, 206 k. The cap is what makes the
+    * posting join linear-ish in the corpus rather than quadratic in
+    * the hottest substring. */
+  def containmentPairs(documents: DataFrame,
+                       minShared: Int = MinSharedFps,
+                       maxPosting: Int = MaxPostingDocs): DataFrame = {
+    val fps = winnowFingerprints(documents)
+    val keep = fps.groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxPosting)
+      .select("fp")
+    val rare = fps.join(keep, "fp")
+    rare.as("a")
+      .join(rare.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def sqlContainmentPairs(minShared: Int = MinSharedFps,
+                          maxPosting: Int = MaxPostingDocs): String =
+    s"""WITH wf AS (SELECT * FROM ($sqlWinnowFingerprints) t),
+        keep AS (SELECT fp FROM wf GROUP BY fp HAVING count(*) <= $maxPosting),
+        rare AS (SELECT wf.* FROM wf JOIN keep USING (fp))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= $minShared
+        ORDER BY doc_a, doc_b"""
+
+  /** Per-source duplication-rate report: how much of each source is
+    * redundant under exact dedup — the "which scrape to deprioritize"
+    * table. One hash-aggregate; only md5 digests shuffle. */
+  def dupRateBySource(documents: DataFrame): DataFrame =
+    documents
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        (lit(1.0) - col("n_unique").cast("double") / col("n_docs").cast("double"))
+          .as("dup_rate"))
+      .orderBy("source")
+
+  val sqlDupRateBySource: String =
+    """SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_unique,
+       1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*) AS dup_rate
+       FROM documents GROUP BY 1 ORDER BY 1"""
+
   val SimhashBits = 64
   val SimhashBands = 4
   val SimhashBandBits: Int = SimhashBits / SimhashBands // 16

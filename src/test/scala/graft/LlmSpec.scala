@@ -111,6 +111,29 @@ class LlmSpec extends SparkSpec {
     assert(r1.getDouble(3) === 0.0)
   }
 
+  test("containment pairs: shared substring detected, disjoint docs not") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "unrelated prefix then alpha beta gamma delta epsilon zeta and more"), // contains doc 0's phrase
+      (2L, "completely different content with nothing in common whatsoever"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out.keySet.contains((0L, 1L)))
+    assert(!out.keySet.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
+  test("dup rate by source counts redundancy per source") {
+    val d = Seq(
+      (0L, "same text", "s0"), (1L, "same text", "s0"), (2L, "other", "s0"),
+      (3L, "unique here", "s1"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.dupRateBySource(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("s0") === ((3L, 2L, 1.0 - 2.0 / 3.0)))
+    assert(out("s1") === ((1L, 1L, 0.0)))
+  }
+
   test("PII redaction scrubs emails, phones, ssns and counts matches") {
     val d = Seq((1L, "write to alice.smith+x@corp.example.org or call 555-123-4567, ssn 987-65-4320 ok"))
       .toDF("doc_id", "text")
