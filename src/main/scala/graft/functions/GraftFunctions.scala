@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   *  - [[GraftFunctions.registerAll]] on an existing session (what the
   *    operators call internally, idempotent), or
-  *  - `spark.sql.extensions=graft.GraftExtensions` at session build
+  *  - `spark.sql.extensions=graft.functions.GraftExtensions` at session build
   *    time, which makes the functions available in plain `spark.sql`
   *    text on every session of the application — the standard way to
   *    ship library functions to SQL-only users.
@@ -27,7 +27,8 @@ object GraftFunctions {
     "shingle_hashes" -> (e => ShingleHashes(e(0), intArg(e(1)))),
     "minhash_sigs" -> (e => MinhashSigs(e(0), e(1), intArg(e(2)))),
     "simhash64" -> (e => SimHash64(e(0))),
-    "winnow_fps" -> (e => WinnowFingerprints(e(0), intArg(e(1)), intArg(e(2)))))
+    "winnow_fps" -> (e => WinnowFingerprints(e(0), intArg(e(1)), intArg(e(2)))),
+    "top_word_count" -> (e => TopWordCount(e(0))))
 
   /** Register every function on a live session (idempotent). */
   def registerAll(spark: SparkSession): Unit =

@@ -348,23 +348,8 @@ case class TopWordCount(child: Expression) extends UnaryExpression {
 }
 
 object TextHashExprs {
-  private def intArg(e: Expression): Int =
-    e.eval(InternalRow.empty).asInstanceOf[Number].intValue()
-
-  /** Register SQL-callable text-hash functions on a session (idempotent). */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "shingle_hashes", exprs => ShingleHashes(exprs(0), intArg(exprs(1))), "built-in")
-    reg.createOrReplaceTempFunction(
-      "minhash_sigs", exprs => MinhashSigs(exprs(0), exprs(1), intArg(exprs(2))), "built-in")
-    reg.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs(0)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "winnow_fps",
-      exprs => WinnowFingerprints(exprs(0), intArg(exprs(1)), intArg(exprs(2))),
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "top_word_count", exprs => TopWordCount(exprs(0)), "built-in")
-  }
+  /** Register SQL-callable text-hash functions on a session (idempotent).
+    * Delegates to the single [[GraftFunctions]] registry so the two entry
+    * points can never drift apart. */
+  def register(spark: SparkSession): Unit = GraftFunctions.registerAll(spark)
 }

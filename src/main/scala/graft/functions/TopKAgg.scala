@@ -98,17 +98,22 @@ object TopKByScore {
     val ids = new Array[Long](k)
     var size = 0
 
-    // a is weaker than b → a sorts out first
-    private def weaker(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
-      sa < sb || (sa == sb && ia > ib)
+    // a is weaker than b → a sorts out first. Double.compare is a
+    // TOTAL order: NaN > +Inf > everything, exactly how Spark's sort
+    // and DuckDB's ORDER BY ... DESC rank NaN (first). Plain < / ==
+    // would make every NaN comparison false — a NaN entry could
+    // neither be evicted nor evict, silently poisoning the heap.
+    // (Zero-norm embeddings make cosine 0/0 = NaN; they must surface
+    // in the top-k like the SQL oracle surfaces them, not vanish.)
+    private def weaker(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+      val c = java.lang.Double.compare(sa, sb)
+      c < 0 || (c == 0 && ia > ib)
+    }
 
-    def insert(s: Double, i: Long): Unit = {
-      // NaN scores are dropped: weaker()'s < / == are both false for
-      // NaN, so a NaN entry could neither be evicted nor evict — it
-      // would silently poison the heap and diverge from the SQL
-      // oracle's row_number ordering. (Zero-norm embeddings make
-      // cosine 0/0 = NaN.)
-      if (java.lang.Double.isNaN(s)) return
+    def insert(s0: Double, i: Long): Unit = {
+      // Canonicalize -0.0 to +0.0: SQL ORDER BY ties them (id breaks
+      // the tie), but Double.compare ranks -0.0 < +0.0.
+      val s = if (s0 == 0.0d) 0.0d else s0
       if (size < k) {
         scores(size) = s; ids(size) = i; size += 1
         siftUp(size - 1)
@@ -149,14 +154,17 @@ object TopKByScore {
       val ti = ids(a); ids(a) = ids(b); ids(b) = ti
     }
 
-    /** (score desc, id asc) — the output contract. */
+    /** (score desc, id asc) under the same total order as insert —
+      * NaN first, like SQL's ORDER BY score DESC. */
     def sortedDesc(): Array[(Double, Long)] = {
       val out = new Array[(Double, Long)](size)
       var j = 0
       while (j < size) { out(j) = (scores(j), ids(j)); j += 1 }
       scala.util.Sorting.stableSort(out,
-        (a: (Double, Long), b: (Double, Long)) =>
-          a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+        (a: (Double, Long), b: (Double, Long)) => {
+          val c = java.lang.Double.compare(a._1, b._1)
+          c > 0 || (c == 0 && a._2 < b._2)
+        })
       out
     }
   }

@@ -122,27 +122,44 @@ object Dedup {
   def minhashLshPairs(documents: DataFrame): DataFrame =
     pairsFrom(TextPrep.docShingles(documents))
 
-  /** Stage 1 at scale: persist (doc_id, lang, shs, ha, hb, n) as the
-    * dedup index — signatures are ~100× smaller than the text. */
-  def writeShingleIndex(documents: DataFrame, path: String): Unit =
-    TextPrep.docShingles(documents).write.mode("overwrite").parquet(path)
+  /** Stage 1 at scale: persist (doc_id, shs, ha, hb, n) PLUS the
+    * precomputed MinHash signature array as the dedup index —
+    * signatures are ~100× smaller than the text, and storing `sig`
+    * means no later stage ever re-runs the 16 shingle-set
+    * minimizations over the corpus. */
+  def writeShingleIndex(documents: DataFrame, path: String): Unit = {
+    graft.functions.TextHashExprs.register(documents.sparkSession)
+    TextPrep.docShingles(documents)
+      .withColumn("sig",
+        call_function("minhash_sigs", col("ha"), col("hb"), lit(NumHashes)))
+      .write.mode("overwrite").parquet(path)
+  }
 
-  /** Stage 2 at scale: LSH pair generation over a persisted index. */
+  /** Stage 2 at scale: LSH pair generation over a persisted index.
+    * Band keys derive from the STORED signatures — projections and
+    * concat only, no re-hashing. */
   def minhashLshPairsFromIndex(spark: org.apache.spark.sql.SparkSession,
-                               path: String): DataFrame =
-    pairsFrom(spark.read.parquet(path))
+                               path: String): DataFrame = {
+    val idx = spark.read.parquet(path)
+    val cand = candidatesFrom(bandKeys(idx))
+    verifyPairs(cand, idx)
+  }
 
   private def pairsFrom(docs: DataFrame): DataFrame = {
     graft.functions.TextHashExprs.register(docs.sparkSession)
-    val bk = bandKeys(signaturesFrom(docs))
-    val cand = bk.as("x")
+    val cand = candidatesFrom(bandKeys(signaturesFrom(docs)))
+    verifyPairs(cand, docs)
+  }
+
+  /** Self-join of band keys on (band, bucket); doc_a < doc_b halves
+    * the pairs, distinct collapses multi-band collisions. */
+  private def candidatesFrom(bk: DataFrame): DataFrame =
+    bk.as("x")
       .join(bk.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifyPairs(cand, docs)
-  }
 
   /** Verification ONLY for LSH candidates (this is the point of LSH:
     * the candidate set, not the corpus, drives the verification cost).
@@ -162,19 +179,23 @@ object Dedup {
   /** Incremental dedup of a new batch against a persisted index: only
     * pairs TOUCHING the batch (new-vs-index and new-vs-new) are
     * generated — the index-vs-index pairs were emitted when the index
-    * was built. The daily-ingest shape: cost scales with
-    * |batch| × bucket collision rate, never with the corpus. The
-    * batch's band keys are the small join side (broadcastable when the
-    * batch is); doc_ids must be unique across index and batch. */
+    * was built. The daily-ingest shape: only the BATCH is hashed
+    * (shingles + signatures); the index side contributes its STORED
+    * `sig` column, so per-batch hashing cost scales with |batch|, and
+    * the index contributes one compact-column scan for the band-key
+    * join — never a corpus re-hash. The batch's band keys are the
+    * small join side (broadcastable when the batch is); doc_ids must
+    * be unique across index and batch. */
   def minhashLshPairsIncremental(spark: org.apache.spark.sql.SparkSession,
                                  indexPath: String,
                                  newDocs: DataFrame): DataFrame = {
     graft.functions.TextHashExprs.register(spark)
-    val idxPrep = spark.read.parquet(indexPath)
+    val idx = spark.read.parquet(indexPath)
     val newPrep = TextPrep.docShingles(newDocs)
-    val all = idxPrep.unionByName(newPrep)
-    val newBk = bandKeys(signaturesFrom(newPrep))
-    val allBk = bandKeys(signaturesFrom(all))
+      .withColumn("sig",
+        call_function("minhash_sigs", col("ha"), col("hb"), lit(NumHashes)))
+    val newBk = bandKeys(newPrep)
+    val allBk = bandKeys(idx).unionByName(newBk)
     val cand = newBk.as("x")
       .join(allBk.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -183,7 +204,9 @@ object Dedup {
         least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
       .distinct()
-    verifyPairs(cand, all)
+    val shingleCols = Seq("doc_id", "shs", "n").map(col)
+    verifyPairs(cand,
+      idx.select(shingleCols: _*).unionByName(newPrep.select(shingleCols: _*)))
   }
 
   /** The CTE chain (shingles → signatures → bands → candidates →
@@ -270,6 +293,13 @@ object Dedup {
       labels = updated.select("doc_id", "label")
       round += 1
     }
+    // A silent cap-out would return labels that are NOT component minima
+    // (the documented contract) — fail loudly instead. Only reachable on
+    // a component of diameter > maxRounds, i.e. a chain, which LSH's
+    // near-clique components don't produce; raise maxRounds if hit.
+    if (!converged) throw new IllegalStateException(
+      s"dupClusters did not converge in $maxRounds rounds — a near-dup " +
+        "component has diameter > maxRounds; raise maxRounds")
     labels.select(col("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
   }

@@ -155,11 +155,14 @@ object TextStats {
       .filter(!col("w").isin(Stopwords: _*))
     val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
-    val n = documents.count()
+    // Corpus size as a lazy 1-row broadcast, not an eager count() —
+    // constructing the plan must not trigger a corpus scan.
+    val n = documents.agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("salience").desc, col("w").asc)
     tf.join(broadcast(dfreq), "w")
-      .withColumn("salience", col("tf") * lit(n) / col("df"))
+      .crossJoin(broadcast(n))
+      .withColumn("salience", col("tf") * col("n") / col("df"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("rnk"), col("w"), col("tf"), col("df"), col("salience"))

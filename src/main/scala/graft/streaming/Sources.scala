@@ -73,10 +73,14 @@ object Sources {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (valid, dead) = StreamPipeline.deadLetterSplit(batch)
-        valid.write.mode("append").parquet(mainDir)
-        dead.write.mode("append").parquet(deadDir)
-        ()
+        // Pin the micro-batch so the two branch writes share one source
+        // scan instead of each re-reading and re-parsing the batch.
+        batch.persist()
+        try {
+          val (valid, dead) = StreamPipeline.deadLetterSplit(batch)
+          valid.write.mode("append").parquet(mainDir)
+          dead.write.mode("append").parquet(deadDir)
+        } finally { batch.unpersist(); () }
       }
       .start()
 
@@ -91,12 +95,16 @@ object Sources {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (valid, dead) = StreamPipeline.deadLetterSplit(batch)
-        val enriched = StreamPipeline.enrich(valid)
-        enriched.write.mode("append").parquet(mainDir)
-        dead.write.mode("append").parquet(deadDir)
-        enriched.filter(isAlert).write.mode("append").parquet(alertDir)
-        ()
+        // One source scan feeds all three branches: persist the batch,
+        // else each .write re-reads and re-parses the source.
+        batch.persist()
+        try {
+          val (valid, dead) = StreamPipeline.deadLetterSplit(batch)
+          val enriched = StreamPipeline.enrich(valid)
+          enriched.write.mode("append").parquet(mainDir)
+          dead.write.mode("append").parquet(deadDir)
+          enriched.filter(isAlert).write.mode("append").parquet(alertDir)
+        } finally { batch.unpersist(); () }
       }
       .start()
 

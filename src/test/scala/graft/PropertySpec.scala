@@ -113,17 +113,27 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
-  test("top_k_by heap equals sort-take under ties and NaN") {
+  test("top_k_by heap equals sort-take under ties, NaN, and -0.0") {
     val entry = Gen.zip(
-      Gen.oneOf(Gen.choose(-10.0, 10.0), Gen.oneOf(0.0, 1.0, Double.NaN)),
+      Gen.oneOf(Gen.choose(-10.0, 10.0),
+        Gen.oneOf(0.0, -0.0, 1.0, Double.NaN)),
       Gen.choose(0L, 20L))
+    // SQL total order: NaN ranks above everything in DESC (as in
+    // Spark's sort and DuckDB's ORDER BY), -0.0 ties with +0.0.
+    def canon(s: Double): Double = if (s == 0.0d) 0.0d else s
+    def bits(p: (Double, Long)): (Long, Long) =
+      (java.lang.Double.doubleToLongBits(canon(p._1)), p._2)
     check(Prop.forAll(Gen.listOf(entry), Gen.choose(1, 8)) { (xs, k) =>
       val heap = new TopKByScore.Heap(k)
       xs.foreach { case (s, i) => heap.insert(s, i) }
       val got = heap.sortedDesc().toSeq
-      val expected = xs.filterNot(_._1.isNaN)
-        .sortBy { case (s, i) => (-s, i) }.take(k)
-      got == expected
+      val expected = xs
+        .map { case (s, i) => (canon(s), i) }
+        .sortWith { case ((sa, ia), (sb, ib)) =>
+          val c = java.lang.Double.compare(sa, sb)
+          c > 0 || (c == 0 && ia < ib)
+        }.take(k)
+      got.map(bits) == expected.map(bits)
     })
   }
 
