@@ -123,7 +123,9 @@ object SparkEntry {
     "q_doc_chunks" -> ((s, d) => llm.Curate.docChunks(Tables.documents(s, d))),
     "q_pack_sequences" -> ((s, d) => llm.Curate.packSequences(Tables.documents(s, d))),
     // dedup end-game: connected components over the near-dup pair graph
-    "q_dup_clusters" -> ((s, d) => llm.Dedup.dupClusters(Tables.documents(s, d)))
+    "q_dup_clusters" -> ((s, d) => llm.Dedup.dupClusters(Tables.documents(s, d))),
+    // eval-set decontamination: n-gram overlap vs a held-out benchmark slice
+    "q_decontaminate" -> ((s, d) => llm.Curate.decontaminate(Tables.documents(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -322,6 +324,7 @@ object SparkEntry {
     "q_quality_topk" -> llm.Curate.sqlQualityTopK(),
     "q_doc_chunks" -> llm.Curate.sqlDocChunks,
     "q_pack_sequences" -> llm.Curate.sqlPackSequences,
-    "q_dup_clusters" -> llm.Dedup.sqlDupClusters()
+    "q_dup_clusters" -> llm.Dedup.sqlDupClusters(),
+    "q_decontaminate" -> llm.Curate.sqlDecontaminate()
   )
 }

@@ -241,6 +241,63 @@ object Curate {
             - cum_before // $PackCapacity + 1 AS BIGINT) AS n_seqs_spanned
         FROM c ORDER BY doc_id"""
 
+  // ---- eval-set decontamination -------------------------------------
+
+  val EvalMod = 50L
+  val ContamThreshold = 0.2
+
+  /** Train/eval decontamination: flag training documents that share
+    * word n-grams with a held-out eval/benchmark set — the overlap
+    * check every serious pretraining pipeline runs before training
+    * (n-gram collision against benchmarks), re-expressed relationally.
+    * The eval side here is the deterministic `doc_id % evalMod == 0`
+    * slice standing in for a benchmark suite.
+    *
+    * 100 TB shape: benchmarks are MBs while the corpus is TBs, so the
+    * distinct eval shingle set is broadcast and the corpus side pays
+    * one map-side hash probe per shingle — the corpus is never
+    * shuffled. Output: per training document, its shingle count, how
+    * many shingles collide with the eval set, the collision fraction,
+    * and the drop flag. */
+  def decontaminate(documents: DataFrame, evalMod: Long = EvalMod,
+                    threshold: Double = ContamThreshold): DataFrame = {
+    val prep = TextPrep.docShingles(documents).select("doc_id", "shs", "n")
+    val train = prep.filter(col("doc_id") % evalMod =!= 0)
+    val evalSh = prep.filter(col("doc_id") % evalMod === 0)
+      .select(explode(col("shs")).as("sh")).distinct()
+    val matched = train
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .join(broadcast(evalSh), "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("matched"))
+    train.join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").as("n_shingles"),
+        coalesce(col("matched"), lit(0L)).as("n_matched"))
+      .withColumn("contamination_frac",
+        col("n_matched").cast("double") / col("n_shingles").cast("double"))
+      .withColumn("contaminated", col("contamination_frac") >= threshold)
+      .orderBy("doc_id")
+  }
+
+  def sqlDecontaminate(evalMod: Long = EvalMod,
+                       threshold: Double = ContamThreshold): String =
+    s"""WITH ${TextPrep.sqlShingleCtes},
+        train AS (SELECT doc_id, shs, n FROM docs WHERE doc_id % $evalMod <> 0),
+        evs AS (
+          SELECT DISTINCT unnest(shs) AS sh FROM docs
+          WHERE doc_id % $evalMod = 0),
+        m AS (
+          SELECT t.doc_id, count(*) AS matched
+          FROM (SELECT doc_id, unnest(shs) AS sh FROM train) t
+          JOIN evs USING (sh) GROUP BY 1)
+        SELECT train.doc_id, train.n AS n_shingles,
+          CAST(coalesce(m.matched, 0) AS BIGINT) AS n_matched,
+          CAST(coalesce(m.matched, 0) AS DOUBLE) / CAST(train.n AS DOUBLE)
+            AS contamination_frac,
+          CAST(coalesce(m.matched, 0) AS DOUBLE) / CAST(train.n AS DOUBLE)
+            >= $threshold AS contaminated
+        FROM train LEFT JOIN m ON train.doc_id = m.doc_id
+        ORDER BY train.doc_id"""
+
   // ---- grouped quality top-k ----------------------------------------
 
   val QualityK = 10

@@ -54,6 +54,16 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate flags train docs overlapping the eval slice") {
+    // doc 0 (doc_id % 50 == 0) is the eval side; doc 4 is unshingleable
+    val out = Curate.decontaminate(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(4)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) === ((8L, true))) // exact dup of the eval doc: all 8 shingles
+    assert(out(2L)._1 === 6L && out(2L)._2) // near dup: 6 of 8 shingles collide
+    assert(out(3L) === ((0L, false))) // disjoint text
+  }
+
   test("dup clusters: exact+near dups share a component, rest singletons") {
     val out = Dedup.dupClusters(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
