@@ -125,7 +125,9 @@ object SparkEntry {
     // dedup end-game: connected components over the near-dup pair graph
     "q_dup_clusters" -> ((s, d) => llm.Dedup.dupClusters(Tables.documents(s, d))),
     // eval-set decontamination: n-gram overlap vs a held-out benchmark slice
-    "q_decontaminate" -> ((s, d) => llm.Curate.decontaminate(Tables.documents(s, d)))
+    "q_decontaminate" -> ((s, d) => llm.Curate.decontaminate(Tables.documents(s, d))),
+    // SemDeDup-style semantic dedup: within-centroid-bucket cosine pruning
+    "q_semantic_dedup" -> ((s, d) => llm.Similarity.semanticDedup(Tables.embeddings(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -325,6 +327,7 @@ object SparkEntry {
     "q_doc_chunks" -> llm.Curate.sqlDocChunks,
     "q_pack_sequences" -> llm.Curate.sqlPackSequences,
     "q_dup_clusters" -> llm.Dedup.sqlDupClusters(),
-    "q_decontaminate" -> llm.Curate.sqlDecontaminate()
+    "q_decontaminate" -> llm.Curate.sqlDecontaminate(),
+    "q_semantic_dedup" -> llm.Similarity.sqlSemanticDedup()
   )
 }

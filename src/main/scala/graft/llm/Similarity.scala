@@ -350,14 +350,17 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
-  /** DuckDB twin of the deterministic k-means fit + IVF probe. The
-    * fit is the same fixed-iteration Lloyd loop: assignment by
-    * max-cosine (ties → lower cid), component means with the summation
-    * order pinned to vec_id (list ORDER BY + left fold ≡ Spark's
-    * sorted collect + aggregate fold). */
-  def sqlIvfTopK(k: Int): String = {
-    def dotE(a: String, b: String) =
-      s"list_reduce(list_transform(generate_series(1, $Dim), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+  private def dotE(a: String, b: String) =
+    s"list_reduce(list_transform(generate_series(1, $Dim), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  /** Shared oracle CTE chain: prepared vectors, the deterministic
+    * k-means fit (same fixed-iteration Lloyd loop as [[fitFrom]]:
+    * assignment by max-cosine with ties → lower cid, component means
+    * with summation order pinned to vec_id — list ORDER BY + left fold
+    * ≡ Spark's sorted collect + aggregate fold), and per-vector
+    * centroid scores ranked desc. Ends with `ranked(vec_id,
+    * centroid_id, ccos, crnk)`. */
+  private def sqlFitRankedCtes: String = {
     val fitCtes = (1 to KMeansIters).map { i =>
       s"""s$i AS (
             SELECT n.vec_id, c.cid,
@@ -377,7 +380,7 @@ object Similarity {
             GROUP BY a.cid, d.d),
           c$i AS (SELECT cid, list(m ORDER BY d) AS cv FROM m$i GROUP BY cid)"""
     }.mkString(",\n")
-    s"""WITH $sqlPrepared,
+    s"""$sqlPrepared,
         c0 AS (SELECT vec_id AS cid, v AS cv FROM n
                WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM n)),
         $fitCtes,
@@ -389,7 +392,12 @@ object Similarity {
           FROM n CROSS JOIN cents),
         ranked AS (SELECT *, row_number() OVER (
             PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS crnk
-          FROM scored),
+          FROM scored)"""
+  }
+
+  /** DuckDB twin of the deterministic k-means fit + IVF probe. */
+  def sqlIvfTopK(k: Int): String =
+    s"""WITH $sqlFitRankedCtes,
         assign AS (SELECT vec_id AS member_id, centroid_id FROM ranked WHERE crnk = 1),
         probes AS (SELECT vec_id AS query_id, centroid_id FROM ranked WHERE crnk <= $NumProbes),
         cand AS (
@@ -405,5 +413,65 @@ object Similarity {
               AS INTEGER) AS rnk FROM p)
         SELECT query_id, rnk, neighbor_id, cosine FROM r
         WHERE rnk <= $k ORDER BY query_id, rnk"""
+
+  val SemDedupThreshold = 0.4
+
+  /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): cluster
+    * the embedding space, then prune near-duplicates WITHIN each
+    * cluster only. A vector is dropped iff an earlier (lower-id)
+    * vector in the SAME centroid bucket has cosine ≥ threshold;
+    * `dup_of` records the smallest such earlier id (-1 if kept).
+    *
+    * 100 TB shape: the fit is the broadcast k-means above; assignment
+    * is a map-only pass; the pairwise pruning is confined to single
+    * centroid buckets (n/√n rows each), so total pairwise work is
+    * n^1.5 / corpus-partitionable by centroid_id — never the n² of
+    * the exact all-pairs baseline. Cross-bucket near-dups are missed
+    * by design (documented recall trade, same as IVF probes). */
+  def semanticDedup(embeddings: DataFrame,
+                    threshold: Double = SemDedupThreshold): DataFrame = {
+    // same cache lifecycle as ivfTopK: shared between the eager fit and
+    // the returned lazy plan; released by the caller's clearCache()
+    val n = prepared(embeddings).cache()
+    val cents = fitFrom(n)
+      .select(col("cid").as("centroid_id"), col("cv"))
+      .withColumn("cnrm", norm(col("cv")))
+    val scored = n.join(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
+    val assign = scored.groupBy("vec_id")
+      .agg(call_function("top_k_by", col("ccos"), col("centroid_id"), lit(1)).as("top"))
+      .select(col("vec_id"), col("top").getItem(0).getField("id").as("centroid_id"))
+    val withV = assign.join(n.select("vec_id", "v", "nrm"), "vec_id")
+    val dups = withV.as("a").join(withV.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("earlier"),
+        cosine("a", "b"))
+      .filter(col("cosine") >= threshold)
+      .groupBy("vec_id").agg(min(col("earlier")).as("d"))
+    assign.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        coalesce(col("d"), lit(-1L)).as("dup_of"),
+        col("d").isNull.as("keep"))
+      .orderBy("vec_id")
   }
+
+  def sqlSemanticDedup(threshold: Double = SemDedupThreshold): String =
+    s"""WITH $sqlFitRankedCtes,
+        assign AS (SELECT vec_id, centroid_id FROM ranked WHERE crnk = 1),
+        pair AS (
+          SELECT y.vec_id AS vec_id, x.vec_id AS earlier, $sqlCosine AS cosine
+          FROM assign x JOIN assign y
+            ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+          JOIN n a ON x.vec_id = a.vec_id
+          JOIN n b ON y.vec_id = b.vec_id),
+        d AS (
+          SELECT vec_id, min(earlier) AS d FROM pair
+          WHERE cosine >= $threshold GROUP BY 1)
+        SELECT assign.vec_id, assign.centroid_id,
+          CAST(coalesce(d.d, -1) AS BIGINT) AS dup_of,
+          d.d IS NULL AS keep
+        FROM assign LEFT JOIN d USING (vec_id)
+        ORDER BY assign.vec_id"""
 }

@@ -389,6 +389,21 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup drops later near-identical vectors in-bucket") {
+    val emb = Tables.embeddings(spark, sf()).limit(60)
+    val out = Similarity.semanticDedup(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out.size === 60) // every vector gets a verdict
+    out.foreach { case (id, (dupOf, keep)) =>
+      if (keep) assert(dupOf === -1L)
+      else assert(dupOf >= 0L && dupOf < id) // dup_of is an EARLIER id
+    }
+    // determinism: a second run yields the identical verdict map
+    val again = Similarity.semanticDedup(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out === again)
+  }
+
   test("text stats formulas: token counts, ratios, quality bounded") {
     val one = Seq((0L, "the cat sat on the mat", "en", "s", 22L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
