@@ -127,7 +127,9 @@ object SparkEntry {
     // eval-set decontamination: n-gram overlap vs a held-out benchmark slice
     "q_decontaminate" -> ((s, d) => llm.Curate.decontaminate(Tables.documents(s, d))),
     // SemDeDup-style semantic dedup: within-centroid-bucket cosine pruning
-    "q_semantic_dedup" -> ((s, d) => llm.Similarity.semanticDedup(Tables.embeddings(s, d)))
+    "q_semantic_dedup" -> ((s, d) => llm.Similarity.semanticDedup(Tables.embeddings(s, d))),
+    // embedding-space quality: kNN label agreement per label
+    "q_label_purity" -> ((s, d) => llm.Similarity.knnLabelPurity(Tables.embeddings(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -328,6 +330,7 @@ object SparkEntry {
     "q_pack_sequences" -> llm.Curate.sqlPackSequences,
     "q_dup_clusters" -> llm.Dedup.sqlDupClusters(),
     "q_decontaminate" -> llm.Curate.sqlDecontaminate(),
-    "q_semantic_dedup" -> llm.Similarity.sqlSemanticDedup()
+    "q_semantic_dedup" -> llm.Similarity.sqlSemanticDedup(),
+    "q_label_purity" -> llm.Similarity.sqlKnnLabelPurity()
   )
 }

@@ -414,6 +414,57 @@ object Similarity {
         SELECT query_id, rnk, neighbor_id, cosine FROM r
         WHERE rnk <= $k ORDER BY query_id, rnk"""
 
+  val PurityK = 10
+
+  /** Embedding-space quality report: for each vector's k nearest
+    * neighbors (cosine), how often does the neighbor share the
+    * vector's label? High purity = the embedding space respects the
+    * labeling; the standard sanity check before trusting embeddings
+    * for semantic dedup or retrieval. Aggregated per label.
+    *
+    * Determinism: the per-label aggregation sums INTEGER match counts
+    * (not per-query double fractions), so partial-agg order cannot
+    * perturb the result; the single double division happens once per
+    * output row. */
+  def knnLabelPurity(embeddings: DataFrame, k: Int = PurityK): DataFrame = {
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    bruteForceTopK(embeddings, k)
+      .join(labels.withColumnRenamed("vec_id", "query_id"), "query_id")
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel")), "neighbor_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_neighbor_rows"),
+        sum(when(col("nlabel") === col("label"), 1L).otherwise(0L)).as("n_matches"))
+      .select(col("label"), col("n_neighbor_rows"), col("n_matches"),
+        (col("n_matches").cast("double") /
+          col("n_neighbor_rows").cast("double")).as("purity"))
+      .orderBy("label")
+  }
+
+  def sqlKnnLabelPurity(k: Int = PurityK): String =
+    s"""WITH $sqlPrepared,
+        lbl AS (SELECT vec_id, label FROM embeddings),
+        p AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+            $sqlCosine AS cosine
+          FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        r AS (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM p),
+        t AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= $k),
+        j AS (
+          SELECT ql.label,
+            CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END AS m
+          FROM t JOIN lbl ql ON t.query_id = ql.vec_id
+                 JOIN lbl nl ON t.neighbor_id = nl.vec_id),
+        g AS (
+          SELECT label, CAST(count(*) AS BIGINT) AS n_neighbor_rows,
+            CAST(sum(m) AS BIGINT) AS n_matches
+          FROM j GROUP BY 1)
+        SELECT label, n_neighbor_rows, n_matches,
+          CAST(n_matches AS DOUBLE) / CAST(n_neighbor_rows AS DOUBLE) AS purity
+        FROM g ORDER BY label"""
+
   val SemDedupThreshold = 0.4
 
   /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): cluster

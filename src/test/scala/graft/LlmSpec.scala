@@ -404,6 +404,21 @@ class LlmSpec extends SparkSpec {
     assert(out === again)
   }
 
+  test("knn label purity: perfectly separated labels score 1.0") {
+    // two tight clusters with distinct labels → every neighbor shares
+    // the query's label at k=1
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.01f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (3L, Array(0.01f, 0.99f, 0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelPurity(e, 1).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(out(0) === ((2L, 1.0)))
+    assert(out(1) === ((2L, 1.0)))
+  }
+
   test("text stats formulas: token counts, ratios, quality bounded") {
     val one = Seq((0L, "the cat sat on the mat", "en", "s", 22L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
