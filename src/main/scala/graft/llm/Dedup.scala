@@ -127,13 +127,21 @@ object Dedup {
     * signatures are ~100× smaller than the text, and storing `sig`
     * means no later stage ever re-runs the 16 shingle-set
     * minimizations over the corpus. */
-  def writeShingleIndex(documents: DataFrame, path: String): Unit = {
+  /** (doc_id, lang, shs, ha, hb, n, sig) — the persisted index layout. */
+  private def indexFrame(documents: DataFrame): DataFrame = {
     graft.functions.TextHashExprs.register(documents.sparkSession)
     TextPrep.docShingles(documents)
       .withColumn("sig",
         call_function("minhash_sigs", col("ha"), col("hb"), lit(NumHashes)))
-      .write.mode("overwrite").parquet(path)
   }
+
+  def writeShingleIndex(documents: DataFrame, path: String): Unit =
+    indexFrame(documents).write.mode("overwrite").parquet(path)
+
+  /** Append a (deduplicated) batch to an existing shingle index —
+    * the write half of the incremental/streaming dedup loop. */
+  def appendShingleIndex(documents: DataFrame, path: String): Unit =
+    indexFrame(documents).write.mode("append").parquet(path)
 
   /** Stage 2 at scale: LSH pair generation over a persisted index.
     * Band keys derive from the STORED signatures — projections and
@@ -191,9 +199,7 @@ object Dedup {
                                  newDocs: DataFrame): DataFrame = {
     graft.functions.TextHashExprs.register(spark)
     val idx = spark.read.parquet(indexPath)
-    val newPrep = TextPrep.docShingles(newDocs)
-      .withColumn("sig",
-        call_function("minhash_sigs", col("ha"), col("hb"), lit(NumHashes)))
+    val newPrep = indexFrame(newDocs)
     val newBk = bandKeys(newPrep)
     val allBk = bandKeys(idx).unionByName(newBk)
     val cand = newBk.as("x")

@@ -108,6 +108,55 @@ object Sources {
       }
       .start()
 
+  /** Streaming near-duplicate dedup — the streaming end-game of the
+    * two-stage MinHash index: each micro-batch of documents is LSH-
+    * checked against the persisted shingle index, near-dups are
+    * dropped, and the surviving documents are appended to BOTH the
+    * clean sink and the index, so every later batch dedups against
+    * them. Within a batch the lower doc_id survives; against the index
+    * the indexed document always survives.
+    *
+    * Per-trigger cost: |batch| hashing + a band-key join against the
+    * index's stored signatures (never a corpus re-hash — see
+    * [[graft.llm.Dedup.minhashLshPairsIncremental]]). Exactly-once:
+    * the parquet appends are idempotent per Structured Streaming's
+    * batch-id tracking only if the sink dirs are batch-partitioned;
+    * here (as in the reference's demo sinks) we accept
+    * at-least-once on crash-replay. */
+  def nearDupDedupQuery(docs: DataFrame, indexPath: String, cleanDir: String,
+                        checkpoint: String,
+                        threshold: Double = 0.8): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        batch.persist()
+        try {
+          val pairs = graft.llm.Dedup
+            .minhashLshPairsIncremental(spark, indexPath, batch)
+            .filter(col("jaccard") >= threshold)
+          // batch doc x is a dup iff some partner p is indexed (not in
+          // the batch) or is an earlier batch doc (p < x)
+          val partners = pairs.select(col("doc_a").as("x"), col("doc_b").as("p"))
+            .union(pairs.select(col("doc_b").as("x"), col("doc_a").as("p")))
+          val ids = batch.select(col("doc_id"))
+          val dupIds = partners
+            .join(ids.withColumnRenamed("doc_id", "x"), Seq("x"), "left_semi")
+            .join(ids.select(col("doc_id").as("p")).withColumn("in_batch", lit(true)),
+              Seq("p"), "left")
+            .filter(!coalesce(col("in_batch"), lit(false)) || col("p") < col("x"))
+            .select(col("x").as("doc_id")).distinct()
+          // eager localCheckpoint: the index append below must not
+          // re-run a lineage that READS indexPath while writing to it
+          val clean = batch.join(dupIds, Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+          clean.write.mode("append").parquet(cleanDir)
+          graft.llm.Dedup.appendShingleIndex(clean, indexPath)
+        } finally { batch.unpersist(); () }
+      }
+      .start()
+
   /** S7: partitioned warehouse sink layout
     * (`spark_config.yml:50-69` — transactions by year/month/day). */
   def writeWarehouse(df: DataFrame, path: String): Unit =

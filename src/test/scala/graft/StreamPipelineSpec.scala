@@ -114,6 +114,45 @@ class StreamPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup: index, within-batch, and cross-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_neardup").toString
+    val base = "the quick brown fox jumps over the lazy dog today"
+    // seed index with doc 0
+    graft.llm.Dedup.writeShingleIndex(
+      Seq((0L, base, "en", "s", 49L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$tmp/idx")
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val docs = mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = Sources.nearDupDedupQuery(docs, s"$tmp/idx", s"$tmp/clean",
+      s"$tmp/ckpt", threshold = 0.8)
+    try {
+      // batch 1: 10 dups the index, 11/12 are exact dups of each other
+      // (lower id 11 survives), 13 is novel
+      mem.addData(
+        (10L, base, "en", "s", 49L),
+        (11L, "completely different words here about spark engines today ok", "en", "s", 60L),
+        (12L, "completely different words here about spark engines today ok", "en", "s", 60L),
+        (13L, "an entirely novel document with its own unique content words", "en", "s", 60L))
+      q.processAllAvailable()
+      val clean1 = spark.read.parquet(s"$tmp/clean")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(clean1 === Set(11L, 13L))
+      // batch 2: 20 dups batch-1 survivor 11 (now indexed), 21 novel
+      mem.addData(
+        (20L, "completely different words here about spark engines today ok", "en", "s", 60L),
+        (21L, "yet another brand new text that matches nothing else at all", "en", "s", 60L))
+      q.processAllAvailable()
+      val clean2 = spark.read.parquet(s"$tmp/clean")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(clean2 === Set(11L, 13L, 21L))
+      // the index grew to exactly the seed + survivors
+      assert(spark.read.parquet(s"$tmp/idx").select("doc_id")
+        .collect().map(_.getLong(0)).toSet === Set(0L, 11L, 13L, 21L))
+    } finally q.stop()
+  }
+
   test("corrupt JSON routes to dead-letter: truncated, wrong-type, empty, non-json") {
     val df = Seq(
       ("k1", txnJson("T1", "ACC1", "deposit", 10.0, "2024-01-01T00:00:00")), // clean
