@@ -67,6 +67,7 @@ object SparkEntry {
     "q_latest_per_user" -> ((s, d) => Windows.latestPerUser(ev(s, d))),
     "q_running_sum" -> ((s, d) => Windows.runningSumPerUser(ev(s, d))),
     "q_rolling_stats" -> ((s, d) => Windows.rollingStats(ev(s, d))),
+    "q_volume_anomaly" -> ((s, d) => Windows.volumeAnomaly(ev(s, d))),
     "q_topk_orders" -> ((s, d) => Windows.topKOrders(Tables.orders(s, d), 100)),
     "q_monthly_rollup" -> ((s, d) => Windows.monthlyRollup(Tables.orders(s, d))),
     "q_distinct_users" -> ((s, d) => Windows.distinctUsers(ev(s, d))),
@@ -265,6 +266,7 @@ object SparkEntry {
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
     "q_rolling_stats" -> Windows.sqlRollingStats,
+    "q_volume_anomaly" -> Windows.sqlVolumeAnomaly,
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",

@@ -75,6 +75,73 @@ object Windows {
          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
        ORDER BY event_id"""
 
+  val AnomalyHi = 1.5
+  val AnomalyLo = 0.67
+
+  /** Daily-volume anomaly report (statistical-process-control drift
+    * detection, the observability check a production pipeline runs on
+    * itself): per day, event count and stabilized value sum, the
+    * trailing-7-day average count, today/trailing ratio, and an
+    * anomaly flag when a full trailing week exists and the ratio
+    * leaves [AnomalyLo, AnomalyHi].
+    *
+    * Determinism: every statistic is derived from exact integer sums
+    * (no stddev — engines disagree on its summation formula); the only
+    * IEEE operations are two final divisions, expression-identical in
+    * the oracle. The unpartitioned window is NOT a scale bottleneck:
+    * it runs over the per-day aggregate (365 rows/year), after the
+    * corpus-sized groupBy has already reduced 100 TB to one row per
+    * day. First days (trailing window empty) carry sentinel -1.0. */
+  def volumeAnomaly(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        Aggregate.moneySum(col("value")).as("sum_value"))
+    val w = Window.orderBy("day").rowsBetween(-7, -1)
+    // NULL (not 0) divisor on history-free days: ANSI mode (Spark 4
+    // default) errors on division by zero, and codegen subexpression
+    // elimination can evaluate a shared division eagerly even under a
+    // CASE guard — x/NULL = NULL is safe in every plan shape.
+    val safeDays = when(col("trail_days") > 0, col("trail_days"))
+    val trailingAvg = col("trail_n").cast("double") / safeDays
+    val ratio = col("n_events").cast("double") / trailingAvg
+    daily
+      .withColumn("trail_n", coalesce(sum(col("n_events")).over(w), lit(0L)))
+      .withColumn("trail_days", count(col("n_events")).over(w))
+      .select(
+        col("day"), col("n_events"), col("sum_value"), col("trail_days"),
+        coalesce(trailingAvg, lit(-1.0)).as("trailing_avg"),
+        coalesce(ratio, lit(-1.0)).as("ratio"),
+        coalesce(
+          when(col("trail_days") === 7, ratio > AnomalyHi || ratio < AnomalyLo),
+          lit(false)).as("anomaly"))
+      .orderBy("day")
+  }
+
+  val sqlVolumeAnomaly: String =
+    s"""WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events,
+            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          FROM events GROUP BY 1),
+        t AS (
+          SELECT day, n_events, sum_value,
+            CAST(COALESCE(sum(n_events) OVER w, 0) AS BIGINT) AS trail_n,
+            CAST(count(n_events) OVER w AS BIGINT) AS trail_days
+          FROM daily
+          WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        SELECT day, n_events, sum_value, trail_days,
+          COALESCE(CAST(trail_n AS DOUBLE) / NULLIF(trail_days, 0), -1.0)
+            AS trailing_avg,
+          COALESCE(CAST(n_events AS DOUBLE)
+            / (CAST(trail_n AS DOUBLE) / NULLIF(trail_days, 0)), -1.0) AS ratio,
+          COALESCE(CASE WHEN trail_days = 7 THEN
+            (CAST(n_events AS DOUBLE)
+               / (CAST(trail_n AS DOUBLE) / NULLIF(trail_days, 0)) > $AnomalyHi
+             OR CAST(n_events AS DOUBLE)
+               / (CAST(trail_n AS DOUBLE) / NULLIF(trail_days, 0)) < $AnomalyLo)
+            END, FALSE) AS anomaly
+        FROM t ORDER BY day"""
+
   /** Top-k rows by amount — executes as TakeOrderedAndProject. */
   def topKOrders(orders: DataFrame, k: Int): DataFrame =
     orders.select("o_orderkey", "o_custkey", "o_totalprice")

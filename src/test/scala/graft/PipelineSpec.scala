@@ -277,6 +277,25 @@ class CoverageSpec extends SparkSpec {
     assert(out(6L) === ((4L, 3.0 + 4 + 5 + 6, 6.0))) // sliding: 3..6
   }
 
+  test("volume anomaly flags a 3x spike only after a full trailing week") {
+    import spark.implicits._
+    // days 1-8: 10 events/day; day 9: 30 events (3x the trailing avg)
+    val rows = for {
+      d <- 1 to 9
+      i <- 1 to (if (d == 9) 30 else 10)
+    } yield (d * 1000L + i,
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00"), 1L, 1.0)
+    val df = rows.toDF("event_id", "ts", "user_id", "value")
+    val out = Windows.volumeAnomaly(df).collect()
+    assert(out.length === 9)
+    val day9 = out.last
+    assert(day9.getAs[Boolean]("anomaly"))
+    assert(day9.getAs[Double]("trailing_avg") === 10.0)
+    assert(day9.getAs[Double]("ratio") === 3.0)
+    assert(out.init.forall(!_.getAs[Boolean]("anomaly"))) // steady days clean
+    assert(out.head.getAs[Double]("trailing_avg") === -1.0) // no history sentinel
+  }
+
   test("approx quantiles sketch lands within the tolerance band") {
     val ev = Tables.events(spark, sf())
     val rows = graft.pipeline.Windows.approxQuantiles(ev).collect()
