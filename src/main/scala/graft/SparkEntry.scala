@@ -116,6 +116,8 @@ object SparkEntry {
     "q_keywords" -> ((s, d) => llm.TextStats.keywords(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) => llm.TextStats.repetitionStats(Tables.documents(s, d))),
     "q_media_metadata" -> ((s, d) => llm.Multimodal.mediaMetadata(Tables.documents(s, d))),
+    "q_media_resize" -> ((s, d) => llm.Multimodal.mediaResize(Tables.documents(s, d))),
+    "q_media_summary" -> ((s, d) => llm.Multimodal.mediaSummary(Tables.documents(s, d))),
     // corpus curation: PII scrub, reproducible split/sample, quality ranking
     "q_pii_redact" -> ((s, d) => llm.Curate.redactPii(Tables.documents(s, d))),
     "q_split_assign" -> ((s, d) => llm.Curate.splitAssign(Tables.documents(s, d))),
@@ -324,6 +326,8 @@ object SparkEntry {
     "q_keywords" -> llm.TextStats.sqlKeywords(),
     "q_repetition" -> llm.TextStats.sqlRepetitionStats,
     "q_media_metadata" -> llm.Multimodal.sqlMediaMetadata,
+    "q_media_resize" -> llm.Multimodal.sqlMediaResize(),
+    "q_media_summary" -> llm.Multimodal.sqlMediaSummary,
     "q_pii_redact" -> llm.Curate.sqlRedactPii,
     "q_split_assign" -> llm.Curate.sqlSplitAssign,
     "q_stratified_sample" -> llm.Curate.sqlStratifiedSample,

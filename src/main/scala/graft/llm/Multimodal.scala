@@ -100,4 +100,74 @@ object Multimodal {
        array_to_string(list_transform(generate_series(0, 9),
          i -> CAST(i * (length(text) // 10) AS BIGINT)), ',') AS frame_offsets
        FROM documents ORDER BY doc_id"""
+
+  val ResizeW = 128
+  val ResizeH = 96
+
+  /** Aspect-preserving resize planning on top of the TYPED decode
+    * path (mapPartitions) — the first oracle-checked query that runs
+    * through `decodeFeatures`, so the per-partition batching plumbing
+    * itself is hash-verified, not just unit-tested. The stub decode's
+    * fake dimensions derive from the first/last content byte, which
+    * for this ascii corpus ≡ `ascii()` of the first/last character —
+    * what the DuckDB twin computes. Resize arithmetic (one double
+    * division, multiply, floor) is IEEE-identical in both engines. */
+  def mediaResize(documents: DataFrame,
+                  tw: Int = ResizeW, th: Int = ResizeH): DataFrame = {
+    import documents.sparkSession.implicits._
+    decodeFeatures(mediaTable(documents).as[MediaFile])
+      .toDF()
+      .withColumn("scale",
+        least(lit(tw.toDouble) / col("fake_width"),
+          lit(th.toDouble) / col("fake_height")))
+      .select(
+        col("doc_id"), col("media_type"),
+        col("fake_width").as("in_w"), col("fake_height").as("in_h"),
+        floor(col("fake_width") * col("scale")).cast("int").as("out_w"),
+        floor(col("fake_height") * col("scale")).cast("int").as("out_h"))
+      .orderBy("doc_id")
+  }
+
+  def sqlMediaResize(tw: Int = ResizeW, th: Int = ResizeH): String =
+    s"""WITH f AS (
+          SELECT doc_id,
+            ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
+            16 + (ascii(text) % 64) AS in_w,
+            16 + (ascii(substr(text, length(text), 1)) % 64) AS in_h
+          FROM documents),
+        s AS (SELECT *, least(CAST($tw AS DOUBLE) / in_w,
+                CAST($th AS DOUBLE) / in_h) AS scale FROM f)
+        SELECT doc_id, media_type,
+          CAST(in_w AS INTEGER) AS in_w, CAST(in_h AS INTEGER) AS in_h,
+          CAST(floor(in_w * scale) AS INTEGER) AS out_w,
+          CAST(floor(in_h * scale) AS INTEGER) AS out_h
+        FROM s ORDER BY doc_id"""
+
+  /** Per-media-type corpus summary from METADATA COLUMNS ONLY — the
+    * plan must never touch the binary blobs (column pruning drops
+    * `content` at the scan; at 100 TB that is the difference between
+    * scanning kilobytes of metadata and the whole corpus). Sums are
+    * exact integers. */
+  def mediaSummary(documents: DataFrame): DataFrame =
+    mediaTable(documents)
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("n_bytes")).as("total_bytes"),
+        min(col("n_bytes")).as("min_bytes"),
+        max(col("n_bytes")).as("max_bytes"))
+      .withColumn("avg_bytes",
+        col("total_bytes").cast("double") / col("n_files"))
+      .orderBy("media_type")
+
+  val sqlMediaSummary: String =
+    """SELECT media_type, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(min(n_bytes) AS BIGINT) AS min_bytes,
+       CAST(max(n_bytes) AS BIGINT) AS max_bytes,
+       CAST(sum(n_bytes) AS DOUBLE) / count(*) AS avg_bytes
+       FROM (SELECT
+         ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
+         CAST(length(text) AS BIGINT) AS n_bytes
+         FROM documents)
+       GROUP BY media_type ORDER BY media_type"""
 }

@@ -462,6 +462,31 @@ class LlmSpec extends SparkSpec {
     val offs = m.getAs[String]("frame_offsets").split(",").map(_.toLong).toSeq
     assert(offs === (0 until 10).map(i => i * (n / 10)))
   }
+
+  test("media resize preserves aspect ratio within the target box") {
+    Multimodal.mediaResize(docs).collect().foreach { r =>
+      val (inW, inH) = (r.getAs[Int]("in_w"), r.getAs[Int]("in_h"))
+      val (outW, outH) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+      assert(outW <= Multimodal.ResizeW && outH <= Multimodal.ResizeH)
+      // one dimension hits the box (up to floor rounding)
+      assert(outW >= Multimodal.ResizeW - 1 || outH >= Multimodal.ResizeH - 1)
+      // aspect ratio preserved up to floor rounding
+      val scale = math.min(Multimodal.ResizeW.toDouble / inW,
+        Multimodal.ResizeH.toDouble / inH)
+      assert(outW === math.floor(inW * scale).toInt)
+      assert(outH === math.floor(inH * scale).toInt)
+    }
+  }
+
+  test("media summary never reads the content blob column") {
+    val plan = Multimodal.mediaSummary(docs).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("content")) // pruned before the scan
+    val rows = Multimodal.mediaSummary(docs).collect()
+    assert(rows.map(_.getAs[String]("media_type")).toSeq ===
+      rows.map(_.getAs[String]("media_type")).toSeq.sorted)
+    val img = rows.find(_.getAs[String]("media_type") === "image").get
+    assert(img.getAs[Long]("n_files") === 2) // doc_ids 0 and 3
+  }
 }
 
 class TopKAggSpec extends SparkSpec {
