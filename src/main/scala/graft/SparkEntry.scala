@@ -132,7 +132,19 @@ object SparkEntry {
     // SemDeDup-style semantic dedup: within-centroid-bucket cosine pruning
     "q_semantic_dedup" -> ((s, d) => llm.Similarity.semanticDedup(Tables.embeddings(s, d))),
     // embedding-space quality: kNN label agreement per label
-    "q_label_purity" -> ((s, d) => llm.Similarity.knnLabelPurity(Tables.embeddings(s, d)))
+    "q_label_purity" -> ((s, d) => llm.Similarity.knnLabelPurity(Tables.embeddings(s, d))),
+    // vocabulary build: corpus frequency ranking (tokenizer training)
+    "q_vocab" -> ((s, d) => llm.TextStats.vocab(Tables.documents(s, d))),
+    // rank-vocabulary tokenizer encoding pass (OOV -> 0)
+    "q_tokenize_ids" -> ((s, d) => llm.TextStats.tokenizeIds(Tables.documents(s, d))),
+    // unigram-surprisal quality filter, integerized (exact log2 bits)
+    "q_rarity_score" -> ((s, d) => llm.TextStats.rarityScore(Tables.documents(s, d))),
+    // context-length planning: token-count histogram with corpus share
+    "q_length_histogram" -> ((s, d) => llm.TextStats.lengthHistogram(Tables.documents(s, d))),
+    // k-means fit quality: per-centroid member count + cosine stats
+    "q_cluster_quality" -> ((s, d) => llm.Similarity.clusterQuality(Tables.embeddings(s, d))),
+    // quality-aware dedup: best-quality representative per near-dup cluster
+    "q_cluster_reps" -> ((s, d) => llm.Dedup.clusterRepresentatives(Tables.documents(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -337,6 +349,12 @@ object SparkEntry {
     "q_dup_clusters" -> llm.Dedup.sqlDupClusters(),
     "q_decontaminate" -> llm.Curate.sqlDecontaminate(),
     "q_semantic_dedup" -> llm.Similarity.sqlSemanticDedup(),
-    "q_label_purity" -> llm.Similarity.sqlKnnLabelPurity()
+    "q_label_purity" -> llm.Similarity.sqlKnnLabelPurity(),
+    "q_vocab" -> llm.TextStats.sqlVocab,
+    "q_tokenize_ids" -> llm.TextStats.sqlTokenizeIds,
+    "q_rarity_score" -> llm.TextStats.sqlRarityScore,
+    "q_length_histogram" -> llm.TextStats.sqlLengthHistogram,
+    "q_cluster_quality" -> llm.Similarity.sqlClusterQuality(),
+    "q_cluster_reps" -> llm.Dedup.sqlClusterRepresentatives()
   )
 }

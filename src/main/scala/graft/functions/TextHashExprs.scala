@@ -136,8 +136,12 @@ object TextHash {
     * O(n) instead of O(n·k); the SQL oracle computes each gram hash
     * directly by Horner — identical values by construction. */
   def computeWinnow(text: UTF8String, k: Int, w: Int): ArrayData = {
-    val s = text.toLowerCase.toString
-    val n = s.length
+    // Code-POINT semantics (not UTF-16 code units): the DuckDB twin
+    // grams via substr/ascii, which are character-based, so surrogate
+    // pairs must count as one position with their full code point value
+    // or Spark↔oracle parity silently breaks outside the BMP.
+    val cp = text.toLowerCase.toString.codePoints().toArray
+    val n = cp.length
     val numGrams = n - k + 1
     val numWindows = numGrams - w + 1
     if (numWindows <= 0) return new GenericArrayData(Array.empty[Long])
@@ -149,12 +153,12 @@ object TextHash {
     // first gram by Horner
     var acc = 0L
     i = 0
-    while (i < k) { acc = (acc * RollB + s.charAt(i).toLong) % HashP; i += 1 }
+    while (i < k) { acc = (acc * RollB + cp(i).toLong) % HashP; i += 1 }
     h(0) = acc
     i = 1
     while (i < numGrams) {
-      val out = s.charAt(i - 1).toLong * bk % HashP
-      acc = ((acc - out + HashP) % HashP * RollB + s.charAt(i + k - 1).toLong) % HashP
+      val out = cp(i - 1).toLong * bk % HashP
+      acc = ((acc - out + HashP) % HashP * RollB + cp(i + k - 1).toLong) % HashP
       h(i) = acc
       i += 1
     }

@@ -136,12 +136,41 @@ object Dedup {
   }
 
   def writeShingleIndex(documents: DataFrame, path: String): Unit =
-    indexFrame(documents).write.mode("overwrite").parquet(path)
+    // batch_id = -1 marks the bulk build; the streaming loop's
+    // per-batch appends land next to it in batch_id = N partitions, so
+    // bulk-built and incrementally-grown indexes share one layout
+    // (partition discovery rejects a dir mixing bare files with
+    // partition subdirs).
+    indexFrame(documents).withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(path)
 
   /** Append a (deduplicated) batch to an existing shingle index —
     * the write half of the incremental/streaming dedup loop. */
   def appendShingleIndex(documents: DataFrame, path: String): Unit =
-    indexFrame(documents).write.mode("append").parquet(path)
+    indexFrame(documents).withColumn("batch_id", lit(-1L))
+      .write.mode("append").partitionBy("batch_id").parquet(path)
+
+  /** Idempotent per-batch index append: rows land in a batch_id=N
+    * partition via dynamic partition overwrite, so a crash-replay of
+    * micro-batch N REPLACES its own partition instead of duplicating
+    * it — the exactly-once half of the streaming dedup loop. */
+  def appendShingleIndexForBatch(documents: DataFrame, path: String,
+                                 batchId: Long): Unit =
+    indexFrame(documents).withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+
+  /** The persisted shingle index, or None before the first batch has
+    * created it — the streaming cold-start path. */
+  def readShingleIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Option[DataFrame] =
+    try {
+      val idx = spark.read.parquet(path)
+      idx.schema // force schema resolution eagerly
+      Some(idx)
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
 
   /** Stage 2 at scale: LSH pair generation over a persisted index.
     * Band keys derive from the STORED signatures — projections and
@@ -198,9 +227,21 @@ object Dedup {
                                  indexPath: String,
                                  newDocs: DataFrame): DataFrame = {
     graft.functions.TextHashExprs.register(spark)
-    val idx = spark.read.parquet(indexPath)
     val newPrep = indexFrame(newDocs)
     val newBk = bandKeys(newPrep)
+    // Cold start (no index yet): the index side is empty, so pair
+    // generation degrades to within-batch dedup — the first batch's
+    // survivors then create the index.
+    readShingleIndex(spark, indexPath) match {
+      case None =>
+        verifyPairs(candidatesFrom(newBk), newPrep)
+      case Some(idx) =>
+        incrementalPairs(idx, newPrep, newBk)
+    }
+  }
+
+  private def incrementalPairs(idx: DataFrame, newPrep: DataFrame,
+                               newBk: DataFrame): DataFrame = {
     val allBk = bandKeys(idx).unionByName(newBk)
     val cand = newBk.as("x")
       .join(allBk.as("y"),
@@ -309,6 +350,44 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
   }
+
+  /** Dedup end-game, quality-aware: per near-dup cluster, keep the
+    * HIGHEST-QUALITY document (ties → lowest doc_id) instead of the
+    * arbitrary min-id — the representative-selection policy real
+    * curation pipelines want (keep the cleanest copy, drop the rest).
+    * Reuses the connected components + the textStats quality score;
+    * the per-cluster argmax is the bounded-heap top_k_by aggregate
+    * (map-side combine, k=1 rows per cluster per map partition reach
+    * the shuffle — never a full shuffle-sort of the corpus). */
+  def clusterRepresentatives(documents: DataFrame,
+                             threshold: Double = ClusterThreshold): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(documents.sparkSession)
+    val clusters = dupClusters(documents, threshold)
+    val quality = TextStats.textStats(documents)
+      .select("doc_id", "quality_score")
+    clusters.join(quality, "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        call_function("top_k_by", col("quality_score"), col("doc_id"), lit(1)).as("top"))
+      .select(col("cluster_id"), col("n_members"),
+        col("top").getItem(0).getField("id").as("rep_doc_id"),
+        col("top").getItem(0).getField("score").as("rep_quality"))
+      .orderBy("cluster_id")
+  }
+
+  def sqlClusterRepresentatives(threshold: Double = ClusterThreshold): String =
+    s"""WITH cl AS (SELECT * FROM (${sqlDupClusters(threshold)}) t),
+        q AS (SELECT doc_id, quality_score FROM (${TextStats.sqlTextStats}) s),
+        j AS (SELECT cl.cluster_id, cl.doc_id, q.quality_score
+              FROM cl JOIN q USING (doc_id)),
+        r AS (SELECT *,
+            row_number() OVER (PARTITION BY cluster_id
+              ORDER BY quality_score DESC, doc_id ASC) AS rn,
+            count(*) OVER (PARTITION BY cluster_id) AS n_members
+          FROM j)
+        SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+          doc_id AS rep_doc_id, quality_score AS rep_quality
+        FROM r WHERE rn = 1 ORDER BY cluster_id"""
 
   /** DuckDB twin: transitive closure by recursive CTE over the same
     * edge list, cluster = min(self, reachable). */

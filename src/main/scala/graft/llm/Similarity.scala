@@ -274,8 +274,12 @@ object Similarity {
 
   private def fitFrom(n: DataFrame): DataFrame = {
     import n.sparkSession.implicits._
-    val cCount = math.ceil(math.sqrt(n.count().toDouble)).toLong
-    var cents = n.filter(col("vec_id") < cCount)
+    val cCount = math.ceil(math.sqrt(n.count().toDouble)).toInt
+    // Seed from the first √n rows ORDERED by vec_id (TakeOrderedAndProject
+    // — a √n-sized result), not a `vec_id < √n` predicate: id-value
+    // predicates assume ids are dense from 0 and can silently yield far
+    // fewer (even zero) centroids on sparse or offset id spaces.
+    var cents = n.orderBy("vec_id").limit(cCount)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     for (_ <- 0 until KMeansIters) {
       val withNorm = cents.withColumn("cnrm", norm(col("cv")))
@@ -381,8 +385,12 @@ object Similarity {
           c$i AS (SELECT cid, list(m ORDER BY d) AS cv FROM m$i GROUP BY cid)"""
     }.mkString(",\n")
     s"""$sqlPrepared,
-        c0 AS (SELECT vec_id AS cid, v AS cv FROM n
-               WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM n)),
+        c0 AS (SELECT cid, cv FROM (
+                 SELECT vec_id AS cid, v AS cv,
+                   row_number() OVER (ORDER BY vec_id) AS rn,
+                   count(*) OVER () AS cnt
+                 FROM n)
+               WHERE rn <= CAST(ceil(sqrt(cnt)) AS BIGINT)),
         $fitCtes,
         cents AS (SELECT cid AS centroid_id, cv,
                     sqrt(${dotE("cv", "cv")}) AS cnrm FROM c$KMeansIters),
@@ -464,6 +472,48 @@ object Similarity {
         SELECT label, n_neighbor_rows, n_matches,
           CAST(n_matches AS DOUBLE) / CAST(n_neighbor_rows AS DOUBLE) AS purity
         FROM g ORDER BY label"""
+
+  /** Clustering-quality report over the k-means fit: per centroid,
+    * member count, mean and min cosine-to-centroid. The "is the
+    * embedding space clusterable / is the fit any good" table read
+    * before trusting IVF probes or SemDeDup pruning.
+    *
+    * Determinism: the per-centroid mean pins its summation order to
+    * vec_id (sorted collect + left fold — bucket-sized lists, ~√n
+    * rows each), same trick as the fit's component means; min is
+    * order-free. */
+  def clusterQuality(embeddings: DataFrame): DataFrame = {
+    val n = prepared(embeddings).cache()
+    val cents = fitFrom(n)
+      .select(col("cid").as("centroid_id"), col("cv"))
+      .withColumn("cnrm", norm(col("cv")))
+    val scored = n.join(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
+    val assign = scored.groupBy("vec_id")
+      .agg(call_function("top_k_by", col("ccos"), col("centroid_id"), lit(1)).as("top"))
+      .select(col("vec_id"),
+        col("top").getItem(0).getField("id").as("centroid_id"),
+        col("top").getItem(0).getField("score").as("ccos"))
+    assign.groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_members"),
+        sort_array(collect_list(struct(col("vec_id"), col("ccos")))).as("xs"),
+        min(col("ccos")).as("min_cos"))
+      .select(col("centroid_id"), col("n_members"),
+        (expr("aggregate(xs, 0.0D, (acc, x) -> acc + x.ccos)") /
+          col("n_members")).as("avg_cos"),
+        col("min_cos"))
+      .orderBy("centroid_id")
+  }
+
+  def sqlClusterQuality(): String =
+    s"""WITH $sqlFitRankedCtes,
+        a AS (SELECT vec_id, centroid_id, ccos FROM ranked WHERE crnk = 1)
+        SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_members,
+          list_reduce(list(ccos ORDER BY vec_id), (x, y) -> x + y)
+            / count(*) AS avg_cos,
+          min(ccos) AS min_cos
+        FROM a GROUP BY 1 ORDER BY 1"""
 
   val SemDedupThreshold = 0.4
 

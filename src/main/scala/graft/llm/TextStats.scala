@@ -224,6 +224,169 @@ object TextStats {
         FROM g, tot ORDER BY lang, source"""
   }
 
+  val VocabTopN = 1000
+
+  /** Vocabulary build — the tokenizer-training primitive: every word
+    * ranked by corpus occurrence count (ties → lexicographic), with
+    * document frequency alongside. Two hash aggregates; the ranking
+    * sorts the VOCABULARY (not the corpus), and only the top-N leave
+    * the driver. At 100 TB, pre-filter hapaxes (count ≥ 2 drops the
+    * long tail by ~half) before the rank sort if the vocabulary itself
+    * becomes large. */
+  def vocab(documents: DataFrame, topN: Int = VocabTopN): DataFrame =
+    vocabRanks(documents)
+      .filter(col("vocab_rank") <= topN)
+      .select("vocab_rank", "word", "n_occurrences", "n_docs")
+      .orderBy("vocab_rank")
+
+  /** Full (uncapped) frequency ranking: (word, vocab_rank,
+    * n_occurrences, n_docs). */
+  private def vocabRanks(documents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occurrences").desc, col("word").asc)
+    documents
+      .select(col("doc_id"), explode(TextPrep.wordsCol).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .withColumn("vocab_rank", row_number().over(w).cast("long"))
+  }
+
+  private val sqlVocabRankCte: String =
+    s"""wds AS (SELECT doc_id, unnest(${TextPrep.sqlWords}) AS word FROM documents),
+        vc AS (
+          SELECT word, count(*) AS n_occurrences,
+            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM wds GROUP BY 1),
+        vr AS (
+          SELECT word, n_occurrences, n_docs,
+            CAST(row_number() OVER (ORDER BY n_occurrences DESC, word ASC)
+              AS BIGINT) AS vocab_rank
+          FROM vc)"""
+
+  val sqlVocab: String =
+    s"""WITH $sqlVocabRankCte
+        SELECT vocab_rank, word, n_occurrences, n_docs FROM vr
+        WHERE vocab_rank <= $VocabTopN ORDER BY vocab_rank"""
+
+  val EncodeLen = 16
+
+  /** Tokenize-to-ids: encode each document's first EncodeLen words as
+    * vocabulary ranks (OOV — rank beyond the top-N vocab — encodes as
+    * 0), emitted as a CSV string plus OOV counts. The corpus-encoding
+    * pass of a rank-vocabulary tokenizer, relationally: one explode,
+    * one broadcast join against the (tiny) vocab, one per-doc
+    * re-assembly with the order pinned by word position. */
+  def tokenizeIds(documents: DataFrame, vocabSize: Int = VocabTopN,
+                  maxLen: Int = EncodeLen): DataFrame = {
+    val v = broadcast(vocab(documents, vocabSize).select("word", "vocab_rank"))
+    documents
+      .select(col("doc_id"),
+        posexplode(slice(TextPrep.wordsCol, 1, maxLen)).as(Seq("pos", "word")))
+      .join(v, Seq("word"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("vocab_rank"), lit(0L)).as("id"))
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(struct(col("pos"), col("id")))).as("xs"),
+        count(lit(1)).as("n_enc"),
+        sum(when(col("id") === 0, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"),
+        expr("array_join(transform(xs, x -> CAST(x.id AS STRING)), ',')")
+          .as("token_ids"),
+        col("n_enc"), col("n_oov"))
+      .orderBy("doc_id")
+  }
+
+  val sqlTokenizeIds: String =
+    s"""WITH $sqlVocabRankCte,
+        v AS (SELECT word, vocab_rank FROM vr WHERE vocab_rank <= $VocabTopN),
+        d AS (SELECT doc_id, ${TextPrep.sqlWords} AS ws FROM documents),
+        t AS (SELECT doc_id, ws,
+                unnest(generate_series(1, least(len(ws), $EncodeLen))) AS pos
+              FROM d),
+        tw AS (SELECT doc_id, pos, ws[pos] AS word FROM t),
+        j AS (SELECT doc_id, pos, COALESCE(v.vocab_rank, 0) AS id
+              FROM tw LEFT JOIN v USING (word)),
+        enc AS (
+          SELECT doc_id,
+            list(CAST(id AS VARCHAR) ORDER BY pos) AS ids,
+            CAST(count(*) AS BIGINT) AS n_enc,
+            CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+          FROM j GROUP BY 1)
+        SELECT doc_id, array_to_string(ids, ',') AS token_ids, n_enc, n_oov
+        FROM enc ORDER BY doc_id"""
+
+  /** Per-document word-rarity score: the mean of floor(log2(rank)) over
+    * the document's words, rank = corpus frequency rank (1 = most
+    * common). The unigram-LM quality-filter shape (rare-word-heavy docs
+    * score high, boilerplate scores low) with the surprisal integerized:
+    * floor(log2) is computed EXACTLY as length(bin(rank)) - 1 — both
+    * engines' bin() — so the per-doc statistic is an exact integer sum
+    * and one final division, hash-portable with no transcendental-
+    * function cross-engine drift. Join side is the vocabulary
+    * (broadcast); the corpus pays one explode + map-side probe. */
+  def rarityScore(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(TextPrep.wordsCol).as("word"))
+      .join(broadcast(vocabRanks(documents).select("word", "vocab_rank")), "word")
+      .select(col("doc_id"),
+        (length(bin(col("vocab_rank"))) - 1).cast("long").as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("bits")).as("rarity_bits"))
+      .select(col("doc_id"), col("n_words"), col("rarity_bits"),
+        (col("rarity_bits").cast("double") / col("n_words").cast("double"))
+          .as("mean_rarity_bits"))
+      .orderBy("doc_id")
+
+  val sqlRarityScore: String =
+    s"""WITH $sqlVocabRankCte,
+        b AS (
+          SELECT wds.doc_id,
+            CAST(length(bin(vr.vocab_rank)) - 1 AS BIGINT) AS bits
+          FROM wds JOIN vr USING (word)),
+        g AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+            CAST(sum(bits) AS BIGINT) AS rarity_bits
+          FROM b GROUP BY 1)
+        SELECT doc_id, n_words, rarity_bits,
+          CAST(rarity_bits AS DOUBLE) / CAST(n_words AS DOUBLE)
+            AS mean_rarity_bits
+        FROM g ORDER BY doc_id"""
+
+  val LenBucket = 64
+
+  /** Token-length histogram: documents bucketed by word count into
+    * LenBucket-wide bins, with corpus share — the context-length
+    * planning table (how much of the corpus fits a given sequence
+    * length). One aggregate over per-row arithmetic; the totals side
+    * is a broadcast single row. */
+  def lengthHistogram(documents: DataFrame): DataFrame = {
+    val buckets = documents
+      .select((floor(size(TextPrep.wordsCol).cast("long") / LenBucket) * LenBucket)
+        .cast("long").as("bucket_start"))
+      .groupBy("bucket_start")
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = buckets.agg(sum(col("n_docs")).as("tot"))
+    buckets.crossJoin(broadcast(tot))
+      .select(col("bucket_start"),
+        (col("bucket_start") + LenBucket - 1).as("bucket_end"),
+        col("n_docs"),
+        (col("n_docs").cast("double") / col("tot")).as("pct_docs"))
+      .orderBy("bucket_start")
+  }
+
+  val sqlLengthHistogram: String =
+    s"""WITH b AS (
+          SELECT CAST(len(${TextPrep.sqlWords}) // $LenBucket * $LenBucket AS BIGINT)
+            AS bucket_start
+          FROM documents),
+        g AS (SELECT bucket_start, count(*) AS n_docs FROM b GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot FROM g)
+        SELECT bucket_start, bucket_start + ${LenBucket - 1} AS bucket_end,
+          n_docs, CAST(n_docs AS DOUBLE) / tot AS pct_docs
+        FROM g, tot ORDER BY bucket_start"""
+
   /** Language ID: count marker-word hits per language, predict the
     * argmax with alphabetical tie-break. */
   def languageId(documents: DataFrame): DataFrame = {

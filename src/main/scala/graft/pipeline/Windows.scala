@@ -85,6 +85,14 @@ object Windows {
     * anomaly flag when a full trailing week exists and the ratio
     * leaves [AnomalyLo, AnomalyHi].
     *
+    * The trailing window is a RANGE frame over the calendar day (epoch
+    * days, 7 PRECEDING..1 PRECEDING) — a ROWS frame over the daily
+    * aggregate would silently span more than 7 calendar days whenever
+    * a zero-event day is absent from the aggregate, skewing the
+    * baseline on sparse data. trail_days counts OBSERVED days in the
+    * calendar week, so the anomaly flag still requires a full week of
+    * history.
+    *
     * Determinism: every statistic is derived from exact integer sums
     * (no stddev — engines disagree on its summation formula); the only
     * IEEE operations are two final divisions, expression-identical in
@@ -97,7 +105,8 @@ object Windows {
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n_events"),
         Aggregate.moneySum(col("value")).as("sum_value"))
-    val w = Window.orderBy("day").rowsBetween(-7, -1)
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01")))
+    val w = Window.orderBy("day_num").rangeBetween(-7, -1)
     // NULL (not 0) divisor on history-free days: ANSI mode (Spark 4
     // default) errors on division by zero, and codegen subexpression
     // elimination can evaluate a shared division eagerly even under a
@@ -128,7 +137,8 @@ object Windows {
             CAST(COALESCE(sum(n_events) OVER w, 0) AS BIGINT) AS trail_n,
             CAST(count(n_events) OVER w AS BIGINT) AS trail_days
           FROM daily
-          WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+          WINDOW w AS (ORDER BY CAST(day - DATE '1970-01-01' AS BIGINT)
+            RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
         SELECT day, n_events, sum_value, trail_days,
           COALESCE(CAST(trail_n AS DOUBLE) / NULLIF(trail_days, 0), -1.0)
             AS trailing_avg,

@@ -118,18 +118,19 @@ object Sources {
     *
     * Per-trigger cost: |batch| hashing + a band-key join against the
     * index's stored signatures (never a corpus re-hash — see
-    * [[graft.llm.Dedup.minhashLshPairsIncremental]]). Exactly-once:
-    * the parquet appends are idempotent per Structured Streaming's
-    * batch-id tracking only if the sink dirs are batch-partitioned;
-    * here (as in the reference's demo sinks) we accept
-    * at-least-once on crash-replay. */
+    * [[graft.llm.Dedup.minhashLshPairsIncremental]]). Cold start: a
+    * missing index means the first batch dedups within itself and its
+    * survivors CREATE the index. Exactly-once: both sinks partition by
+    * batch_id with dynamic partition overwrite, so a crash-replay of
+    * batch N replaces its own partitions — clean sink and index can
+    * never diverge across a retry. */
   def nearDupDedupQuery(docs: DataFrame, indexPath: String, cleanDir: String,
                         checkpoint: String,
                         threshold: Double = 0.8): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         batch.persist()
         try {
@@ -151,8 +152,12 @@ object Sources {
           // re-run a lineage that READS indexPath while writing to it
           val clean = batch.join(dupIds, Seq("doc_id"), "left_anti")
             .localCheckpoint()
-          clean.write.mode("append").parquet(cleanDir)
-          graft.llm.Dedup.appendShingleIndex(clean, indexPath)
+          clean.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(cleanDir)
+          graft.llm.Dedup.appendShingleIndexForBatch(clean, indexPath, batchId)
         } finally { batch.unpersist(); () }
       }
       .start()

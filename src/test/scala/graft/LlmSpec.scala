@@ -362,6 +362,72 @@ class LlmSpec extends SparkSpec {
     assert(fps === again)
   }
 
+  test("vocab ranks by count desc then word asc; tokenize encodes ranks with OOV=0") {
+    val d = Seq(
+      (0L, "aa bb aa cc", "en", "s", 11L),
+      (1L, "aa bb dd", "en", "s", 8L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val v = TextStats.vocab(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // aa:3 occurrences; bb:2; cc/dd:1 each (tie -> lexicographic)
+    assert(v.toSeq === Seq((1L, "aa", 3L, 2L), (2L, "bb", 2L, 2L),
+      (3L, "cc", 1L, 1L), (4L, "dd", 1L, 1L)))
+    val enc = TextStats.tokenizeIds(d, vocabSize = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(enc(0L) === (("1,2,1,3", 0L)))
+    assert(enc(1L) === (("1,2,0", 1L))) // dd beyond vocabSize 3 -> OOV 0
+  }
+
+  test("rarity score is the exact mean of floor(log2(rank)) bits") {
+    val d = Seq(
+      (0L, "aa aa aa bb", "en", "s", 11L), // ranks: aa=1, bb=2
+      (1L, "bb", "en", "s", 2L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextStats.rarityScore(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 0: bits(1)=0 x3, bits(2)=1 -> sum 1, mean 0.25
+    assert(out(0L) === ((4L, 1L, 0.25)))
+    assert(out(1L) === ((1L, 1L, 1.0)))
+  }
+
+  test("length histogram buckets by 64 words and shares sum to 1") {
+    val d = Seq(
+      (0L, Seq.fill(10)("w").mkString(" "), "en", "s", 10L),
+      (1L, Seq.fill(70)("w").mkString(" "), "en", "s", 70L),
+      (2L, Seq.fill(80)("w").mkString(" "), "en", "s", 80L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextStats.lengthHistogram(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((0L, 63L, 1L, 1.0 / 3), (64L, 127L, 2L, 2.0 / 3)))
+  }
+
+  test("cluster representatives keep the highest-quality member per cluster") {
+    // the exact dups 0/1 share every band -> one cluster; the rest are
+    // singletons at whatever the LSH banding recovers on 5 docs
+    val out = Dedup.clusterRepresentatives(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCluster = out.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byCluster(0L)._1 >= 2L) // at least the exact dups 0,1
+    // representatives tie on quality (same-length near-dups) -> min id
+    assert(byCluster(0L)._2 === 0L)
+    assert(byCluster(3L) === ((1L, 3L)))
+    assert(byCluster(4L) === ((1L, 4L)))
+    // every document appears in exactly one cluster
+    assert(out.map(_._2).sum === 5L)
+  }
+
+  test("cluster quality: every member's centroid stats well-formed") {
+    val emb = (0L until 30L).map { i =>
+      (i, Array.tabulate(64)(j => if (j == (i % 3).toInt) 1.0f else 0.01f), "l" + i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Similarity.clusterQuality(emb).collect()
+    assert(out.map(_.getLong(1)).sum === 30L) // every vector assigned once
+    out.foreach { r =>
+      val (avg, mn) = (r.getDouble(2), r.getDouble(3))
+      assert(mn <= avg + 1e-12 && avg <= 1.0 + 1e-12 && mn >= -1.0 - 1e-12)
+    }
+  }
+
   test("cosine topk: self-similar vectors rank first, cosine in [-1,1]") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),

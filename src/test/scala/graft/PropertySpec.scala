@@ -85,17 +85,26 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
-  test("winnow_fps equals direct gram-hash window minima") {
-    check(Prop.forAll(text, Gen.choose(2, 8), Gen.choose(1, 5)) { (t, k, w) =>
+  test("winnow_fps equals direct gram-hash window minima (incl. non-BMP)") {
+    // Mix in multi-byte and astral (surrogate-pair) characters: the
+    // kernel must hash CODE POINTS, not UTF-16 code units, to match
+    // the oracle's character-based substr/ascii semantics.
+    val uniWord: Gen[String] =
+      Gen.oneOf(word, Gen.const("héllo"), Gen.const("日本語"),
+        Gen.const("a𝕏 b"), Gen.const("😀😀"))
+    val uniText: Gen[String] =
+      Gen.listOfN(12, uniWord).map(_.mkString(" ")).flatMap(t =>
+        Gen.oneOf(t, t.toUpperCase, ""))
+    check(Prop.forAll(uniText, Gen.choose(2, 8), Gen.choose(1, 5)) { (t, k, w) =>
       val got = {
         val a = TextHash.computeWinnow(UTF8String.fromString(t), k, w)
         (0 until a.numElements()).map(a.getLong)
       }
-      val s = t.toLowerCase
-      val grams = if (s.length < k) Seq.empty
-        else (0 to s.length - k).map { i =>
-          s.substring(i, i + k).foldLeft(0L)((acc, c) =>
-            (acc * TextHash.RollB + c.toLong) % TextHash.HashP)
+      val cps = t.toLowerCase.codePoints().toArray
+      val grams = if (cps.length < k) Seq.empty
+        else (0 to cps.length - k).map { i =>
+          (i until i + k).foldLeft(0L)((acc, j) =>
+            (acc * TextHash.RollB + cps(j).toLong) % TextHash.HashP)
         }
       val expected =
         if (grams.length < w) Seq.empty

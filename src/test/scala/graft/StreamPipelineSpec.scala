@@ -153,6 +153,34 @@ class StreamPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup cold start: first batch creates the index") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_neardup_cold").toString
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val docs = mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    // no index exists at indexPath — the first micro-batch must fall
+    // back to within-batch dedup and create the index from survivors
+    val q = Sources.nearDupDedupQuery(docs, s"$tmp/idx", s"$tmp/clean",
+      s"$tmp/ckpt", threshold = 0.8)
+    try {
+      mem.addData(
+        (1L, "completely different words here about spark engines today ok", "en", "s", 60L),
+        (2L, "completely different words here about spark engines today ok", "en", "s", 60L),
+        (3L, "an entirely novel document with its own unique content words", "en", "s", 60L))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$tmp/clean").select("doc_id")
+        .collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+      assert(spark.read.parquet(s"$tmp/idx").select("doc_id")
+        .collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+      // a later batch dedups against the index the cold start created
+      mem.addData(
+        (9L, "an entirely novel document with its own unique content words", "en", "s", 60L))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$tmp/clean").select("doc_id")
+        .collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("corrupt JSON routes to dead-letter: truncated, wrong-type, empty, non-json") {
     val df = Seq(
       ("k1", txnJson("T1", "ACC1", "deposit", 10.0, "2024-01-01T00:00:00")), // clean
