@@ -144,7 +144,15 @@ object SparkEntry {
     // k-means fit quality: per-centroid member count + cosine stats
     "q_cluster_quality" -> ((s, d) => llm.Similarity.clusterQuality(Tables.embeddings(s, d))),
     // quality-aware dedup: best-quality representative per near-dup cluster
-    "q_cluster_reps" -> ((s, d) => llm.Dedup.clusterRepresentatives(Tables.documents(s, d)))
+    "q_cluster_reps" -> ((s, d) => llm.Dedup.clusterRepresentatives(Tables.documents(s, d))),
+    // SCD2 validity intervals from the event stream (lead() per user)
+    "q_scd2" -> ((s, d) => Temporal.scd2Snapshot(ev(s, d))),
+    // densified per-user daily series with zero-fill
+    "q_gap_fill" -> ((s, d) => Temporal.gapFillDaily(ev(s, d))),
+    // two-step conversion funnel: first click -> first purchase after it
+    "q_funnel" -> ((s, d) => Temporal.funnel(ev(s, d))),
+    // corpus quality-decile report (exact ntile baseline)
+    "q_quality_deciles" -> ((s, d) => llm.Curate.qualityDeciles(Tables.documents(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -355,6 +363,10 @@ object SparkEntry {
     "q_rarity_score" -> llm.TextStats.sqlRarityScore,
     "q_length_histogram" -> llm.TextStats.sqlLengthHistogram,
     "q_cluster_quality" -> llm.Similarity.sqlClusterQuality(),
-    "q_cluster_reps" -> llm.Dedup.sqlClusterRepresentatives()
+    "q_cluster_reps" -> llm.Dedup.sqlClusterRepresentatives(),
+    "q_scd2" -> Temporal.sqlScd2Snapshot,
+    "q_gap_fill" -> Temporal.sqlGapFillDaily,
+    "q_funnel" -> Temporal.sqlFunnel,
+    "q_quality_deciles" -> llm.Curate.sqlQualityDeciles()
   )
 }

@@ -318,6 +318,43 @@ object Curate {
       .orderBy("lang", "rnk")
   }
 
+  val NumDeciles = 10
+
+  /** Quality-decile report: rank the corpus into NumDeciles equal-count
+    * buckets by quality score (ties broken by doc_id for a total
+    * order) and report each bucket's size and score range — the table
+    * behind "train on the top 3 deciles" curation policies.
+    *
+    * The exact ntile needs a global sort; that is the ORACLE-EXACT
+    * baseline. The 100 TB path keeps the same output contract but
+    * buckets by approx_percentile cutpoints (fixed-size sketch, one
+    * map-only bucketing pass) — documented trade, same shape as
+    * q_approx_quantiles' tolerance pattern. */
+  def qualityDeciles(documents: DataFrame, n: Int = NumDeciles): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality_score").asc, col("doc_id").asc)
+    TextStats.textStats(documents)
+      .select(col("doc_id"), col("quality_score"))
+      .withColumn("decile", ntile(n).over(w).cast("int"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("quality_score")).as("min_quality"),
+        max(col("quality_score")).as("max_quality"))
+      .orderBy("decile")
+  }
+
+  def sqlQualityDeciles(n: Int = NumDeciles): String =
+    s"""WITH stats AS (${TextStats.sqlTextStats}),
+        d AS (
+          SELECT doc_id, quality_score,
+            CAST(ntile($n) OVER (ORDER BY quality_score ASC, doc_id ASC)
+              AS INTEGER) AS decile
+          FROM stats)
+        SELECT decile, count(*) AS n_docs,
+          min(quality_score) AS min_quality,
+          max(quality_score) AS max_quality
+        FROM d GROUP BY 1 ORDER BY 1"""
+
   def sqlQualityTopK(k: Int = QualityK): String =
     s"""WITH stats AS (${TextStats.sqlTextStats}),
         ranked AS (

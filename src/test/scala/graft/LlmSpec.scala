@@ -416,6 +416,19 @@ class LlmSpec extends SparkSpec {
     assert(out.map(_._2).sum === 5L)
   }
 
+  test("quality deciles: equal-count buckets, monotone score ranges") {
+    val d = (0L until 100L).map(i =>
+      (i, Seq.fill(5 + (i % 37).toInt)("w" + i).mkString(" "), "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curate.qualityDeciles(d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq === (1 to 10))
+    assert(out.map(_._2).sum === 100L)
+    assert(out.forall { case (_, n, mn, mx) => n == 10L && mn <= mx })
+    // decile score ranges don't overlap out of order
+    assert(out.sliding(2).forall { case Array(a, b) => a._4 <= b._3 + 1e-12; case _ => true })
+  }
+
   test("cluster quality: every member's centroid stats well-formed") {
     val emb = (0L until 30L).map { i =>
       (i, Array.tabulate(64)(j => if (j == (i % 3).toInt) 1.0f else 0.01f), "l" + i % 3)

@@ -1,10 +1,56 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Aggregate, Enrich, Generator, Ingest, Lineage, Windows}
+import graft.pipeline.{Aggregate, Enrich, Generator, Ingest, Lineage, Temporal, Windows}
 
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
+
+  test("SCD2 intervals chain per user; exactly one open current row") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, 1.0),
+      (2L, ts("2024-01-02 10:00:00"), 7L, 2.0),
+      (3L, ts("2024-01-03 10:00:00"), 7L, 3.0),
+      (4L, ts("2024-01-05 09:00:00"), 9L, 4.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val out = Temporal.scd2Snapshot(df).collect()
+    val u7 = out.filter(_.getLong(0) == 7L)
+    // each interval's valid_to is the next row's valid_from
+    assert(u7.map(_.getTimestamp(3)).toSeq ===
+      Seq(ts("2024-01-01 10:00:00"), ts("2024-01-02 10:00:00"), ts("2024-01-03 10:00:00")))
+    assert(u7.init.map(r => r.getTimestamp(4)).toSeq === u7.tail.map(_.getTimestamp(3)).toSeq)
+    assert(out.count(_.getBoolean(5)) === 2) // one current row per user
+  }
+
+  test("gap fill densifies missing days with zero counts") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, 1.0),
+      (2L, ts("2024-01-04 10:00:00"), 7L, 1.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val out = Temporal.gapFillDaily(df).collect()
+      .map(r => (r.getDate(1).toString, r.getBoolean(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("2024-01-01", true, 1L), ("2024-01-02", false, 0L),
+      ("2024-01-03", false, 0L), ("2024-01-04", true, 1L)))
+  }
+
+  test("funnel: converts only on purchase at/after first click") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+      (2L, ts("2024-01-01 11:00:00"), 7L, "purchase", 5.0), // converts
+      (3L, ts("2024-01-02 10:00:00"), 9L, "purchase", 5.0), // before the click
+      (4L, ts("2024-01-03 10:00:00"), 9L, "click", 1.0),
+      (5L, ts("2024-01-01 10:00:00"), 11L, "view", 1.0) // no click: excluded
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Temporal.funnel(df).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getTimestamp(2)), r.getBoolean(3)))).toMap
+    assert(out.keySet === Set(7L, 9L))
+    assert(out(7L) === ((Some(ts("2024-01-01 11:00:00")), true)))
+    assert(out(9L) === ((None, false)))
+  }
 
   test("A2 window agg equals ungrouped totals per (window, user)") {
     val ev = Tables.events(spark, sf())
