@@ -152,7 +152,11 @@ object SparkEntry {
     // two-step conversion funnel: first click -> first purchase after it
     "q_funnel" -> ((s, d) => Temporal.funnel(ev(s, d))),
     // corpus quality-decile report (exact ntile baseline)
-    "q_quality_deciles" -> ((s, d) => llm.Curate.qualityDeciles(Tables.documents(s, d)))
+    "q_quality_deciles" -> ((s, d) => llm.Curate.qualityDeciles(Tables.documents(s, d))),
+    // crawl-snapshot reconciliation: full outer join on content hashes
+    "q_corpus_diff" -> ((s, d) => llm.Dedup.corpusDiff(Tables.documents(s, d))),
+    // corpus bigram table: top-100 by document frequency
+    "q_bigram_counts" -> ((s, d) => llm.Dedup.bigramCounts(Tables.documents(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -367,6 +371,8 @@ object SparkEntry {
     "q_scd2" -> Temporal.sqlScd2Snapshot,
     "q_gap_fill" -> Temporal.sqlGapFillDaily,
     "q_funnel" -> Temporal.sqlFunnel,
-    "q_quality_deciles" -> llm.Curate.sqlQualityDeciles()
+    "q_quality_deciles" -> llm.Curate.sqlQualityDeciles(),
+    "q_corpus_diff" -> llm.Dedup.sqlCorpusDiff,
+    "q_bigram_counts" -> llm.Dedup.sqlBigramCounts()
   )
 }

@@ -497,6 +497,86 @@ object Dedup {
         GROUP BY 1, 2 HAVING count(*) >= $minShared
         ORDER BY doc_a, doc_b"""
 
+  /** Corpus snapshot diff: reconcile two crawl snapshots by content
+    * hash — added / removed / changed / unchanged per doc_id, the
+    * "what did the recrawl do" report that drives incremental
+    * re-processing (only added+changed docs re-enter the pipeline).
+    * One FULL OUTER join on doc_id; only 32-byte digests shuffle,
+    * never the text.
+    *
+    * The two snapshots are deterministic slices of the documents
+    * table (old = id % 3 != 0, new = id % 5 != 0, with id % 7 == 0
+    * texts "edited" in the new snapshot), so the oracle can rebuild
+    * both sides bit-identically. */
+  def corpusDiff(documents: DataFrame): DataFrame = {
+    val oldSnap = documents.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("old_hash"))
+    val newSnap = documents.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 7 === 0, concat(lit("v2 "), col("text")))
+          .otherwise(col("text"))).as("new_hash"))
+    oldSnap.join(newSnap, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") === col("new_hash"), "unchanged")
+          .otherwise("changed").as("status"))
+      .orderBy("doc_id")
+  }
+
+  val sqlCorpusDiff: String =
+    """WITH o AS (
+         SELECT doc_id, md5(text) AS old_hash FROM documents WHERE doc_id % 3 <> 0),
+       n AS (
+         SELECT doc_id,
+           md5(CASE WHEN doc_id % 7 = 0 THEN 'v2 ' || text ELSE text END) AS new_hash
+         FROM documents WHERE doc_id % 5 <> 0)
+       SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.old_hash IS NULL THEN 'added'
+              WHEN n.new_hash IS NULL THEN 'removed'
+              WHEN o.old_hash = n.new_hash THEN 'unchanged'
+              ELSE 'changed' END AS status
+       FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+       ORDER BY doc_id"""
+
+  val BigramTopN = 100
+
+  /** Corpus bigram table: the top-N word bigrams by document frequency
+    * (distinct per doc — the shingle expression's set semantics), the
+    * n-gram statistic LM data work reads (boilerplate phrases, domain
+    * signatures). Counting is a hash aggregate on the bigram; ranking
+    * sorts the surviving VOCABULARY-sized table, never the corpus. */
+  def bigramCounts(documents: DataFrame, topN: Int = BigramTopN): DataFrame = {
+    graft.functions.TextHashExprs.register(documents.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_docs").desc, col("bigram").asc)
+    documents
+      .select(col("doc_id"),
+        explode(call_function("shingle_hashes", col("text"), lit(2))
+          .getField("shs")).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= topN)
+      .select("rnk", "bigram", "n_docs")
+      .orderBy("rnk")
+  }
+
+  def sqlBigramCounts(topN: Int = BigramTopN): String = {
+    val words = TextPrep.sqlWords
+    s"""WITH b AS (
+          SELECT doc_id,
+            unnest(list_distinct(list_transform(
+              generate_series(1, len($words) - 1),
+              i -> array_to_string(($words)[i:i+1], ' ')))) AS bigram
+          FROM documents WHERE len($words) >= 2),
+        g AS (SELECT bigram, count(*) AS n_docs FROM b GROUP BY 1),
+        r AS (SELECT bigram, n_docs,
+            CAST(row_number() OVER (ORDER BY n_docs DESC, bigram ASC) AS INTEGER) AS rnk
+          FROM g)
+        SELECT rnk, bigram, n_docs FROM r WHERE rnk <= $topN ORDER BY rnk"""
+  }
+
   /** Per-source duplication-rate report: how much of each source is
     * redundant under exact dedup — the "which scrape to deprioritize"
     * table. One hash-aggregate; only md5 digests shuffle. */

@@ -416,6 +416,30 @@ class LlmSpec extends SparkSpec {
     assert(out.map(_._2).sum === 5L)
   }
 
+  test("corpus diff classifies added/removed/changed/unchanged") {
+    val d = (0L to 20L).map(i => (i, "text body " + i, "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.corpusDiff(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(3L) === "added")      // 3 % 3 == 0 (not in old), in new
+    assert(out(5L) === "removed")    // 5 % 5 == 0 (not in new), in old
+    assert(out(7L) === "changed")    // edited in the new snapshot
+    assert(out(1L) === "unchanged")
+    assert(!out.contains(15L))       // in neither snapshot (%3 and %5)
+    assert(!out.contains(0L))
+  }
+
+  test("bigram counts rank by document frequency with distinct-per-doc semantics") {
+    val d = Seq(
+      (0L, "a b a b", "en", "s", 7L),   // bigrams {a b, b a}: dup "a b" counted once
+      (1L, "a b c", "en", "s", 5L),     // {a b, b c}
+      (2L, "x", "en", "s", 1L)          // too short: no bigrams
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.bigramCounts(d).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1, "a b", 2L), (2, "b a", 1L), (3, "b c", 1L)))
+  }
+
   test("quality deciles: equal-count buckets, monotone score ranges") {
     val d = (0L until 100L).map(i =>
       (i, Seq.fill(5 + (i % 37).toInt)("w" + i).mkString(" "), "en", "s", 10L))

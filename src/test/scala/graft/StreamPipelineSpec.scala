@@ -357,6 +357,31 @@ class StreamPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: converts across batches, ignores pre-click purchases") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[graft.streaming.FunnelTrack.Ev]
+    val q = graft.streaming.FunnelTrack.conversions(mem.toDS(),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      val t = (s: String) => Timestamp.valueOf(s)
+      mem.addData(
+        graft.streaming.FunnelTrack.Ev(7L, t("2024-01-01 09:00:00"), "purchase"), // pre-click
+        graft.streaming.FunnelTrack.Ev(7L, t("2024-01-01 10:00:00"), "click"),
+        graft.streaming.FunnelTrack.Ev(9L, t("2024-01-01 10:00:00"), "click"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_out").count() === 0) // nothing converted yet
+      mem.addData(
+        graft.streaming.FunnelTrack.Ev(7L, t("2024-01-01 11:00:00"), "purchase"))
+      q.processAllAvailable()
+      val out = spark.table("funnel_out").collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Timestamp]("first_click"), r.getAs[Timestamp]("purchase_time")))
+      assert(out.toSeq === Seq((7L, t("2024-01-01 10:00:00"), t("2024-01-01 11:00:00"))))
+    } finally q.stop()
+  }
+
   test("S1 kafka reader wiring reaches Spark's source resolver") {
     // The kafka connector jar isn't deployed in this environment; the
     // documented failure proves the reader options flow to the resolver.
