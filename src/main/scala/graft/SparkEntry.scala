@@ -156,7 +156,22 @@ object SparkEntry {
     // crawl-snapshot reconciliation: full outer join on content hashes
     "q_corpus_diff" -> ((s, d) => llm.Dedup.corpusDiff(Tables.documents(s, d))),
     // corpus bigram table: top-100 by document frequency
-    "q_bigram_counts" -> ((s, d) => llm.Dedup.bigramCounts(Tables.documents(s, d)))
+    "q_bigram_counts" -> ((s, d) => llm.Dedup.bigramCounts(Tables.documents(s, d))),
+    // C4/Gopher-style heuristic rule filter (map-only, zero shuffle)
+    "q_c4_filter" -> ((s, d) => llm.Curate.c4Filter(Tables.documents(s, d))),
+    // sqrt-temperature corpus mixture (data-driven per-lang rates)
+    "q_mixture_sample" -> ((s, d) => llm.Curate.mixtureSample(Tables.documents(s, d))),
+    // blocked Levenshtein near-dup on document titles
+    "q_editdist_pairs" -> ((s, d) => llm.Dedup.editDistPairs(Tables.documents(s, d))),
+    // bigram-LM fluency score (integerized surprisal, exact log2)
+    "q_bigram_surprisal" -> ((s, d) => llm.TextStats.bigramSurprisal(Tables.documents(s, d))),
+    // grouped top-k on orders via the bounded-heap top_k_by aggregate
+    "q_status_topk" -> ((s, d) => Windows.statusTopOrders(Tables.orders(s, d))),
+    // deterministic Pearson r from exact integer power sums
+    "q_corr_value_hour" -> ((s, d) => Windows.corrValueHour(ev(s, d))),
+    // skew-salted fact-dim join, oracle-equal to the plain join
+    "q_salted_enrich" -> ((s, d) =>
+      Enrich.saltedUserEnrich(ev(s, d), Tables.customer(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -373,6 +388,13 @@ object SparkEntry {
     "q_funnel" -> Temporal.sqlFunnel,
     "q_quality_deciles" -> llm.Curate.sqlQualityDeciles(),
     "q_corpus_diff" -> llm.Dedup.sqlCorpusDiff,
-    "q_bigram_counts" -> llm.Dedup.sqlBigramCounts()
+    "q_bigram_counts" -> llm.Dedup.sqlBigramCounts(),
+    "q_c4_filter" -> llm.Curate.sqlC4Filter,
+    "q_mixture_sample" -> llm.Curate.sqlMixtureSample,
+    "q_editdist_pairs" -> llm.Dedup.sqlEditDistPairs(),
+    "q_bigram_surprisal" -> llm.TextStats.sqlBigramSurprisal,
+    "q_status_topk" -> Windows.sqlStatusTopOrders(),
+    "q_corr_value_hour" -> Windows.sqlCorrValueHour,
+    "q_salted_enrich" -> Enrich.sqlSaltedUserEnrich
   )
 }

@@ -355,6 +355,117 @@ object Curate {
           max(quality_score) AS max_quality
         FROM d GROUP BY 1 ORDER BY 1"""
 
+  // ---- C4/Gopher-style heuristic rule filter -------------------------
+
+  val MinWords = 30
+  val MeanWordLenLo = 3.0
+  val MeanWordLenHi = 4.5
+  val MaxWordLen = 20
+  val StopWords: Seq[String] = Seq("the", "and", "of", "to", "a")
+
+  /** C4/Gopher-style rule-based corpus filter: per-document boolean
+    * verdicts for the classic cheap heuristics — minimum word count,
+    * mean word length band, maximum word length, no code braces, and
+    * at least one common stopword — plus the combined keep flag. Each
+    * rule is a row-local codegen'd expression over one projection, so
+    * the filter is a map-only pass that pushes column pruning down to
+    * the scan (only `text` is read); at 100 TB it is embarrassingly
+    * parallel with zero shuffle. Thresholds are calibrated so the
+    * synthetic corpus splits non-trivially (docs run 10-99 words with
+    * mean word length 4.1-4.9).
+    *
+    * Mean word length divides two exact integers in double — one IEEE
+    * division, bit-identical across engines. */
+  def c4Filter(documents: DataFrame): DataFrame = {
+    val words = TextPrep.wordsCol
+    documents
+      .select(col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_nonspace"),
+        array_max(transform(words, w => length(w))).cast("long").as("max_wlen"),
+        col("text").contains("{").as("has_brace"),
+        arrays_overlap(words,
+          array(StopWords.map(lit): _*)).as("has_stopword"))
+      .withColumn("mean_wlen",
+        col("n_nonspace").cast("double") / col("n_words").cast("double"))
+      .withColumn("keep",
+        col("n_words") >= MinWords &&
+        col("mean_wlen") >= MeanWordLenLo && col("mean_wlen") <= MeanWordLenHi &&
+        col("max_wlen") <= MaxWordLen &&
+        !col("has_brace") && col("has_stopword"))
+      .select("doc_id", "n_words", "mean_wlen", "max_wlen",
+        "has_brace", "has_stopword", "keep")
+      .orderBy("doc_id")
+  }
+
+  val sqlC4Filter: String = {
+    val stops = StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH f AS (
+          SELECT doc_id,
+            CAST(len(${TextPrep.sqlWords}) AS BIGINT) AS n_words,
+            CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_nonspace,
+            CAST(list_max(list_transform(${TextPrep.sqlWords}, w -> len(w)))
+              AS BIGINT) AS max_wlen,
+            contains(text, '{') AS has_brace,
+            len(list_intersect(${TextPrep.sqlWords}, $stops)) > 0 AS has_stopword
+          FROM documents),
+        m AS (
+          SELECT *, CAST(n_nonspace AS DOUBLE) / CAST(n_words AS DOUBLE)
+            AS mean_wlen FROM f)
+        SELECT doc_id, n_words, mean_wlen, max_wlen, has_brace, has_stopword,
+          (n_words >= $MinWords AND mean_wlen >= $MeanWordLenLo
+           AND mean_wlen <= $MeanWordLenHi AND max_wlen <= $MaxWordLen
+           AND NOT has_brace AND has_stopword) AS keep
+        FROM m ORDER BY doc_id"""
+  }
+
+  // ---- temperature-based mixture sampling ----------------------------
+
+  /** Data-driven corpus mixture: downsample dominant languages toward a
+    * sqrt-temperature mix (rate_s = 1000·sqrt(min_count/count_s) permille,
+    * so the rarest language keeps everything and a language 4x the size
+    * keeps half) and gate each row on the same salted-md5 bucket as
+    * stratifiedSample. Unlike stratifiedSample's FIXED config rates,
+    * the rates here come from the corpus itself — the "rebalance the
+    * scrape toward uniform" curation step.
+    *
+    * sqrt is the one transcendental-free way to temper: IEEE-754
+    * requires correctly-rounded sqrt, so floor(1000·sqrt(x)) is
+    * bit-identical in Spark and DuckDB. The counts side is a tiny
+    * aggregate broadcast back onto a map-only filter — no corpus
+    * shuffle at any scale. */
+  def mixtureSample(documents: DataFrame): DataFrame = {
+    val counts = documents.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    val minCnt = counts.agg(min(col("cnt")).as("cmin"))
+    val rates = counts.crossJoin(broadcast(minCnt))
+      .select(col("lang"),
+        greatest(lit(1L),
+          floor(lit(1000.0) * sqrt(col("cmin").cast("double") / col("cnt").cast("double"))))
+          .cast("long").as("rate_permille"))
+    documents
+      .join(broadcast(rates), "lang")
+      .withColumn("b",
+        conv(substring(md5(concat(lit("mix:"), col("lang"), lit(":"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 1000)
+      .filter(col("b") < col("rate_permille"))
+      .select(col("doc_id"), col("lang"), col("rate_permille"))
+      .orderBy("doc_id")
+  }
+
+  val sqlMixtureSample: String =
+    """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+        m AS (SELECT min(cnt) AS cmin FROM c),
+        r AS (
+          SELECT lang, CAST(greatest(1, floor(1000.0 *
+            sqrt(CAST(cmin AS DOUBLE) / CAST(cnt AS DOUBLE)))) AS BIGINT)
+            AS rate_permille
+          FROM c, m)
+        SELECT doc_id, lang, rate_permille
+        FROM documents JOIN r USING (lang)
+        WHERE CAST(concat('0x', substr(md5('mix:' || lang || ':' ||
+          CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < rate_permille
+        ORDER BY doc_id"""
+
   def sqlQualityTopK(k: Int = QualityK): String =
     s"""WITH stats AS (${TextStats.sqlTextStats}),
         ranked AS (

@@ -410,6 +410,61 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM fluency score: per document, the mean integerized
+    * surprisal of its distinct bigrams under the corpus bigram
+    * document-frequency model — bits(bigram) = floor(log2(N / df)),
+    * computed EXACTLY as length(bin(N DIV df)) - 1 so the per-doc
+    * statistic is an integer sum plus one final division (the same
+    * transcendental-free trick as rarityScore, lifted from unigrams to
+    * bigrams). Boilerplate built from corpus-common bigrams scores low;
+    * rare-continuation text scores high — the cheap KenLM-ish quality
+    * signal.
+    *
+    * Plan: one explode (distinct bigrams per doc via the native
+    * shingle_hashes kernel), a shuffle join on the bigram DF table
+    * (self-derived aggregate, same key distribution), and one final
+    * per-doc aggregate. At 100 TB the DF table join is the one
+    * corpus-sized shuffle; its key space is the bigram vocabulary and
+    * hot bigrams are bounded by per-doc distinctness + AQE. */
+  def bigramSurprisal(documents: DataFrame): DataFrame = {
+    graft.functions.TextHashExprs.register(documents.sparkSession)
+    val b = documents.select(col("doc_id"),
+      explode(call_function("shingle_hashes", col("text"), lit(2))
+        .getField("shs")).as("bigram"))
+    val df = b.groupBy("bigram").agg(count(lit(1)).as("n_docs"))
+    val tot = documents.agg(count(lit(1)).as("n_total"))
+    b.join(df, "bigram")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        (length(bin(expr("n_total DIV n_docs"))) - 1).cast("long").as("bits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("surprisal_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("surprisal_bits"),
+        (col("surprisal_bits").cast("double") / col("n_bigrams").cast("double"))
+          .as("mean_surprisal_bits"))
+      .orderBy("doc_id")
+  }
+
+  val sqlBigramSurprisal: String = {
+    val w = TextPrep.sqlWords
+    s"""WITH b AS (
+          SELECT doc_id,
+            unnest(list_distinct(list_transform(
+              generate_series(1, len($w) - 1),
+              i -> array_to_string(($w)[i:i+1], ' ')))) AS bigram
+          FROM documents WHERE len($w) >= 2),
+        g AS (SELECT bigram, count(*) AS n_docs FROM b GROUP BY 1),
+        t AS (SELECT count(*) AS n_total FROM documents),
+        s AS (
+          SELECT doc_id,
+            CAST(length(bin(n_total // n_docs)) - 1 AS BIGINT) AS bits
+          FROM b JOIN g USING (bigram), t)
+        SELECT doc_id, count(*) AS n_bigrams,
+          CAST(sum(bits) AS BIGINT) AS surprisal_bits,
+          CAST(sum(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_surprisal_bits
+        FROM s GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   val sqlLanguageId: String = {
     val w = TextPrep.sqlWords
     val scores = LangMarkers.map { case (l, ms) =>

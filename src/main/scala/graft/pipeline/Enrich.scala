@@ -94,6 +94,29 @@ object Enrich {
     salted.join(replicated, Seq(key, "salt")).drop("salt")
   }
 
+  /** Skew-proof enrichment: the events fact joined to the customer dim
+    * through [[saltedJoin]] (8 salts), then aggregated per nation. The
+    * salt spreads any hot user_id across 8 shuffle partitions — the
+    * manual defense for the skewed-key join AQE can't always split
+    * (e.g. a single mega-key inside one group). Result is oracle-equal
+    * to the plain join: salting must never change semantics. */
+  def saltedUserEnrich(events: DataFrame, customer: DataFrame,
+                       salts: Int = 8): DataFrame = {
+    val dim = customer.select(col("c_custkey").as("user_id"), col("c_nationkey"))
+    saltedJoin(events.filter(col("user_id").isNotNull), dim,
+        "user_id", salts, "event_id")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_events"),
+        Aggregate.moneySum(col("value")).as("sum_value"))
+      .orderBy("c_nationkey")
+  }
+
+  val sqlSaltedUserEnrich: String =
+    """SELECT c_nationkey, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events JOIN customer ON user_id = c_custkey
+       GROUP BY 1 ORDER BY 1"""
+
   /** Fact-to-dim join + aggregate: revenue per nation (the shape the
     * reference's warehouse summary tables imply, S7). */
   def revenueByNation(orders: DataFrame, customer: DataFrame,

@@ -302,4 +302,83 @@ object Windows {
         countDistinct(col("user_id")).as("n_users"),
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
+
+  /** Grouped top-k via the bounded-heap top_k_by aggregate on a second
+    * table (orders): the generic "best k per group" — only k rows per
+    * group leave each map partition vs a Window's full shuffle-sort of
+    * the fact table. Tie order (score desc, id asc) matches the
+    * oracle's row_number exactly. */
+  def statusTopOrders(orders: DataFrame, k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(orders.sparkSession)
+    orders.groupBy("o_orderstatus")
+      .agg(call_function("top_k_by",
+        col("o_totalprice"), col("o_orderkey"), lit(k)).as("top"))
+      .select(col("o_orderstatus"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("o_orderstatus"), (col("pos") + 1).cast("int").as("rnk"),
+        col("e.id").as("o_orderkey"), col("e.score").as("o_totalprice"))
+      .orderBy("o_orderstatus", "rnk")
+  }
+
+  def sqlStatusTopOrders(k: Int = 3): String =
+    s"""SELECT o_orderstatus, CAST(rnk AS INTEGER) AS rnk, o_orderkey, o_totalprice
+        FROM (
+          SELECT o_orderstatus, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_orderstatus
+              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+          FROM orders)
+        WHERE rnk <= $k ORDER BY o_orderstatus, rnk"""
+
+  /** Deterministic Pearson correlation (value vs hour-of-day) per event
+    * type, from EXACT integer power sums: value is floored to cents
+    * (exact bigint), the five sums n/Σx/Σy/Σx²/Σy²/Σxy accumulate in
+    * bigint (order-independent — the property the built-in corr()
+    * lacks: its streaming double accumulation makes the result depend
+    * on partition merge order), and only the final closed form runs in
+    * double — one fixed expression tree, bit-identical in both
+    * engines. One partial+final aggregate, counters-only shuffle.
+    * At 100 TB the Σx² sum needs decimal(38) headroom — the bigint
+    * bound here holds to ~10^18 (≈4·10^8 rows at max cents²). */
+  def corrValueHour(events: DataFrame): DataFrame =
+    events
+      .filter(col("value").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("x"),
+        hour(col("ts")).cast("long").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("event_type"), col("n"),
+        ((col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+         (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+           col("sx").cast("double") * col("sx").cast("double")) *
+          sqrt(col("n").cast("double") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))))
+          .as("pearson_r"))
+      .orderBy("event_type")
+
+  val sqlCorrValueHour: String =
+    """WITH s AS (
+         SELECT event_type,
+           CAST(floor(value * 100) AS BIGINT) AS x,
+           CAST(hour(ts) AS BIGINT) AS y
+         FROM events
+         WHERE value IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+       g AS (
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+           CAST(sum(x * y) AS BIGINT) AS sxy
+         FROM s GROUP BY 1)
+       SELECT event_type, n,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS pearson_r
+       FROM g ORDER BY event_type"""
 }

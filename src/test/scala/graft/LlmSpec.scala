@@ -622,4 +622,80 @@ class TopKAggSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(top === Seq(6L, 5L))
   }
+
+  test("c4 filter: each rule fires on its designed violation") {
+    val longOk = ("the " + Seq.fill(40)("word").mkString(" ")).trim // 41 words, has stopword
+    val rows = Seq(
+      (0L, longOk, "en", "s0", 0L),                                  // keep
+      (1L, "the short doc", "en", "s1", 0L),                         // too few words
+      (2L, longOk + " {code}", "en", "s2", 0L),                      // brace
+      (3L, Seq.fill(40)("word").mkString(" "), "en", "s3", 0L),      // no stopword
+      (4L, ("the " + Seq.fill(40)("incomprehensibilities").mkString(" ")).trim,
+        "en", "s4", 0L)                                              // mean wlen too high
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curate.c4Filter(rows).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(out === Map(0L -> true, 1L -> false, 2L -> false,
+      3L -> false, 4L -> false))
+  }
+
+  test("mixture sample keeps all of the rarest lang, downsamples dominant by sqrt") {
+    // 4:1 ratio → dominant rate = floor(1000*sqrt(1/4)) = 500 permille
+    val rows = (0L until 80L).map(i => (i, s"doc $i words here", "en", "s", 0L)) ++
+      (80L until 100L).map(i => (i, s"doc $i words here", "fr", "s", 0L))
+    val df = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curate.mixtureSample(df).collect()
+    val rates = out.map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(rates("fr") === 1000L && rates("en") === 500L)
+    val frKept = out.count(_.getString(1) == "fr")
+    assert(frKept === 20) // rate 1000 keeps every row
+  }
+
+  test("edit-distance pairs: blocked near-dups found, cross-block missed") {
+    val rows = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta " + Seq.fill(10)("x").mkString(" "), "en"),
+      (1L, "alpha beta gamma delta epsilon zippy eta theta " + Seq.fill(10)("x").mkString(" "), "en"), // same block, close title
+      (2L, "omega beta gamma delta epsilon zeta eta theta " + Seq.fill(10)("x").mkString(" "), "en"), // different first word → missed
+      (3L, "alpha " + Seq.fill(60)("y").mkString(" "), "en") // same w1, different length bucket
+    ).map { case (i, t, l) => (i, t, l, "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.editDistPairs(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out === Seq((0L, 1L)))
+  }
+
+  test("bigram surprisal: corpus-common bigrams score fewer bits than rare ones") {
+    val common = "spark runs fast" // "spark runs" and "runs fast" in every doc
+    val rows = (0L until 8L).map(i => (i, common, "en", "s", 0L)) :+
+      (8L, "spark runs fast unique continuation", "en", "s", 0L)
+    val out = TextStats.bigramSurprisal(rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // doc 8 adds bigrams seen once (9 docs / 1 = bits 3) vs common (9/9 = bits 0)
+    assert(out(0L) === 0.0)
+    assert(out(8L) > out(0L))
+  }
+
+  test("pearson r from integer sums: exact +1 on a perfectly linear relation") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (0 until 24).map { h =>
+      (h.toLong, 7L, "click", h * 2.0,
+        java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00"), "{}")
+    } :+ ((100L, 7L, "view", 5.0, ts0, "{}"))
+    val df = rows.toDF("event_id", "user_id", "event_type", "value", "ts", "props")
+    val out = pipeline.Windows.corrValueHour(df).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(out("click") - 1.0) < 1e-12) // value = 2*hour exactly
+    assert(out("view").isNaN)    // single point: zero variance
+  }
+
+  test("salted enrich equals the unsalted join aggregate") {
+    val events = Seq(
+      (1L, 10L, "click", 5.0), (2L, 10L, "view", 7.0),
+      (3L, 20L, "click", 1.0), (4L, 99L, "view", 2.0) // 99 has no dim row
+    ).toDF("event_id", "user_id", "event_type", "value")
+    val customer = Seq((10L, 1L), (20L, 2L)).toDF("c_custkey", "c_nationkey")
+    val out = pipeline.Enrich.saltedUserEnrich(events, customer).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out === Seq((1L, 2L, 12.0), (2L, 1L, 1.0)))
+  }
 }
