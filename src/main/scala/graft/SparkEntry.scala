@@ -171,7 +171,17 @@ object SparkEntry {
     "q_corr_value_hour" -> ((s, d) => Windows.corrValueHour(ev(s, d))),
     // skew-salted fact-dim join, oracle-equal to the plain join
     "q_salted_enrich" -> ((s, d) =>
-      Enrich.saltedUserEnrich(ev(s, d), Tables.customer(s, d)))
+      Enrich.saltedUserEnrich(ev(s, d), Tables.customer(s, d))),
+    // percent_rank/cume_dist relative standing within status
+    "q_percent_rank" -> ((s, d) => Windows.statusPercentRank(Tables.orders(s, d))),
+    // top event-type paths (funnel discovery over ordered sequences)
+    "q_event_paths" -> ((s, d) => Windows.topEventPaths(ev(s, d))),
+    // per-type z-score standardization from exact integer power sums
+    "q_zscore" -> ((s, d) => Windows.zscoreByType(ev(s, d))),
+    // Z-order (Morton) clustering key for multi-dim file skipping
+    "q_zorder_key" -> ((s, d) => Windows.zorderKey(ev(s, d))),
+    // exactly-k-per-stratum deterministic sample
+    "q_group_sample" -> ((s, d) => llm.Curate.groupSample(Tables.documents(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -395,6 +405,11 @@ object SparkEntry {
     "q_bigram_surprisal" -> llm.TextStats.sqlBigramSurprisal,
     "q_status_topk" -> Windows.sqlStatusTopOrders(),
     "q_corr_value_hour" -> Windows.sqlCorrValueHour,
-    "q_salted_enrich" -> Enrich.sqlSaltedUserEnrich
+    "q_salted_enrich" -> Enrich.sqlSaltedUserEnrich,
+    "q_percent_rank" -> Windows.sqlStatusPercentRank,
+    "q_event_paths" -> Windows.sqlTopEventPaths,
+    "q_zscore" -> Windows.sqlZscoreByType,
+    "q_zorder_key" -> Windows.sqlZorderKey,
+    "q_group_sample" -> llm.Curate.sqlGroupSample()
   )
 }

@@ -355,6 +355,36 @@ object Curate {
           max(quality_score) AS max_quality
         FROM d GROUP BY 1 ORDER BY 1"""
 
+  // ---- fixed-size per-stratum sample ---------------------------------
+
+  val GroupSampleK = 5
+
+  /** Exactly-k-per-stratum deterministic sample: rank documents within
+    * each language by md5('gs:'||doc_id) (a hash order standing in for
+    * random order, reproducible across runs/clusters) and keep the
+    * first k. The "give me 5 examples per language" eval-set draw.
+    * One shuffle on the stratum key; the rank is a within-partition
+    * sort of hash strings — both engines compare lowercase hex
+    * lexicographically, and doc_id tie-breaks make the order total. */
+  def groupSample(documents: DataFrame, k: Int = GroupSampleK): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(md5(concat(lit("gs:"), col("doc_id").cast("string"))), col("doc_id"))
+    documents
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("rnk"), col("doc_id"))
+      .orderBy("lang", "rnk")
+  }
+
+  def sqlGroupSample(k: Int = GroupSampleK): String =
+    s"""SELECT lang, CAST(rnk AS INTEGER) AS rnk, doc_id FROM (
+          SELECT lang, doc_id,
+            row_number() OVER (PARTITION BY lang
+              ORDER BY md5('gs:' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+          FROM documents)
+        WHERE rnk <= $k ORDER BY lang, rnk"""
+
   // ---- C4/Gopher-style heuristic rule filter -------------------------
 
   val MinWords = 30

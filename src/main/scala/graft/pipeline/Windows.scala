@@ -328,6 +328,150 @@ object Windows {
           FROM orders)
         WHERE rnk <= $k ORDER BY o_orderstatus, rnk"""
 
+  /** percent_rank + cume_dist of each order within its status group —
+    * the relative-standing features behind "top decile of spend"
+    * segmentation. One shuffle on the partition key, sort within;
+    * both ranks are (exact integer) / (exact integer) in double, so
+    * results are partition-order-independent. */
+  def statusPercentRank(orders: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderstatus").orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("o_orderkey")
+  }
+
+  val sqlStatusPercentRank: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+       FROM orders
+       WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+       ORDER BY o_orderkey"""
+
+  val PathLen = 8
+  val TopPaths = 20
+
+  /** Top event-type paths: each user's first PathLen events (by time)
+    * concatenated into a path string, counted across users, top
+    * TopPaths reported — the navigation-pattern / funnel-discovery
+    * table. The per-user sequence is one grouped sort_array over
+    * (ts, event_id, type) structs (deterministic: the pair
+    * (ts, event_id) is unique), so the heavy shuffle is user-keyed and
+    * uniform; the path count is a counters-only second aggregate. */
+  def topEventPaths(events: DataFrame): DataFrame = {
+    val paths = events
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull &&
+        col("ts").isNotNull)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .select(array_join(
+        transform(slice(col("evs"), 1, PathLen), e => e.getField("event_type")),
+        ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_users").desc, col("path").asc)
+    paths.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= TopPaths)
+      .select("rnk", "path", "n_users")
+      .orderBy("rnk")
+  }
+
+  val sqlTopEventPaths: String =
+    s"""WITH p AS (
+          SELECT user_id,
+            array_to_string((array_agg(event_type ORDER BY ts, event_id))[1:$PathLen], '>') AS path
+          FROM events
+          WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+          GROUP BY user_id),
+        g AS (SELECT path, count(*) AS n_users FROM p GROUP BY 1),
+        r AS (SELECT path, n_users,
+            CAST(row_number() OVER (ORDER BY n_users DESC, path ASC) AS INTEGER) AS rnk
+          FROM g)
+        SELECT rnk, path, n_users FROM r WHERE rnk <= $TopPaths ORDER BY rnk"""
+
+  /** Per-type z-score standardization of the value column — the
+    * feature-engineering normalize pass. Mean and stddev come from
+    * EXACT integer power sums in the cents domain (one counters-only
+    * aggregate, broadcast back onto a map-only projection), so unlike
+    * stddev_pop() the statistics are partition-order-independent and
+    * the per-row z-score is one fixed double expression tree —
+    * bit-identical across engines. */
+  def zscoreByType(events: DataFrame): DataFrame = {
+    val stats = events
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), floor(col("value") * 100).cast("long").as("x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    events
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        ((floor(col("value") * 100).cast("double") -
+          col("sx").cast("double") / col("n").cast("double")) /
+         (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+           col("sx").cast("double") * col("sx").cast("double")) / col("n").cast("double")))
+          .as("zscore"))
+      .orderBy("event_id")
+  }
+
+  val sqlZscoreByType: String =
+    """WITH s AS (
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sx,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT) * CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sxx
+         FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+         GROUP BY 1)
+       SELECT event_id, event_type, value,
+         (CAST(floor(value * 100) AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) AS zscore
+       FROM events JOIN s USING (event_type)
+       WHERE value IS NOT NULL
+       ORDER BY event_id"""
+
+  val ZBits = 16
+
+  /** Z-order (Morton) clustering key over (user_id, value-cents):
+    * interleaves the low ZBits bits of each dimension so rows close in
+    * BOTH dimensions get close keys. The data-layout operator behind
+    * multi-dimensional file skipping: writing the table
+    * repartitionByRange(zval) + sortWithinPartitions(zval) gives every
+    * parquet file a tight min/max envelope in both columns, so scans
+    * filtered on either dimension prune files (the Delta/Iceberg
+    * OPTIMIZE ZORDER BY shape, built from pure bit arithmetic). The
+    * key itself is row-local — zero shuffle to compute. */
+  def zorderKey(events: DataFrame): DataFrame = {
+    val x = pmod(col("user_id"), lit(1L << ZBits)).cast("long")
+    val y = pmod(floor(col("value") * 100).cast("long"), lit(1L << ZBits))
+    val z = (0 until ZBits).map { i =>
+      (shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+    // value > 0 keeps the cents domain non-negative: Spark's pmod and
+    // SQL's % agree only for non-negative dividends.
+    events
+      .filter(col("user_id").isNotNull && col("value") > 0)
+      .select(col("event_id"), x.as("xd"), y.as("yd"), z.as("zval"))
+      .orderBy("event_id")
+  }
+
+  val sqlZorderKey: String = {
+    val terms = (0 until ZBits).map { i =>
+      s"((xd >> $i) & 1) * ${1L << (2 * i)} + ((yd >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+    s"""WITH d AS (
+          SELECT event_id,
+            CAST(user_id % ${1L << ZBits} AS BIGINT) AS xd,
+            CAST(CAST(floor(value * 100) AS BIGINT) % ${1L << ZBits} AS BIGINT) AS yd
+          FROM events WHERE user_id IS NOT NULL AND value > 0)
+        SELECT event_id, xd, yd, CAST($terms AS BIGINT) AS zval
+        FROM d ORDER BY event_id"""
+  }
+
   /** Deterministic Pearson correlation (value vs hour-of-day) per event
     * type, from EXACT integer power sums: value is floored to cents
     * (exact bigint), the five sums n/Σx/Σy/Σx²/Σy²/Σxy accumulate in

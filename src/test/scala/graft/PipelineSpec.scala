@@ -362,4 +362,65 @@ class CoverageSpec extends SparkSpec {
       assert(math.abs(approx(k) - e).toDouble / e < 0.1, s"$k: approx=${approx(k)} exact=$e")
     }
   }
+
+  import spark.implicits._
+
+  test("percent_rank: min is 0, max is 1, single tie order by key") {
+    val df = Seq((1L, "O", 10.0), (2L, "O", 20.0), (3L, "O", 30.0),
+      (4L, "F", 5.0)).toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val out = Windows.statusPercentRank(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) === 0.0 && out(2L) === 0.5 && out(3L) === 1.0)
+    assert(out(4L) === 0.0) // single-row group
+  }
+
+  test("event paths: ordered per user, truncated, counted") {
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, 1L, "click", 1.0, t("2024-01-01 00:00:01"), "{}"),
+      (2L, 1L, "purchase", 1.0, t("2024-01-01 00:00:02"), "{}"),
+      (3L, 2L, "click", 1.0, t("2024-01-01 00:00:01"), "{}"),
+      (4L, 2L, "purchase", 1.0, t("2024-01-01 00:00:02"), "{}"),
+      (5L, 3L, "view", 1.0, t("2024-01-01 00:00:01"), "{}")
+    ).toDF("event_id", "user_id", "event_type", "value", "ts", "props")
+    val out = Windows.topEventPaths(df).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out === Seq((1, "click>purchase", 2L), (2, "view", 1L)))
+  }
+
+  test("zscore: mean 0, symmetric pair gets +/- same magnitude") {
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val df = Seq(
+      (1L, 1L, "click", 10.0, t, "{}"), (2L, 1L, "click", 20.0, t, "{}"),
+      (3L, 1L, "click", 30.0, t, "{}")
+    ).toDF("event_id", "user_id", "event_type", "value", "ts", "props")
+    val out = Windows.zscoreByType(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(math.abs(out(2L)) < 1e-12)
+    assert(math.abs(out(1L) + out(3L)) < 1e-12 && out(3L) > 0)
+  }
+
+  test("zorder key interleaves bits (x=3,y=1 -> 7; x=0,y=2 -> 8)") {
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val df = Seq(
+      (1L, 3L, "click", 0.01, t, "{}"),  // x=3, y=1 cent
+      (2L, 0L, "click", 0.02, t, "{}")   // x=0, y=2 cents
+    ).toDF("event_id", "user_id", "event_type", "value", "ts", "props")
+    val out = Windows.zorderKey(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // x=3 (bits 0,1 set) -> even positions 0,2 = 1+4; y=1 -> odd position 1 = 2
+    assert(out(1L) === 7L)
+    // y=2 (bit 1) -> odd position 3 = 8
+    assert(out(2L) === 8L)
+  }
+
+  test("group sample: exactly k per stratum, deterministic across runs") {
+    val docs = (0L until 40L).map(i =>
+      (i, s"text $i", if (i % 2 == 0) "en" else "fr", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val a = graft.llm.Curate.groupSample(docs, 3).collect().map(_.toSeq).toSeq
+    val b = graft.llm.Curate.groupSample(docs.repartition(7), 3).collect().map(_.toSeq).toSeq
+    assert(a === b)
+    assert(a.count(_.head == "en") === 3 && a.count(_.head == "fr") === 3)
+  }
 }
