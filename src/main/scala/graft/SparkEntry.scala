@@ -181,7 +181,13 @@ object SparkEntry {
     // Z-order (Morton) clustering key for multi-dim file skipping
     "q_zorder_key" -> ((s, d) => Windows.zorderKey(ev(s, d))),
     // exactly-k-per-stratum deterministic sample
-    "q_group_sample" -> ((s, d) => llm.Curate.groupSample(Tables.documents(s, d)))
+    "q_group_sample" -> ((s, d) => llm.Curate.groupSample(Tables.documents(s, d))),
+    // Count-Min sketch word counts w/ overcount+epsilon oracle booleans
+    "q_cms_topwords" -> ((s, d) => llm.TextStats.cmsTopWords(Tables.documents(s, d))),
+    // weekly cohort retention triangle
+    "q_cohort_retention" -> ((s, d) => Temporal.cohortRetention(ev(s, d))),
+    // incremental daily-summary merge, oracle = full recompute
+    "q_incremental_agg" -> ((s, d) => Temporal.incrementalDailySummary(ev(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -410,6 +416,9 @@ object SparkEntry {
     "q_event_paths" -> Windows.sqlTopEventPaths,
     "q_zscore" -> Windows.sqlZscoreByType,
     "q_zorder_key" -> Windows.sqlZorderKey,
-    "q_group_sample" -> llm.Curate.sqlGroupSample()
+    "q_group_sample" -> llm.Curate.sqlGroupSample(),
+    "q_cms_topwords" -> llm.TextStats.sqlCmsTopWords(),
+    "q_cohort_retention" -> Temporal.sqlCohortRetention,
+    "q_incremental_agg" -> Temporal.sqlIncrementalDailySummary
   )
 }

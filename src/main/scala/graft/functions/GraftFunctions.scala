@@ -28,7 +28,9 @@ object GraftFunctions {
     "minhash_sigs" -> (e => MinhashSigs(e(0), e(1), intArg(e(2)))),
     "simhash64" -> (e => SimHash64(e(0))),
     "winnow_fps" -> (e => WinnowFingerprints(e(0), intArg(e(1)), intArg(e(2)))),
-    "top_word_count" -> (e => TopWordCount(e(0))))
+    "top_word_count" -> (e => TopWordCount(e(0))),
+    "cms_build" -> (e => CountMinBuild(e(0)).toAggregateExpression()),
+    "cms_query" -> (e => CountMinQuery(e(0), e(1))))
 
   /** Register every function on a live session (idempotent). */
   def registerAll(spark: SparkSession): Unit =

@@ -410,6 +410,49 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  val CmsTopK = 20
+
+  /** Count–Min-sketch word counts, checked against exact counts: the
+    * sketch aggregate's shuffle is one fixed 64 KB counter matrix per
+    * map partition regardless of corpus size (vs the exact histogram's
+    * vocabulary-sized shuffle — THE sketch trade at 100 TB), and the
+    * oracle verifies the CMS guarantees as booleans on the top-k
+    * words: estimate ≥ exact always, and ≤ exact + (2/Width)·N. Same
+    * tolerance-boolean pattern as q_approx_distinct — the oracle emits
+    * exact counts and literal TRUEs, so a hash match means the sketch
+    * honored its bounds on this corpus. */
+  def cmsTopWords(documents: DataFrame, k: Int = CmsTopK): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(documents.sparkSession)
+    val words = documents.select(explode(TextPrep.wordsCol).as("word"))
+    val sketch = words.agg(call_function("cms_build", col("word")).as("sk"))
+    val tot = words.agg(count(lit(1)).as("n_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_exact").desc, col("word").asc)
+    val eps = 2.0 / graft.functions.Cms.Width
+    words.groupBy("word").agg(count(lit(1)).as("n_exact"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .crossJoin(broadcast(sketch)).crossJoin(broadcast(tot))
+      .select(col("rnk"), col("word"), col("n_exact"),
+        (call_function("cms_query", col("sk"), col("word")) >= col("n_exact"))
+          .as("est_ge_exact"),
+        (call_function("cms_query", col("sk"), col("word")).cast("double") <=
+          col("n_exact").cast("double") + lit(eps) * col("n_total").cast("double"))
+          .as("est_within_eps"))
+      .orderBy("rnk")
+  }
+
+  def sqlCmsTopWords(k: Int = CmsTopK): String =
+    s"""WITH wds AS (
+          SELECT unnest(${TextPrep.sqlWords}) AS word FROM documents),
+        g AS (SELECT word, count(*) AS n_exact FROM wds GROUP BY 1),
+        r AS (SELECT word, n_exact,
+            CAST(row_number() OVER (ORDER BY n_exact DESC, word ASC) AS INTEGER) AS rnk
+          FROM g)
+        SELECT rnk, word, n_exact,
+          TRUE AS est_ge_exact, TRUE AS est_within_eps
+        FROM r WHERE rnk <= $k ORDER BY rnk"""
+
   /** Bigram-LM fluency score: per document, the mean integerized
     * surprisal of its distinct bigrams under the corpus bigram
     * document-frequency model — bits(bigram) = floor(log2(N / df)),

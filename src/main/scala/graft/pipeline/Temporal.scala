@@ -109,4 +109,69 @@ object Temporal {
        SELECT user_id, first_click, first_purchase,
          first_purchase IS NOT NULL AS converted
        FROM fp ORDER BY user_id"""
+
+  /** Weekly cohort retention: users grouped by first-activity week
+    * (Monday-truncated in both engines), counted as retained in each
+    * later week they were active — the classic cohort triangle. Two
+    * user-keyed shuffles (first-week aggregate + distinct activity),
+    * then a counters-only rollup; week offsets are exact integer day
+    * arithmetic, so no calendar-function drift can leak in. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val acts = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    val cohorts = acts.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+    acts.join(cohorts, "user_id")
+      .select(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val sqlCohortRetention: String =
+    """WITH acts AS (
+         SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+         FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       c AS (SELECT user_id, min(wk) AS cohort_week FROM acts GROUP BY 1)
+       SELECT cohort_week,
+         CAST(date_diff('day', cohort_week, wk) // 7 AS INTEGER) AS week_offset,
+         count(*) AS n_users
+       FROM acts JOIN c USING (user_id)
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Incremental aggregate maintenance: the daily (event_type, day)
+    * summary kept as running partials, refreshed by aggregating ONLY
+    * the new day's slice and re-merging — the merge-on-read /
+    * materialized-view pattern that replaces full recomputes at
+    * warehouse scale (the recompute reads one day; the merge reads the
+    * compact summary). Partials carry DECIMAL sums end to end — the
+    * merge must re-add exact partials, never doubles, or the merged
+    * total depends on merge order. Oracle = the full recompute, so a
+    * hash match proves merge == recompute exactly. */
+  def incrementalDailySummary(events: DataFrame): DataFrame = {
+    val typed = events
+      .filter(col("event_type").isNotNull && col("ts").isNotNull)
+      .select(col("event_type"), col("ts").cast("date").as("day"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val cutoff = typed.agg(max(col("day")).as("cut"))
+    val parts = typed.crossJoin(broadcast(cutoff))
+      .withColumn("slice", when(col("day") < col("cut"), "base").otherwise("delta"))
+      .groupBy("slice", "event_type", "day")
+      .agg(count(col("v")).as("n"), sum(col("v")).as("sv"))
+    parts
+      .groupBy("event_type", "day")
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("sv")).cast("double").as("sum_value"))
+      .orderBy("event_type", "day")
+  }
+
+  val sqlIncrementalDailySummary: String =
+    """SELECT event_type, CAST(ts AS DATE) AS day,
+       count(value) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events
+       WHERE event_type IS NOT NULL AND ts IS NOT NULL
+       GROUP BY 1, 2 ORDER BY 1, 2"""
 }

@@ -414,6 +414,37 @@ class CoverageSpec extends SparkSpec {
     assert(out(2L) === 8L)
   }
 
+  test("cohort retention: offsets count distinct active users per week") {
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, 1L, "click", 1.0, t("2024-01-01 10:00:00"), "{}"), // cohort wk of Jan 1 (Mon)
+      (2L, 1L, "view", 1.0, t("2024-01-02 10:00:00"), "{}"),  // same week, same user
+      (3L, 1L, "click", 1.0, t("2024-01-08 10:00:00"), "{}"), // next week
+      (4L, 2L, "click", 1.0, t("2024-01-08 10:00:00"), "{}")  // new cohort wk2
+    ).toDF("event_id", "user_id", "event_type", "value", "ts", "props")
+    val out = Temporal.cohortRetention(df).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).toSeq
+    assert(out === Seq(("2024-01-01", 0, 1L), ("2024-01-01", 1, 1L),
+      ("2024-01-08", 0, 1L)))
+  }
+
+  test("incremental summary merge equals full recompute") {
+    val ev = Tables.events(spark, sf())
+    val merged = Temporal.incrementalDailySummary(ev).collect()
+    val full = ev
+      .filter(col("event_type").isNotNull && col("ts").isNotNull)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(col("value")).as("n"),
+        Aggregate.moneySum(col("value")).as("sv"))
+      .orderBy("event_type", "day").collect()
+    assert(merged.length === full.length)
+    merged.zip(full).foreach { case (m, f) =>
+      assert(m.getString(0) === f.getString(0) && m.getDate(1) === f.getDate(1))
+      assert(m.getLong(2) === f.getLong(2))
+      assert(m.getDouble(3) === f.getDouble(3))
+    }
+  }
+
   test("group sample: exactly k per stratum, deterministic across runs") {
     val docs = (0L until 40L).map(i =>
       (i, s"text $i", if (i % 2 == 0) "en" else "fr", "s", 0L))

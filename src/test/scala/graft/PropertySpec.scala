@@ -146,6 +146,40 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("cms: hash columns match the md5-hex spec; estimate >= true count; merge == union") {
+    import graft.functions.Cms
+    // cols() reads digest bytes directly; re-derive via hex parsing
+    check(Prop.forAll(Gen.alphaNumStr.suchThat(_.nonEmpty)) { s =>
+      val hex = md5Hex(s)
+      val ha = java.lang.Long.parseLong(hex.substring(0, 15), 16) % Cms.HashP
+      val hb = java.lang.Long.parseLong(hex.substring(16, 31), 16) % Cms.HashP
+      val expect = Array.tabulate(Cms.Depth)(i =>
+        ((ha + (i + 1) * hb) % Cms.HashP % Cms.Width).toInt)
+      Cms.cols(UTF8String.fromString(s)).toSeq == expect.toSeq
+    }, n = 200)
+    // overcount guarantee + merge-commutes on random word bags
+    val word = Gen.oneOf("a", "b", "cc", "dd", "ee", "ff", "gg", "hh")
+    check(Prop.forAll(Gen.listOf(word), Gen.listOf(word)) { (xs, ys) =>
+      def build(ws: Seq[String]): Array[Long] = {
+        val buf = new Array[Long](Cms.Depth * Cms.Width)
+        ws.foreach { w =>
+          val cs = Cms.cols(UTF8String.fromString(w))
+          (0 until Cms.Depth).foreach(i => buf(i * Cms.Width + cs(i)) += 1L)
+        }
+        buf
+      }
+      def query(buf: Array[Long], w: String): Long = {
+        val cs = Cms.cols(UTF8String.fromString(w))
+        (0 until Cms.Depth).map(i => buf(i * Cms.Width + cs(i))).min
+      }
+      val merged = build(xs).zip(build(ys)).map { case (a, b) => a + b }
+      val direct = build(xs ++ ys)
+      val all = (xs ++ ys)
+      merged.toSeq == direct.toSeq &&
+        all.distinct.forall(w => query(direct, w) >= all.count(_ == w))
+    }, n = 100)
+  }
+
   test("heap merge is equivalent to inserting the union") {
     val entry = Gen.zip(Gen.choose(-5.0, 5.0), Gen.choose(0L, 30L))
     check(Prop.forAll(Gen.listOf(entry), Gen.listOf(entry), Gen.choose(1, 6)) {
