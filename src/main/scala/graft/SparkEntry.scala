@@ -187,7 +187,11 @@ object SparkEntry {
     // weekly cohort retention triangle
     "q_cohort_retention" -> ((s, d) => Temporal.cohortRetention(ev(s, d))),
     // incremental daily-summary merge, oracle = full recompute
-    "q_incremental_agg" -> ((s, d) => Temporal.incrementalDailySummary(ev(s, d)))
+    "q_incremental_agg" -> ((s, d) => Temporal.incrementalDailySummary(ev(s, d))),
+    // MinHash estimator accuracy vs exact jaccard (4-sigma boolean)
+    "q_minhash_est" -> ((s, d) => llm.Dedup.minhashEstimateCheck(Tables.documents(s, d))),
+    // Tukey-fence IQR outlier report per type (exact quartiles)
+    "q_iqr_outliers" -> ((s, d) => Windows.iqrOutliers(ev(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -419,6 +423,8 @@ object SparkEntry {
     "q_group_sample" -> llm.Curate.sqlGroupSample(),
     "q_cms_topwords" -> llm.TextStats.sqlCmsTopWords(),
     "q_cohort_retention" -> Temporal.sqlCohortRetention,
-    "q_incremental_agg" -> Temporal.sqlIncrementalDailySummary
+    "q_incremental_agg" -> Temporal.sqlIncrementalDailySummary,
+    "q_minhash_est" -> llm.Dedup.sqlMinhashEstimateCheck(),
+    "q_iqr_outliers" -> Windows.sqlIqrOutliers
   )
 }

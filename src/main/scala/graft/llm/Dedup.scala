@@ -692,6 +692,76 @@ object Dedup {
         WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= $maxDist
         ORDER BY doc_a, doc_b"""
 
+  // ---- MinHash estimator accuracy check ------------------------------
+
+  val BottomK = 64
+  val EstTol = 0.25
+
+  /** Bottom-k (Broder) resemblance estimator, verified against exact
+    * Jaccard: each document keeps the k smallest shingle-hash values
+    * (ONE hash function — a k-sample without replacement of the set);
+    * for a pair, est = |bottomk(A ∪ B) ∩ A ∩ B| / |bottomk(A ∪ B)|,
+    * the classic unbiased resemblance estimate with σ ≤ sqrt(J(1-J)/k).
+    * Note this is deliberately NOT the Kirsch–Mitzenmacher signature
+    * family used for LSH banding: rows of ha + i·hb form the lower
+    * envelope of lines in i, so only a handful of distinct minimizers
+    * exist per set and the per-row agreement estimator stays
+    * correlated no matter how many rows — measured maxdev 0.38 at 64
+    * rows AND 0.43 at 128 on sf0.1. Fine for banding (bands need only
+    * collision locality), wrong for estimation; bottom-k restores
+    * genuinely independent samples. Completes the estimator-verification set
+    * (HLL, quantile sketch, Count–Min, MinHash): every sketch this
+    * engine ships has its accuracy contract oracle-checked — here the
+    * estimate itself is cross-engine-reproducible, so the oracle
+    * checks est EXACTLY plus the tolerance boolean.
+    *
+    * Scale shape: the bottom-k array is a row-local sort+slice of the
+    * per-doc hash list (k·8 bytes per doc moves, not the text); the
+    * pair set is the bounded exact-Jaccard candidates. */
+  def minhashEstimateCheck(documents: DataFrame,
+                           threshold: Double = 0.3): DataFrame = {
+    val ks = TextPrep.docShingles(documents).select(col("doc_id"),
+      slice(array_sort(col("ha")), 1, BottomK).as("bk"))
+    jaccardPairs(documents, threshold)
+      .join(ks.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(ks.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), {
+        val u = slice(array_sort(array_union(col("x.bk"), col("y.bk"))), 1, BottomK)
+        (size(array_intersect(array_intersect(u, col("x.bk")), col("y.bk")))
+          .cast("double") / least(lit(BottomK), size(u)).cast("double")).as("est")
+      })
+      .withColumn("est_within_tol", abs(col("est") - col("jaccard")) <= EstTol)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def sqlMinhashEstimateCheck(threshold: Double = 0.3): String =
+    s"""WITH ${TextPrep.sqlShingleCtes},
+        ks AS (
+          SELECT doc_id, (list_sort(ha))[1:$BottomK] AS bk FROM docs),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT doc_a, doc_b,
+            CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+          FROM inter
+          JOIN sizes sa ON doc_a = sa.doc_id
+          JOIN sizes sb ON doc_b = sb.doc_id
+          WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= $threshold),
+        est AS (
+          SELECT doc_a, doc_b, jaccard,
+            (list_sort(list_distinct(x.bk || y.bk)))[1:$BottomK] AS u,
+            x.bk AS xbk, y.bk AS ybk
+          FROM pairs JOIN ks x ON doc_a = x.doc_id JOIN ks y ON doc_b = y.doc_id)
+        SELECT doc_a, doc_b, jaccard,
+          CAST(len(list_intersect(list_intersect(u, xbk), ybk)) AS DOUBLE)
+            / CAST(least($BottomK, len(u)) AS DOUBLE) AS est,
+          abs(CAST(len(list_intersect(list_intersect(u, xbk), ybk)) AS DOUBLE)
+            / CAST(least($BottomK, len(u)) AS DOUBLE) - jaccard) <= $EstTol
+            AS est_within_tol
+        FROM est ORDER BY doc_a, doc_b"""
+
   // ---- blocked edit-distance near-dup --------------------------------
 
   val TitleWords = 6

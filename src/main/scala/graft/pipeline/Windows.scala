@@ -409,12 +409,14 @@ object Windows {
     events
       .filter(col("value").isNotNull && col("event_type").isNotNull)
       .join(broadcast(stats), "event_type")
-      .select(col("event_id"), col("event_type"), col("value"),
+      .select(col("event_id"), col("event_type"), col("value"), {
+        // NULLIF: zero-variance group → NULL z-score, not an ANSI error
+        val std = sqrt(col("n").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) / col("n").cast("double")
         ((floor(col("value") * 100).cast("double") -
           col("sx").cast("double") / col("n").cast("double")) /
-         (sqrt(col("n").cast("double") * col("sxx").cast("double") -
-           col("sx").cast("double") * col("sx").cast("double")) / col("n").cast("double")))
-          .as("zscore"))
+          when(std =!= 0.0, std)).as("zscore")
+      })
       .orderBy("event_id")
   }
 
@@ -427,11 +429,56 @@ object Windows {
          GROUP BY 1)
        SELECT event_id, event_type, value,
          (CAST(floor(value * 100) AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) AS zscore
+         / NULLIF(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 0) AS zscore
        FROM events JOIN s USING (event_type)
        WHERE value IS NOT NULL
        ORDER BY event_id"""
+
+  /** Tukey-fence (IQR) outlier report per event type: exact
+    * interpolated quartiles (the oracle-checkable baseline;
+    * approx_percentile is the sketch path, same trade as
+    * q_approx_quantiles), fences at 1.5·IQR, and the outlier count —
+    * the data-quality "how many points are suspect" table. The fence
+    * arithmetic is one fixed double expression tree over two exact
+    * percentiles, identical in both engines; the quartile computation
+    * is one grouped sort, the recount one broadcast-join scan. */
+  def iqrOutliers(events: DataFrame): DataFrame = {
+    val stats = events
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, array(0.25D, 0.75D))").as("q"))
+      .select(col("event_type"),
+        col("q").getItem(0).as("q1"), col("q").getItem(1).as("q3"))
+      .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+    events
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .join(broadcast(stats), "event_type")
+      .groupBy("event_type")
+      .agg(first(col("q1")).as("q1"), first(col("q3")).as("q3"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+        count(lit(1)).as("n"),
+        count(when(col("value") < col("lo") || col("value") > col("hi"), 1))
+          .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  val sqlIqrOutliers: String =
+    """WITH s AS (
+         SELECT event_type,
+           quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+         FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+         GROUP BY 1),
+       f AS (
+         SELECT event_type, q1, q3,
+           q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+         FROM s)
+       SELECT event_type, q1, q3, lo, hi, count(*) AS n,
+         count(CASE WHEN value < lo OR value > hi THEN 1 END) AS n_outliers
+       FROM events JOIN f USING (event_type)
+       WHERE value IS NOT NULL
+       GROUP BY 1, 2, 3, 4, 5 ORDER BY 1"""
 
   val ZBits = 16
 
@@ -494,14 +541,18 @@ object Windows {
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
         sum(col("x") * col("y")).as("sxy"))
-      .select(col("event_type"), col("n"),
+      .select(col("event_type"), col("n"), {
+        // NULLIF(denom, 0): a zero-variance group yields NULL in both
+        // engines instead of an ANSI divide-by-zero error.
+        val denom =
+          sqrt(col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+          sqrt(col("n").cast("double") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))
         ((col("n").cast("double") * col("sxy").cast("double") -
           col("sx").cast("double") * col("sy").cast("double")) /
-         (sqrt(col("n").cast("double") * col("sxx").cast("double") -
-           col("sx").cast("double") * col("sx").cast("double")) *
-          sqrt(col("n").cast("double") * col("syy").cast("double") -
-            col("sy").cast("double") * col("sy").cast("double"))))
-          .as("pearson_r"))
+          when(denom =!= 0.0, denom)).as("pearson_r")
+      })
       .orderBy("event_type")
 
   val sqlCorrValueHour: String =
@@ -520,9 +571,9 @@ object Windows {
        SELECT event_type, n,
          (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         / NULLIF(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
           * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS pearson_r
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0) AS pearson_r
        FROM g ORDER BY event_type"""
 }

@@ -623,6 +623,35 @@ class TopKAggSpec extends SparkSpec {
     assert(top === Seq(6L, 5L))
   }
 
+  test("minhash estimate: identical docs estimate jaccard 1.0 within tolerance") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today", "en", "s0", 49L),
+      (1L, "the quick brown fox jumps over the lazy dog today", "en", "s1", 49L),
+      (2L, "the quick brown fox jumps over the lazy cat today", "en", "s2", 49L),
+      (3L, "completely different words here about spark engines", "en", "s3", 52L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.minhashEstimateCheck(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    val (j01, e01, ok01) = out((0L, 1L))
+    // exact dup and sets smaller than k: bottom-k degenerates to exact
+    assert(j01 === 1.0 && e01 === 1.0 && ok01)
+    val (j02, e02, ok02) = out((0L, 2L))
+    assert(j02 === e02 && ok02) // sets < k → estimator is exact here too
+  }
+
+  test("iqr outliers: single far point flagged, fences from exact quartiles") {
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val vals = Seq(10.0, 11.0, 12.0, 13.0, 14.0, 1000.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, 1L, "click", v, t, "{}")
+    }.toDF("event_id", "user_id", "event_type", "value", "ts", "props")
+    val r = pipeline.Windows.iqrOutliers(df).collect().head
+    assert(r.getLong(5) === 6L)      // n
+    assert(r.getLong(6) === 1L)      // the 1000.0 point
+    assert(r.getDouble(1) < r.getDouble(2)) // q1 < q3
+  }
+
   test("c4 filter: each rule fires on its designed violation") {
     val longOk = ("the " + Seq.fill(40)("word").mkString(" ")).trim // 41 words, has stopword
     val rows = Seq(
@@ -682,10 +711,11 @@ class TopKAggSpec extends SparkSpec {
         java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00"), "{}")
     } :+ ((100L, 7L, "view", 5.0, ts0, "{}"))
     val df = rows.toDF("event_id", "user_id", "event_type", "value", "ts", "props")
-    val out = pipeline.Windows.corrValueHour(df).collect()
-      .map(r => r.getString(0) -> r.getDouble(2)).toMap
-    assert(math.abs(out("click") - 1.0) < 1e-12) // value = 2*hour exactly
-    assert(out("view").isNaN)    // single point: zero variance
+    val got = pipeline.Windows.corrValueHour(df).collect()
+    val click = got.find(_.getString(0) == "click").get
+    assert(math.abs(click.getDouble(2) - 1.0) < 1e-12) // value = 2*hour exactly
+    val view = got.find(_.getString(0) == "view").get
+    assert(view.isNullAt(2)) // single point: zero variance -> NULL, not ANSI error
   }
 
   test("salted enrich equals the unsalted join aggregate") {
