@@ -14,6 +14,11 @@ object Bench {
     // eliminate sorts and prune projections — flattering but false).
     // Returns elapsed seconds, or -1.0 if the query threw — a failure
     // sentinel, so a fast exception can never masquerade as a fast run.
+    // Per-query progress to a FILE (never stdout/stderr: the harness
+    // that reads the final JSON line keeps only the output tail, and
+    // extra lines would push the JSON out of its capture window).
+    val progress = new java.io.PrintWriter(
+      new java.io.FileWriter("bench_progress.log", /*append=*/ false), /*autoFlush=*/ true)
     def run(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok =
@@ -25,7 +30,9 @@ object Bench {
       // Queries may cache intermediates; drop them so later queries
       // aren't measured under accumulated heap pressure.
       spark.catalog.clearCache()
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val dt = (System.nanoTime() - t0) / 1e9
+      progress.println(f"$name%-24s ${if (ok) f"$dt%8.2f" else "FAILED"}")
+      if (ok) dt else -1.0
     }
     // Two FULL passes over the suite, min per query ACROSS passes —
     // not two back-to-back runs per query. Pass 1 doubles as JIT
