@@ -336,10 +336,22 @@ object Dedup {
         .select(col("doc_id"), col("old"),
           least(col("old"), coalesce(col("nmin"), col("old"))).as("label"))
         .localCheckpoint()
-      converged = updated.filter(col("label") =!= col("old")).limit(1).isEmpty
+      // count()==0, not take(1)/isEmpty: take(1) launches partitions
+      // incrementally and cancels the rest on first hit, and a
+      // cancelled-but-running task can keep burning a core into the
+      // NEXT queries (observed: a 4 s query turning into 193 s
+      // in-suite with a degraded tail behind it). count() drains every
+      // task deterministically — the label table is small.
+      converged = updated.filter(col("label") =!= col("old")).count() == 0L
+      val prev = labels
       labels = updated.select("doc_id", "label")
+      // The new checkpoint truncates lineage, so the previous round's
+      // blocks are dead — drop them instead of leaking RDD storage
+      // that catalog.clearCache() never sees.
+      prev.unpersist()
       round += 1
     }
+    sym.unpersist()
     // A silent cap-out would return labels that are NOT component minima
     // (the documented contract) — fail loudly instead. Only reachable on
     // a component of diameter > maxRounds, i.e. a chain, which LSH's
