@@ -153,11 +153,6 @@ case class CountMinQuery(left: Expression, right: Expression)
 }
 
 object CmsSketch {
-  /** Register both functions (idempotent). */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cms_build", exprs => CountMinBuild(exprs(0)).toAggregateExpression(), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cms_query", exprs => CountMinQuery(exprs(0), exprs(1)), "built-in")
-  }
+  /** Register both functions (idempotent, silent). */
+  def register(spark: SparkSession): Unit = GraftFunctions.registerAll(spark)
 }

@@ -32,12 +32,20 @@ object GraftFunctions {
     "cms_build" -> (e => CountMinBuild(e(0)).toAggregateExpression()),
     "cms_query" -> (e => CountMinQuery(e(0), e(1))))
 
-  /** Register every function on a live session (idempotent). */
-  def registerAll(spark: SparkSession): Unit =
+  /** Register every function on a live session. Idempotent AND silent:
+    * re-registering an existing name makes `SimpleFunctionRegistry` log a
+    * "replaced a previously registered function" WARN, and operators call
+    * this on every invocation — in a 96-query bench session that flood was
+    * 100% of the harness's captured output tail (round 3). Guard on
+    * existence so the second and later calls are no-ops.
+    */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
     all.foreach { case (name, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "built-in")
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
+  }
 
   private[functions] def inject(ext: SparkSessionExtensions): Unit =
     all.foreach { case (name, builder) =>

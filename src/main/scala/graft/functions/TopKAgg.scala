@@ -169,12 +169,6 @@ object TopKByScore {
     }
   }
 
-  /** Register SQL-callable `top_k_by(score, id, k)` (idempotent). */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "top_k_by",
-      exprs => TopKByScore(exprs(0), exprs(1),
-        exprs(2).eval(null).asInstanceOf[Int]).toAggregateExpression(),
-      "built-in")
-  }
+  /** Register SQL-callable `top_k_by(score, id, k)` (idempotent, silent). */
+  def register(spark: SparkSession): Unit = GraftFunctions.registerAll(spark)
 }

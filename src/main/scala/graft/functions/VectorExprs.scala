@@ -85,9 +85,6 @@ object DotProductD {
 }
 
 object VectorExprs {
-  /** Register SQL-callable vector functions on a session (idempotent). */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_d", exprs => DotProductD(exprs(0), exprs(1)), "built-in")
-  }
+  /** Register SQL-callable vector functions on a session (idempotent, silent). */
+  def register(spark: SparkSession): Unit = GraftFunctions.registerAll(spark)
 }
