@@ -153,6 +153,8 @@ object SparkEntry {
     "q_funnel" -> ((s, d) => Temporal.funnel(ev(s, d))),
     // corpus quality-decile report (exact ntile baseline)
     "q_quality_deciles" -> ((s, d) => llm.Curate.qualityDeciles(Tables.documents(s, d))),
+    // 100 TB decile path: approx_percentile cutpoints, tolerance oracle
+    "q_quality_deciles_approx" -> ((s, d) => llm.Curate.qualityDecilesApprox(Tables.documents(s, d))),
     // crawl-snapshot reconciliation: full outer join on content hashes
     "q_corpus_diff" -> ((s, d) => llm.Dedup.corpusDiff(Tables.documents(s, d))),
     // corpus bigram table: top-100 by document frequency
@@ -407,6 +409,7 @@ object SparkEntry {
     "q_gap_fill" -> Temporal.sqlGapFillDaily,
     "q_funnel" -> Temporal.sqlFunnel,
     "q_quality_deciles" -> llm.Curate.sqlQualityDeciles(),
+    "q_quality_deciles_approx" -> llm.Curate.sqlQualityDecilesApprox(),
     "q_corpus_diff" -> llm.Dedup.sqlCorpusDiff,
     "q_bigram_counts" -> llm.Dedup.sqlBigramCounts(),
     "q_c4_filter" -> llm.Curate.sqlC4Filter,

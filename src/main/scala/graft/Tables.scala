@@ -15,16 +15,26 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long and convert to TIMESTAMP_NTZ at
-    * microsecond precision (exactly DuckDB's behavior for timestamp_ns,
-    * so oracle comparisons line up). Session TZ is pinned UTC.
+  /** `events.ts` has shipped as BOTH parquet TIMESTAMP(NANOS) (rounds
+    * 1–3) and plain TIMESTAMP(MICROS) (the regenerated round-5 data),
+    * so branch on what the footer actually declares instead of assuming
+    * either: NANOS is unreadable by Spark's vectorized reader, so it is
+    * read as long (legacy conf) and converted to TIMESTAMP_NTZ at
+    * microsecond precision (exactly DuckDB's behavior for
+    * timestamp_ns); MICROS is read directly and only normalized to
+    * TIMESTAMP_NTZ. Session TZ is pinned UTC either way.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+      case _ =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampNTZType))
+    }
   }
   def orders(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "lineitem")

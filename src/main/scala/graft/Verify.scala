@@ -1,41 +1,45 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Ordered for partial-failure survival (round 4's correctness artifact
+  * came back EMPTY — the run died before anything comparable landed):
+  * oracle_sql.json is written FIRST, so however early the process dies,
+  * whatever query parquet did land is comparable; Spark's block-manager
+  * files live under ./target (not /tmp, which the host reaps mid-run —
+  * r4 lost a live shuffle index file that way and the JVM died); and the
+  * session is rebuilt after any query failure so one session-level death
+  * cannot cascade through the remaining dumps (r3's five-query tail
+  * cascade).
+  */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  private def newSession(cpus: String): SparkSession = {
+    val localDir = new java.io.File("target/spark-local-verify").getAbsolutePath
+    new java.io.File(localDir).mkdirs()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", localDir)
       // see Bench.scala: blocking cleaner RPCs stall stage submission
       // once a long session's garbage starts flushing
       .config("spark.cleaner.referenceTracking.blocking", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.registerAll(spark)
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      // Drop any stale output first: a failed query must not leave a
-      // previous run's parquet behind to be compared as if fresh.
-      val dir = Paths.get(s"$outDir/$name")
-      if (Files.exists(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
-      }
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      spark.catalog.clearCache()
-      // localCheckpoint blocks live at the RDD layer; clearCache()
-      // never drops them, and they'd accumulate across 90+ queries.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-    }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -51,6 +55,40 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    val progress = new java.io.PrintWriter(
+      new java.io.FileWriter("verify_progress.log", /*append=*/ false), /*autoFlush=*/ true)
+    var spark = newSession(cpus)
+    val t0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - t0) / 1e9
+
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // Drop any stale output first: a failed query must not leave a
+      // previous run's parquet behind to be compared as if fresh.
+      val dir = Paths.get(s"$outDir/$name")
+      if (Files.exists(dir)) {
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        progress.println(f"[${elapsedS}%8.1f] $name%-24s ok")
+      } catch { case e: Throwable =>
+        val first = Option(e.getMessage).getOrElse("").linesIterator
+          .take(1).mkString.take(200)
+        progress.println(f"[${elapsedS}%8.1f] $name%-24s FAILED  ${e.getClass.getSimpleName}: $first")
+        System.err.println(s"[verify] $name failed: $first")
+        try spark.stop() catch { case _: Throwable => () }
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        spark = newSession(cpus)
+      }
+      spark.catalog.clearCache()
+      // localCheckpoint blocks live at the RDD layer; clearCache()
+      // never drops them, and they'd accumulate across 90+ queries.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    progress.close()
     spark.stop()
   }
 }

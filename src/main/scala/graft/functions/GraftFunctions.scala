@@ -32,20 +32,30 @@ object GraftFunctions {
     "cms_build" -> (e => CountMinBuild(e(0)).toAggregateExpression()),
     "cms_query" -> (e => CountMinQuery(e(0), e(1))))
 
+  /** Sessions already holding graft's functions. Weak keys: a stopped
+    * session must not be pinned in memory by this registry guard. */
+  private val registeredSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   /** Register every function on a live session. Idempotent AND silent:
     * re-registering an existing name makes `SimpleFunctionRegistry` log a
     * "replaced a previously registered function" WARN, and operators call
     * this on every invocation — in a 96-query bench session that flood was
-    * 100% of the harness's captured output tail (round 3). Guard on
-    * existence so the second and later calls are no-ops.
+    * 100% of the harness's captured output tail (round 3). Idempotency is
+    * keyed on the SESSION, not on name existence: a user temp function
+    * that happens to share a name (e.g. their own `top_k_by`) must not
+    * silently shadow graft's — the first registerAll on a session always
+    * installs graft's builders (the registry logs one replace-WARN per
+    * collision, which is the right notice), and later calls are no-ops.
     */
-  def registerAll(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    all.foreach { case (name, builder) =>
-      if (!reg.functionExists(FunctionIdentifier(name)))
+  def registerAll(spark: SparkSession): Unit =
+    if (registeredSessions.put(spark, java.lang.Boolean.TRUE) == null) {
+      val reg = spark.sessionState.functionRegistry
+      all.foreach { case (name, builder) =>
         reg.createOrReplaceTempFunction(name, builder, "built-in")
+      }
     }
-  }
 
   private[functions] def inject(ext: SparkSessionExtensions): Unit =
     all.foreach { case (name, builder) =>

@@ -343,6 +343,50 @@ object Curate {
       .orderBy("decile")
   }
 
+  /** The 100 TB decile path: bucket by approx_percentile CUTPOINTS
+    * instead of a global ntile sort. The sketch is fixed-size per map
+    * partition; bucketing is then one broadcast of (n-1) cutpoints and
+    * a map-only pass — no global sort anywhere. Because sketch
+    * cutpoints differ from exact rank boundaries, per-bucket counts are
+    * verified as tolerance BOOLEANS (same oracle pattern as
+    * q_approx_quantiles): |n_docs − n_total/n| must stay within the
+    * sketch's rank-error bound (accuracy 10000 → ≤ n/10⁴ per cutpoint)
+    * plus a 10 % equal-split slack for value ties, which a value-bucket
+    * cannot split the way ntile does. A decile spine guarantees all n
+    * rows exist even if ties collapse a bucket. */
+  def qualityDecilesApprox(documents: DataFrame, n: Int = NumDeciles): DataFrame = {
+    val spark = documents.sparkSession
+    val scores = TextStats.textStats(documents)
+      .select(col("doc_id"), col("quality_score"))
+    val probs = (1 until n).map(i => s"${i.toDouble / n}D").mkString(",")
+    val cutsRow = scores.agg(
+      expr(s"approx_percentile(quality_score, array($probs), 10000)").as("cuts"),
+      count(lit(1)).as("n_total"))
+    val counts = scores.crossJoin(broadcast(cutsRow))
+      .select(col("n_total"),
+        (size(filter(col("cuts"), c => col("quality_score") > c)) + 1)
+          .cast("int").as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("n_docs"))
+    val spine = spark.range(1, n + 1L)
+      .select(col("id").cast("int").as("decile"))
+    spine.join(counts, Seq("decile"), "left")
+      .crossJoin(broadcast(cutsRow.select(col("n_total").as("nt"))))
+      .select(col("decile"), col("nt").as("n_total"),
+        (abs(coalesce(col("n_docs"), lit(0L)).cast("double") -
+          col("nt").cast("double") / n) <=
+          lit(0.10) * col("nt").cast("double") / n +
+          lit(2.0 / 10000.0) * col("nt").cast("double") + lit(10.0))
+          .as("count_within_tol"))
+      .orderBy("decile")
+  }
+
+  def sqlQualityDecilesApprox(n: Int = NumDeciles): String =
+    s"""WITH stats AS (${TextStats.sqlTextStats}),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM stats)
+        SELECT CAST(g.d AS INTEGER) AS decile, n_total,
+          TRUE AS count_within_tol
+        FROM generate_series(1, $n) AS g(d), tot ORDER BY decile"""
+
   def sqlQualityDeciles(n: Int = NumDeciles): String =
     s"""WITH stats AS (${TextStats.sqlTextStats}),
         d AS (

@@ -560,16 +560,17 @@ object Dedup {
     * sorts the surviving VOCABULARY-sized table, never the corpus. */
   def bigramCounts(documents: DataFrame, topN: Int = BigramTopN): DataFrame = {
     graft.functions.TextHashExprs.register(documents.sparkSession)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n_docs").desc, col("bigram").asc)
-    documents
+    val counts = documents
       .select(col("doc_id"),
         explode(call_function("shingle_hashes", col("text"), lit(2))
           .getField("shs")).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n_docs"))
-      .withColumn("rnk", row_number().over(w).cast("int"))
-      .filter(col("rnk") <= topN)
+    // bounded top-k rank (TakeOrderedAndProject) — a global window here
+    // would single-partition the whole bigram table, strictly larger
+    // than the vocabulary
+    graft.util.TopN.rankedTopN(counts,
+        struct((-col("n_docs")).as("nk"), col("bigram").as("bk")), topN, "rnk")
       .select("rnk", "bigram", "n_docs")
       .orderBy("rnk")
   }

@@ -226,30 +226,63 @@ object TextStats {
 
   val VocabTopN = 1000
 
-  /** Vocabulary build — the tokenizer-training primitive: every word
-    * ranked by corpus occurrence count (ties → lexicographic), with
-    * document frequency alongside. Two hash aggregates; the ranking
-    * sorts the VOCABULARY (not the corpus), and only the top-N leave
-    * the driver. At 100 TB, pre-filter hapaxes (count ≥ 2 drops the
-    * long tail by ~half) before the rank sort if the vocabulary itself
-    * becomes large. */
-  def vocab(documents: DataFrame, topN: Int = VocabTopN): DataFrame =
-    vocabRanks(documents)
-      .filter(col("vocab_rank") <= topN)
-      .select("vocab_rank", "word", "n_occurrences", "n_docs")
-      .orderBy("vocab_rank")
-
-  /** Full (uncapped) frequency ranking: (word, vocab_rank,
-    * n_occurrences, n_docs). */
-  private def vocabRanks(documents: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n_occurrences").desc, col("word").asc)
+  /** (word, n_occurrences, n_docs) — the shared counting stage. */
+  private def wordCounts(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), explode(TextPrep.wordsCol).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("n_docs"))
-      .withColumn("vocab_rank", row_number().over(w).cast("long"))
+
+  /** Vocabulary build — the tokenizer-training primitive: every word
+    * ranked by corpus occurrence count (ties → lexicographic), with
+    * document frequency alongside. Two hash aggregates; only the top-N
+    * are ever ranked — the cap moves BEFORE the sort, so the ranking is
+    * a TakeOrderedAndProject (size-N per-partition heaps), never a
+    * single-partition sort of the vocabulary (which is 10⁸–10⁹ rows on
+    * a web corpus). */
+  def vocab(documents: DataFrame, topN: Int = VocabTopN): DataFrame =
+    graft.util.TopN.rankedTopN(
+      wordCounts(documents),
+      struct((-col("n_occurrences")).as("nk"), col("word").as("wk")),
+      topN, "rnk_i")
+      .select(col("rnk_i").cast("long").as("vocab_rank"),
+        col("word"), col("n_occurrences"), col("n_docs"))
+      .orderBy("vocab_rank")
+
+  /** Full (uncapped) frequency ranking: (word, n_occurrences, n_docs,
+    * vocab_rank) — rarityScore needs the rank of EVERY word, so the
+    * top-N cap can't apply. Instead of one global-window sort (single
+    * partition holding the whole vocabulary), the rank decomposes as
+    *   rank(w) = offset(bucket(w)) + row_number within bucket,
+    * bucket = (n_occurrences, first char): within one occurrence count,
+    * words sort lexicographically, so same-first-char words are
+    * contiguous and per-bucket ranks are globally correct once each
+    * bucket's start offset is known. The bucket histogram is metadata-
+    * sized (distinct counts × ≤ alphabet; Zipf keeps distinct counts
+    * ~10⁴ even at web scale — fail-loud cap like the k-means collect in
+    * Similarity.scala), so offsets are a driver fold + broadcast join,
+    * and the heavy ranking is a PARTITIONED window — the hapax cohort,
+    * the classic skew case, is split ~36 ways by first char. */
+  private def vocabRanks(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val vc = wordCounts(documents).withColumn("pfx", substring(col("word"), 1, 1))
+    val hist = vc.groupBy("n_occurrences", "pfx")
+      .agg(count(lit(1)).as("n_words")).collect()
+    require(hist.length <= 2000000,
+      s"vocab rank-bucket histogram blew the driver bound: ${hist.length} buckets")
+    var acc = 0L
+    val offsets = hist.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy { case (occ, pfx, _) => (-occ, pfx) }
+      .map { case (occ, pfx, cnt) => val o = (occ, pfx, acc); acc += cnt; o }
+    val offDf = offsets.toSeq.toDF("n_occurrences", "pfx", "rank_offset")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("n_occurrences", "pfx").orderBy("word")
+    vc.withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(offDf), Seq("n_occurrences", "pfx"))
+      .select(col("word"), col("n_occurrences"), col("n_docs"),
+        (col("rank_offset") + col("rn")).as("vocab_rank"))
   }
 
   private val sqlVocabRankCte: String =
@@ -426,12 +459,12 @@ object TextStats {
     val words = documents.select(explode(TextPrep.wordsCol).as("word"))
     val sketch = words.agg(call_function("cms_build", col("word")).as("sk"))
     val tot = words.agg(count(lit(1)).as("n_total"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n_exact").desc, col("word").asc)
     val eps = 2.0 / graft.functions.Cms.Width
-    words.groupBy("word").agg(count(lit(1)).as("n_exact"))
-      .withColumn("rnk", row_number().over(w).cast("int"))
-      .filter(col("rnk") <= k)
+    // rank via bounded top-k (TakeOrderedAndProject), never a global
+    // single-partition window over the vocabulary
+    graft.util.TopN.rankedTopN(
+        words.groupBy("word").agg(count(lit(1)).as("n_exact")),
+        struct((-col("n_exact")).as("nk"), col("word").as("wk")), k, "rnk")
       .crossJoin(broadcast(sketch)).crossJoin(broadcast(tot))
       .select(col("rnk"), col("word"), col("n_exact"),
         (call_function("cms_query", col("sk"), col("word")) >= col("n_exact"))

@@ -371,10 +371,10 @@ object Windows {
         transform(slice(col("evs"), 1, PathLen), e => e.getField("event_type")),
         ">").as("path"))
       .groupBy("path").agg(count(lit(1)).as("n_users"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n_users").desc, col("path").asc)
-    paths.withColumn("rnk", row_number().over(w).cast("int"))
-      .filter(col("rnk") <= TopPaths)
+    // bounded top-k rank: distinct-path cardinality grows with the
+    // corpus, so never single-partition it under a global window
+    graft.util.TopN.rankedTopN(paths,
+        struct((-col("n_users")).as("nk"), col("path").as("pk")), TopPaths, "rnk")
       .select("rnk", "path", "n_users")
       .orderBy("rnk")
   }

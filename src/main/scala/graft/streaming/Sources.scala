@@ -108,6 +108,47 @@ object Sources {
       }
       .start()
 
+  /** S8 retry loop: the reference's `banking.retry` topic
+    * (`src/config/kafka_config.yml:28-30`) re-expressed as a file-source
+    * feedback loop — the one Kafka topology piece that was previously
+    * missing. Retryable failures (well-formed record, unknown account —
+    * see [[StreamPipeline.isRetryableFailure]]) are parked in `retryDir`
+    * with `retry_count + 1`; the SAME query's source is the fresh stream
+    * UNIONed with a stream over `retryDir`, so parked records re-enter
+    * on the next trigger exactly like a consumer subscribed to
+    * input+retry topics. `maxRetries` bounds the loop: a record that
+    * never heals dead-letters after its last re-ingestion, so the
+    * feedback converges. The empty-park guard matters: writing an empty
+    * file per trigger would make the file source see "new data" forever
+    * and the loop would never quiesce. */
+  def retryLoopQuery(fresh: DataFrame, retryDir: String, mainDir: String,
+                     deadDir: String, checkpoint: String,
+                     maxRetries: Int = 3): StreamingQuery = {
+    val spark = fresh.sparkSession
+    new java.io.File(retryDir).mkdirs()
+    val retrySchema = graft.pipeline.Schemas.transactionSchema
+      .add("retry_count", org.apache.spark.sql.types.IntegerType)
+    val retries = spark.readStream.schema(retrySchema).parquet(retryDir)
+    fresh.withColumn("retry_count", lit(0))
+      .unionByName(retries)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          val (valid, retry, dead) = StreamPipeline.retrySplit(batch, maxRetries)
+          valid.write.mode("append").parquet(mainDir)
+          dead.write.mode("append").parquet(deadDir)
+          val parked = retry
+            .withColumn("retry_count", (col("retry_count") + 1).cast("int"))
+            .drop("is_valid", "validation_result")
+          if (!parked.isEmpty) parked.write.mode("append").parquet(retryDir)
+        } finally { batch.unpersist(); () }
+      }
+      .start()
+  }
+
   /** Streaming near-duplicate dedup — the streaming end-game of the
     * two-stage MinHash index: each micro-batch of documents is LSH-
     * checked against the persisted shingle index, near-dups are

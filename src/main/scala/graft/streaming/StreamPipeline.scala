@@ -42,6 +42,32 @@ object StreamPipeline {
     df.withColumn("is_valid", isValid)
       .withColumn("validation_result", when(col("is_valid"), "valid").otherwise("invalid"))
 
+  /** Failures worth re-ingesting (the reference's `banking.retry` topic,
+    * `src/config/kafka_config.yml:28-30`): the record itself is well-
+    * formed but its account is unknown — the late-arriving-dimension
+    * case, where a re-play after the dim propagates can succeed. A bad
+    * amount or missing transaction_id can never heal and goes straight
+    * to dead-letter. */
+  val isRetryableFailure: Column =
+    col("transaction_id").isNotNull && col("transaction_type").isNotNull &&
+      col("amount").isNotNull && col("amount") > 0 &&
+      col("account_id").isNull
+
+  /** Three-way routing with a bounded retry loop: (valid, retry, dead).
+    * `retry_count` tracks re-ingestions (absent → 0); a retryable record
+    * is parked at most `maxRetries` times, then dead-letters — the bound
+    * that guarantees the feedback loop terminates. */
+  def retrySplit(df: DataFrame, maxRetries: Int): (DataFrame, DataFrame, DataFrame) = {
+    val withCount =
+      if (df.columns.contains("retry_count")) df
+      else df.withColumn("retry_count", lit(0))
+    val v = validate(withCount)
+    val retryNow = isRetryableFailure && col("retry_count") < maxRetries
+    (v.filter(col("is_valid")),
+      v.filter(!col("is_valid") && retryNow),
+      v.filter(!col("is_valid") && !retryNow))
+  }
+
   /** P6: transaction_category — the reference's nested CASE exactly
     * (deposit>1000, withdrawal>500, payment>100 → large_*, else
     * regular_* for those three types, passthrough for any other;

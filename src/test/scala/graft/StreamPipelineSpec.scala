@@ -114,6 +114,42 @@ class StreamPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S8 retry loop: retryable records re-enter and converge within maxRetries") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_retry").toString
+    val mem = MemoryStream[(String, String)]
+    val fresh = StreamPipeline.parse(mem.toDF().toDF("key", "value")).drop("kafka_key")
+    val q = Sources.retryLoopQuery(fresh, s"$tmp/retry", s"$tmp/main",
+      s"$tmp/dead", s"$tmp/ckpt", maxRetries = 2)
+    try {
+      mem.addData(
+        // valid → main
+        ("A", txnJson("T1", "ACC1", "deposit", 10.0, "2024-01-01T00:00:00")),
+        // well-formed but unknown account → retryable
+        ("A", s"""{"transaction_id":"T2","transaction_type":"deposit",""" +
+          s""""amount":5.0,"currency":"USD","timestamp":"2024-01-01T00:00:00"}"""),
+        // bad amount → permanent failure, straight to dead-letter
+        ("A", txnJson("T3", "ACC1", "deposit", -1.0, "2024-01-01T00:00:00")))
+      // processAllAvailable loops until no source has new data, and the
+      // parked retry files ARE new data for the union source — so one
+      // call drains the whole feedback loop; maxRetries bounds it.
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$tmp/main").select("transaction_id")
+        .collect().map(_.getString(0)).toSeq === Seq("T1"))
+      // T2 was re-ingested twice (retry_count 1 then 2 parked), then
+      // dead-lettered at retry_count == maxRetries; T3 died immediately
+      val dead = spark.read.parquet(s"$tmp/dead")
+        .select("transaction_id", "retry_count")
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(dead === Map("T2" -> 2, "T3" -> 0))
+      // the parked generations are on the retry topic dir
+      val parked = spark.read.parquet(s"$tmp/retry")
+        .select("transaction_id", "retry_count")
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toSet
+      assert(parked === Set("T2" -> 1, "T2" -> 2))
+    } finally q.stop()
+  }
+
   test("streaming near-dup dedup: index, within-batch, and cross-batch") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = Files.createTempDirectory("graft_neardup").toString
