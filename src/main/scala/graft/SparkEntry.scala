@@ -110,9 +110,15 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, d) => llm.Similarity.ivfTopK(Tables.embeddings(s, d), 10)),
     // int8 symmetric quantization — the ANN memory-reduction path
     "q_embed_quantize" -> ((s, d) => llm.Similarity.quantizeInt8(Tables.embeddings(s, d))),
+    // product-quantization codebooks + per-vector codes (ANN memory path)
+    "q_pq_codes" -> ((s, d) => llm.Similarity.pqCodes(Tables.embeddings(s, d))),
     "q_text_stats" -> ((s, d) => llm.TextStats.textStats(Tables.documents(s, d))),
     "q_language_id" -> ((s, d) => llm.TextStats.languageId(Tables.documents(s, d))),
     "q_corpus_mix" -> ((s, d) => llm.TextStats.corpusMix(Tables.documents(s, d))),
+    // BM25 top-k text retrieval (rational-idf, hash-portable scoring)
+    "q_bm25_topk" -> ((s, d) => llm.Retrieval.bm25Search(Tables.documents(s, d))),
+    // α=0.5 temperature-sampling language mix weights (UNIMAX-style)
+    "q_temperature_mix" -> ((s, d) => llm.Retrieval.temperatureMix(Tables.documents(s, d))),
     "q_keywords" -> ((s, d) => llm.TextStats.keywords(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) => llm.TextStats.repetitionStats(Tables.documents(s, d))),
     "q_media_metadata" -> ((s, d) => llm.Multimodal.mediaMetadata(Tables.documents(s, d))),
@@ -381,9 +387,12 @@ object SparkEntry {
     "q_embed_lsh" -> llm.Similarity.sqlLshNearDupPairs(0.3),
     "q_ann_ivf" -> llm.Similarity.sqlIvfTopK(10),
     "q_embed_quantize" -> llm.Similarity.sqlQuantizeInt8,
+    "q_pq_codes" -> llm.Similarity.sqlPqCodes,
     "q_text_stats" -> llm.TextStats.sqlTextStats,
     "q_language_id" -> llm.TextStats.sqlLanguageId,
     "q_corpus_mix" -> llm.TextStats.sqlCorpusMix,
+    "q_bm25_topk" -> llm.Retrieval.sqlBm25Search(),
+    "q_temperature_mix" -> llm.Retrieval.sqlTemperatureMix,
     "q_keywords" -> llm.TextStats.sqlKeywords(),
     "q_repetition" -> llm.TextStats.sqlRepetitionStats,
     "q_media_metadata" -> llm.Multimodal.sqlMediaMetadata,

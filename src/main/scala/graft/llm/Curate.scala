@@ -309,7 +309,7 @@ object Curate {
     * row_number. */
   def qualityTopK(documents: DataFrame, k: Int = QualityK): DataFrame = {
     graft.functions.GraftFunctions.registerAll(documents.sparkSession)
-    TextStats.textStats(documents)
+    TextStats.textStatsUnordered(documents)
       .groupBy("lang")
       .agg(call_function("top_k_by", col("quality_score"), col("doc_id"), lit(k)).as("top"))
       .select(col("lang"), posexplode(col("top")).as(Seq("pos", "e")))
@@ -333,7 +333,7 @@ object Curate {
   def qualityDeciles(documents: DataFrame, n: Int = NumDeciles): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("quality_score").asc, col("doc_id").asc)
-    TextStats.textStats(documents)
+    TextStats.textStatsUnordered(documents)
       .select(col("doc_id"), col("quality_score"))
       .withColumn("decile", ntile(n).over(w).cast("int"))
       .groupBy("decile")
@@ -356,7 +356,7 @@ object Curate {
     * rows exist even if ties collapse a bucket. */
   def qualityDecilesApprox(documents: DataFrame, n: Int = NumDeciles): DataFrame = {
     val spark = documents.sparkSession
-    val scores = TextStats.textStats(documents)
+    val scores = TextStats.textStatsUnordered(documents)
       .select(col("doc_id"), col("quality_score"))
     val probs = (1 until n).map(i => s"${i.toDouble / n}D").mkString(",")
     val cutsRow = scores.agg(

@@ -375,7 +375,7 @@ object Dedup {
                              threshold: Double = ClusterThreshold): DataFrame = {
     graft.functions.GraftFunctions.registerAll(documents.sparkSession)
     val clusters = dupClusters(documents, threshold)
-    val quality = TextStats.textStats(documents)
+    val quality = TextStats.textStatsUnordered(documents)
       .select("doc_id", "quality_score")
     clusters.join(quality, "doc_id")
       .groupBy("cluster_id")

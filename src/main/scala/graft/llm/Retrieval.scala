@@ -1,0 +1,135 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus retrieval / sampling-policy operators.
+  *
+  * BM25 here is the classic Robertson formula with ONE substitution for
+  * hash-portability: the idf keeps its rational core
+  * (N − df + 0.5)/(df + 0.5) but drops the outer ln — ln is a libm
+  * transcendental whose last-ulp rounding differs across engines, while
+  * +,·,/ on binary64 are IEEE-exact in both Spark and DuckDB (the same
+  * trade the rarity score makes with its integerized log2). The
+  * substitution is rank-monotone in df, so per-term orderings are
+  * BM25's; only the cross-term mixing proportions shift. Every
+  * floating-point expression tree below is written IDENTICALLY in the
+  * oracle SQL — same literals, same parenthesization, same
+  * left-associativity — so scores hash-match bit-for-bit.
+  *
+  * Scale shape (100 TB): tf is a hash aggregate over only the rows
+  * matching query terms (the filter pushes to the scan), df and the
+  * corpus totals are broadcast single-row/tiny frames, and the top-k is
+  * [[graft.util.TopN]]'s TakeOrderedAndProject — nothing ever
+  * concentrates more than k rows. For a standing query workload the
+  * tf/df side becomes a persisted inverted index (same two aggregates
+  * written once), which this query's plan is the online half of.
+  */
+object Retrieval {
+
+  /** Query terms are a fixed constant set (the "search request"). */
+  val QueryTerms: Seq[String] = Seq("spark", "stream", "vector")
+  val TopK = 20
+
+  def bm25Search(documents: DataFrame, k: Int = TopK): DataFrame = {
+    val words = documents.select(col("doc_id"), explode(TextPrep.wordsCol).as("w"))
+    val dl = documents.select(col("doc_id"),
+      size(TextPrep.wordsCol).cast("long").as("dl"))
+    val tot = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = words.filter(col("w").isin(QueryTerms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    // avgdl = exact integer sums, one division — order-free
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    // k1 = 1.2, b = 0.75; (k1+1) and (1-b) are written as the literals
+    // 2.2 and 0.25 in BOTH engines (computing 1.2+1.0 at runtime
+    // rounds differently than parsing "2.2")
+    val termScore = idf * (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))
+    val scored = tf.join(dl, "doc_id").join(broadcast(dfreq), "w")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("w"), termScore.as("s"))
+    // per-term conditional aggregates (each sums exactly ONE row, so
+    // partial-agg order cannot perturb it), then a FIXED-order sum
+    val termAggs = QueryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("w") === t, col("s"))).as(s"s$i")
+    }
+    val perTerm = scored.groupBy("doc_id").agg(termAggs.head, termAggs.tail: _*)
+    val score = QueryTerms.indices
+      .map(i => coalesce(col(s"s$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    graft.util.TopN.rankedTopN(
+        perTerm.select(col("doc_id"), score.as("score")),
+        struct((-col("score")).as("nk"), col("doc_id").as("dk")), k, "rnk")
+      .select("rnk", "doc_id", "score")
+      .orderBy("rnk")
+  }
+
+  def sqlBm25Search(k: Int = TopK): String = {
+    val w = TextPrep.sqlWords
+    val terms = QueryTerms.map(t => s"'$t'").mkString("(", ",", ")")
+    val termSums = QueryTerms
+      .map(t => s"COALESCE(sum(CASE WHEN w = '$t' THEN s END), 0.0)")
+      .mkString(" + ")
+    s"""WITH wds AS (SELECT doc_id, unnest($w) AS w FROM documents),
+        dl AS (SELECT doc_id, CAST(len($w) AS BIGINT) AS dl FROM documents),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+               FROM wds WHERE w IN $terms GROUP BY 1, 2),
+        df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        sc AS (SELECT tf.doc_id, tf.w,
+                 (CAST(tot.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) /
+                   (CAST(df.df AS DOUBLE) + 0.5)
+                 * (CAST(tf.tf AS DOUBLE) * 2.2) /
+                 (CAST(tf.tf AS DOUBLE) +
+                   1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) /
+                     (CAST(tot.sum_dl AS DOUBLE) / CAST(tot.n_docs AS DOUBLE)))) AS s
+               FROM tf JOIN dl USING (doc_id) JOIN df USING (w) CROSS JOIN tot),
+        agg AS (SELECT doc_id, $termSums AS score FROM sc GROUP BY 1),
+        r AS (SELECT doc_id, score,
+                row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+              FROM agg)
+        SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, score
+        FROM r WHERE rnk <= $k ORDER BY rnk"""
+  }
+
+  /** UNIMAX/temperature-style corpus mixing weights at α = 0.5, the
+    * "upsample the tail languages" sampling policy. The weight is
+    * floor(sqrt(tokens)) as an INTEGER: sqrt is IEEE-correctly-rounded
+    * in both engines (and exact on perfect squares, so the floor can't
+    * straddle), and the normalizing total is then an integer sum —
+    * order-free, no cross-row double accumulation anywhere. One
+    * corpus aggregate; the per-language table is metadata-sized. */
+  def temperatureMix(documents: DataFrame): DataFrame = {
+    val per = documents
+      .select(col("lang"), size(TextPrep.wordsCol).cast("long").as("n_words"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
+      .withColumn("w_int",
+        floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val tot = per.agg(sum(col("w_int")).as("tw"))
+    per.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("w_int"),
+        (col("w_int").cast("double") / col("tw").cast("double")).as("mix_weight"))
+      .orderBy("lang")
+  }
+
+  val sqlTemperatureMix: String = {
+    val w = TextPrep.sqlWords
+    s"""WITH per AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(len($w)) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1),
+        wi AS (SELECT lang, n_docs, n_tokens,
+                 CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_int
+               FROM per),
+        tot AS (SELECT CAST(sum(w_int) AS BIGINT) AS tw FROM wi)
+        SELECT lang, n_docs, n_tokens, w_int,
+          CAST(w_int AS DOUBLE) / CAST(tw AS DOUBLE) AS mix_weight
+        FROM wi, tot ORDER BY lang"""
+  }
+}

@@ -248,6 +248,127 @@ object Similarity {
             i -> abs(v[i] - CAST(q[i] AS DOUBLE) * scale))) AS max_abs_err
         FROM qd ORDER BY vec_id"""
 
+  // ---- product quantization -----------------------------------------
+
+  val PqM = 4                   // subspaces
+  val PqK = 16                  // codes per subspace codebook
+  val PqIters = 2               // Lloyd iterations per codebook
+  val SubDim: Int = Dim / PqM   // components per subspace
+
+  /** Product-quantization codes: split each vector into PqM contiguous
+    * SubDim-component subvectors, fit a PqK-entry codebook per subspace
+    * (deterministic k-means-lite: first-PqK seed by vec_id, PqIters
+    * Lloyd steps, L2 distance, ties → lower code id, component means
+    * with summation pinned to vec_id order), then encode every vector
+    * as its per-subspace nearest code. Output: the code tuple as csv
+    * plus the exact L2² reconstruction error.
+    *
+    * THE ANN memory story at 100 TB: a PQ-coded corpus stores PqM
+    * small ints per vector instead of Dim floats (64× smaller here),
+    * so a billion-vector index fits in RAM and distance evaluation
+    * becomes PqM table lookups (ADC). The fit collects only
+    * PqM × PqK × SubDim doubles (16 KB) per iteration — the standard
+    * fit-then-broadcast shape, same as the IVF fit; encoding is one
+    * broadcast join + map-only argmin over PqK candidates. */
+  def pqCodes(embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(embeddings.sparkSession)
+    import embeddings.sparkSession.implicits._
+    val n = prepared(embeddings).cache()
+    try {
+      val l2 = expr(
+        "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0.0D, (acc, e) -> acc + e)")
+      val assigned: Seq[DataFrame] = (0 until PqM).map { m =>
+        val lo = m * SubDim + 1 // slice() is 1-based
+        val sub = n.select(col("vec_id"), expr(s"slice(v, $lo, $SubDim)").as("sv"))
+        var cents = sub.orderBy("vec_id").limit(PqK)
+          .select(col("vec_id").as("cid"), col("sv").as("cv"))
+        for (_ <- 0 until PqIters) {
+          val scored = sub.join(broadcast(cents))
+            .select(col("vec_id"), col("cid"), l2.as("dist"))
+          // argmin via the bounded-heap aggregate on -dist (score desc
+          // == dist asc, ties → lower cid — the oracle's row_number)
+          val assign = scored.groupBy("vec_id")
+            .agg(call_function("top_k_by", -col("dist"), col("cid"), lit(1)).as("top"))
+            .select(col("vec_id"), col("top").getItem(0).getField("id").as("cid"))
+          val means = assign.join(sub, "vec_id")
+            .select(col("cid"), col("vec_id"), posexplode(col("sv")).as(Seq("d", "component")))
+            .groupBy("cid", "d")
+            .agg(sort_array(collect_list(struct(col("vec_id"), col("component")))).as("xs"))
+            .select(col("cid"), col("d"),
+              (expr("aggregate(xs, 0.0D, (acc, x) -> acc + x.component)") /
+                size(col("xs"))).as("m"))
+            .groupBy("cid")
+            .agg(sort_array(collect_list(struct(col("d"), col("m")))).as("ds"))
+            .select(col("cid"), expr("transform(ds, x -> x.m)").as("cv"))
+          cents = means.as[(Long, Seq[Double])].collect().toSeq.toDF("cid", "cv")
+        }
+        sub.join(broadcast(cents))
+          .select(col("vec_id"), col("cid"), l2.as("dist"))
+          .groupBy("vec_id")
+          .agg(call_function("top_k_by", -col("dist"), col("cid"), lit(1)).as("top"))
+          .select(col("vec_id"),
+            col("top").getItem(0).getField("id").as(s"code$m"),
+            (-col("top").getItem(0).getField("score")).as(s"dist$m"))
+      }
+      val joined = assigned.reduceLeft((a, b) => a.join(b, "vec_id"))
+      joined.select(
+          col("vec_id"),
+          concat_ws(",", (0 until PqM).map(m => col(s"code$m").cast("string")): _*)
+            .as("codes_csv"),
+          (0 until PqM).map(m => col(s"dist$m")).reduceLeft(_ + _).as("recon_err_l2sq"))
+        .orderBy("vec_id")
+    } finally { n.unpersist(); () }
+  }
+
+  /** DuckDB twin of the PQ fit+encode (same pinned-order arithmetic). */
+  def sqlPqCodes: String = {
+    def subL2(sv: String, cv: String) =
+      s"list_reduce(list_transform(generate_series(1, $SubDim), " +
+        s"i -> ($sv[i] - $cv[i]) * ($sv[i] - $cv[i])), (x, y) -> x + y)"
+    val perSub = (0 until PqM).map { m =>
+      val lo = m * SubDim + 1
+      val hi = lo + SubDim - 1
+      val fit = (1 to PqIters).map { i =>
+        s"""s${m}_$i AS (
+              SELECT q.vec_id, c.cid, ${subL2("q.sv", "c.cv")} AS dist
+              FROM sub$m q CROSS JOIN c${m}_${i - 1} c),
+            a${m}_$i AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid) AS rn
+                FROM s${m}_$i) WHERE rn = 1),
+            m${m}_$i AS (
+              SELECT a.cid, d.d AS d,
+                list_reduce(list(q.sv[d.d] ORDER BY q.vec_id), (x, y) -> x + y)
+                  / count(*) AS m
+              FROM a${m}_$i a JOIN sub$m q USING (vec_id)
+              CROSS JOIN generate_series(1, $SubDim) d(d)
+              GROUP BY a.cid, d.d),
+            c${m}_$i AS (SELECT cid, list(m ORDER BY d) AS cv FROM m${m}_$i GROUP BY cid)"""
+      }.mkString(",\n")
+      s"""sub$m AS (SELECT vec_id, v[$lo:$hi] AS sv FROM n),
+          c${m}_0 AS (SELECT cid, cv FROM (
+                 SELECT vec_id AS cid, sv AS cv,
+                   row_number() OVER (ORDER BY vec_id) AS rn
+                 FROM sub$m)
+               WHERE rn <= $PqK),
+          $fit,
+          f$m AS (
+            SELECT vec_id, cid AS code$m, dist AS dist$m FROM (
+              SELECT q.vec_id, c.cid, ${subL2("q.sv", "c.cv")} AS dist,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY ${subL2("q.sv", "c.cv")} ASC, c.cid) AS rn
+              FROM sub$m q CROSS JOIN c${m}_$PqIters c) WHERE rn = 1)"""
+    }.mkString(",\n")
+    val joins = (1 until PqM).map(m => s"JOIN f$m USING (vec_id)").mkString(" ")
+    val csv = (0 until PqM).map(m => s"CAST(code$m AS VARCHAR)").mkString(" || ',' || ")
+    val err = (0 until PqM).map(m => s"dist$m").mkString(" + ")
+    s"""WITH $sqlPrepared,
+        $perSub
+        SELECT vec_id, $csv AS codes_csv, $err AS recon_err_l2sq
+        FROM f0 $joins ORDER BY vec_id"""
+  }
+
   val NumProbes = 4
   val KMeansIters = 2
 

@@ -30,7 +30,11 @@ object TextStats {
     vals.map(v => s"'$v'").mkString("[", ",", "]")
 
   /** Per-document statistics + quality score + fingerprint. */
-  def textStats(documents: DataFrame): DataFrame = {
+  /** textStats without the presentation ORDER BY: internal consumers
+    * (decile bucketing, cluster representatives, top-k) aggregate or
+    * re-rank the stats, and a corpus-wide range-sort feeding an
+    * aggregate is a pure waste of an exchange at 100 TB. */
+  def textStatsUnordered(documents: DataFrame): DataFrame = {
     val nWords = size(col("words")).cast("long")
     val sumLen = expr("aggregate(words, 0, (acc, w) -> acc + length(w))").cast("long")
     val nStop = expr(
@@ -51,8 +55,10 @@ object TextStats {
         lit(0.4) * least(lit(1.0), col("n_words").cast("double") / 50.0) +
           lit(0.3) * (lit(1.0) - col("stopword_ratio")) +
           lit(0.3) * least(lit(1.0), col("avg_word_len") / 8.0))
-      .orderBy("doc_id")
   }
+
+  def textStats(documents: DataFrame): DataFrame =
+    textStatsUnordered(documents).orderBy("doc_id")
 
   val sqlTextStats: String = {
     val w = TextPrep.sqlWords
