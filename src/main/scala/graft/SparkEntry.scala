@@ -112,6 +112,8 @@ object SparkEntry {
     "q_embed_quantize" -> ((s, d) => llm.Similarity.quantizeInt8(Tables.embeddings(s, d))),
     // product-quantization codebooks + per-vector codes (ANN memory path)
     "q_pq_codes" -> ((s, d) => llm.Similarity.pqCodes(Tables.embeddings(s, d))),
+    // ADC search over PQ codes: per-query LUT + 4 lookups per vector
+    "q_adc_topk" -> ((s, d) => llm.Similarity.adcTopK(Tables.embeddings(s, d))),
     "q_text_stats" -> ((s, d) => llm.TextStats.textStats(Tables.documents(s, d))),
     "q_language_id" -> ((s, d) => llm.TextStats.languageId(Tables.documents(s, d))),
     "q_corpus_mix" -> ((s, d) => llm.TextStats.corpusMix(Tables.documents(s, d))),
@@ -141,6 +143,8 @@ object SparkEntry {
     "q_label_purity" -> ((s, d) => llm.Similarity.knnLabelPurity(Tables.embeddings(s, d))),
     // vocabulary build: corpus frequency ranking (tokenizer training)
     "q_vocab" -> ((s, d) => llm.TextStats.vocab(Tables.documents(s, d))),
+    // tokenizer-planning coverage curve: 1-OOV rate at candidate vocab sizes
+    "q_vocab_coverage" -> ((s, d) => llm.TextStats.vocabCoverage(Tables.documents(s, d))),
     // rank-vocabulary tokenizer encoding pass (OOV -> 0)
     "q_tokenize_ids" -> ((s, d) => llm.TextStats.tokenizeIds(Tables.documents(s, d))),
     // unigram-surprisal quality filter, integerized (exact log2 bits)
@@ -388,6 +392,7 @@ object SparkEntry {
     "q_ann_ivf" -> llm.Similarity.sqlIvfTopK(10),
     "q_embed_quantize" -> llm.Similarity.sqlQuantizeInt8,
     "q_pq_codes" -> llm.Similarity.sqlPqCodes,
+    "q_adc_topk" -> llm.Similarity.sqlAdcTopK(),
     "q_text_stats" -> llm.TextStats.sqlTextStats,
     "q_language_id" -> llm.TextStats.sqlLanguageId,
     "q_corpus_mix" -> llm.TextStats.sqlCorpusMix,
@@ -409,6 +414,7 @@ object SparkEntry {
     "q_semantic_dedup" -> llm.Similarity.sqlSemanticDedup(),
     "q_label_purity" -> llm.Similarity.sqlKnnLabelPurity(),
     "q_vocab" -> llm.TextStats.sqlVocab,
+    "q_vocab_coverage" -> llm.TextStats.sqlVocabCoverage,
     "q_tokenize_ids" -> llm.TextStats.sqlTokenizeIds,
     "q_rarity_score" -> llm.TextStats.sqlRarityScore,
     "q_length_histogram" -> llm.TextStats.sqlLengthHistogram,

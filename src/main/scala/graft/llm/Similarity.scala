@@ -270,45 +270,67 @@ object Similarity {
     * PqM × PqK × SubDim doubles (16 KB) per iteration — the standard
     * fit-then-broadcast shape, same as the IVF fit; encoding is one
     * broadcast join + map-only argmin over PqK candidates. */
+  /** Subspace-m projection of a prepared frame: (vec_id, sv). */
+  private def pqSub(n: DataFrame, m: Int): DataFrame =
+    n.select(col("vec_id"),
+      expr(s"slice(v, ${m * SubDim + 1}, $SubDim)").as("sv")) // slice is 1-based
+
+  /** L2² between a subvector column `sv` and a codebook entry `cv`,
+    * fold order pinned to component order (≡ the oracle's
+    * list_reduce over generate_series). */
+  private val pqL2 = expr(
+    "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0.0D, (acc, e) -> acc + e)")
+
+  /** Deterministic per-subspace codebook fit (first-PqK seed by vec_id,
+    * PqIters Lloyd steps, argmin-L2 assignment with ties → lower cid,
+    * pinned-order component means). Returns a DRIVER-LOCAL PqK-row
+    * codebook frame — 16 × SubDim doubles, the fit-then-broadcast
+    * shape. */
+  private def fitSubCodebook(sub: DataFrame): DataFrame = {
+    import sub.sparkSession.implicits._
+    var cents = sub.orderBy("vec_id").limit(PqK)
+      .select(col("vec_id").as("cid"), col("sv").as("cv"))
+    for (_ <- 0 until PqIters) {
+      val scored = sub.join(broadcast(cents))
+        .select(col("vec_id"), col("cid"), pqL2.as("dist"))
+      // argmin via the bounded-heap aggregate on -dist (score desc
+      // == dist asc, ties → lower cid — the oracle's row_number)
+      val assign = scored.groupBy("vec_id")
+        .agg(call_function("top_k_by", -col("dist"), col("cid"), lit(1)).as("top"))
+        .select(col("vec_id"), col("top").getItem(0).getField("id").as("cid"))
+      val means = assign.join(sub, "vec_id")
+        .select(col("cid"), col("vec_id"), posexplode(col("sv")).as(Seq("d", "component")))
+        .groupBy("cid", "d")
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("component")))).as("xs"))
+        .select(col("cid"), col("d"),
+          (expr("aggregate(xs, 0.0D, (acc, x) -> acc + x.component)") /
+            size(col("xs"))).as("m"))
+        .groupBy("cid")
+        .agg(sort_array(collect_list(struct(col("d"), col("m")))).as("ds"))
+        .select(col("cid"), expr("transform(ds, x -> x.m)").as("cv"))
+      cents = means.as[(Long, Seq[Double])].collect().toSeq.toDF("cid", "cv")
+    }
+    cents
+  }
+
+  /** Encode subspace m: nearest code per vector → (vec_id, code$m,
+    * dist$m). Broadcast codebook, map-only argmin. */
+  private def encodeSub(sub: DataFrame, cents: DataFrame, m: Int): DataFrame =
+    sub.join(broadcast(cents))
+      .select(col("vec_id"), col("cid"), pqL2.as("dist"))
+      .groupBy("vec_id")
+      .agg(call_function("top_k_by", -col("dist"), col("cid"), lit(1)).as("top"))
+      .select(col("vec_id"),
+        col("top").getItem(0).getField("id").as(s"code$m"),
+        (-col("top").getItem(0).getField("score")).as(s"dist$m"))
+
   def pqCodes(embeddings: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.registerAll(embeddings.sparkSession)
-    import embeddings.sparkSession.implicits._
     val n = prepared(embeddings).cache()
     try {
-      val l2 = expr(
-        "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0.0D, (acc, e) -> acc + e)")
-      val assigned: Seq[DataFrame] = (0 until PqM).map { m =>
-        val lo = m * SubDim + 1 // slice() is 1-based
-        val sub = n.select(col("vec_id"), expr(s"slice(v, $lo, $SubDim)").as("sv"))
-        var cents = sub.orderBy("vec_id").limit(PqK)
-          .select(col("vec_id").as("cid"), col("sv").as("cv"))
-        for (_ <- 0 until PqIters) {
-          val scored = sub.join(broadcast(cents))
-            .select(col("vec_id"), col("cid"), l2.as("dist"))
-          // argmin via the bounded-heap aggregate on -dist (score desc
-          // == dist asc, ties → lower cid — the oracle's row_number)
-          val assign = scored.groupBy("vec_id")
-            .agg(call_function("top_k_by", -col("dist"), col("cid"), lit(1)).as("top"))
-            .select(col("vec_id"), col("top").getItem(0).getField("id").as("cid"))
-          val means = assign.join(sub, "vec_id")
-            .select(col("cid"), col("vec_id"), posexplode(col("sv")).as(Seq("d", "component")))
-            .groupBy("cid", "d")
-            .agg(sort_array(collect_list(struct(col("vec_id"), col("component")))).as("xs"))
-            .select(col("cid"), col("d"),
-              (expr("aggregate(xs, 0.0D, (acc, x) -> acc + x.component)") /
-                size(col("xs"))).as("m"))
-            .groupBy("cid")
-            .agg(sort_array(collect_list(struct(col("d"), col("m")))).as("ds"))
-            .select(col("cid"), expr("transform(ds, x -> x.m)").as("cv"))
-          cents = means.as[(Long, Seq[Double])].collect().toSeq.toDF("cid", "cv")
-        }
-        sub.join(broadcast(cents))
-          .select(col("vec_id"), col("cid"), l2.as("dist"))
-          .groupBy("vec_id")
-          .agg(call_function("top_k_by", -col("dist"), col("cid"), lit(1)).as("top"))
-          .select(col("vec_id"),
-            col("top").getItem(0).getField("id").as(s"code$m"),
-            (-col("top").getItem(0).getField("score")).as(s"dist$m"))
+      val assigned = (0 until PqM).map { m =>
+        val sub = pqSub(n, m)
+        encodeSub(sub, fitSubCodebook(sub), m)
       }
       val joined = assigned.reduceLeft((a, b) => a.join(b, "vec_id"))
       joined.select(
@@ -320,17 +342,66 @@ object Similarity {
     } finally { n.unpersist(); () }
   }
 
-  /** DuckDB twin of the PQ fit+encode (same pinned-order arithmetic). */
-  def sqlPqCodes: String = {
-    def subL2(sv: String, cv: String) =
-      s"list_reduce(list_transform(generate_series(1, $SubDim), " +
-        s"i -> ($sv[i] - $cv[i]) * ($sv[i] - $cv[i])), (x, y) -> x + y)"
-    val perSub = (0 until PqM).map { m =>
+  val AdcQueries = 8
+  val AdcK = 10
+
+  /** PQ search by asymmetric distance computation (ADC): the query
+    * batch (first AdcQueries vectors by id — the online request) is
+    * compared against the PQ-CODED corpus, never the float vectors.
+    * Per query, the distance to each of the PqM × PqK codebook entries
+    * is precomputed once (a 512-row broadcast lookup table); a coded
+    * vector's approximate distance is then PqM table lookups + a
+    * fixed-order sum — the evaluation cost that makes billion-vector
+    * search feasible, since the scan side touches only 4 small ints
+    * per vector. Top-k per query via the bounded-heap aggregate.
+    * Scores are exact IEEE sums of oracle-identical terms, so the
+    * result hash-matches bit-for-bit. */
+  def adcTopK(embeddings: DataFrame, k: Int = AdcK): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(embeddings.sparkSession)
+    val n = prepared(embeddings).cache()
+    try {
+      val queries = n.orderBy("vec_id").limit(AdcQueries)
+        .select(col("vec_id").as("query_id"), col("v"))
+      val parts = (0 until PqM).map { m =>
+        val sub = pqSub(n, m)
+        val cents = fitSubCodebook(sub)
+        val codes = encodeSub(sub, cents, m)
+        val qsub = queries.select(col("query_id"),
+          expr(s"slice(v, ${m * SubDim + 1}, $SubDim)").as("sv"))
+        val lut = qsub.join(broadcast(cents))
+          .select(col("query_id"), col("cid"), pqL2.as(s"d$m"))
+        codes.join(broadcast(lut), codes(s"code$m") === lut("cid"))
+          .select(col("vec_id"), col("query_id"), col(s"d$m"))
+      }
+      val joined = parts.reduceLeft((a, b) => a.join(b, Seq("vec_id", "query_id")))
+      val scored = joined
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (0 until PqM).map(m => col(s"d$m")).reduceLeft(_ + _).as("adc_dist"))
+      scored.groupBy("query_id")
+        .agg(call_function("top_k_by", -col("adc_dist"), col("neighbor_id"), lit(k)).as("top"))
+        .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rnk"),
+          col("e.id").as("neighbor_id"), (-col("e.score")).as("adc_dist"))
+        .orderBy("query_id", "rnk")
+    } finally { n.unpersist(); () }
+  }
+
+  private def sqlSubL2(sv: String, cv: String) =
+    s"list_reduce(list_transform(generate_series(1, $SubDim), " +
+      s"i -> ($sv[i] - $cv[i]) * ($sv[i] - $cv[i])), (x, y) -> x + y)"
+
+  /** Shared oracle CTE chain for the PQ fit+encode: per subspace m,
+    * `sub$m` (slices), the `c${m}_i` Lloyd chain, and `f$m`
+    * (vec_id, code$m, dist$m) — same pinned-order arithmetic as the
+    * Scala fit. */
+  private def sqlPqCtes: String =
+    (0 until PqM).map { m =>
       val lo = m * SubDim + 1
       val hi = lo + SubDim - 1
       val fit = (1 to PqIters).map { i =>
         s"""s${m}_$i AS (
-              SELECT q.vec_id, c.cid, ${subL2("q.sv", "c.cv")} AS dist
+              SELECT q.vec_id, c.cid, ${sqlSubL2("q.sv", "c.cv")} AS dist
               FROM sub$m q CROSS JOIN c${m}_${i - 1} c),
             a${m}_$i AS (
               SELECT vec_id, cid FROM (
@@ -355,18 +426,52 @@ object Similarity {
           $fit,
           f$m AS (
             SELECT vec_id, cid AS code$m, dist AS dist$m FROM (
-              SELECT q.vec_id, c.cid, ${subL2("q.sv", "c.cv")} AS dist,
+              SELECT q.vec_id, c.cid, ${sqlSubL2("q.sv", "c.cv")} AS dist,
                 row_number() OVER (PARTITION BY q.vec_id
-                  ORDER BY ${subL2("q.sv", "c.cv")} ASC, c.cid) AS rn
+                  ORDER BY ${sqlSubL2("q.sv", "c.cv")} ASC, c.cid) AS rn
               FROM sub$m q CROSS JOIN c${m}_$PqIters c) WHERE rn = 1)"""
     }.mkString(",\n")
+
+  /** DuckDB twin of the PQ fit+encode (same pinned-order arithmetic). */
+  def sqlPqCodes: String = {
     val joins = (1 until PqM).map(m => s"JOIN f$m USING (vec_id)").mkString(" ")
     val csv = (0 until PqM).map(m => s"CAST(code$m AS VARCHAR)").mkString(" || ',' || ")
     val err = (0 until PqM).map(m => s"dist$m").mkString(" + ")
     s"""WITH $sqlPrepared,
-        $perSub
+        $sqlPqCtes
         SELECT vec_id, $csv AS codes_csv, $err AS recon_err_l2sq
         FROM f0 $joins ORDER BY vec_id"""
+  }
+
+  /** DuckDB twin of the ADC top-k (same LUT + fixed-order sum). */
+  def sqlAdcTopK(k: Int = AdcK): String = {
+    val luts = (0 until PqM).map { m =>
+      val lo = m * SubDim + 1
+      val hi = lo + SubDim - 1
+      s"""qsub$m AS (SELECT q.query_id, n.v[$lo:$hi] AS sv
+                     FROM q JOIN n ON n.vec_id = q.query_id),
+          lut$m AS (SELECT s.query_id, c.cid, ${sqlSubL2("s.sv", "c.cv")} AS d$m
+                    FROM qsub$m s CROSS JOIN c${m}_$PqIters c)"""
+    }.mkString(",\n")
+    val fJoins = (1 until PqM).map(m => s"JOIN f$m USING (vec_id)").mkString(" ")
+    val lJoins = (s"JOIN lut0 l0 ON l0.cid = f0.code0" +:
+      (1 until PqM).map(m =>
+        s"JOIN lut$m l$m ON l$m.cid = f$m.code$m AND l$m.query_id = l0.query_id"))
+      .mkString(" ")
+    val dsum = (0 until PqM).map(m => s"l$m.d$m").mkString(" + ")
+    s"""WITH $sqlPrepared,
+        $sqlPqCtes,
+        q AS (SELECT vec_id AS query_id FROM n ORDER BY vec_id LIMIT $AdcQueries),
+        $luts,
+        adc AS (
+          SELECT l0.query_id, f0.vec_id AS neighbor_id, $dsum AS adc_dist
+          FROM f0 $fJoins $lJoins
+          WHERE f0.vec_id <> l0.query_id),
+        r AS (SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id)
+              AS INTEGER) AS rnk FROM adc)
+        SELECT query_id, rnk, neighbor_id, adc_dist FROM r
+        WHERE rnk <= $k ORDER BY query_id, rnk"""
   }
 
   val NumProbes = 4

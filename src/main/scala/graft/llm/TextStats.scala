@@ -291,6 +291,56 @@ object TextStats {
         (col("rank_offset") + col("rn")).as("vocab_rank"))
   }
 
+  /** Vocabulary sizes the coverage curve is evaluated at. */
+  val CoverageKs: Seq[Int] = Seq(100, 250, 500, 1000)
+
+  /** Tokenizer-planning coverage curve: for each candidate vocabulary
+    * size K, the fraction of corpus TOKEN OCCURRENCES whose word ranks
+    * within the top K — i.e. 1 − OOV rate if the vocab were cut at K.
+    * One corpus explode probed against the broadcast frequency ranking
+    * (the scalable bucket-offset ranking, never a global sort), with
+    * the per-K tallies as conditional integer sums in a single
+    * aggregate — exact longs, one double division per row, order-free.
+    */
+  def vocabCoverage(documents: DataFrame): DataFrame = {
+    val ranks = vocabRanks(documents).select("word", "vocab_rank")
+    val aggs = count(lit(1)).as("n_total") +:
+      CoverageKs.map(k =>
+        sum(when(col("vocab_rank") <= k, 1L).otherwise(0L)).as(s"c$k"))
+    val tallies = documents
+      .select(explode(TextPrep.wordsCol).as("word"))
+      .join(broadcast(ranks), "word")
+      .agg(aggs.head, aggs.tail: _*)
+    val stacked = CoverageKs
+      .map(k => s"$k, c$k")
+      .mkString(s"stack(${CoverageKs.size}, ", ", ", ") AS (vocab_k, n_covered)")
+    tallies
+      .select(expr(stacked), col("n_total"))
+      .select(col("vocab_k").cast("int").as("vocab_k"),
+        col("n_covered"), col("n_total"),
+        (col("n_covered").cast("double") / col("n_total").cast("double"))
+          .as("coverage"))
+      .orderBy("vocab_k")
+  }
+
+  // lazy: references sqlVocabRankCte, declared below (object-init order)
+  lazy val sqlVocabCoverage: String = {
+    val sums = CoverageKs
+      .map(k => s"CAST(sum(CASE WHEN vocab_rank <= $k THEN 1 ELSE 0 END) AS BIGINT) AS c$k")
+      .mkString(", ")
+    val rows = CoverageKs
+      .map(k => s"SELECT $k AS vocab_k, c$k AS n_covered, n_total FROM t")
+      .mkString(" UNION ALL ")
+    s"""WITH $sqlVocabRankCte,
+        t AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_total, $sums
+          FROM wds JOIN vr USING (word)),
+        st AS ($rows)
+        SELECT CAST(vocab_k AS INTEGER) AS vocab_k, n_covered, n_total,
+          CAST(n_covered AS DOUBLE) / CAST(n_total AS DOUBLE) AS coverage
+        FROM st ORDER BY vocab_k"""
+  }
+
   private val sqlVocabRankCte: String =
     s"""wds AS (SELECT doc_id, unnest(${TextPrep.sqlWords}) AS word FROM documents),
         vc AS (
