@@ -145,6 +145,10 @@ object SparkEntry {
     "q_vocab" -> ((s, d) => llm.TextStats.vocab(Tables.documents(s, d))),
     // tokenizer-planning coverage curve: 1-OOV rate at candidate vocab sizes
     "q_vocab_coverage" -> ((s, d) => llm.TextStats.vocabCoverage(Tables.documents(s, d))),
+    // Misra-Gries heavy hitters with integer-exact guarantee oracle
+    "q_heavy_hitters" -> ((s, d) => llm.TextStats.heavyHitters(Tables.documents(s, d))),
+    // quality-proportional deterministic sampling
+    "q_quality_sample" -> ((s, d) => llm.Curate.qualityWeightedSample(Tables.documents(s, d))),
     // rank-vocabulary tokenizer encoding pass (OOV -> 0)
     "q_tokenize_ids" -> ((s, d) => llm.TextStats.tokenizeIds(Tables.documents(s, d))),
     // unigram-surprisal quality filter, integerized (exact log2 bits)
@@ -415,6 +419,8 @@ object SparkEntry {
     "q_label_purity" -> llm.Similarity.sqlKnnLabelPurity(),
     "q_vocab" -> llm.TextStats.sqlVocab,
     "q_vocab_coverage" -> llm.TextStats.sqlVocabCoverage,
+    "q_heavy_hitters" -> llm.TextStats.sqlHeavyHitters(),
+    "q_quality_sample" -> llm.Curate.sqlQualityWeightedSample,
     "q_tokenize_ids" -> llm.TextStats.sqlTokenizeIds,
     "q_rarity_score" -> llm.TextStats.sqlRarityScore,
     "q_length_histogram" -> llm.TextStats.sqlLengthHistogram,

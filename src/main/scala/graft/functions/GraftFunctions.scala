@@ -30,7 +30,8 @@ object GraftFunctions {
     "winnow_fps" -> (e => WinnowFingerprints(e(0), intArg(e(1)), intArg(e(2)))),
     "top_word_count" -> (e => TopWordCount(e(0))),
     "cms_build" -> (e => CountMinBuild(e(0)).toAggregateExpression()),
-    "cms_query" -> (e => CountMinQuery(e(0), e(1))))
+    "cms_query" -> (e => CountMinQuery(e(0), e(1))),
+    "mg_build" -> (e => MisraGriesBuild(e(0)).toAggregateExpression()))
 
   /** Sessions already holding graft's functions. Weak keys: a stopped
     * session must not be pinned in memory by this registry guard. */

@@ -153,6 +153,34 @@ object Curate {
         WHERE $b < $rate ORDER BY doc_id"""
   }
 
+  // ---- quality-weighted sampling ------------------------------------
+
+  /** Quality-weighted deterministic sampling: keep a document with
+    * probability proportional to its quality score — the "sample
+    * good text harder" curation policy — with the draw keyed on
+    * md5('qws:'||doc_id), so membership is reproducible across runs,
+    * clusters, and repartitions (no RNG, like every sampler here).
+    * rate = floor(quality_score·1000) permille; both engines compute
+    * the identical double then floor it, so the cut agrees exactly.
+    * Map-only: projection + filter, pushes onto the scan. */
+  def qualityWeightedSample(documents: DataFrame): DataFrame =
+    TextStats.textStatsUnordered(documents)
+      .select(col("doc_id"), col("quality_score"))
+      .withColumn("rate", floor(col("quality_score") * 1000).cast("long"))
+      .withColumn("b", hashBucket("qws", 1000))
+      .filter(col("b") < col("rate"))
+      .select("doc_id", "rate", "quality_score")
+      .orderBy("doc_id")
+
+  val sqlQualityWeightedSample: String =
+    s"""WITH stats AS (${TextStats.sqlTextStats}),
+        r AS (SELECT doc_id, quality_score,
+                CAST(floor(quality_score * 1000) AS BIGINT) AS rate,
+                ${sqlHashBucket("qws", 1000)} AS b
+              FROM stats)
+        SELECT doc_id, rate, quality_score FROM r
+        WHERE b < rate ORDER BY doc_id"""
+
   // ---- document chunking --------------------------------------------
 
   val ChunkLen = 50

@@ -542,6 +542,50 @@ object TextStats {
           TRUE AS est_ge_exact, TRUE AS est_within_eps
         FROM r WHERE rnk <= $k ORDER BY rnk"""
 
+  /** Misra–Gries heavy hitters, guarantee-checked: the MG summary
+    * (≤ K counters shuffled per map partition — the heavy-hitters dual
+    * of the CMS counter matrix, biased LOW where CMS biases high) is
+    * evaluated against the exact top-k words. The summary CONTENT is
+    * merge-order-dependent, so the oracle verifies the ORDER-INVARIANT
+    * guarantees, as pure INTEGER booleans (no floating point):
+    * presence — exact·(K+1) > n_total forces membership; bounds —
+    * est ≤ exact and (exact − est)·(K+1) ≤ n_total. The oracle emits
+    * the exact top-k and literal TRUEs, so a hash match proves MG
+    * honored its contract on this corpus. */
+  def heavyHitters(documents: DataFrame, k: Int = CmsTopK): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(documents.sparkSession)
+    val mgK = graft.functions.MisraGries.K
+    val words = documents.select(explode(TextPrep.wordsCol).as("word"))
+    val mg = words.agg(call_function("mg_build", col("word")).as("summary"))
+    val tot = words.agg(count(lit(1)).as("n_total"))
+    val est = coalesce(
+      element_at(expr("transform(filter(summary, e -> e.word = word), e -> e.cnt)"), 1),
+      lit(0L))
+    graft.util.TopN.rankedTopN(
+        words.groupBy("word").agg(count(lit(1)).as("n_exact")),
+        struct((-col("n_exact")).as("nk"), col("word").as("wk")), k, "rnk")
+      .crossJoin(broadcast(mg)).crossJoin(broadcast(tot))
+      .withColumn("est", est)
+      .select(col("rnk"), col("word"), col("n_exact"),
+        (col("n_exact") * (mgK + 1) <= col("n_total") || col("est") > 0L)
+          .as("hh_present_ok"),
+        (col("est") <= col("n_exact") &&
+          (col("n_exact") - col("est")) * (mgK + 1) <= col("n_total"))
+          .as("est_bounds_ok"))
+      .orderBy("rnk")
+  }
+
+  def sqlHeavyHitters(k: Int = CmsTopK): String =
+    s"""WITH wds AS (
+          SELECT unnest(${TextPrep.sqlWords}) AS word FROM documents),
+        g AS (SELECT word, count(*) AS n_exact FROM wds GROUP BY 1),
+        r AS (SELECT word, n_exact,
+            CAST(row_number() OVER (ORDER BY n_exact DESC, word ASC) AS INTEGER) AS rnk
+          FROM g)
+        SELECT rnk, word, n_exact,
+          TRUE AS hh_present_ok, TRUE AS est_bounds_ok
+        FROM r WHERE rnk <= $k ORDER BY rnk"""
+
   /** Bigram-LM fluency score: per document, the mean integerized
     * surprisal of its distinct bigrams under the corpus bigram
     * document-frequency model — bits(bigram) = floor(log2(N / df)),

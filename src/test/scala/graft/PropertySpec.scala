@@ -180,6 +180,39 @@ class PropertySpec extends AnyFunSuite {
     }, n = 100)
   }
 
+  test("misra-gries: guarantees hold under arbitrary split/merge and overflow") {
+    import graft.functions.{MisraGries, MisraGriesBuild}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    val agg = MisraGriesBuild(BoundReference(0, StringType, nullable = true))
+    // 100 distinct tokens (>> K = 32, so eviction and merge-prune both
+    // fire) with a skewed head that must survive as a heavy hitter
+    val word = Gen.frequency(
+      (6, Gen.const("hot")), (3, Gen.const("warm")),
+      (1, Gen.choose(0, 99).map(i => s"w$i")))
+    def build(ws: Seq[String]) = {
+      val b = agg.createAggregationBuffer()
+      ws.foreach(w => agg.update(b, InternalRow(UTF8String.fromString(w))))
+      b
+    }
+    check(Prop.forAll(
+      Gen.listOfN(200, word), Gen.listOfN(150, word), Gen.listOfN(80, word)) {
+      (xs, ys, zs) =>
+        val merged = agg.merge(agg.merge(build(xs), build(ys)), build(zs))
+        val all = xs ++ ys ++ zs
+        val n = all.size.toLong
+        val K = MisraGries.K
+        merged.size <= K &&
+          all.distinct.forall { w =>
+            val c = all.count(_ == w).toLong
+            val est = merged.getOrDefault(w, 0L)
+            est <= c && (c - est) * (K + 1) <= n &&
+              (c * (K + 1) <= n || est > 0L)
+          }
+    }, n = 60)
+  }
+
   test("heap merge is equivalent to inserting the union") {
     val entry = Gen.zip(Gen.choose(-5.0, 5.0), Gen.choose(0L, 30L))
     check(Prop.forAll(Gen.listOf(entry), Gen.listOf(entry), Gen.choose(1, 6)) {
