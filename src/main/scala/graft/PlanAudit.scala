@@ -1,43 +1,45 @@
 package graft
-
 import org.apache.spark.sql.SparkSession
 
-/** Plan auditor (dev tool): prints the physical-plan properties that
-  * matter at scale for each registered query — scan pushdown/pruning,
-  * join strategies, exchange count, whole-stage codegen coverage. */
+/** Physical-plan red-flag sweep over every SparkEntry query: the
+  * automated version of "explain everything and look for the shapes
+  * that die at 100 TB". Flags:
+  *  - CARTESIAN: CartesianProduct (a non-broadcast cross join);
+  *  - BNLJ: BroadcastNestedLoopJoin (fine for single-row broadcast
+  *    aggregates, fatal if either side is corpus-sized — review hits);
+  *  - UNPART_WINDOW: a Window whose child exchange is
+  *    SinglePartition — the whole input on one partition.
+  * Plan shapes only, no execution — runs at sf0.001 in seconds. */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val only = args.headOption
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      if (only.forall(_ == name)) {
-        try {
-          val df = fn(spark, sfDir)
-          val plan = df.queryExecution.executedPlan.toString
-          def n(p: String) = plan.split("\n").count(_.contains(p))
-          val scans = plan.split("\n").filter(_.contains("FileScan parquet"))
-          val readCols = scans.map { s =>
-            val i = s.indexOf("ReadSchema: ")
-            if (i >= 0) s.substring(i + 12).take(90) else "?"
-          }
-          val wsc = plan.split("\n").count(_.trim.matches("^[+:\\-\\s]*\\*\\(\\d+\\).*"))
-          println(f"$name%-24s ex=${n("Exchange")}%2d bhj=${n("BroadcastHashJoin")} " +
-            f"smj=${n("SortMergeJoin")} bnlj=${n("BroadcastNestedLoop")} " +
-            f"wsc=$wsc%2d scans=${scans.length}")
-          if (only.isDefined) {
-            readCols.foreach(c => println(s"   read: $c"))
-            println(plan.split("\n").take(60).mkString("\n"))
-          }
-        } catch { case e: Throwable => println(s"$name FAILED: ${e.getMessage.take(100)}") }
+      try {
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        val lines = plan.linesIterator.toArray
+        val unpartWindow = lines.zipWithIndex.exists { case (l, i) =>
+          l.contains("Window ") &&
+            (i + 1 until math.min(i + 5, lines.length)).exists(j =>
+              lines(j).contains("Exchange SinglePartition"))
+        }
+        val flags = Seq(
+          "CARTESIAN" -> plan.contains("CartesianProduct"),
+          "BNLJ" -> plan.contains("BroadcastNestedLoopJoin"),
+          "UNPART_WINDOW" -> unpartWindow
+        ).collect { case (f, true) => f }
+        if (flags.nonEmpty) flagged += 1
+        println(f"$name%-28s ${if (flags.isEmpty) "ok" else flags.mkString(",")}")
+      } catch { case e: Throwable =>
+        flagged += 1
+        println(f"$name%-28s ERROR ${Option(e.getMessage).getOrElse("").take(80)}")
       }
     }
+    println(s"flagged: $flagged")
     spark.stop()
   }
 }
