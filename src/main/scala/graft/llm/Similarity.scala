@@ -784,6 +784,71 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  val HardNegK = 3
+
+  /** Hard-negative mining for contrastive training: per vector, the k
+    * most-similar vectors with a DIFFERENT label — the pairs a
+    * metric-learning loss learns the most from. Candidate generation
+    * reuses the IVF bucketing (same-centroid members only, the
+    * SemDeDup shape), so the pair space is per-bucket, never the n²
+    * corpus; the label-mismatch filter rides the same join; top-k per
+    * query via the bounded-heap aggregate. Neighbor labels re-join
+    * after the heap (the heap carries only ids). */
+  def hardNegatives(embeddings: DataFrame, k: Int = HardNegK): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(embeddings.sparkSession)
+    // same cache lifecycle as ivfTopK/semanticDedup: shared between the
+    // eager fit and the returned lazy plan; released by the caller
+    val n = prepared(embeddings).cache()
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val cents = fitFrom(n)
+      .select(col("cid").as("centroid_id"), col("cv"))
+      .withColumn("cnrm", norm(col("cv")))
+    val scored = n.join(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
+    val assign = scored.groupBy("vec_id")
+      .agg(call_function("top_k_by", col("ccos"), col("centroid_id"), lit(1)).as("top"))
+      .select(col("vec_id"), col("top").getItem(0).getField("id").as("centroid_id"))
+    val withV = assign.join(n.select("vec_id", "v", "nrm"), "vec_id")
+      .join(labels, "vec_id")
+    val pairs = withV.as("a").join(withV.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.vec_id") =!= col("b.vec_id") &&
+          col("a.label") =!= col("b.label"))
+      .select(col("a.vec_id").as("query_id"), col("a.label").as("label"),
+        col("b.vec_id").as("neighbor_id"), cosine("a", "b"))
+    pairs.groupBy("query_id", "label")
+      .agg(call_function("top_k_by", col("cosine"), col("neighbor_id"), lit(k)).as("top"))
+      .select(col("query_id"), col("label"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("label"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        col("e.id").as("neighbor_id"), col("e.score").as("cosine"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("neg_label")), "neighbor_id")
+      .select("query_id", "label", "rnk", "neighbor_id", "neg_label", "cosine")
+      .orderBy("query_id", "rnk")
+  }
+
+  def sqlHardNegatives(k: Int = HardNegK): String =
+    s"""WITH $sqlFitRankedCtes,
+        assign AS (SELECT vec_id, centroid_id FROM ranked WHERE crnk = 1),
+        lbl AS (SELECT vec_id, label FROM embeddings),
+        pair AS (
+          SELECT x.vec_id AS query_id, xl.label AS label,
+            y.vec_id AS neighbor_id, yl.label AS neg_label,
+            $sqlCosine AS cosine
+          FROM assign x JOIN assign y
+            ON x.centroid_id = y.centroid_id AND x.vec_id <> y.vec_id
+          JOIN lbl xl ON x.vec_id = xl.vec_id
+          JOIN lbl yl ON y.vec_id = yl.vec_id AND yl.label <> xl.label
+          JOIN n a ON x.vec_id = a.vec_id
+          JOIN n b ON y.vec_id = b.vec_id),
+        r AS (SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+              AS INTEGER) AS rnk FROM pair)
+        SELECT query_id, label, rnk, neighbor_id, neg_label, cosine
+        FROM r WHERE rnk <= $k ORDER BY query_id, rnk"""
+
   def sqlSemanticDedup(threshold: Double = SemDedupThreshold): String =
     s"""WITH $sqlFitRankedCtes,
         assign AS (SELECT vec_id, centroid_id FROM ranked WHERE crnk = 1),
