@@ -147,6 +147,8 @@ object SparkEntry {
     "q_vocab" -> ((s, d) => llm.TextStats.vocab(Tables.documents(s, d))),
     // tokenizer-planning coverage curve: 1-OOV rate at candidate vocab sizes
     "q_vocab_coverage" -> ((s, d) => llm.TextStats.vocabCoverage(Tables.documents(s, d))),
+    // BPE merge-pair counts: adjacent char pairs, the tokenizer-training step
+    "q_bpe_pairs" -> ((s, d) => llm.TextStats.bpePairs(Tables.documents(s, d))),
     // Misra-Gries heavy hitters with integer-exact guarantee oracle
     "q_heavy_hitters" -> ((s, d) => llm.TextStats.heavyHitters(Tables.documents(s, d))),
     // quality-proportional deterministic sampling
@@ -422,6 +424,7 @@ object SparkEntry {
     "q_label_purity" -> llm.Similarity.sqlKnnLabelPurity(),
     "q_vocab" -> llm.TextStats.sqlVocab,
     "q_vocab_coverage" -> llm.TextStats.sqlVocabCoverage,
+    "q_bpe_pairs" -> llm.TextStats.sqlBpePairs(),
     "q_heavy_hitters" -> llm.TextStats.sqlHeavyHitters(),
     "q_quality_sample" -> llm.Curate.sqlQualityWeightedSample,
     "q_tokenize_ids" -> llm.TextStats.sqlTokenizeIds,

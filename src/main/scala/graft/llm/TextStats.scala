@@ -291,6 +291,43 @@ object TextStats {
         (col("rank_offset") + col("rn")).as("vocab_rank"))
   }
 
+  val BpeTopN = 50
+
+  /** BPE merge-pair counting — the inner statistic of byte-pair-
+    * encoding tokenizer training: every adjacent CHARACTER pair inside
+    * every word occurrence, counted corpus-wide, top-N reported (the
+    * first merge a BPE trainer would pick is rank 1). Row-local
+    * explode (one 2-char slice per position), one hash aggregate on
+    * the pair (keyspace ≤ alphabet², inherently bounded), bounded
+    * top-N rank — the iteration step a full trainer would loop with
+    * the previous round's merges applied. */
+  def bpePairs(documents: DataFrame, topN: Int = BpeTopN): DataFrame = {
+    val counts = documents
+      .select(explode(TextPrep.wordsCol).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n_occurrences"))
+    graft.util.TopN.rankedTopN(counts,
+        struct((-col("n_occurrences")).as("nk"), col("pair").as("pk")), topN, "rnk")
+      .select("rnk", "pair", "n_occurrences")
+      .orderBy("rnk")
+  }
+
+  def sqlBpePairs(topN: Int = BpeTopN): String = {
+    val w = TextPrep.sqlWords
+    s"""WITH wds AS (SELECT unnest($w) AS w FROM documents),
+        p AS (SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                i -> substr(w, i, 2))) AS pair
+              FROM wds WHERE length(w) >= 2),
+        g AS (SELECT pair, count(*) AS n_occurrences FROM p GROUP BY 1),
+        r AS (SELECT pair, n_occurrences,
+                CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair ASC)
+                  AS INTEGER) AS rnk
+              FROM g)
+        SELECT rnk, pair, n_occurrences FROM r WHERE rnk <= $topN ORDER BY rnk"""
+  }
+
   /** Vocabulary sizes the coverage curve is evaluated at. */
   val CoverageKs: Seq[Int] = Seq(100, 250, 500, 1000)
 
