@@ -141,6 +141,8 @@ object SparkEntry {
     "q_semantic_dedup" -> ((s, d) => llm.Similarity.semanticDedup(Tables.embeddings(s, d))),
     // contrastive-training hard negatives: top-k cross-label, IVF-bucketed
     "q_hard_negatives" -> ((s, d) => llm.Similarity.hardNegatives(Tables.embeddings(s, d))),
+    // contrastive positives: top-k same-label, same bucketed shape
+    "q_positive_pairs" -> ((s, d) => llm.Similarity.positivePairs(Tables.embeddings(s, d))),
     // embedding-space quality: kNN label agreement per label
     "q_label_purity" -> ((s, d) => llm.Similarity.knnLabelPurity(Tables.embeddings(s, d))),
     // vocabulary build: corpus frequency ranking (tokenizer training)
@@ -421,6 +423,7 @@ object SparkEntry {
     "q_decontaminate" -> llm.Curate.sqlDecontaminate(),
     "q_semantic_dedup" -> llm.Similarity.sqlSemanticDedup(),
     "q_hard_negatives" -> llm.Similarity.sqlHardNegatives(),
+    "q_positive_pairs" -> llm.Similarity.sqlPositivePairs(),
     "q_label_purity" -> llm.Similarity.sqlKnnLabelPurity(),
     "q_vocab" -> llm.TextStats.sqlVocab,
     "q_vocab_coverage" -> llm.TextStats.sqlVocabCoverage,

@@ -794,7 +794,18 @@ object Similarity {
     * corpus; the label-mismatch filter rides the same join; top-k per
     * query via the bounded-heap aggregate. Neighbor labels re-join
     * after the heap (the heap carries only ids). */
-  def hardNegatives(embeddings: DataFrame, k: Int = HardNegK): DataFrame = {
+  def hardNegatives(embeddings: DataFrame, k: Int = HardNegK): DataFrame =
+    minedPairs(embeddings, k, sameLabel = false, "neg_label")
+
+  /** Positive-pair mining — the other half of a contrastive batch:
+    * per vector, the k most-similar SAME-label vectors (anchor,
+    * positive). Identical IVF-bucketed candidate shape; only the label
+    * predicate flips. */
+  def positivePairs(embeddings: DataFrame, k: Int = HardNegK): DataFrame =
+    minedPairs(embeddings, k, sameLabel = true, "pos_label")
+
+  private def minedPairs(embeddings: DataFrame, k: Int,
+                         sameLabel: Boolean, partnerCol: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(embeddings.sparkSession)
     // same cache lifecycle as ivfTopK/semanticDedup: shared between the
     // eager fit and the returned lazy plan; released by the caller
@@ -811,10 +822,12 @@ object Similarity {
       .select(col("vec_id"), col("top").getItem(0).getField("id").as("centroid_id"))
     val withV = assign.join(n.select("vec_id", "v", "nrm"), "vec_id")
       .join(labels, "vec_id")
+    val labelPred =
+      if (sameLabel) col("a.label") === col("b.label")
+      else col("a.label") =!= col("b.label")
     val pairs = withV.as("a").join(withV.as("b"),
         col("a.centroid_id") === col("b.centroid_id") &&
-          col("a.vec_id") =!= col("b.vec_id") &&
-          col("a.label") =!= col("b.label"))
+          col("a.vec_id") =!= col("b.vec_id") && labelPred)
       .select(col("a.vec_id").as("query_id"), col("a.label").as("label"),
         col("b.vec_id").as("neighbor_id"), cosine("a", "b"))
     pairs.groupBy("query_id", "label")
@@ -824,29 +837,35 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rnk"),
         col("e.id").as("neighbor_id"), col("e.score").as("cosine"))
       .join(labels.select(col("vec_id").as("neighbor_id"),
-        col("label").as("neg_label")), "neighbor_id")
-      .select("query_id", "label", "rnk", "neighbor_id", "neg_label", "cosine")
+        col("label").as(partnerCol)), "neighbor_id")
+      .select("query_id", "label", "rnk", "neighbor_id", partnerCol, "cosine")
       .orderBy("query_id", "rnk")
   }
 
   def sqlHardNegatives(k: Int = HardNegK): String =
+    sqlMinedPairs(k, "<>", "neg_label")
+
+  def sqlPositivePairs(k: Int = HardNegK): String =
+    sqlMinedPairs(k, "=", "pos_label")
+
+  private def sqlMinedPairs(k: Int, labelOp: String, partnerCol: String): String =
     s"""WITH $sqlFitRankedCtes,
         assign AS (SELECT vec_id, centroid_id FROM ranked WHERE crnk = 1),
         lbl AS (SELECT vec_id, label FROM embeddings),
         pair AS (
           SELECT x.vec_id AS query_id, xl.label AS label,
-            y.vec_id AS neighbor_id, yl.label AS neg_label,
+            y.vec_id AS neighbor_id, yl.label AS $partnerCol,
             $sqlCosine AS cosine
           FROM assign x JOIN assign y
             ON x.centroid_id = y.centroid_id AND x.vec_id <> y.vec_id
           JOIN lbl xl ON x.vec_id = xl.vec_id
-          JOIN lbl yl ON y.vec_id = yl.vec_id AND yl.label <> xl.label
+          JOIN lbl yl ON y.vec_id = yl.vec_id AND yl.label $labelOp xl.label
           JOIN n a ON x.vec_id = a.vec_id
           JOIN n b ON y.vec_id = b.vec_id),
         r AS (SELECT *, CAST(row_number() OVER (
                 PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
               AS INTEGER) AS rnk FROM pair)
-        SELECT query_id, label, rnk, neighbor_id, neg_label, cosine
+        SELECT query_id, label, rnk, neighbor_id, $partnerCol, cosine
         FROM r WHERE rnk <= $k ORDER BY query_id, rnk"""
 
   def sqlSemanticDedup(threshold: Double = SemDedupThreshold): String =
