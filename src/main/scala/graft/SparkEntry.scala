@@ -103,6 +103,8 @@ object SparkEntry {
     "q_winnow_fps" -> ((s, d) => llm.Dedup.winnowFingerprints(Tables.documents(s, d))),
     "q_containment" -> ((s, d) => llm.Dedup.containmentPairs(Tables.documents(s, d))),
     "q_dup_rate" -> ((s, d) => llm.Dedup.dupRateBySource(Tables.documents(s, d))),
+    // per-doc memorization risk: fraction of shingles shared with other docs
+    "q_memorization_risk" -> ((s, d) => llm.Dedup.memorizationRisk(Tables.documents(s, d))),
     "q_simhash_pairs" -> ((s, d) => llm.Dedup.simhashPairs(Tables.documents(s, d), 3)),
     "q_cosine_topk" -> ((s, d) => llm.Similarity.bruteForceTopK(Tables.embeddings(s, d), 10)),
     "q_embed_neardup" -> ((s, d) => llm.Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.4)),
@@ -395,6 +397,7 @@ object SparkEntry {
     "q_winnow_fps" -> llm.Dedup.sqlWinnowFingerprints,
     "q_containment" -> llm.Dedup.sqlContainmentPairs(),
     "q_dup_rate" -> llm.Dedup.sqlDupRateBySource,
+    "q_memorization_risk" -> llm.Dedup.sqlMemorizationRisk,
     "q_simhash_pairs" -> llm.Dedup.sqlSimhashPairs(3),
     "q_cosine_topk" -> llm.Similarity.sqlBruteForceTopK(10),
     "q_embed_neardup" -> llm.Similarity.sqlCosineNearDupPairs(0.4),

@@ -590,6 +590,39 @@ object Dedup {
         SELECT rnk, bigram, n_docs FROM r WHERE rnk <= $topN ORDER BY rnk"""
   }
 
+  /** Per-document memorization/boilerplate risk: the fraction of a
+    * document's distinct shingles that also appear in at least one
+    * OTHER document — high values mean the text is mostly corpus-
+    * shared phrasing (navigation chrome, templates, licensed
+    * boilerplate), exactly the content most likely to be memorized
+    * verbatim by a model trained on it. One shingle explode, one
+    * document-frequency hash aggregate keyed on the shingle (the same
+    * skew profile as the Jaccard set-similarity join, AQE-bounded),
+    * one per-doc aggregate — exact integer counts + one division. */
+  def memorizationRisk(documents: DataFrame): DataFrame = {
+    val s = TextPrep.shingleSets(documents)
+    val df = s.groupBy("sh").agg(count(lit(1)).as("df"))
+    s.join(df, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_shingles").cast("double"))
+          .as("shared_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val sqlMemorizationRisk: String =
+    s"""WITH ${TextPrep.sqlShingleCtes},
+        dfreq AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM s GROUP BY 1),
+        g AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+            CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+          FROM s JOIN dfreq USING (sh) GROUP BY 1)
+        SELECT doc_id, n_shingles, n_shared,
+          CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS shared_ratio
+        FROM g ORDER BY doc_id"""
+
   /** Per-source duplication-rate report: how much of each source is
     * redundant under exact dedup — the "which scrape to deprioritize"
     * table. One hash-aggregate; only md5 digests shuffle. */
