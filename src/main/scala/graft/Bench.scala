@@ -150,15 +150,24 @@ object Bench {
     val sawTimeout = scala.collection.mutable.Map[String, Double]()
     val measured = scala.collection.mutable.Set[String]()
 
+    // A query that only ever FAILED contributes this poison term to the
+    // total: the max watchdog cap, i.e. strictly worse than any possible
+    // measurement. Failures must never make the headline number SMALLER
+    // (a crashed suite must not look healthier than a clean one — the
+    // consumer may parse only "value"); 180 s per failure blows the 2×
+    // gate ratio loudly while keeping the line readable, unlike the old
+    // 1e9 poison that made r4's single env flake unreadable.
+    val FailPenaltyS = 180.0
+    def bestKnown(n: String): Double =
+      if (succ(n) < Double.MaxValue) succ(n)
+      else sawTimeout.getOrElse(n, if (sawFail(n)) FailPenaltyS else 0.0)
+
     // value shown while running = best-known per measured query; a
     // query with no success yet contributes its timeout cap (a real
-    // lower bound) or nothing if it only failed fast.
-    def currentValue: Double = measured.iterator.map { n =>
-      if (succ(n) < Double.MaxValue) succ(n) else sawTimeout.getOrElse(n, 0.0)
-    }.sum
-    def slowMap(k: Int): String = measured.iterator.map { n =>
-      n -> (if (succ(n) < Double.MaxValue) succ(n) else sawTimeout.getOrElse(n, 0.0))
-    }.toSeq.sortBy(-_._2).take(k)
+    // lower bound) or the fail poison if every attempt threw.
+    def currentValue: Double = measured.iterator.map(bestKnown).sum
+    def slowMap(k: Int): String = measured.iterator.map(n => n -> bestKnown(n))
+      .toSeq.sortBy(-_._2).take(k)
       .map { case (n, v) => "\"" + n + "\":" + f3(v) }.mkString(",")
 
     def heartbeat(phase: String): Unit = {
@@ -219,17 +228,15 @@ object Bench {
 
     // Final accounting. A query is FAILED only if no attempt ever
     // succeeded AND none timed out (a timeout is a real lower-bound
-    // measurement; an env flake that threw on every pass is reported
-    // by name, not by fabricating a number — correctness is the
-    // oracle gate's job, and r4 showed a single env flake poisoning
-    // the whole headline makes the bench gate unreadable).
-    val values = names.map { n =>
-      n -> (if (succ(n) < Double.MaxValue) succ(n)
-            else sawTimeout.getOrElse(n, -1.0))
-    }.toMap
-    val failedNames = names.filter(n => values(n) < 0)
+    // measurement). Failed queries are reported by name AND fold the
+    // FailPenaltyS poison into "value": totals stay comparable across
+    // runs with different failure sets, and a consumer that parses only
+    // "value" sees a crashed suite as slower, never healthier.
+    val failedNames = names.filter(n =>
+      succ(n) == Double.MaxValue && !sawTimeout.contains(n))
     val timeoutOnly = names.filter(n => succ(n) == Double.MaxValue && sawTimeout.contains(n))
-    val total = values.values.filter(_ >= 0).sum
+    val values = names.map(n => n -> bestKnown(n)).toMap
+    val total = values.values.sum
 
     val full = values.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString(s"""{"total":${f3(total)},"sf":"$sfDir","queries":{""", ",", "}}")
@@ -240,9 +247,19 @@ object Bench {
     val slow = values.toSeq.sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString(",")
     val omitted = names.size - math.min(12, names.size)
-    val omittedSum = values.values.filter(_ >= 0).sum -
-      values.toSeq.sortBy(-_._2).take(12).map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${names.size},"queries":{$slow},"omitted":$omitted,"omitted_sum":${f3(omittedSum)},"failed":${failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")},"timeout":${timeoutOnly.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    val omittedSum = total - values.toSeq.sortBy(-_._2).take(12).map(_._2).sum
+    // Name arrays are CAPPED: 109 failed names once measured ~2900
+    // chars — bigger than the harness's ~2000-char tail window, so the
+    // final line itself would have been truncated past parseability in
+    // exactly the catastrophic case it reports. Counts are always
+    // exact; the full name lists live in bench_progress.log.
+    def capped(ns: Seq[String]): String =
+      (ns.take(8).map("\"" + _ + "\"") ++
+        (if (ns.size > 8) Seq("\"+" + (ns.size - 8) + " more\"") else Nil))
+        .mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${names.size},"queries":{$slow},"omitted":$omitted,"omitted_sum":${f3(omittedSum)},"nfailed":${failedNames.size},"failed":${capped(failedNames)},"ntimeout":${timeoutOnly.size},"timeout":${capped(timeoutOnly)},"sf":"$sfDir"}"""
+    if (failedNames.nonEmpty) progress.println("failed: " + failedNames.mkString(","))
+    if (timeoutOnly.nonEmpty) progress.println("timeout: " + timeoutOnly.mkString(","))
     progress.println(line)
     progress.close()
     println(line)

@@ -98,6 +98,8 @@ object SparkEntry {
     // ---- LLM-data-pipeline operators (north star, BASELINE.json) ----
     "q_exact_dedup" -> ((s, d) => llm.Dedup.exactDedup(Tables.documents(s, d))),
     "q_jaccard_pairs" -> ((s, d) => llm.Dedup.jaccardPairs(Tables.documents(s, d), 0.5)),
+    // scale twin: stop-shingle df-cap bounds the join's worst bucket
+    "q_jaccard_capped" -> ((s, d) => llm.Dedup.jaccardPairsCapped(Tables.documents(s, d), 0.5)),
     "q_minhash_lsh" -> ((s, d) => llm.Dedup.minhashLshPairs(Tables.documents(s, d))),
     "q_simhash" -> ((s, d) => llm.Dedup.simhash(Tables.documents(s, d))),
     "q_winnow_fps" -> ((s, d) => llm.Dedup.winnowFingerprints(Tables.documents(s, d))),
@@ -147,6 +149,8 @@ object SparkEntry {
     "q_positive_pairs" -> ((s, d) => llm.Similarity.positivePairs(Tables.embeddings(s, d))),
     // embedding-space quality: kNN label agreement per label
     "q_label_purity" -> ((s, d) => llm.Similarity.knnLabelPurity(Tables.embeddings(s, d))),
+    // scale-safe purity twin: neighbors from IVF buckets, not all-pairs
+    "q_label_purity_ann" -> ((s, d) => llm.Similarity.knnLabelPurityAnn(Tables.embeddings(s, d))),
     // vocabulary build: corpus frequency ranking (tokenizer training)
     "q_vocab" -> ((s, d) => llm.TextStats.vocab(Tables.documents(s, d))),
     // tokenizer-planning coverage curve: 1-OOV rate at candidate vocab sizes
@@ -392,6 +396,7 @@ object SparkEntry {
     "q_pivot" -> Windows.sqlMonthlyTypePivot,
     "q_exact_dedup" -> llm.Dedup.sqlExactDedup,
     "q_jaccard_pairs" -> llm.Dedup.sqlJaccardPairs(0.5),
+    "q_jaccard_capped" -> llm.Dedup.sqlJaccardPairsCapped(0.5),
     "q_minhash_lsh" -> llm.Dedup.sqlMinhashLshPairs,
     "q_simhash" -> llm.Dedup.sqlSimhash,
     "q_winnow_fps" -> llm.Dedup.sqlWinnowFingerprints,
@@ -428,6 +433,7 @@ object SparkEntry {
     "q_hard_negatives" -> llm.Similarity.sqlHardNegatives(),
     "q_positive_pairs" -> llm.Similarity.sqlPositivePairs(),
     "q_label_purity" -> llm.Similarity.sqlKnnLabelPurity(),
+    "q_label_purity_ann" -> llm.Similarity.sqlKnnLabelPurityAnn(),
     "q_vocab" -> llm.TextStats.sqlVocab,
     "q_vocab_coverage" -> llm.TextStats.sqlVocabCoverage,
     "q_bpe_pairs" -> llm.TextStats.sqlBpePairs(),

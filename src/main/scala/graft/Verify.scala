@@ -7,8 +7,10 @@ import java.nio.file.{Files, Paths}
   *
   * Ordered for partial-failure survival (round 4's correctness artifact
   * came back EMPTY — the run died before anything comparable landed):
-  * oracle_sql.json is written FIRST, so however early the process dies,
-  * whatever query parquet did land is comparable; Spark's block-manager
+  * ALL stale query output is deleted up front, THEN oracle_sql.json is
+  * written, so however early the process dies, whatever query parquet
+  * exists is exactly this run's output and comparable — never a prior
+  * round's leftovers; Spark's block-manager
   * files live under ./target (not /tmp, which the host reaps mid-run —
   * r4 lost a live shuffle index file that way and the JVM died); and the
   * session is rebuilt after any query failure so one session-level death
@@ -40,6 +42,17 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     new java.io.File(outDir).mkdirs()
 
+    // Drop ALL stale query output up front, BEFORE oracle_sql.json lands:
+    // if this run dies at query 10 of ~100, queries 11+ must not retain a
+    // previous round's parquet to be compared against the fresh oracle
+    // file as if current.
+    def deleteTree(dir: java.nio.file.Path): Unit =
+      if (Files.exists(dir)) {
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+    SparkEntry.queries.keys.foreach(name => deleteTree(Paths.get(s"$outDir/$name")))
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -63,13 +76,6 @@ object Verify {
     def elapsedS: Double = (System.nanoTime() - t0) / 1e9
 
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      // Drop any stale output first: a failed query must not leave a
-      // previous run's parquet behind to be compared as if fresh.
-      val dir = Paths.get(s"$outDir/$name")
-      if (Files.exists(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
-      }
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

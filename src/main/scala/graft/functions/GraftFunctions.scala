@@ -49,12 +49,22 @@ object GraftFunctions {
     * silently shadow graft's — the first registerAll on a session always
     * installs graft's builders (the registry logs one replace-WARN per
     * collision, which is the right notice), and later calls are no-ops.
+    *
+    * The check-and-register is one synchronized block with the guard set
+    * LAST: Bench runs queries on worker threads, and a guard set before
+    * the functions land would let a concurrent caller sail past the
+    * no-op path and execute mid-registration ("undefined function:
+    * top_k_by" — a transient failure the bench would count as real).
+    * The lock is uncontended after a session's first call.
     */
   def registerAll(spark: SparkSession): Unit =
-    if (registeredSessions.put(spark, java.lang.Boolean.TRUE) == null) {
-      val reg = spark.sessionState.functionRegistry
-      all.foreach { case (name, builder) =>
-        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    registeredSessions.synchronized {
+      if (!registeredSessions.containsKey(spark)) {
+        val reg = spark.sessionState.functionRegistry
+        all.foreach { case (name, builder) =>
+          reg.createOrReplaceTempFunction(name, builder, "built-in")
+        }
+        registeredSessions.put(spark, java.lang.Boolean.TRUE)
       }
     }
 

@@ -45,9 +45,45 @@ object Dedup {
 
   /** N-gram Jaccard near-dup pairs above a threshold, via the
     * set-similarity join (intersection counts from a co-group on the
-    * shingle, sizes joined back). */
-  def jaccardPairs(documents: DataFrame, threshold: Double): DataFrame = {
+    * shingle, sizes joined back).
+    *
+    * Skew exposure (the set-similarity join's known failure mode): a
+    * shingle appearing in df documents contributes O(df²) intermediate
+    * pairs, so one corpus-boilerplate trigram can dominate the whole
+    * join. Measured on this corpus's generator (DuckDB over the same
+    * shingle definition): sf0.1 has 27,213 distinct shingles, max
+    * df = 25, Σdf² = 2.79 M intermediate pairs (59 shingles above
+    * df 20 contribute 28 k) — benign HERE because the generator makes
+    * near-dup clusters, not boilerplate. Real web text is not so kind;
+    * [[jaccardPairsCapped]] is the declared scale path: it drops
+    * stop-shingles (df > maxPosting) before the self-join, the same
+    * IR stop-list move as [[containmentPairs]], trading away only
+    * pairs whose evidence is corpus-wide boilerplate.
+    *
+    * This exact variant stays UNCAPPED by design — it is the declared
+    * ground-truth baseline that `q_minhash_lsh`'s recall is read
+    * against, so its semantics must remain exact Jaccard. */
+  def jaccardPairs(documents: DataFrame, threshold: Double): DataFrame =
+    jaccardPairsImpl(TextPrep.shingleSets(documents), documents, threshold)
+
+  /** Scale twin: exact Jaccard arithmetic over stop-shingle-filtered
+    * sets. `n` (the set size) still counts ALL shingles — only the
+    * intersection evidence is capped, so the score is a LOWER bound on
+    * true Jaccard (a pair can only be missed, never inflated past its
+    * exact value; monotone in df like the containment cap). Max
+    * posting-list length after the filter is ≤ maxPosting by
+    * construction, so the join's worst bucket is maxPosting² rows
+    * whatever the corpus does. */
+  def jaccardPairsCapped(documents: DataFrame, threshold: Double,
+                         maxPosting: Int = MaxPostingDocs): DataFrame = {
     val s = TextPrep.shingleSets(documents)
+    val keep = s.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxPosting).select("sh")
+    jaccardPairsImpl(s.join(keep, "sh"), documents, threshold)
+  }
+
+  private def jaccardPairsImpl(s: DataFrame, documents: DataFrame,
+                               threshold: Double): DataFrame = {
     val sizes = TextPrep.docShingles(documents).select("doc_id", "n")
     val inter = s.as("a")
       .join(s.as("b"),
@@ -69,6 +105,22 @@ object Dedup {
         inter AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
           FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+          CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                   JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= $threshold
+        ORDER BY doc_a, doc_b"""
+
+  def sqlJaccardPairsCapped(threshold: Double,
+                            maxPosting: Int = MaxPostingDocs): String =
+    s"""WITH ${TextPrep.sqlShingleCtes},
+        keep AS (SELECT sh FROM s GROUP BY sh HAVING count(*) <= $maxPosting),
+        sk AS (SELECT s.doc_id, s.sh FROM s JOIN keep USING (sh)),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sk a JOIN sk b ON a.sh = b.sh AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT doc_a, doc_b,
           CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard

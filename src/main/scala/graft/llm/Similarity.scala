@@ -25,6 +25,23 @@ object Similarity {
 
   val Dim = 64
 
+  /** Hard input bound for the O(n²) exact baselines. They exist as
+    * ground truth for the IVF/LSH/PQ scale twins and for small query
+    * sets; pointing one at a corpus is always a mistake, so it fails
+    * LOUD here (same policy as the k-means centroid-collect bound)
+    * instead of melting a cluster. 1 M rows ≈ 10¹² candidate pairs —
+    * already far past sane, but unambiguous as a refusal threshold. */
+  val ExactBaselineMaxRows = 1000000L
+
+  private def requireBaselineSized(n: DataFrame, who: String): DataFrame = {
+    val cnt = n.count()
+    require(cnt <= ExactBaselineMaxRows,
+      s"$who is the O(n²) EXACT baseline; refusing n=$cnt > " +
+        s"$ExactBaselineMaxRows rows. Use the scale twins " +
+        s"(ivfTopK/adcTopK/lshNearDupPairs/knnLabelPurityAnn) on corpora.")
+    n
+  }
+
   /** Left-fold dot product — a native codegen'd Catalyst expression
     * (graft.functions.DotProductD); same accumulation order as the
     * interpreted `aggregate(zip_with(...))` route but ~40× faster
@@ -68,7 +85,7 @@ object Similarity {
     * 100 TB corpus. */
   def bruteForceTopK(embeddings: DataFrame, k: Int): DataFrame = {
     graft.functions.TopKByScore.register(embeddings.sparkSession)
-    val n = prepared(embeddings)
+    val n = requireBaselineSized(prepared(embeddings), "bruteForceTopK")
     n.as("a").join(n.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(
         col("a.vec_id").as("query_id"),
@@ -103,7 +120,7 @@ object Similarity {
     * bucketing below restricts candidate generation the same way the
     * MinHash bands do for lexical dedup. */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val n = prepared(embeddings)
+    val n = requireBaselineSized(prepared(embeddings), "cosineNearDupPairs")
     n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("vec_a"),
@@ -326,20 +343,24 @@ object Similarity {
 
   def pqCodes(embeddings: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.registerAll(embeddings.sparkSession)
+    // cache lifecycle: same as ivfTopK/minedPairs — shared between the
+    // eager codebook fits and the RETURNED lazy encode plan, which
+    // references it; released by the caller's action + clearCache()
+    // (Bench/Verify do). An unpersist-in-finally here would serve only
+    // the fits and leave the returned plan recomputing prepared() plus
+    // all 4 subspace encode chains uncached.
     val n = prepared(embeddings).cache()
-    try {
-      val assigned = (0 until PqM).map { m =>
-        val sub = pqSub(n, m)
-        encodeSub(sub, fitSubCodebook(sub), m)
-      }
-      val joined = assigned.reduceLeft((a, b) => a.join(b, "vec_id"))
-      joined.select(
-          col("vec_id"),
-          concat_ws(",", (0 until PqM).map(m => col(s"code$m").cast("string")): _*)
-            .as("codes_csv"),
-          (0 until PqM).map(m => col(s"dist$m")).reduceLeft(_ + _).as("recon_err_l2sq"))
-        .orderBy("vec_id")
-    } finally { n.unpersist(); () }
+    val assigned = (0 until PqM).map { m =>
+      val sub = pqSub(n, m)
+      encodeSub(sub, fitSubCodebook(sub), m)
+    }
+    val joined = assigned.reduceLeft((a, b) => a.join(b, "vec_id"))
+    joined.select(
+        col("vec_id"),
+        concat_ws(",", (0 until PqM).map(m => col(s"code$m").cast("string")): _*)
+          .as("codes_csv"),
+        (0 until PqM).map(m => col(s"dist$m")).reduceLeft(_ + _).as("recon_err_l2sq"))
+      .orderBy("vec_id")
   }
 
   val AdcQueries = 8
@@ -358,9 +379,9 @@ object Similarity {
     * result hash-matches bit-for-bit. */
   def adcTopK(embeddings: DataFrame, k: Int = AdcK): DataFrame = {
     graft.functions.GraftFunctions.registerAll(embeddings.sparkSession)
+    // cache lifecycle: kept alive for the returned plan, like pqCodes
     val n = prepared(embeddings).cache()
-    try {
-      val queries = n.orderBy("vec_id").limit(AdcQueries)
+    val queries = n.orderBy("vec_id").limit(AdcQueries)
         .select(col("vec_id").as("query_id"), col("v"))
       val parts = (0 until PqM).map { m =>
         val sub = pqSub(n, m)
@@ -384,7 +405,6 @@ object Similarity {
         .select(col("query_id"), (col("pos") + 1).cast("int").as("rnk"),
           col("e.id").as("neighbor_id"), (-col("e.score")).as("adc_dist"))
         .orderBy("query_id", "rnk")
-    } finally { n.unpersist(); () }
   }
 
   private def sqlSubL2(sv: String, cv: String) =
@@ -682,6 +702,85 @@ object Similarity {
           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
             $sqlCosine AS cosine
           FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        r AS (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM p),
+        t AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= $k),
+        j AS (
+          SELECT ql.label,
+            CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END AS m
+          FROM t JOIN lbl ql ON t.query_id = ql.vec_id
+                 JOIN lbl nl ON t.neighbor_id = nl.vec_id),
+        g AS (
+          SELECT label, CAST(count(*) AS BIGINT) AS n_neighbor_rows,
+            CAST(sum(m) AS BIGINT) AS n_matches
+          FROM j GROUP BY 1)
+        SELECT label, n_neighbor_rows, n_matches,
+          CAST(n_matches AS DOUBLE) / CAST(n_neighbor_rows AS DOUBLE) AS purity
+        FROM g ORDER BY label"""
+
+  /** Scale-safe twin of [[knnLabelPurity]]: identical per-label purity
+    * report, but the neighbor lists come from IVF-bucketed candidates
+    * (same-centroid members only — the [[minedPairs]] candidate shape)
+    * instead of the exact all-pairs join. Per query, top-k by cosine
+    * WITHIN its centroid bucket via the bounded-heap aggregate.
+    *
+    * 100 TB shape: the fit is the broadcast k-means; assignment is a
+    * map-only pass; the pair space is per-bucket (n/√n rows each →
+    * n^1.5 total work, partitionable by centroid_id), never the n² of
+    * the exact baseline. Neighbors outside the query's bucket are
+    * missed by design — the same recall trade as IVF probes, and the
+    * purity signal (do nearby vectors share the label?) is if anything
+    * SHARPER on within-cluster neighbors. Queries in singleton buckets
+    * contribute no neighbor rows (the oracle does the same). */
+  def knnLabelPurityAnn(embeddings: DataFrame, k: Int = PurityK): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(embeddings.sparkSession)
+    // cache lifecycle: shared between the eager fit and the returned
+    // lazy plan; released by the caller's clearCache() (Bench/Verify)
+    val n = prepared(embeddings).cache()
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val cents = fitFrom(n)
+      .select(col("cid").as("centroid_id"), col("cv"))
+      .withColumn("cnrm", norm(col("cv")))
+    val scored = n.join(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
+    val assign = scored.groupBy("vec_id")
+      .agg(call_function("top_k_by", col("ccos"), col("centroid_id"), lit(1)).as("top"))
+      .select(col("vec_id"), col("top").getItem(0).getField("id").as("centroid_id"))
+    val withV = assign.join(n.select("vec_id", "v", "nrm"), "vec_id")
+    val pairs = withV.as("a").join(withV.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"),
+        col("b.vec_id").as("neighbor_id"), cosine("a", "b"))
+    pairs.groupBy("query_id")
+      .agg(call_function("top_k_by", col("cosine"), col("neighbor_id"), lit(k)).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("neighbor_id"))
+      .join(labels.withColumnRenamed("vec_id", "query_id"), "query_id")
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel")), "neighbor_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_neighbor_rows"),
+        sum(when(col("nlabel") === col("label"), 1L).otherwise(0L)).as("n_matches"))
+      .select(col("label"), col("n_neighbor_rows"), col("n_matches"),
+        (col("n_matches").cast("double") /
+          col("n_neighbor_rows").cast("double")).as("purity"))
+      .orderBy("label")
+  }
+
+  def sqlKnnLabelPurityAnn(k: Int = PurityK): String =
+    s"""WITH $sqlFitRankedCtes,
+        assign AS (SELECT vec_id, centroid_id FROM ranked WHERE crnk = 1),
+        lbl AS (SELECT vec_id, label FROM embeddings),
+        p AS (
+          SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id,
+            $sqlCosine AS cosine
+          FROM assign x JOIN assign y
+            ON x.centroid_id = y.centroid_id AND x.vec_id <> y.vec_id
+          JOIN n a ON x.vec_id = a.vec_id
+          JOIN n b ON y.vec_id = b.vec_id),
         r AS (SELECT *, row_number() OVER (
             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
           FROM p),

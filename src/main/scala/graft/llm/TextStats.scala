@@ -338,15 +338,25 @@ object TextStats {
     * (the scalable bucket-offset ranking, never a global sort), with
     * the per-K tallies as conditional integer sums in a single
     * aggregate — exact longs, one double division per row, order-free.
-    */
+    *
+    * The broadcast side is CAPPED at max(CoverageKs) rows before the
+    * hint: the curve only ever tests `vocab_rank <= k <= maxK`, so
+    * ranks past maxK are dead weight — and a web-corpus vocabulary is
+    * 10⁸–10⁹ words, which would OOM the driver as a full broadcast.
+    * The LEFT join keeps every occurrence for n_total; an un-ranked
+    * (rank > maxK) word has null vocab_rank and counts covered at no
+    * K, exactly as before. The broadcast is now constant-sized (maxK
+    * rows) at ANY corpus scale. */
   def vocabCoverage(documents: DataFrame): DataFrame = {
+    val maxK = CoverageKs.max
     val ranks = vocabRanks(documents).select("word", "vocab_rank")
+      .filter(col("vocab_rank") <= maxK)
     val aggs = count(lit(1)).as("n_total") +:
       CoverageKs.map(k =>
         sum(when(col("vocab_rank") <= k, 1L).otherwise(0L)).as(s"c$k"))
     val tallies = documents
       .select(explode(TextPrep.wordsCol).as("word"))
-      .join(broadcast(ranks), "word")
+      .join(broadcast(ranks), Seq("word"), "left")
       .agg(aggs.head, aggs.tail: _*)
     val stacked = CoverageKs
       .map(k => s"$k, c$k")

@@ -213,6 +213,28 @@ object Sources {
       .partitionBy("year", "month", "day")
       .parquet(path)
 
+  /** S7 CATALOG variant: the reference declares this same y/m/d layout
+    * as a Hive-metastore table (`spark_config.yml:25`
+    * `catalogImplementation: hive` + `:50-69` table spec); here the
+    * identical `saveAsTable` + `partitionBy` writer registers it in the
+    * session catalog, so partition listing (`SHOW PARTITIONS` /
+    * `Catalog.listTables`) and metadata-level partition pruning go
+    * through the catalog instead of directory listing. The catalog
+    * implementation (in-memory in this sandbox, hive+metastore-URI in
+    * production) is a session config switch, not a code change — the
+    * writer API and on-disk layout are identical. At 100 TB the catalog
+    * route is what makes partition pruning METADATA-only: the planner
+    * asks the (external) catalog for matching partitions instead of
+    * walking a multi-million-object store listing. */
+  def writeWarehouseTable(df: DataFrame, table: String): Unit =
+    df.withColumn("year", year(col("event_time")))
+      .withColumn("month", month(col("event_time")))
+      .withColumn("day", dayofmonth(col("event_time")))
+      .write.mode("overwrite")
+      .format("parquet")
+      .partitionBy("year", "month", "day")
+      .saveAsTable(table)
+
   /** Bucketed warehouse table: co-locates rows by join key so repeated
     * fact-fact joins on that key need NO shuffle at read time (both
     * sides' bucketing lines up → SortMergeJoin without exchanges).

@@ -29,6 +29,40 @@ class LlmSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("capped jaccard bounds the hot-shingle bucket and lower-bounds exact") {
+    // 30 docs all sharing one boilerplate sentence (a df=30 shingle
+    // set), plus one genuine near-dup pair differing by a word
+    val boiler = "subscribe to our newsletter for updates today"
+    val skewed = ((0 until 30).map { i =>
+      (i.toLong, s"$boiler unique document number token$i content", "en", s"s$i", 60L)
+    } ++ Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta", "en", "sa", 46L),
+      (101L, "alpha beta gamma delta epsilon zeta eta iota", "en", "sb", 45L)
+    )).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cap = 10
+    // bucket bound: after the stop-shingle filter every posting list is
+    // ≤ cap rows, so the join's worst bucket is cap² whatever the corpus
+    val s = graft.llm.TextPrep.shingleSets(skewed)
+    val keep = s.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= cap)
+    val maxDf = keep.agg(max("df")).collect().head.getLong(0)
+    assert(maxDf <= cap)
+    // and the uncapped corpus genuinely HAS a hot shingle above the cap
+    val hotDf = s.groupBy("sh").agg(count(lit(1)).as("df"))
+      .agg(max("df")).collect().head.getLong(0)
+    assert(hotDf === 30L)
+    val exact = Dedup.jaccardPairs(skewed, 0.5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val capped = Dedup.jaccardPairsCapped(skewed, 0.5, cap).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // the genuine near-dup (rare shingles only) survives the cap exactly
+    assert(capped.contains((100L, 101L)))
+    assert(capped((100L, 101L)) === exact((100L, 101L)))
+    // boilerplate-evidence-only pairs are dropped, and every surviving
+    // score is a lower bound on (here: equal to or below) the exact one
+    capped.foreach { case (k, v) => assert(v <= exact(k) + 1e-12) }
+    assert(capped.size <= exact.size)
+  }
+
   test("minhash LSH candidates recover exact duplicates with jaccard 1.0") {
     val out = Dedup.minhashLshPairs(docs).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
@@ -344,6 +378,23 @@ class LlmSpec extends SparkSpec {
       .collect().head.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(1)) === Seq(2L, 3L))
   }
 
+  test("registerAll replaces a user's same-named pre-registered function") {
+    // fresh session: own functionRegistry, not yet in the guard map
+    val fresh = spark.newSession()
+    fresh.udf.register("dot_d", (a: Seq[Double], b: Seq[Double]) => -1.0)
+    assert(fresh.sql("SELECT dot_d(array(1.0D), array(1.0D))")
+      .collect().head.getDouble(0) === -1.0) // user's udf is live
+    graft.functions.GraftFunctions.registerAll(fresh)
+    // graft's builder wins: idempotency is keyed on the SESSION, not on
+    // name existence, so the first registerAll always installs graft's
+    assert(fresh.sql("SELECT dot_d(array(1.0D,2.0D), array(3.0D,4.0D))")
+      .collect().head.getDouble(0) === 11.0)
+    // and the parent session's registration is untouched
+    graft.functions.GraftFunctions.registerAll(spark)
+    assert(spark.sql("SELECT dot_d(array(2.0D), array(2.0D))")
+      .collect().head.getDouble(0) === 4.0)
+  }
+
   test("winnowing: shared substring yields shared fingerprint; short docs none") {
     val d = Seq(
       (0L, "the quick brown fox jumps over the lazy dog today", "en", "s0", 49L),
@@ -520,6 +571,46 @@ class LlmSpec extends SparkSpec {
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
     assert(out(0) === ((2L, 1.0)))
     assert(out(1) === ((2L, 1.0)))
+  }
+
+  test("exact baselines refuse corpus-sized input loudly") {
+    val big = spark.range(Similarity.ExactBaselineMaxRows + 1)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0f)).as("embedding"), lit(0).as("label"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(big, 1)
+    }
+    assert(e.getMessage.contains("EXACT baseline"))
+    intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(big, 0.9)
+    }
+    ()
+  }
+
+  test("knn label purity ANN twin: pure separated clusters score 1.0") {
+    // two tight label-pure clusters, ids interleaved so the first-√n
+    // centroid seeds cover both; every within-bucket neighbor then
+    // shares the query's label regardless of exact Lloyd outcomes
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.0f), 0),
+      (3L, Array(0.01f, 0.99f, 0.0f, 0.0f), 1),
+      (4L, Array(0.98f, 0.02f, 0.0f, 0.0f), 0),
+      (5L, Array(0.02f, 0.98f, 0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelPurityAnn(e, 2).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out.foreach { case (_, (rows, matches, purity)) =>
+      assert(rows > 0L)
+      assert(matches === rows) // label-pure buckets: every neighbor matches
+      assert(purity === 1.0)
+    }
+    assert(out.keySet === Set(0, 1))
+    // determinism: rerun yields the identical report
+    val again = Similarity.knnLabelPurityAnn(e, 2).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === again)
   }
 
   test("text stats formulas: token counts, ratios, quality bounded") {

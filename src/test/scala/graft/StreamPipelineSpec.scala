@@ -254,6 +254,48 @@ class StreamPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup state stays watermark-bounded across batches (no unbounded growth)") {
+    implicit val sqlCtx = spark.sqlContext
+    val capture = new graft.streaming.Monitor.ProgressCapture
+    spark.streams.addListener(capture)
+    val mem = MemoryStream[(String, String)]
+    val deduped = StreamPipeline.dedupStream(StreamPipeline.typed(
+      StreamPipeline.parse(mem.toDF().toDF("key", "value"))))
+    val q = deduped.writeStream.format("memory").queryName("dedup_state_out")
+      .outputMode("append").start()
+    try {
+      val nBatches = 6
+      (0 until nBatches).foreach { b =>
+        // each batch jumps 2 h — far past the 30 min watermark horizon,
+        // so every prior batch's keys are evictable by the next batch
+        val h = b * 2
+        mem.addData(
+          ("A", txnJson(f"T${b}a", "ACC1", "deposit", 1.0, f"2024-01-01T$h%02d:00:00")),
+          ("A", txnJson(f"T${b}b", "ACC2", "deposit", 1.0, f"2024-01-01T$h%02d:01:00")))
+        q.processAllAvailable()
+      }
+      // all ids unique → nothing dropped
+      assert(spark.table("dedup_state_out").count() === nBatches * 2L)
+      // listener delivery is async — poll until the input batches land
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      def stateRows: Seq[Long] = {
+        import spark.implicits._
+        capture.snapshot(spark).filter(col("n_input_rows") > 0)
+          .orderBy("batch_id").select("n_state_rows").as[Long].collect().toSeq
+      }
+      var rows = stateRows
+      while (rows.size < nBatches && System.nanoTime() < deadline) {
+        Thread.sleep(200); rows = stateRows
+      }
+      assert(rows.size >= nBatches, s"captured only ${rows.size} batch metrics")
+      // the bound: state holds at most ~one horizon of keys (2 new +
+      // ≤2 awaiting next-batch eviction), NEVER the cumulative key
+      // count — an unbounded dropDuplicates would show 12 by the end
+      assert(rows.max <= 6, s"state rows grew past watermark bound: $rows")
+      assert(rows.last < nBatches * 2L, s"state accumulated every key: $rows")
+    } finally { q.stop(); spark.streams.removeListener(capture) }
+  }
+
   test("stream-stream interval join correlates followers of large txns") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String)]
@@ -367,6 +409,29 @@ class StreamPipelineSpec extends SparkSpec {
     assert(new java.io.File(s"$tmp/year=2024/month=1/day=15").exists())
     val pruned = spark.read.parquet(tmp).filter(col("month") === 2)
     assert(pruned.select("transaction_id").collect().map(_.getString(0)).toSeq === Seq("T2"))
+  }
+
+  test("S7 catalog warehouse table: partitions visible via catalog API") {
+    val df = StreamPipeline.typed(StreamPipeline.parse(Seq(
+      ("k", txnJson("T1", "A", "deposit", 1.0, "2024-01-15T10:00:00")),
+      ("k", txnJson("T2", "A", "deposit", 1.0, "2024-02-20T10:00:00")))
+      .toDF("key", "value")))
+    Sources.writeWarehouseTable(df, "txn_warehouse")
+    try {
+      // the table is a catalog object, not just a path
+      assert(spark.catalog.tableExists("txn_warehouse"))
+      // partition metadata comes from the CATALOG (SHOW PARTITIONS
+      // requires a partitioned catalog table; it throws on path tables)
+      val parts = spark.sql("SHOW PARTITIONS txn_warehouse")
+        .collect().map(_.getString(0)).toSet
+      assert(parts === Set("year=2024/month=1/day=15", "year=2024/month=2/day=20"))
+      // reads resolve through the catalog and prune to one partition
+      val pruned = spark.table("txn_warehouse").filter(col("month") === 2)
+      assert(pruned.select("transaction_id").collect()
+        .map(_.getString(0)).toSeq === Seq("T2"))
+      val scan = pruned.queryExecution.executedPlan.toString
+      assert(scan.contains("month=2") || !scan.contains("month=1"))
+    } finally spark.sql("DROP TABLE IF EXISTS txn_warehouse")
   }
 
   test("sessionization: gap closes sessions, totals correct") {
