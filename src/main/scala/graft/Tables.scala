@@ -36,8 +36,30 @@ object Tables {
           .cast(org.apache.spark.sql.types.TimestampNTZType))
     }
   }
-  def orders(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "orders")
-  def lineitem(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "lineitem")
+  /** Same NANOS insurance for the other timestamp columns: if a future
+    * testdata regeneration ships them as TIMESTAMP(NANOS) (as events.ts
+    * did in rounds 1–3), Spark's reader surfaces them as long (with the
+    * legacy conf) and every downstream query would otherwise die on a
+    * type mismatch. On today's MICROS data this is a no-op — the column
+    * type is left EXACTLY as read; only the otherwise-fatal long case
+    * converts (ns → µs truncation, matching DuckDB's timestamp_ns
+    * read). */
+  private def tsDefensive(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(c, org.apache.spark.sql.functions.expr(
+          s"CAST(timestamp_micros($c DIV 1000) AS TIMESTAMP_NTZ)"))
+      case _ => df
+    }
+
+  def orders(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tsDefensive(load(spark, sfDir, "orders"), "o_orderdate")
+  }
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tsDefensive(load(spark, sfDir, "lineitem"), "l_shipdate")
+  }
   def customer(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "customer")
   def nation(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "region")
