@@ -63,6 +63,31 @@ class LlmSpec extends SparkSpec {
     assert(capped.size <= exact.size)
   }
 
+  test("capped jaccard is a strict refinement on randomized corpora") {
+    // seeded pseudo-corpora: whatever the word distribution, the capped
+    // result's pairs must be a SUBSET of the exact result's (capped
+    // intersection counts can only shrink, so a pair can clear the
+    // threshold only if the exact pair does) with never-inflated scores
+    val rnd = new scala.util.Random(7)
+    val vocabs = Seq(
+      (1 to 6).map(i => s"w$i"),            // tiny vocab → hot shingles
+      (1 to 40).map(i => s"word$i"))        // spread vocab → rare shingles
+    vocabs.zipWithIndex.foreach { case (vocab, vi) =>
+      val corpus = (0 until 25).map { i =>
+        val words = Seq.fill(8 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+        (i.toLong, words.mkString(" "), "en", s"s$i", words.mkString(" ").length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val exact = Dedup.jaccardPairs(corpus, 0.3).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val capped = Dedup.jaccardPairsCapped(corpus, 0.3, maxPosting = 5).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      capped.foreach { case (k, v) =>
+        assert(exact.contains(k), s"vocab$vi: capped pair $k absent from exact")
+        assert(v <= exact(k) + 1e-12, s"vocab$vi: capped score inflated at $k")
+      }
+    }
+  }
+
   test("minhash LSH candidates recover exact duplicates with jaccard 1.0") {
     val out = Dedup.minhashLshPairs(docs).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
