@@ -600,6 +600,39 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** Persist the IVF index as a BUCKETED catalog table: (vec_id,
+    * centroid_id, v, nrm) bucketed+sorted by centroid_id. This is the
+    * concrete form of the 100 TB probe story: with the corpus
+    * physically bucketed on centroid_id, a probe join
+    * (`probes.join(spark.table(index), "centroid_id")`) reads only
+    * matching buckets and needs NO exchange on the corpus side — the
+    * small probe frame shuffles to match the bucketing, the
+    * billion-vector side never moves. Asserted plan-level in
+    * `LlmSpec`. The fit is the same broadcast k-means as [[ivfTopK]];
+    * writing is a map-only pass after it. */
+  def writeIvfIndex(embeddings: DataFrame, table: String,
+                    buckets: Int = 8): Unit = {
+    val n = prepared(embeddings).cache()
+    try {
+      val cents = fitFrom(n)
+        .select(col("cid").as("centroid_id"), col("cv"))
+        .withColumn("cnrm", norm(col("cv")))
+      val scored = n.join(broadcast(cents))
+        .select(col("vec_id"), col("centroid_id"),
+          (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
+      val assign = scored.groupBy("vec_id")
+        .agg(call_function("top_k_by", col("ccos"), col("centroid_id"), lit(1)).as("top"))
+        .select(col("vec_id"), col("top").getItem(0).getField("id").as("centroid_id"))
+      assign.join(n.select("vec_id", "v", "nrm"), "vec_id")
+        .write
+        .bucketBy(buckets, "centroid_id")
+        .sortBy("centroid_id")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    } finally { n.unpersist(); () }
+  }
+
   private def dotE(a: String, b: String) =
     s"list_reduce(list_transform(generate_series(1, $Dim), i -> $a[i] * $b[i]), (x, y) -> x + y)"
 

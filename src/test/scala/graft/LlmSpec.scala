@@ -638,6 +638,24 @@ class LlmSpec extends SparkSpec {
     assert(out === again)
   }
 
+  test("IVF index persists bucketed; probe join needs no corpus-side exchange") {
+    val emb = Tables.embeddings(spark, sf()).limit(200)
+    Similarity.writeIvfIndex(emb, "ivf_index", buckets = 4)
+    try {
+      val index = spark.table("ivf_index")
+      assert(index.count() === 200) // every vector assigned exactly once
+      // a probe frame (query → centroid to search) joining the bucketed
+      // corpus: only the probe side may shuffle
+      val probes = index.select(col("vec_id").as("query_id"),
+        col("centroid_id")).limit(10)
+      val joined = probes.join(index, "centroid_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges <= 1, s"corpus side reshuffled:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan not bucket-aware:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_index")
+  }
+
   test("text stats formulas: token counts, ratios, quality bounded") {
     val one = Seq((0L, "the cat sat on the mat", "en", "s", 22L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
