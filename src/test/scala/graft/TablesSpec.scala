@@ -29,6 +29,19 @@ class TablesSpec extends SparkSpec {
     assert(v === "2024-01-15 10:00:00.123456")
   }
 
+  test("events loader converts a nanos-as-long ts column") {
+    val tmp = Files.createTempDirectory("graft_tbl_ev").toString
+    val ns = 1705312800L * 1000000000L + 987654321L
+    Seq((1L, ns, 7L, "click", 1.5, """{"k":"v"}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Tables.events(spark, tmp)
+    assert(out.schema("ts").dataType === TimestampNTZType)
+    val v = out.select(date_format(col("ts"),
+      "yyyy-MM-dd HH:mm:ss.SSSSSS")).collect().head.getString(0)
+    assert(v === "2024-01-15 10:00:00.987654")
+  }
+
   test("orders loader leaves a readable timestamp column untouched") {
     val real = Tables.orders(spark, sf())
     // today's testdata is plain MICROS: the defensive branch must be a
