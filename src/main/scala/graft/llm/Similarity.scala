@@ -185,8 +185,14 @@ object Similarity {
     val tableBuckets = (0 until NumTables).map { t =>
       struct(lit(t).as("tbl"), bucketCol(t).as("bucket"))
     }
+    // cached: the bucket frame feeds BOTH sides of the self-join, and
+    // Spark does not share subplans — uncached, the 96 codegen'd dot
+    // products per row run twice. Same caller-released lifecycle as
+    // ivfTopK (Bench/Verify clearCache after each query); at cluster
+    // scale this is the materialized LSH index table.
     val b = n.select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .cache()
     val cand = b.as("x").join(b.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
