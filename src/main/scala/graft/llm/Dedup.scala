@@ -64,7 +64,10 @@ object Dedup {
     * ground-truth baseline that `q_minhash_lsh`'s recall is read
     * against, so its semantics must remain exact Jaccard. */
   def jaccardPairs(documents: DataFrame, threshold: Double): DataFrame =
-    jaccardPairsImpl(TextPrep.shingleSets(documents), documents, threshold)
+    // cached: the shingle explode feeds both sides of the self-join and
+    // Spark does not share subplans (caller-released lifecycle — Bench/
+    // Verify clearCache; at scale this is the materialized posting table)
+    jaccardPairsImpl(TextPrep.shingleSets(documents).cache(), documents, threshold)
 
   /** Scale twin: exact Jaccard arithmetic over stop-shingle-filtered
     * sets. `n` (the set size) still counts ALL shingles — only the
@@ -76,7 +79,8 @@ object Dedup {
     * whatever the corpus does. */
   def jaccardPairsCapped(documents: DataFrame, threshold: Double,
                          maxPosting: Int = MaxPostingDocs): DataFrame = {
-    val s = TextPrep.shingleSets(documents)
+    // cached: consumed three times (df count + both join sides)
+    val s = TextPrep.shingleSets(documents).cache()
     val keep = s.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxPosting).select("sh")
     jaccardPairsImpl(s.join(keep, "sh"), documents, threshold)
@@ -536,7 +540,10 @@ object Dedup {
   def containmentPairs(documents: DataFrame,
                        minShared: Int = MinSharedFps,
                        maxPosting: Int = MaxPostingDocs): DataFrame = {
-    val fps = winnowFingerprints(documents)
+    // cached: consumed three times (df count + both sides of the
+    // posting self-join) — the winnow rolling hash would otherwise
+    // re-run per consumer
+    val fps = winnowFingerprints(documents).cache()
     val keep = fps.groupBy("fp")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxPosting)
@@ -652,7 +659,8 @@ object Dedup {
     * skew profile as the Jaccard set-similarity join, AQE-bounded),
     * one per-doc aggregate — exact integer counts + one division. */
   def memorizationRisk(documents: DataFrame): DataFrame = {
-    val s = TextPrep.shingleSets(documents)
+    // cached: feeds the df aggregate and the probe side of its own join
+    val s = TextPrep.shingleSets(documents).cache()
     val df = s.groupBy("sh").agg(count(lit(1)).as("df"))
     s.join(df, "sh")
       .groupBy("doc_id")
@@ -765,10 +773,13 @@ object Dedup {
         .bitwiseAND(lit(0xFFFFL))
       struct(lit(b).as("band"), bval.as("bval"))
     }
+    // cached: both sides of the banded self-join (simhash fingerprints
+    // would otherwise compute twice)
     val banded = sh.select(col("doc_id"), col("lang"), col("hi"), col("lo"),
       explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("lang"), col("hi"), col("lo"),
         col("bk.band").as("band"), col("bk.bval").as("bval"))
+      .cache()
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
