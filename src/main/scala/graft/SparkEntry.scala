@@ -107,6 +107,8 @@ object SparkEntry {
     "q_dup_rate" -> ((s, d) => llm.Dedup.dupRateBySource(Tables.documents(s, d))),
     // per-doc memorization risk: fraction of shingles shared with other docs
     "q_memorization_risk" -> ((s, d) => llm.Dedup.memorizationRisk(Tables.documents(s, d))),
+    // positional duplicated-passage coverage + longest duplicated run
+    "q_dup_spans" -> ((s, d) => llm.Dedup.dupSpanStats(Tables.documents(s, d))),
     "q_simhash_pairs" -> ((s, d) => llm.Dedup.simhashPairs(Tables.documents(s, d), 3)),
     "q_cosine_topk" -> ((s, d) => llm.Similarity.bruteForceTopK(Tables.embeddings(s, d), 10)),
     "q_embed_neardup" -> ((s, d) => llm.Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.4)),
@@ -123,6 +125,8 @@ object SparkEntry {
     "q_corpus_mix" -> ((s, d) => llm.TextStats.corpusMix(Tables.documents(s, d))),
     // BM25 top-k text retrieval (rational-idf, hash-portable scoring)
     "q_bm25_topk" -> ((s, d) => llm.Retrieval.bm25Search(Tables.documents(s, d))),
+    // positional inverted-index exact phrase search
+    "q_phrase_search" -> ((s, d) => llm.Retrieval.phraseSearch(Tables.documents(s, d))),
     // α=0.5 temperature-sampling language mix weights (UNIMAX-style)
     "q_temperature_mix" -> ((s, d) => llm.Retrieval.temperatureMix(Tables.documents(s, d))),
     "q_keywords" -> ((s, d) => llm.TextStats.keywords(Tables.documents(s, d))),
@@ -403,6 +407,7 @@ object SparkEntry {
     "q_containment" -> llm.Dedup.sqlContainmentPairs(),
     "q_dup_rate" -> llm.Dedup.sqlDupRateBySource,
     "q_memorization_risk" -> llm.Dedup.sqlMemorizationRisk,
+    "q_dup_spans" -> llm.Dedup.sqlDupSpanStats,
     "q_simhash_pairs" -> llm.Dedup.sqlSimhashPairs(3),
     "q_cosine_topk" -> llm.Similarity.sqlBruteForceTopK(10),
     "q_embed_neardup" -> llm.Similarity.sqlCosineNearDupPairs(0.4),
@@ -415,6 +420,7 @@ object SparkEntry {
     "q_language_id" -> llm.TextStats.sqlLanguageId,
     "q_corpus_mix" -> llm.TextStats.sqlCorpusMix,
     "q_bm25_topk" -> llm.Retrieval.sqlBm25Search(),
+    "q_phrase_search" -> llm.Retrieval.sqlPhraseSearch,
     "q_temperature_mix" -> llm.Retrieval.sqlTemperatureMix,
     "q_keywords" -> llm.TextStats.sqlKeywords(),
     "q_repetition" -> llm.TextStats.sqlRepetitionStats,

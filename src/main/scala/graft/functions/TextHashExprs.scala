@@ -178,6 +178,35 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** POSITIONAL word n-gram hashes of lower(text): one 60-bit hash per
+    * gram occurrence, in document order, NOT de-duplicated — the base
+    * of the duplicated-passage statistics, where position and
+    * multiplicity matter (computeShingles deliberately de-dups for the
+    * set-similarity family). Hash = parse(md5 hex[0,15)) mod P, the
+    * same `ha` formula as the MinHash base, so the DuckDB twin is the
+    * one-line expression already used in TextPrep.sqlShingleCtes. */
+  def computeGramHashesPos(text: UTF8String, n: Int): ArrayData = {
+    val words = text.toLowerCase.toString.split(" ", -1)
+    if (words.length < n) return new GenericArrayData(Array.empty[Long])
+    val m = words.length - n + 1
+    val out = new Array[Long](m)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      val hex = md5Hex(sb.toString)
+      out(i) = java.lang.Long.parseLong(hex.substring(0, 15), 16) % HashP
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Multiplicity of the most frequent word of lower(text), split on
     * single spaces (empty tokens count, matching split semantics in
     * both engines). O(n) one-pass hash count. */
@@ -247,6 +276,29 @@ case class ShingleHashes(child: Expression, shingleWords: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TextHash.computeShingles($c, $shingleWords);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `gram_hashes_pos(text, n)` → array<long> of per-position word
+  * n-gram hashes (document order, duplicates kept). */
+case class GramHashesPos(child: Expression, gramWords: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gram_hashes_pos requires a string argument, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.computeGramHashesPos(input.asInstanceOf[UTF8String], gramWords)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHash.computeGramHashesPos($c, $gramWords);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

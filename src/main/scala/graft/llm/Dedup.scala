@@ -923,4 +923,110 @@ object Dedup {
           AND a.doc_id < b.doc_id
         WHERE levenshtein(a.title, b.title) <= $maxDist
         ORDER BY doc_a, doc_b"""
+
+  /** Positional duplicated-passage report: for every document, the
+    * fraction of its k-gram POSITIONS whose k-gram also occurs in at
+    * least one other document, and the longest consecutive run of such
+    * positions — the per-document signal behind exact-substring dedup
+    * (reference behavior class: cross-document duplicated text; cf.
+    * "Deduplicating Training Data Makes Language Models Better", Lee
+    * et al. 2021, which removes spans ≥ 50 tokens). Where
+    * [[memorizationRisk]] asks "what share of a doc's DISTINCT
+    * phrasing is corpus-shared", this asks "how much of the doc's
+    * TEXT, run-for-run, is duplicated elsewhere" — a max_run near
+    * n_grams means a verbatim copy of a whole passage, a high
+    * dup_frac with short runs means templated phrasing.
+    *
+    * Scale shape (100 TB): positions explode to one row per token (the
+    * same order of work as tokenization itself); the document-
+    * frequency aggregate and its join shuffle 8-byte gram hashes (AQE
+    * bounds hot boilerplate grams exactly as in the set-similarity
+    * join); the run-length computation is gaps-and-islands under ONE
+    * window PARTITIONED BY doc_id — per-document state only, no global
+    * ordering anywhere. No pair join exists in this plan at all: df
+    * counting replaces pair generation, which is what makes the
+    * positional statistic affordable where the span-extraction join
+    * (which docs share the span) would be quadratic in hot spans.
+    * The hash is the 60-bit `ha` family shared with MinHash — gram
+    * collisions are astronomically rare, deterministic, and computed
+    * identically by the oracle, so results still match bit-for-bit.
+    */
+  val DupSpanK: Int = TextPrep.ShingleWords
+
+  def dupSpanStats(documents: DataFrame): DataFrame = {
+    graft.functions.TextHashExprs.register(documents.sparkSession)
+    // every k-gram occurrence with its 0-based position, NOT distinct
+    // (position and multiplicity are the point here) — a native
+    // codegen'd expression (one md5 per gram, no interpreted lambda,
+    // the computeShingles lesson), emitting an 8-byte hash so the
+    // df shuffle key is fixed-width. Cached: feeds the df aggregate
+    // and the probe side of its own join.
+    val pos = documents
+      .select(col("doc_id"),
+        posexplode(call_function("gram_hashes_pos",
+          col("text"), lit(DupSpanK))))
+      .toDF("doc_id", "pos", "gh")
+      .cache()
+    val dfreq = pos.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    // inner join keeps EVERY position (each gram has a df row), so one
+    // pass computes totals, coverage, and runs together. grp is the
+    // gaps-and-islands key: pos minus the running count of covered
+    // positions is constant within a consecutive covered run and
+    // strictly increases across runs (each gap advances pos faster
+    // than the count). Window is per-document — no global ordering.
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val flag = col("nd") >= 2
+    val grouped = pos.join(dfreq, "gh")
+      .withColumn("grp",
+        when(flag, col("pos") - count(when(flag, lit(1))).over(byDoc)))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum(col("cnt")).as("n_grams"),
+        coalesce(sum(when(col("grp").isNotNull, col("cnt"))), lit(0L))
+          .as("n_dup"),
+        coalesce(max(when(col("grp").isNotNull, col("cnt"))), lit(0L))
+          .as("max_run"))
+    grouped
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_grams").cast("double"))
+          .as("dup_frac"),
+        col("max_run"))
+      .orderBy("doc_id")
+  }
+
+  def sqlDupSpanStats: String = {
+    val k = DupSpanK
+    val w = TextPrep.sqlWords
+    s"""WITH wd AS (
+          SELECT doc_id, $w AS ws FROM documents WHERE len($w) >= $k),
+        p AS (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+            CAST(concat('0x', substr(md5(array_to_string(ws[i:i+${k - 1}], ' ')), 1, 15))
+              AS BIGINT) % ${TextPrep.HashP} AS gh
+          FROM (SELECT doc_id, ws,
+                  unnest(generate_series(1, len(ws) - ${k - 1})) AS i
+                FROM wd)),
+        dfreq AS (SELECT gh, count(DISTINCT doc_id) AS nd FROM p GROUP BY gh),
+        f AS (
+          SELECT doc_id, pos,
+            CASE WHEN nd >= 2 THEN
+              pos - count(CASE WHEN nd >= 2 THEN 1 END)
+                OVER (PARTITION BY doc_id ORDER BY pos) END AS grp
+          FROM p JOIN dfreq USING (gh)),
+        g1 AS (
+          SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS cnt
+          FROM f GROUP BY doc_id, grp),
+        g2 AS (
+          SELECT doc_id,
+            CAST(sum(cnt) AS BIGINT) AS n_grams,
+            CAST(COALESCE(sum(CASE WHEN grp IS NOT NULL THEN cnt END), 0) AS BIGINT) AS n_dup,
+            CAST(COALESCE(max(CASE WHEN grp IS NOT NULL THEN cnt END), 0) AS BIGINT) AS max_run
+          FROM g1 GROUP BY doc_id)
+        SELECT doc_id, n_grams, n_dup,
+          CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_frac,
+          max_run
+        FROM g2 ORDER BY doc_id"""
+  }
 }

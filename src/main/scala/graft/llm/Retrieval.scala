@@ -132,4 +132,75 @@ object Retrieval {
           CAST(w_int AS DOUBLE) / CAST(tw AS DOUBLE) AS mix_weight
         FROM wi, tot ORDER BY lang"""
   }
+
+  /** Exact phrase search over a positional inverted index — the other
+    * half of the retrieval surface next to [[bm25Search]]'s bag-of-
+    * words ranking. Postings are (term, doc_id, pos); a phrase of
+    * length L matches at anchor a when every term t_j of the phrase
+    * has a posting at position a + j, which the plan expresses as ONE
+    * hash aggregate instead of an (L−1)-way self-join: align each
+    * matching posting to its implied anchor (pos − offset), then count
+    * rows per (phrase, doc, anchor) — a full house of L hits is a
+    * match. (Phrase terms must be pairwise distinct for the count to
+    * be exact; [[Phrases]] are.)
+    *
+    * Scale shape (100 TB): the term filter prunes the postings explode
+    * to only the phrase vocabulary BEFORE any shuffle, the phrase→term
+    * table is a broadcast of a few rows, and the single shuffle is
+    * keyed by (phrase, doc, anchor) — cardinality ≤ matching postings,
+    * never corpus-sized. For a standing workload the postings frame is
+    * the persisted positional index (written once, bucketed by term);
+    * this plan is its online probe half.
+    */
+  val Phrases: Seq[String] =
+    Seq("slow hash batch", "row column sort", "stream table hash")
+
+  def phraseSearch(documents: DataFrame,
+      phrases: Seq[String] = Phrases): DataFrame = {
+    require(phrases.forall(p => { val t = p.split(" "); t.distinct.length == t.length }),
+      "phrase terms must be pairwise distinct for the anchor count to be exact")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val phraseTerms = phrases.flatMap { p =>
+      val ts = p.split(" ")
+      ts.zipWithIndex.map { case (t, off) => (p, t, off, ts.length) }
+    }.toDF("phrase", "term", "off", "plen")
+    val allTerms = phrases.flatMap(_.split(" ")).distinct
+    val postings = documents
+      .select(col("doc_id"), posexplode(TextPrep.wordsCol))
+      .toDF("doc_id", "pos", "w")
+      .filter(col("w").isin(allTerms: _*))
+    postings
+      .join(broadcast(phraseTerms), col("w") === col("term"))
+      .select(col("phrase"), col("doc_id"),
+        (col("pos") - col("off")).as("anchor"), col("plen"))
+      .groupBy("phrase", "doc_id", "anchor", "plen")
+      .agg(count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === col("plen"))
+      .groupBy("phrase", "doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("phrase", "doc_id")
+  }
+
+  /** Oracle: a phrase of length L occurs at each position where the
+    * document's L-gram equals it — the listing enumerates every
+    * (overlapping) occurrence, exactly what the anchor count yields. */
+  def sqlPhraseSearch: String = {
+    val w = TextPrep.sqlWords
+    val L = Phrases.head.split(" ").length
+    require(Phrases.forall(_.split(" ").length == L),
+      "the L-gram oracle form needs equal-length phrases")
+    val inList = Phrases.map(p => s"'$p'").mkString("(", ", ", ")")
+    s"""WITH wd AS (
+          SELECT doc_id, $w AS ws FROM documents WHERE len($w) >= $L),
+        g AS (
+          SELECT doc_id,
+            unnest(list_transform(generate_series(1, len(ws) - ${L - 1}),
+              i -> array_to_string(ws[i:i+${L - 1}], ' '))) AS phrase
+          FROM wd)
+        SELECT phrase, doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM g WHERE phrase IN $inList
+        GROUP BY phrase, doc_id
+        ORDER BY phrase, doc_id"""
+  }
 }

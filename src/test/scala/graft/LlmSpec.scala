@@ -862,4 +862,64 @@ class TopKAggSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(out === Seq((1L, 2L, 12.0), (2L, 1L, 1.0)))
   }
+
+  test("dup-span stats: coverage, islands, and the excluded short doc") {
+    val spanDocs = Seq(
+      // docs 0/1 share the 5-word passage "a b c d e" → its three
+      // 3-grams are cross-doc duplicated, one consecutive run of 3
+      (0L, "a b c d e f g h", "en", "s0", 15L),
+      (1L, "x y a b c d e z", "en", "s1", 15L),
+      (2L, "p q r s t u v w", "en", "s2", 15L), // fully unique
+      // doc 3 shares "a b c" (pos 0) and "c d e" (pos 6): two islands
+      // of length 1 separated by unique grams
+      (3L, "a b c q1 q2 q3 c d e", "en", "s3", 20L),
+      (4L, "a b", "de", "s4", 3L) // < 3 words → no 3-grams → no row
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.dupSpanStats(spanDocs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    assert(out.keySet === Set(0L, 1L, 2L, 3L))
+    assert(out(0L) === ((6L, 3L, 0.5, 3L)))    // covered at pos 0,1,2
+    assert(out(1L) === ((6L, 3L, 0.5, 3L)))    // covered at pos 2,3,4
+    assert(out(2L) === ((6L, 0L, 0.0, 0L)))
+    assert(out(3L) === ((7L, 2L, 2.0 / 7.0, 1L))) // two size-1 islands
+  }
+
+  test("dup-span stats: within-doc repetition alone is not cross-doc dup") {
+    // "m n o" occurs twice in doc 0 but in no other doc → df counts
+    // DISTINCT docs, so nothing in either doc is covered
+    val d = Seq(
+      (0L, "m n o m n o", "en", "s0", 11L),
+      (1L, "u v w x y z", "en", "s1", 11L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.dupSpanStats(d).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSeq.sorted
+    assert(out === Seq((0L, 0L, 0L), (1L, 0L, 0L)))
+  }
+
+  test("phrase search counts every overlapping occurrence per doc") {
+    val d = Seq(
+      (0L, "slow hash batch slow hash batch ok", "en", "s0", 34L),
+      (1L, "row column sort and slow hash batch", "en", "s1", 35L),
+      (2L, "slow hash only never the full phrase", "en", "s2", 36L),
+      (3L, "nothing relevant here at all", "en", "s3", 28L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = llm.Retrieval.phraseSearch(d).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out === Map(
+      ("slow hash batch", 0L) -> 2L,
+      ("slow hash batch", 1L) -> 1L,
+      ("row column sort", 1L) -> 1L))
+  }
+
+  test("phrase search matches only exact in-order adjacency") {
+    val d = Seq(
+      (0L, "batch hash slow", "en", "s0", 15L),       // reversed
+      (1L, "slow hash fast batch", "en", "s1", 20L),  // gap breaks it
+      (2L, "a slow hash batch b", "en", "s2", 19L)    // embedded match
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = llm.Retrieval.phraseSearch(d).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out === Map(("slow hash batch", 2L) -> 1L))
+  }
 }
