@@ -145,6 +145,8 @@ object SparkEntry {
     "q_dup_clusters" -> ((s, d) => llm.Dedup.dupClusters(Tables.documents(s, d))),
     // eval-set decontamination: n-gram overlap vs a held-out benchmark slice
     "q_decontaminate" -> ((s, d) => llm.Curate.decontaminate(Tables.documents(s, d))),
+    // bloom-prefilter + exact-verify twin: identical output, 100 TB shape
+    "q_decontaminate_bloom" -> ((s, d) => llm.Curate.decontaminateBloom(Tables.documents(s, d))),
     // SemDeDup-style semantic dedup: within-centroid-bucket cosine pruning
     "q_semantic_dedup" -> ((s, d) => llm.Similarity.semanticDedup(Tables.embeddings(s, d))),
     // contrastive-training hard negatives: top-k cross-label, IVF-bucketed
@@ -435,6 +437,7 @@ object SparkEntry {
     "q_pack_sequences" -> llm.Curate.sqlPackSequences,
     "q_dup_clusters" -> llm.Dedup.sqlDupClusters(),
     "q_decontaminate" -> llm.Curate.sqlDecontaminate(),
+    "q_decontaminate_bloom" -> llm.Curate.sqlDecontaminate(),
     "q_semantic_dedup" -> llm.Similarity.sqlSemanticDedup(),
     "q_hard_negatives" -> llm.Similarity.sqlHardNegatives(),
     "q_positive_pairs" -> llm.Similarity.sqlPositivePairs(),

@@ -30,6 +30,15 @@ object GraftFunctions {
     "simhash64" -> (e => SimHash64(e(0))),
     "winnow_fps" -> (e => WinnowFingerprints(e(0), intArg(e(1)), intArg(e(2)))),
     "top_word_count" -> (e => TopWordCount(e(0))),
+    // Spark's own runtime-filter bloom expressions, surfaced as callable
+    // functions (they are not in the builtin registry): build over
+    // xxhash64 keys, probe with might_contain. Used by the sketch-
+    // prefilter + exact-verify decontamination path.
+    "bloom_build" -> (e =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(e(0), e(1)).toAggregateExpression()),
+    "bloom_might_contain" -> (e =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(e(0), e(1))),
     "cms_build" -> (e => CountMinBuild(e(0)).toAggregateExpression()),
     "cms_query" -> (e => CountMinQuery(e(0), e(1))),
     "mg_build" -> (e => MisraGriesBuild(e(0)).toAggregateExpression()))

@@ -326,6 +326,54 @@ object Curate {
         FROM train LEFT JOIN m ON train.doc_id = m.doc_id
         ORDER BY train.doc_id"""
 
+  /** Bloom-prefiltered decontamination — [[decontaminate]]'s 100 TB
+    * shape. The broadcast-the-eval-shingle-set plan above assumes the
+    * benchmark suite's n-gram set fits in a broadcast; a serious eval
+    * battery (every benchmark + all their paraphrases) can reach 10⁹
+    * n-grams, where the exact set no longer broadcasts but a Bloom
+    * filter of it does (≈1.2 GB at 1 % fpp). The plan: build the
+    * filter DISTRIBUTED with Spark's own BloomFilterAggregate (the
+    * runtime-filter machinery, surfaced as `bloom_build` — partial
+    * filters OR-merge, nothing collects raw shingles), feed it to
+    * `bloom_might_contain` as a scalar subquery (`Dataset.scalar()`,
+    * the same shape Spark's own injected runtime filters use) to prune
+    * the corpus-side shingle explode, and then exact-verify ONLY the
+    * survivors against the eval set in a plain equi-join. False
+    * positives die in the verify join, so the output is bit-identical to
+    * [[decontaminate]] (they share oracle SQL); the bloom's job is to
+    * shrink the verify join's probe side from every-shingle-in-the-
+    * corpus to matches + fpp·corpus. The verify join is deliberately
+    * NOT hinted broadcast: locally AQE broadcasts it anyway, at scale
+    * it becomes a shuffle join whose probe side the bloom already cut.
+    */
+  val BloomEstEvalShingles = 1L << 20
+
+  def decontaminateBloom(documents: DataFrame, evalMod: Long = EvalMod,
+                         threshold: Double = ContamThreshold): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(documents.sparkSession)
+    // cached: the shingle prep feeds the train side once and the eval
+    // side twice (bloom build + verify join)
+    val prep = TextPrep.docShingles(documents)
+      .select("doc_id", "shs", "n").cache()
+    val train = prep.filter(col("doc_id") % evalMod =!= 0)
+    val evalSh = prep.filter(col("doc_id") % evalMod === 0)
+      .select(explode(col("shs")).as("sh")).distinct()
+    val bf = evalSh.agg(call_function("bloom_build",
+      xxhash64(col("sh")), lit(BloomEstEvalShingles)).as("bf"))
+    val cand = train
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .filter(call_function("bloom_might_contain", bf.scalar(), xxhash64(col("sh"))))
+    val matched = cand.join(evalSh, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("matched"))
+    train.join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").as("n_shingles"),
+        coalesce(col("matched"), lit(0L)).as("n_matched"))
+      .withColumn("contamination_frac",
+        col("n_matched").cast("double") / col("n_shingles").cast("double"))
+      .withColumn("contaminated", col("contamination_frac") >= threshold)
+      .orderBy("doc_id")
+  }
+
   // ---- grouped quality top-k ----------------------------------------
 
   val QualityK = 10

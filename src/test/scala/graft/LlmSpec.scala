@@ -912,6 +912,28 @@ class TopKAggSpec extends SparkSpec {
       ("row column sort", 1L) -> 1L))
   }
 
+  test("bloom-prefiltered decontamination equals the exact broadcast path") {
+    // eval docs are doc_id % 5 == 0; doc 7 copies eval doc 5's text
+    // (fully contaminated), doc 11 shares a 3-shingle span, doc 13 is
+    // clean. The bloom path must reproduce the exact path bit-for-bit
+    // (false positives die in the verify join).
+    val d = Seq(
+      (5L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s0", 46L),
+      (7L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s1", 46L),
+      (11L, "intro words then alpha beta gamma delta closing remarks", "en", "s2", 55L),
+      (13L, "completely unrelated content about storage engines", "en", "s3", 50L),
+      (10L, "another eval document with its own phrasing", "en", "s4", 43L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val exact = Curate.decontaminate(d, evalMod = 5L).collect().toSeq
+    val bloom = Curate.decontaminateBloom(d, evalMod = 5L).collect().toSeq
+    assert(bloom === exact)
+    // sanity on content: the verbatim copy is fully contaminated,
+    // the clean doc matches nothing
+    val byId = bloom.map(r => r.getLong(0) -> r).toMap
+    assert(byId(7L).getBoolean(4))
+    assert(byId(13L).getLong(2) === 0L)
+  }
+
   test("phrase search matches only exact in-order adjacency") {
     val d = Seq(
       (0L, "batch hash slow", "en", "s0", 15L),       // reversed
