@@ -118,6 +118,29 @@ object StreamPipeline {
         col("account_id"), col("transaction_count"),
         col("total_amount"), col("avg_amount"))
 
+  /** Declarative sessionization: Spark's native `session_window`
+    * aggregation — the engine's own dynamic-gap windows, with session
+    * MERGING handled inside the streaming state store rather than by
+    * hand-written state logic. The declarative twin of
+    * [[Sessionize]] (flatMapGroupsWithState): same sessions, but the
+    * plan stays whole-stage relational, the watermark both bounds
+    * state and emits closed sessions in append mode, and at 100 TB
+    * the state is keyed by (account, open-session) — never a full
+    * history. Prefer this form unless per-event custom state (the
+    * funnel tracker) is genuinely needed.
+    */
+  def sessionWindowAgg(df: DataFrame,
+                       gap: String = "30 minutes",
+                       watermark: String = "30 minutes"): DataFrame =
+    df.withWatermark("event_time", watermark)
+      .groupBy(session_window(col("event_time"), gap), col("account_id"))
+      .agg(
+        count(col("transaction_id")).as("n_txns"),
+        sum(col("amount")).as("total_amount"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("account_id"), col("n_txns"), col("total_amount"))
+
   /** S2: Kafka-sink shape — key = account_id, value = full row JSON
     * (null-stripped by to_json). (`transaction_processor.py:187-197`) */
   def kafkaSinkShape(df: DataFrame): DataFrame =

@@ -458,6 +458,37 @@ class StreamPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window agg: sessions merge, close on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val parsed = StreamPipeline.typed(StreamPipeline.parse(
+      mem.toDF().toDF("key", "value")))
+    val q = StreamPipeline.sessionWindowAgg(parsed)
+      .writeStream.format("memory").queryName("sess_win")
+      .outputMode("append").start()
+    try {
+      // two events 10 min apart → ONE session [10:00, 10:40) after the
+      // 30-min gap extension from the last event
+      mem.addData(
+        ("A", txnJson("T1", "ACC1", "deposit", 10.0, "2024-01-01T10:00:00")),
+        ("A", txnJson("T2", "ACC1", "deposit", 15.0, "2024-01-01T10:10:00")))
+      q.processAllAvailable()
+      // nothing closed yet: watermark hasn't passed the session end
+      assert(spark.table("sess_win").count() === 0L)
+      // a much later event pushes the watermark past 10:40 → emit
+      mem.addData(
+        ("A", txnJson("T3", "ACC1", "deposit", 99.0, "2024-01-01T13:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("sess_win").collect()
+        .map(r => (r.getAs[Timestamp]("session_start").toString,
+          r.getAs[Timestamp]("session_end").toString,
+          r.getAs[String]("account_id"), r.getAs[Long]("n_txns"),
+          r.getAs[Double]("total_amount"))).toSeq
+      assert(out === Seq(
+        ("2024-01-01 10:00:00.0", "2024-01-01 10:40:00.0", "ACC1", 2L, 25.0)))
+    } finally q.stop()
+  }
+
   test("streaming funnel: converts across batches, ignores pre-click purchases") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[graft.streaming.FunnelTrack.Ev]
