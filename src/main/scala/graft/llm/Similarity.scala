@@ -347,6 +347,23 @@ object Similarity {
         col("top").getItem(0).getField("id").as(s"code$m"),
         (-col("top").getItem(0).getField("score")).as(s"dist$m"))
 
+  /** Fit all PqM subspace codebooks CONCURRENTLY: each fit is an
+    * independent chain of small Spark jobs punctuated by a driver-side
+    * collect, so run sequentially the driver spends most of the wall
+    * clock waiting on one small job at a time. Submitting the PqM
+    * chains from separate driver threads lets the scheduler overlap
+    * them (fair use of the same executors; determinism is untouched —
+    * each chain's own job order is unchanged and chains share no
+    * state). This is the standard concurrent-jobs driver pattern. */
+  private def fitAllSubCodebooks(n: DataFrame): IndexedSeq[DataFrame] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    n.count() // materialize the shared cache ONCE before the races
+    val fits = (0 until PqM).map(m => Future(fitSubCodebook(pqSub(n, m))))
+    Await.result(Future.sequence(fits), Duration.Inf)
+  }
+
   def pqCodes(embeddings: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.registerAll(embeddings.sparkSession)
     // cache lifecycle: same as ivfTopK/minedPairs — shared between the
@@ -356,9 +373,9 @@ object Similarity {
     // the fits and leave the returned plan recomputing prepared() plus
     // all 4 subspace encode chains uncached.
     val n = prepared(embeddings).cache()
+    val cents = fitAllSubCodebooks(n)
     val assigned = (0 until PqM).map { m =>
-      val sub = pqSub(n, m)
-      encodeSub(sub, fitSubCodebook(sub), m)
+      encodeSub(pqSub(n, m), cents(m), m)
     }
     val joined = assigned.reduceLeft((a, b) => a.join(b, "vec_id"))
     joined.select(
@@ -389,9 +406,10 @@ object Similarity {
     val n = prepared(embeddings).cache()
     val queries = n.orderBy("vec_id").limit(AdcQueries)
         .select(col("vec_id").as("query_id"), col("v"))
+      val allCents = fitAllSubCodebooks(n)
       val parts = (0 until PqM).map { m =>
         val sub = pqSub(n, m)
-        val cents = fitSubCodebook(sub)
+        val cents = allCents(m)
         val codes = encodeSub(sub, cents, m)
         val qsub = queries.select(col("query_id"),
           expr(s"slice(v, ${m * SubDim + 1}, $SubDim)").as("sv"))

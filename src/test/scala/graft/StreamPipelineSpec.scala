@@ -489,6 +489,42 @@ class StreamPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful queries run on the RocksDB state store provider") {
+    // the 100 TB state story: HDFS-backed in-memory state dies when
+    // aggregate state outgrows executor heap; RocksDB spills to local
+    // disk with incremental checkpointing. Assert the whole stateful
+    // path (session_window merging) works under the provider switch.
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(String, String)]
+      val parsed = StreamPipeline.typed(StreamPipeline.parse(
+        mem.toDF().toDF("key", "value")))
+      val q = StreamPipeline.sessionWindowAgg(parsed)
+        .writeStream.format("memory").queryName("sess_rocks")
+        .outputMode("append").start()
+      try {
+        mem.addData(
+          ("A", txnJson("T1", "ACC1", "deposit", 10.0, "2024-01-01T10:00:00")),
+          ("A", txnJson("T2", "ACC1", "deposit", 15.0, "2024-01-01T10:10:00")))
+        q.processAllAvailable()
+        mem.addData(
+          ("A", txnJson("T3", "ACC1", "deposit", 99.0, "2024-01-01T13:00:00")))
+        q.processAllAvailable()
+        val out = spark.table("sess_rocks").collect()
+          .map(r => (r.getAs[String]("account_id"), r.getAs[Long]("n_txns"),
+            r.getAs[Double]("total_amount"))).toSeq
+        assert(out === Seq(("ACC1", 2L, 25.0)))
+        // and the query genuinely ran RocksDB, not the default provider
+        val ops = q.lastProgress.stateOperators
+        assert(ops.nonEmpty &&
+          ops.exists(_.customMetrics.containsKey("rocksdbGetCount")))
+      } finally q.stop()
+    } finally spark.conf.unset(key)
+  }
+
   test("streaming funnel: converts across batches, ignores pre-click purchases") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[graft.streaming.FunnelTrack.Ev]
