@@ -63,6 +63,8 @@ object SparkEntry {
     // P2: JSON decode + star-expand (transaction_processor.py:165-169)
     "q_json_decode" -> ((s, d) => Ingest.jsonDecode(ev(s, d))),
     "q_json_field_agg" -> ((s, d) => Ingest.jsonFieldAgg(ev(s, d))),
+    // schema-on-read twin: VARIANT parse-once + variant_get extraction
+    "q_variant_field_agg" -> ((s, d) => Ingest.variantFieldAgg(ev(s, d))),
     // SQL window functions (SURVEY §2.4)
     "q_latest_per_user" -> ((s, d) => Windows.latestPerUser(ev(s, d))),
     "q_running_sum" -> ((s, d) => Windows.runningSumPerUser(ev(s, d))),
@@ -347,6 +349,11 @@ object SparkEntry {
          CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
          CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
          CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_variant_field_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS n_distinct_k
          FROM events GROUP BY 1 ORDER BY 1""",
     "q_latest_per_user" ->
       """SELECT user_id, event_id, ts, event_type, value FROM (

@@ -44,6 +44,28 @@ object Ingest {
         max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** P2 at 100 TB: schema-on-read via VARIANT. `from_json` needs the
+    * schema declared up front and re-parses the text per access;
+    * `try_parse_json` parses each props payload ONCE into Spark 4's
+    * binary variant encoding, from which `variant_get` extracts fields
+    * without reparsing and without a declared schema — the engine-
+    * native path for sparse, evolving event properties at corpus
+    * scale (with parquet variant shredding, extraction pushes into
+    * the scan). Row-local decode + one hash aggregate; `try_` keeps a
+    * malformed payload a NULL, not a job failure, matching the
+    * dead-letter philosophy of the ingest path. */
+  def variantFieldAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("v", try_parse_json(col("props")))
+      .select(col("event_type"),
+        variant_get(col("v"), "$.k", "int").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k").cast("long")).as("sum_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+      .orderBy("event_type")
+
   /** S2: Kafka-sink-shaped projection — (key, value) pair where value is
     * the full row serialized as JSON (null fields stripped, matching the
     * reference's serializer). Oracle-less: JSON field ordering is

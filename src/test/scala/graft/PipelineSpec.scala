@@ -114,6 +114,24 @@ class PipelineSpec extends SparkSpec {
     assert(out === Map(1L -> 42, 2L -> 0))
   }
 
+  test("variant field agg: schema-on-read extraction, malformed -> NULL") {
+    val df = Seq(
+      (1L, "click", """{"k": 42}"""),
+      (2L, "click", """{"k": 42}"""),
+      (3L, "click", """{"k": 7, "extra": {"nested": true}}"""), // evolving schema
+      (4L, "view", """not json at all"""),                     // malformed
+      (5L, "view", """{"other": 1}"""))                        // field missing
+      .toDF("event_id", "event_type", "props")
+    val out = Ingest.variantFieldAgg(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3)))).toMap
+    // click: 3 events, sum 91, distinct {42, 7}
+    assert(out("click") === ((3L, 91L, 2L)))
+    // view: both rows yield NULL k (malformed parse / missing field):
+    // counted as events, excluded from sum (NULL) and distinct
+    assert(out("view") === ((2L, -1L, 0L)))
+  }
+
   test("S2/S4 kafka round-trip preserves fields") {
     val df = Seq((7L, "click", 1.5)).toDF("user_id", "event_type", "value")
     val shaped = Ingest.kafkaShaped(df)
