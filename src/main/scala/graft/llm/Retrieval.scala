@@ -156,22 +156,30 @@ object Retrieval {
     Seq("slow hash batch", "row column sort", "stream table hash")
 
   def phraseSearch(documents: DataFrame,
-      phrases: Seq[String] = Phrases): DataFrame = {
+      phrases: Seq[String] = Phrases): DataFrame =
+    phraseSearchOverPostings(
+      documents
+        .select(col("doc_id"), posexplode(TextPrep.wordsCol))
+        .toDF("doc_id", "pos", "term"),
+      phrases)
+
+  /** The probe half, over any (term, doc_id, pos) postings frame —
+    * inline explode ([[phraseSearch]]) or the persisted index
+    * ([[phraseSearchFromIndex]]). */
+  def phraseSearchOverPostings(postings: DataFrame,
+      phrases: Seq[String]): DataFrame = {
     require(phrases.forall(p => { val t = p.split(" "); t.distinct.length == t.length }),
       "phrase terms must be pairwise distinct for the anchor count to be exact")
-    val spark = documents.sparkSession
+    val spark = postings.sparkSession
     import spark.implicits._
     val phraseTerms = phrases.flatMap { p =>
       val ts = p.split(" ")
       ts.zipWithIndex.map { case (t, off) => (p, t, off, ts.length) }
-    }.toDF("phrase", "term", "off", "plen")
+    }.toDF("phrase", "pterm", "off", "plen")
     val allTerms = phrases.flatMap(_.split(" ")).distinct
-    val postings = documents
-      .select(col("doc_id"), posexplode(TextPrep.wordsCol))
-      .toDF("doc_id", "pos", "w")
-      .filter(col("w").isin(allTerms: _*))
     postings
-      .join(broadcast(phraseTerms), col("w") === col("term"))
+      .filter(col("term").isin(allTerms: _*))
+      .join(broadcast(phraseTerms), col("term") === col("pterm"))
       .select(col("phrase"), col("doc_id"),
         (col("pos") - col("off")).as("anchor"), col("plen"))
       .groupBy("phrase", "doc_id", "anchor", "plen")
@@ -181,6 +189,32 @@ object Retrieval {
       .agg(count(lit(1)).as("n_hits"))
       .orderBy("phrase", "doc_id")
   }
+
+  /** Persist the positional inverted index as a catalog table BUCKETED
+    * by term: the standing-workload half of [[phraseSearch]]. Bucketing
+    * by the probe key buys BUCKET PRUNING — a phrase query's
+    * `term IN (...)` filter reads only the buckets its terms hash to
+    * (asserted plan-level in the spec), so an online probe touches a
+    * fixed fraction of a corpus-sized index no matter how large the
+    * corpus grows. sortBy(term) keeps each bucket's posting lists
+    * contiguous for the scan. */
+  def writePostingsIndex(documents: DataFrame, table: String,
+      buckets: Int = 8): Unit =
+    documents
+      .select(col("doc_id"), posexplode(TextPrep.wordsCol))
+      .toDF("doc_id", "pos", "term")
+      .select("term", "doc_id", "pos")
+      .write
+      .bucketBy(buckets, "term")
+      .sortBy("term")
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Probe the persisted postings index — same plan, no explode. */
+  def phraseSearchFromIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, phrases: Seq[String] = Phrases): DataFrame =
+    phraseSearchOverPostings(spark.table(table), phrases)
 
   /** Oracle: a phrase of length L occurs at each position where the
     * document's L-gram equals it — the listing enumerates every

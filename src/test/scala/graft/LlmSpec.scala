@@ -656,6 +656,30 @@ class LlmSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ivf_index")
   }
 
+  test("postings index: bucket-pruned probe equals the inline plan") {
+    val d = Seq(
+      (0L, "slow hash batch slow hash batch ok", "en", "s0", 34L),
+      (1L, "row column sort and slow hash batch", "en", "s1", 35L),
+      (2L, "nothing relevant here at all", "en", "s2", 28L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // 32 buckets >> 8 query terms, so a pruned probe CANNOT need every
+    // bucket (8 terms touch at most 8)
+    llm.Retrieval.writePostingsIndex(d, "postings_idx", buckets = 32)
+    try {
+      val fromIndex = llm.Retrieval.phraseSearchFromIndex(spark, "postings_idx")
+      assert(fromIndex.collect().toSeq ===
+        llm.Retrieval.phraseSearch(d).collect().toSeq)
+      // bucketing by term buys bucket pruning: the probe's term IN (...)
+      // filter must read only the buckets the query terms hash to
+      val plan = fromIndex.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+      assert(sel.isDefined, s"no bucket pruning in probe plan:\n$plan")
+      assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+        s"probe read every bucket:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS postings_idx")
+  }
+
   test("text stats formulas: token counts, ratios, quality bounded") {
     val one = Seq((0L, "the cat sat on the mat", "en", "s", 22L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
