@@ -125,6 +125,8 @@ object SparkEntry {
     "q_text_stats" -> ((s, d) => llm.TextStats.textStats(Tables.documents(s, d))),
     "q_language_id" -> ((s, d) => llm.TextStats.languageId(Tables.documents(s, d))),
     "q_corpus_mix" -> ((s, d) => llm.TextStats.corpusMix(Tables.documents(s, d))),
+    // per-source unigram drift: exact TV distance vs the corpus mix
+    "q_source_divergence" -> ((s, d) => llm.TextStats.sourceDivergence(Tables.documents(s, d))),
     // BM25 top-k text retrieval (rational-idf, hash-portable scoring)
     "q_bm25_topk" -> ((s, d) => llm.Retrieval.bm25Search(Tables.documents(s, d))),
     // positional inverted-index exact phrase search
@@ -428,6 +430,7 @@ object SparkEntry {
     "q_text_stats" -> llm.TextStats.sqlTextStats,
     "q_language_id" -> llm.TextStats.sqlLanguageId,
     "q_corpus_mix" -> llm.TextStats.sqlCorpusMix,
+    "q_source_divergence" -> llm.TextStats.sqlSourceDivergence,
     "q_bm25_topk" -> llm.Retrieval.sqlBm25Search(),
     "q_phrase_search" -> llm.Retrieval.sqlPhraseSearch,
     "q_temperature_mix" -> llm.Retrieval.sqlTemperatureMix,

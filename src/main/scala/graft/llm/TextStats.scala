@@ -230,6 +230,87 @@ object TextStats {
         FROM g, tot ORDER BY lang, source"""
   }
 
+  /** Per-source distribution drift: the EXACT total-variation distance
+    * between each source's unigram distribution and the whole-corpus
+    * distribution — the "which scrape changed under us" monitor that
+    * catches template floods, language shifts, and spam injections
+    * that per-doc quality filters miss. TV = ½·Σ_w |p_w − q_w| over
+    * the full vocabulary, computed WITHOUT materializing zeros or
+    * summing doubles: each present-word term rewrites as
+    * |c_sw·N − C_w·N_s| / (N_s·N) — integer numerator — and the
+    * absent-word tail Σ_{c_sw=0} C_w/N folds to (N − B_s)·N_s with
+    * B_s = Σ C_w over the source's present words. Cross-row summation
+    * is decimal(38,0)-exact (the moneySum trade: wrap-free products at
+    * web-corpus counts), and the ONLY floating-point op is the final
+    * division, written identically in the oracle — hash-exact with no
+    * transcendentals (the same reason this is TV and not KL: KL's logs
+    * of ratios have no integer form; floor-log2 surprisal already
+    * covers the entropy angle in [[rarityScore]] / bigramSurprisal).
+    *
+    * Scale shape: one token explode, a (source, word) hash aggregate,
+    * a vocabulary-sized word-total aggregate joined back on the word,
+    * a single-row corpus total broadcast — no pair joins, no windows.
+    */
+  def sourceDivergence(documents: DataFrame): DataFrame = {
+    val words = documents
+      .select(col("source"), explode(TextPrep.wordsCol).as("word"))
+    // cached: per-(source,word) counts feed the word totals, the
+    // per-source totals, and the final join probe
+    val csw = words.groupBy("source", "word")
+      .agg(count(lit(1)).as("c_sw")).cache()
+    val cw = csw.groupBy("word").agg(sum(col("c_sw")).as("c_w"))
+    val ns = csw.groupBy("source").agg(
+      sum(col("c_sw")).as("n_s"),
+      count(lit(1)).as("n_distinct_words"))
+    val n = cw.agg(sum(col("c_w")).as("n_tot"))
+    val dec = "decimal(19,0)"
+    val per = csw.join(cw, "word").join(ns, "source")
+      .crossJoin(broadcast(n))
+      .groupBy("source")
+      .agg(
+        sum(abs(col("c_sw").cast(dec) * col("n_tot").cast(dec) -
+          col("c_w").cast(dec) * col("n_s").cast(dec))).as("a_num"),
+        sum(col("c_w")).as("b_sum"))
+    per.join(ns, "source").crossJoin(broadcast(n))
+      .select(col("source"), col("n_s").as("n_tokens"),
+        col("n_distinct_words"),
+        ((col("a_num") +
+          (col("n_tot") - col("b_sum")).cast(dec) * col("n_s").cast(dec))
+          .cast("double") /
+          (lit(2.0) * col("n_s").cast("double") * col("n_tot").cast("double")))
+          .as("tv_divergence"))
+      .orderBy("source")
+  }
+
+  val sqlSourceDivergence: String = {
+    val w = TextPrep.sqlWords
+    s"""WITH wds AS (
+          SELECT source, unnest($w) AS word FROM documents),
+        csw AS (
+          SELECT source, word, CAST(count(*) AS BIGINT) AS c_sw
+          FROM wds GROUP BY 1, 2),
+        cw AS (SELECT word, CAST(sum(c_sw) AS BIGINT) AS c_w FROM csw GROUP BY 1),
+        ns AS (
+          SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s,
+            CAST(count(*) AS BIGINT) AS n_distinct_words
+          FROM csw GROUP BY 1),
+        n AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_tot FROM cw),
+        per AS (
+          SELECT source,
+            sum(abs(CAST(c_sw AS DECIMAL(19,0)) * CAST(n_tot AS DECIMAL(19,0)) -
+              CAST(c_w AS DECIMAL(19,0)) * CAST(n_s AS DECIMAL(19,0)))) AS a_num,
+            CAST(sum(c_w) AS BIGINT) AS b_sum
+          FROM csw JOIN cw USING (word) JOIN ns USING (source), n
+          GROUP BY source)
+        SELECT per.source, ns.n_s AS n_tokens, ns.n_distinct_words,
+          CAST(per.a_num +
+            CAST(n.n_tot - per.b_sum AS DECIMAL(19,0)) * CAST(ns.n_s AS DECIMAL(19,0))
+            AS DOUBLE) /
+          (2.0 * CAST(ns.n_s AS DOUBLE) * CAST(n.n_tot AS DOUBLE)) AS tv_divergence
+        FROM per JOIN ns USING (source), n
+        ORDER BY per.source"""
+  }
+
   val VocabTopN = 1000
 
   /** (word, n_occurrences, n_docs) — the shared counting stage. */

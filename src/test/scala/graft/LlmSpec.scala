@@ -680,6 +680,32 @@ class LlmSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS postings_idx")
   }
 
+  test("source divergence: exact TV distance on a hand-computed corpus") {
+    // s0 = "a a b" (N_s=3), s1 = "a c" (N_s=2); corpus N=5,
+    // C = {a:3, b:1, c:1}
+    //   TV(s0) = ½(|2/3−3/5| + |1/3−1/5| + |0−1/5|) = 0.2
+    //   TV(s1) = ½(|1/2−3/5| + |0−1/5| + |1/2−1/5|) = 0.3
+    val d = Seq(
+      (0L, "a a b", "en", "s0", 5L),
+      (1L, "a c", "en", "s1", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextStats.sourceDivergence(d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("s0") === ((3L, 2L, 0.2)))
+    assert(out("s1") === ((2L, 2L, 0.3)))
+  }
+
+  test("source divergence: identical distributions score exactly zero") {
+    val d = Seq(
+      (0L, "x y z", "en", "sa", 5L),
+      (1L, "x y z", "en", "sb", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tv = TextStats.sourceDivergence(d).collect()
+      .map(r => r.getDouble(3)).toSeq
+    assert(tv === Seq(0.0, 0.0))
+  }
+
   test("text stats formulas: token counts, ratios, quality bounded") {
     val one = Seq((0L, "the cat sat on the mat", "en", "s", 22L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
