@@ -58,6 +58,7 @@ object PlanAudit {
     "q_quality_deciles_approx" -> Set("BNLJ"), // one cutpoint row
     "q_semantic_dedup" -> Set("BNLJ"),     // √n centroid frame
     "q_source_divergence" -> Set("BNLJ"),  // corpus total row
+    "q_drift_words" -> Set("BNLJ"),        // corpus total row
     "q_temperature_mix" -> Set("BNLJ")     // per-lang weight rows
   )
 

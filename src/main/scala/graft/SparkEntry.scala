@@ -127,6 +127,8 @@ object SparkEntry {
     "q_corpus_mix" -> ((s, d) => llm.TextStats.corpusMix(Tables.documents(s, d))),
     // per-source unigram drift: exact TV distance vs the corpus mix
     "q_source_divergence" -> ((s, d) => llm.TextStats.sourceDivergence(Tables.documents(s, d))),
+    // which words drive each source's drift (present-word itemization)
+    "q_drift_words" -> ((s, d) => llm.TextStats.driftWords(Tables.documents(s, d))),
     // BM25 top-k text retrieval (rational-idf, hash-portable scoring)
     "q_bm25_topk" -> ((s, d) => llm.Retrieval.bm25Search(Tables.documents(s, d))),
     // positional inverted-index exact phrase search
@@ -431,6 +433,7 @@ object SparkEntry {
     "q_language_id" -> llm.TextStats.sqlLanguageId,
     "q_corpus_mix" -> llm.TextStats.sqlCorpusMix,
     "q_source_divergence" -> llm.TextStats.sqlSourceDivergence,
+    "q_drift_words" -> llm.TextStats.sqlDriftWords(),
     "q_bm25_topk" -> llm.Retrieval.sqlBm25Search(),
     "q_phrase_search" -> llm.Retrieval.sqlPhraseSearch,
     "q_temperature_mix" -> llm.Retrieval.sqlTemperatureMix,

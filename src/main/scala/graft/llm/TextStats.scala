@@ -251,13 +251,18 @@ object TextStats {
     * a vocabulary-sized word-total aggregate joined back on the word,
     * a single-row corpus total broadcast — no pair joins, no windows.
     */
-  def sourceDivergence(documents: DataFrame): DataFrame = {
-    val words = documents
+  /** (source, word, c_sw): the per-source unigram table behind the
+    * drift reports. */
+  private def unigramCounts(documents: DataFrame): DataFrame =
+    documents
       .select(col("source"), explode(TextPrep.wordsCol).as("word"))
+      .groupBy("source", "word")
+      .agg(count(lit(1)).as("c_sw"))
+
+  def sourceDivergence(documents: DataFrame): DataFrame = {
     // cached: per-(source,word) counts feed the word totals, the
     // per-source totals, and the final join probe
-    val csw = words.groupBy("source", "word")
-      .agg(count(lit(1)).as("c_sw")).cache()
+    val csw = unigramCounts(documents).cache()
     val cw = csw.groupBy("word").agg(sum(col("c_sw")).as("c_w"))
     val ns = csw.groupBy("source").agg(
       sum(col("c_sw")).as("n_s"),
@@ -280,6 +285,65 @@ object TextStats {
           (lit(2.0) * col("n_s").cast("double") * col("n_tot").cast("double")))
           .as("tv_divergence"))
       .orderBy("source")
+  }
+
+  /** The explainability half of [[sourceDivergence]]: WHICH words
+    * drive each source's drift. Ranks a source's present words by the
+    * same integer drift numerator |c_sw·N − C_w·N_s| that TV sums —
+    * over-represented template/spam tokens surface first. Scope note:
+    * a word entirely ABSENT from a source also contributes C_w·N_s to
+    * that source's TV, but itemizing absences needs a source×vocab
+    * cross product; this report deliberately ranks present words only
+    * (the aggregate drift including absences is sourceDivergence's
+    * number). Ranking is a window PARTITIONED by source over the
+    * vocabulary-sized scored table — the corpus explode never reaches
+    * the window. */
+  val DriftTopK = 10
+
+  def driftWords(documents: DataFrame, k: Int = DriftTopK): DataFrame = {
+    val csw = unigramCounts(documents).cache()
+    val cw = csw.groupBy("word").agg(sum(col("c_sw")).as("c_w"))
+    val ns = csw.groupBy("source").agg(sum(col("c_sw")).as("n_s"))
+    val n = cw.agg(sum(col("c_w")).as("n_tot"))
+    val dec = "decimal(19,0)"
+    val scored = csw.join(cw, "word").join(ns, "source")
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("word"), col("c_sw"), col("c_w"),
+        abs(col("c_sw").cast(dec) * col("n_tot").cast(dec) -
+          col("c_w").cast(dec) * col("n_s").cast(dec)).as("drift_num"))
+    val bySource = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("drift_num").desc, col("word"))
+    scored.withColumn("rnk", row_number().over(bySource))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("rnk").cast("int").as("rnk"), col("word"),
+        col("c_sw"), col("c_w"),
+        col("drift_num").cast("double").as("drift_score"))
+      .orderBy("source", "rnk")
+  }
+
+  def sqlDriftWords(k: Int = DriftTopK): String = {
+    val w = TextPrep.sqlWords
+    s"""WITH wds AS (
+          SELECT source, unnest($w) AS word FROM documents),
+        csw AS (
+          SELECT source, word, CAST(count(*) AS BIGINT) AS c_sw
+          FROM wds GROUP BY 1, 2),
+        cw AS (SELECT word, CAST(sum(c_sw) AS BIGINT) AS c_w FROM csw GROUP BY 1),
+        ns AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM csw GROUP BY 1),
+        n AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_tot FROM cw),
+        scored AS (
+          SELECT source, word, c_sw, c_w,
+            abs(CAST(c_sw AS DECIMAL(19,0)) * CAST(n_tot AS DECIMAL(19,0)) -
+              CAST(c_w AS DECIMAL(19,0)) * CAST(n_s AS DECIMAL(19,0))) AS drift_num
+          FROM csw JOIN cw USING (word) JOIN ns USING (source), n),
+        r AS (
+          SELECT source, word, c_sw, c_w, drift_num,
+            CAST(row_number() OVER (PARTITION BY source
+              ORDER BY drift_num DESC, word) AS INTEGER) AS rnk
+          FROM scored)
+        SELECT source, rnk, word, c_sw, c_w,
+          CAST(drift_num AS DOUBLE) AS drift_score
+        FROM r WHERE rnk <= $k ORDER BY source, rnk"""
   }
 
   val sqlSourceDivergence: String = {

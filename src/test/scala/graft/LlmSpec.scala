@@ -696,6 +696,21 @@ class LlmSpec extends SparkSpec {
     assert(out("s1") === ((2L, 2L, 0.3)))
   }
 
+  test("drift words: the over-represented token ranks first") {
+    // s0 floods "spam" (4 of its 6 tokens); s1 is plain prose. The
+    // drift numerator |c_sw*N - C_w*N_s| must put "spam" at rank 1
+    // for BOTH sources: over-represented in s0, under-represented
+    // (yet present) in s1.
+    val d = Seq(
+      (0L, "spam spam spam spam alpha beta", "en", "s0", 30L),
+      (1L, "alpha beta gamma delta spam epsilon", "en", "s1", 35L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextStats.driftWords(d, k = 3).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(out(("s0", 1)) === "spam")
+    assert(out(("s1", 1)) === "spam")
+  }
+
   test("source divergence: identical distributions score exactly zero") {
     val d = Seq(
       (0L, "x y z", "en", "sa", 5L),
