@@ -99,6 +99,8 @@ object SparkEntry {
     "q_pivot" -> ((s, d) => Windows.monthlyTypePivot(ev(s, d))),
     // ---- LLM-data-pipeline operators (north star, BASELINE.json) ----
     "q_exact_dedup" -> ((s, d) => llm.Dedup.exactDedup(Tables.documents(s, d))),
+    // NFC normalization: the canonical pre-dedup pass (native expr)
+    "q_normalize_text" -> ((s, d) => llm.Curate.normalizeText(Tables.documents(s, d))),
     "q_jaccard_pairs" -> ((s, d) => llm.Dedup.jaccardPairs(Tables.documents(s, d), 0.5)),
     // scale twin: stop-shingle df-cap bounds the join's worst bucket
     "q_jaccard_capped" -> ((s, d) => llm.Dedup.jaccardPairsCapped(Tables.documents(s, d), 0.5)),
@@ -449,6 +451,7 @@ object SparkEntry {
     "q_doc_chunks" -> llm.Curate.sqlDocChunks,
     "q_pack_sequences" -> llm.Curate.sqlPackSequences,
     "q_dup_clusters" -> llm.Dedup.sqlDupClusters(),
+    "q_normalize_text" -> llm.Curate.sqlNormalizeText,
     "q_decontaminate" -> llm.Curate.sqlDecontaminate(),
     "q_decontaminate_bloom" -> llm.Curate.sqlDecontaminate(),
     "q_semantic_dedup" -> llm.Similarity.sqlSemanticDedup(),

@@ -207,6 +207,15 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** NFC normalization with an is-normalized fast path (quick-check
+    * true → return the input UTF8String untouched, no allocation). */
+  def normalizeNfc(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   /** Multiplicity of the most frequent word of lower(text), split on
     * single spaces (empty tokens count, matching split semantics in
     * both engines). O(n) one-pass hash count. */
@@ -276,6 +285,35 @@ case class ShingleHashes(child: Expression, shingleWords: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TextHash.computeShingles($c, $shingleWords);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `nfc_normalize(text)` → string in Unicode Normalization Form C.
+  * The canonical first step of text curation: composed vs decomposed
+  * accents (é as U+00E9 vs e + U+0301) hash differently, so exact
+  * dedup and every md5-keyed operator silently misses duplicates
+  * until the corpus is normalized. java.text.Normalizer implements
+  * the same Unicode standard as DuckDB's utf8proc-based
+  * nfc_normalize, so the oracle twin is the built-in of the same
+  * name. Row-local, codegen'd, with a fast path: NFC-clean text
+  * (the overwhelming majority) is returned without allocation. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires a string argument, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.normalizeNfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHash.normalizeNfc($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

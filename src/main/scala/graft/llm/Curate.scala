@@ -326,6 +326,31 @@ object Curate {
         FROM train LEFT JOIN m ON train.doc_id = m.doc_id
         ORDER BY train.doc_id"""
 
+  /** Unicode NFC normalization report: the canonical pre-dedup pass.
+    * Composed vs decomposed accents (é as U+00E9 vs e + combining
+    * U+0301) are byte-different, so every md5-keyed operator — exact
+    * dedup, shingles, winnowing — silently misses duplicates until the
+    * corpus is normalized. Row-local native expression (fast path
+    * returns already-normalized text with zero allocation, which is
+    * ~all of a real corpus), emitting the normalized-content hash the
+    * dedup family would key on plus the changed flag for monitoring.
+    * Oracle twin is DuckDB's nfc_normalize — both engines implement
+    * the same Unicode standard. */
+  def normalizeText(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(documents.sparkSession)
+    val nfc = call_function("nfc_normalize", col("text"))
+    documents
+      .select(col("doc_id"),
+        (nfc =!= col("text")).as("changed"),
+        md5(nfc).as("content_hash"))
+      .orderBy("doc_id")
+  }
+
+  val sqlNormalizeText: String =
+    """SELECT doc_id, nfc_normalize(text) <> text AS changed,
+       md5(nfc_normalize(text)) AS content_hash
+       FROM documents ORDER BY doc_id"""
+
   /** Bloom-prefiltered decontamination — [[decontaminate]]'s 100 TB
     * shape. The broadcast-the-eval-shingle-set plan above assumes the
     * benchmark suite's n-gram set fits in a broadcast; a serious eval

@@ -696,6 +696,24 @@ class LlmSpec extends SparkSpec {
     assert(out("s1") === ((2L, 2L, 0.3)))
   }
 
+  test("NFC normalization: composed and decomposed accents converge") {
+    val composed = "caf\u00e9 menu"        // e-acute, precomposed
+    val decomposed = "cafe\u0301 menu"      // e + combining acute
+    val d = Seq(
+      (0L, composed, "fr", "s0", 9L),
+      (1L, decomposed, "fr", "s1", 10L),
+      (2L, "plain ascii text", "en", "s2", 16L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curate.normalizeText(d).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(!out(0L)._1)                        // already NFC
+    assert(out(1L)._1)                         // decomposed → changed
+    assert(out(0L)._2 === out(1L)._2)          // same content hash now
+    assert(!out(2L)._1)
+    // the raw texts would NOT have deduped: different md5s pre-NFC
+    assert(composed !== decomposed)
+  }
+
   test("drift words: the over-represented token ranks first") {
     // s0 floods "spam" (4 of its 6 tokens); s1 is plain prose. The
     // drift numerator |c_sw*N - C_w*N_s| must put "spam" at rank 1
