@@ -17,6 +17,15 @@ class LlmPipelineSpec extends SparkSpec {
     val total = docs.count()
     assert(total > 0)
 
+    // 0. NFC normalization gate: on this corpus nothing changes (the
+    //    fixture is ascii), so the normalized content hashes must agree
+    //    with raw md5 — the invariant that lets the md5-keyed stages
+    //    below run on raw text
+    val norm = Curate.normalizeText(docs)
+    assert(norm.filter(col("changed")).count() === 0L)
+    assert(norm.join(docs, "doc_id")
+      .filter(col("content_hash") =!= md5(col("text"))).count() === 0L)
+
     // 1. exact dedup: copies are conserved — every input doc is counted
     //    under exactly one representative
     val exact = Dedup.exactDedup(docs)
