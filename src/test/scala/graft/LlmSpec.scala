@@ -401,6 +401,23 @@ class LlmSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT top_k_by(s, i, 2) FROM VALUES (0.1D, 1L), (0.9D, 2L), (0.5D, 3L) AS t(s, i)")
       .collect().head.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(1)) === Seq(2L, 3L))
+    // round-6 additions: positional gram hashes (non-distinct, in
+    // document order — 'a b' repeats), NFC normalization, and Spark's
+    // bloom runtime-filter pair surfaced as SQL functions
+    val gh = spark.sql("SELECT gram_hashes_pos('a b a b a', 2)")
+      .collect().head.getSeq[Long](0)
+    assert(gh.length === 4 && gh(0) === gh(2) && gh(1) === gh(3))
+    assert(gh(0) !== gh(1))
+    assert(spark.sql("SELECT nfc_normalize('cafe\\u0301') = 'caf\\u00e9'")
+      .collect().head.getBoolean(0))
+    val bloomHit = spark.sql(
+      """WITH f AS (SELECT bloom_build(xxhash64(x), 100L) AS bf
+           FROM VALUES ('a'), ('b') AS t(x))
+         SELECT bloom_might_contain((SELECT bf FROM f), xxhash64('a')),
+                bloom_might_contain((SELECT bf FROM f), xxhash64('zzz'))""")
+      .collect().head
+    assert(bloomHit.getBoolean(0))   // member always hits
+    assert(!bloomHit.getBoolean(1))  // tiny filter: non-member misses
   }
 
   test("registerAll replaces a user's same-named pre-registered function") {
