@@ -525,6 +525,40 @@ class StreamPipelineSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("transformWithState sessionization matches the fMGWS semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    // TWS keeps each state variable in its own column family, which the
+    // default HDFS-backed provider cannot do — RocksDB is a hard
+    // requirement of the API, not just the scale choice
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Sessionize.Txn]
+    // TimeMode.None in tests for the same reason Sessionize passes
+    // NoTimeout: armed timers keep processAllAvailable from settling
+    val q = graft.streaming.SessionizeTws.sessions(mem.toDS(),
+      org.apache.spark.sql.streaming.TimeMode.None())
+      .writeStream.format("memory").queryName("tws_sessions")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+      val t1 = Timestamp.valueOf("2024-01-01 10:10:00")
+      val t2 = Timestamp.valueOf("2024-01-01 11:30:00") // > 30min gap
+      mem.addData(
+        Sessionize.Txn("ACC1", t0, 10.0),
+        Sessionize.Txn("ACC1", t1, 15.0))
+      q.processAllAvailable()
+      mem.addData(Sessionize.Txn("ACC1", t2, 99.0))
+      q.processAllAvailable()
+      val closed = spark.table("tws_sessions")
+        .collect().map(r => (r.getAs[String]("account_id"),
+          r.getAs[Long]("n_txns"), r.getAs[Double]("total_amount"),
+          r.getAs[Boolean]("closed"))).toSeq
+      // identical rows to the flatMapGroupsWithState spec above
+      assert(closed === Seq(("ACC1", 2L, 25.0, true)))
+    } finally { q.stop(); spark.conf.unset(key) }
+  }
+
   test("streaming funnel: converts across batches, ignores pre-click purchases") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[graft.streaming.FunnelTrack.Ev]
