@@ -113,6 +113,8 @@ object SparkEntry {
     "q_memorization_risk" -> ((s, d) => llm.Dedup.memorizationRisk(Tables.documents(s, d))),
     // positional duplicated-passage coverage + longest duplicated run
     "q_dup_spans" -> ((s, d) => llm.Dedup.dupSpanStats(Tables.documents(s, d))),
+    // the removal half: rewrite docs with duplicated spans cut out
+    "q_strip_dup_spans" -> ((s, d) => llm.Dedup.stripDupSpans(Tables.documents(s, d))),
     "q_simhash_pairs" -> ((s, d) => llm.Dedup.simhashPairs(Tables.documents(s, d), 3)),
     "q_cosine_topk" -> ((s, d) => llm.Similarity.bruteForceTopK(Tables.embeddings(s, d), 10)),
     "q_embed_neardup" -> ((s, d) => llm.Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.4)),
@@ -423,6 +425,7 @@ object SparkEntry {
     "q_dup_rate" -> llm.Dedup.sqlDupRateBySource,
     "q_memorization_risk" -> llm.Dedup.sqlMemorizationRisk,
     "q_dup_spans" -> llm.Dedup.sqlDupSpanStats,
+    "q_strip_dup_spans" -> llm.Dedup.sqlStripDupSpans,
     "q_simhash_pairs" -> llm.Dedup.sqlSimhashPairs(3),
     "q_cosine_topk" -> llm.Similarity.sqlBruteForceTopK(10),
     "q_embed_neardup" -> llm.Similarity.sqlCosineNearDupPairs(0.4),

@@ -996,6 +996,92 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The REMOVAL half of exact-substring dedup: rewrite each document
+    * with every word that participates in a cross-document duplicated
+    * k-gram cut out (the action [[dupSpanStats]] only reports —
+    * together they are the ExactSubstr pipeline of Lee et al. 2021,
+    * with the span threshold at k words). Emits the cleaned text's
+    * hash + kept/removed counts rather than the text itself (the
+    * compare artifact; a production run would write the rebuilt
+    * string column the same way).
+    *
+    * Scale shape: identical df-count front end to dupSpanStats (no
+    * pair join), then covered gram positions fan out to k word
+    * positions (explode of a constant-k sequence), an anti-join on
+    * (doc, position) keeps survivors, and the per-document rebuild is
+    * a collect_list bounded by the document's own length — the same
+    * bound as holding the text, grouped where the text already lives.
+    * Every doc passes through, including sub-k-gram ones (nothing
+    * removable). */
+  def stripDupSpans(documents: DataFrame): DataFrame = {
+    graft.functions.TextHashExprs.register(documents.sparkSession)
+    val k = DupSpanK
+    val ws = TextPrep.wordsCol
+    val wp = documents.select(col("doc_id"), posexplode(ws))
+      .toDF("doc_id", "wpos", "w")
+    val pos = documents
+      .select(col("doc_id"),
+        posexplode(call_function("gram_hashes_pos", col("text"), lit(k))))
+      .toDF("doc_id", "pos", "gh")
+      .cache() // feeds the df aggregate and the probe side
+    val shared = pos.select("doc_id", "gh").distinct()
+      .groupBy("gh").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("gh")
+    val covWord = pos.join(shared, Seq("gh"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("wpos"))
+      .distinct()
+    val kept = wp.join(covWord, Seq("doc_id", "wpos"), "left_anti")
+    val agg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      md5(array_join(transform(
+        array_sort(collect_list(struct(col("wpos"), col("w")))),
+        x => x.getField("w")), " ")).as("clean_hash"))
+    documents.select(col("doc_id"), size(ws).cast("long").as("n_words"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_hash"), md5(lit(""))).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
+  def sqlStripDupSpans: String = {
+    val k = DupSpanK
+    val w = TextPrep.sqlWords
+    s"""WITH wd AS (SELECT doc_id, $w AS ws FROM documents),
+        wp AS (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS wpos, ws[i] AS w
+          FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+                FROM wd)),
+        p AS (
+          SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+            CAST(concat('0x', substr(md5(array_to_string(ws[i:i+${k - 1}], ' ')), 1, 15))
+              AS BIGINT) % ${TextPrep.HashP} AS gh
+          FROM (SELECT doc_id, ws,
+                  unnest(generate_series(1, len(ws) - ${k - 1})) AS i
+                FROM wd WHERE len(ws) >= $k)),
+        shared AS (
+          SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM p)
+          GROUP BY gh HAVING count(*) >= 2),
+        cw AS (
+          SELECT DISTINCT doc_id, wpos FROM (
+            SELECT doc_id, unnest(generate_series(pos, pos + ${k - 1})) AS wpos
+            FROM (SELECT p.doc_id, p.pos FROM p JOIN shared USING (gh)))),
+        kept AS (
+          SELECT wp.doc_id, wp.wpos, wp.w FROM wp
+          ANTI JOIN cw ON wp.doc_id = cw.doc_id AND wp.wpos = cw.wpos),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+            md5(array_to_string(list(w ORDER BY wpos), ' ')) AS clean_hash
+          FROM kept GROUP BY doc_id),
+        tot AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words FROM wd)
+        SELECT t.doc_id, t.n_words,
+          t.n_words - COALESCE(a.n_kept, 0) AS n_removed,
+          COALESCE(a.clean_hash, md5('')) AS clean_hash
+        FROM tot t LEFT JOIN agg a USING (doc_id)
+        ORDER BY t.doc_id"""
+  }
+
   def sqlDupSpanStats: String = {
     val k = DupSpanK
     val w = TextPrep.sqlWords

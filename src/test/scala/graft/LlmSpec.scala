@@ -824,6 +824,105 @@ class LlmSpec extends SparkSpec {
     val img = rows.find(_.getAs[String]("media_type") === "image").get
     assert(img.getAs[Long]("n_files") === 2) // doc_ids 0 and 3
   }
+  test("dup-span stats: coverage, islands, and the excluded short doc") {
+    val spanDocs = Seq(
+      // docs 0/1 share the 5-word passage "a b c d e" → its three
+      // 3-grams are cross-doc duplicated, one consecutive run of 3
+      (0L, "a b c d e f g h", "en", "s0", 15L),
+      (1L, "x y a b c d e z", "en", "s1", 15L),
+      (2L, "p q r s t u v w", "en", "s2", 15L), // fully unique
+      // doc 3 shares "a b c" (pos 0) and "c d e" (pos 6): two islands
+      // of length 1 separated by unique grams
+      (3L, "a b c q1 q2 q3 c d e", "en", "s3", 20L),
+      (4L, "a b", "de", "s4", 3L) // < 3 words → no 3-grams → no row
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.dupSpanStats(spanDocs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    assert(out.keySet === Set(0L, 1L, 2L, 3L))
+    assert(out(0L) === ((6L, 3L, 0.5, 3L)))    // covered at pos 0,1,2
+    assert(out(1L) === ((6L, 3L, 0.5, 3L)))    // covered at pos 2,3,4
+    assert(out(2L) === ((6L, 0L, 0.0, 0L)))
+    assert(out(3L) === ((7L, 2L, 2.0 / 7.0, 1L))) // two size-1 islands
+  }
+
+  test("strip dup spans: removes exactly the covered words, rebuilds text") {
+    val d = Seq(
+      (0L, "a b c d e f g h", "en", "s0", 15L),   // covers words 0..4
+      (1L, "x y a b c d e z", "en", "s1", 15L),   // covers words 2..6
+      (2L, "p q r s t u v w", "en", "s2", 15L),   // untouched
+      (3L, "a b c q1 q2 q3 c d e", "en", "s3", 20L), // covers 0..2 and 6..8
+      (4L, "a b", "de", "s4", 3L)                 // sub-k: passes through
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.stripDupSpans(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def h(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(out(0L) === ((8L, 5L, h("f g h"))))
+    assert(out(1L) === ((8L, 5L, h("x y z"))))
+    assert(out(2L) === ((8L, 0L, h("p q r s t u v w"))))
+    assert(out(3L) === ((9L, 6L, h("q1 q2 q3"))))
+    assert(out(4L) === ((2L, 0L, h("a b"))))
+  }
+
+  test("dup-span stats: within-doc repetition alone is not cross-doc dup") {
+    // "m n o" occurs twice in doc 0 but in no other doc → df counts
+    // DISTINCT docs, so nothing in either doc is covered
+    val d = Seq(
+      (0L, "m n o m n o", "en", "s0", 11L),
+      (1L, "u v w x y z", "en", "s1", 11L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.dupSpanStats(d).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSeq.sorted
+    assert(out === Seq((0L, 0L, 0L), (1L, 0L, 0L)))
+  }
+
+  test("phrase search counts every overlapping occurrence per doc") {
+    val d = Seq(
+      (0L, "slow hash batch slow hash batch ok", "en", "s0", 34L),
+      (1L, "row column sort and slow hash batch", "en", "s1", 35L),
+      (2L, "slow hash only never the full phrase", "en", "s2", 36L),
+      (3L, "nothing relevant here at all", "en", "s3", 28L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = llm.Retrieval.phraseSearch(d).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out === Map(
+      ("slow hash batch", 0L) -> 2L,
+      ("slow hash batch", 1L) -> 1L,
+      ("row column sort", 1L) -> 1L))
+  }
+
+  test("bloom-prefiltered decontamination equals the exact broadcast path") {
+    // eval docs are doc_id % 5 == 0; doc 7 copies eval doc 5's text
+    // (fully contaminated), doc 11 shares a 3-shingle span, doc 13 is
+    // clean. The bloom path must reproduce the exact path bit-for-bit
+    // (false positives die in the verify join).
+    val d = Seq(
+      (5L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s0", 46L),
+      (7L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s1", 46L),
+      (11L, "intro words then alpha beta gamma delta closing remarks", "en", "s2", 55L),
+      (13L, "completely unrelated content about storage engines", "en", "s3", 50L),
+      (10L, "another eval document with its own phrasing", "en", "s4", 43L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val exact = Curate.decontaminate(d, evalMod = 5L).collect().toSeq
+    val bloom = Curate.decontaminateBloom(d, evalMod = 5L).collect().toSeq
+    assert(bloom === exact)
+    // sanity on content: the verbatim copy is fully contaminated,
+    // the clean doc matches nothing
+    val byId = bloom.map(r => r.getLong(0) -> r).toMap
+    assert(byId(7L).getBoolean(4))
+    assert(byId(13L).getLong(2) === 0L)
+  }
+
+  test("phrase search matches only exact in-order adjacency") {
+    val d = Seq(
+      (0L, "batch hash slow", "en", "s0", 15L),       // reversed
+      (1L, "slow hash fast batch", "en", "s1", 20L),  // gap breaks it
+      (2L, "a slow hash batch b", "en", "s2", 19L)    // embedded match
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = llm.Retrieval.phraseSearch(d).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out === Map(("slow hash batch", 2L) -> 1L))
+  }
 }
 
 class TopKAggSpec extends SparkSpec {
@@ -963,85 +1062,4 @@ class TopKAggSpec extends SparkSpec {
     assert(out === Seq((1L, 2L, 12.0), (2L, 1L, 1.0)))
   }
 
-  test("dup-span stats: coverage, islands, and the excluded short doc") {
-    val spanDocs = Seq(
-      // docs 0/1 share the 5-word passage "a b c d e" → its three
-      // 3-grams are cross-doc duplicated, one consecutive run of 3
-      (0L, "a b c d e f g h", "en", "s0", 15L),
-      (1L, "x y a b c d e z", "en", "s1", 15L),
-      (2L, "p q r s t u v w", "en", "s2", 15L), // fully unique
-      // doc 3 shares "a b c" (pos 0) and "c d e" (pos 6): two islands
-      // of length 1 separated by unique grams
-      (3L, "a b c q1 q2 q3 c d e", "en", "s3", 20L),
-      (4L, "a b", "de", "s4", 3L) // < 3 words → no 3-grams → no row
-    ).toDF("doc_id", "text", "lang", "source", "n_chars")
-    val out = Dedup.dupSpanStats(spanDocs).collect()
-      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))))
-      .toMap
-    assert(out.keySet === Set(0L, 1L, 2L, 3L))
-    assert(out(0L) === ((6L, 3L, 0.5, 3L)))    // covered at pos 0,1,2
-    assert(out(1L) === ((6L, 3L, 0.5, 3L)))    // covered at pos 2,3,4
-    assert(out(2L) === ((6L, 0L, 0.0, 0L)))
-    assert(out(3L) === ((7L, 2L, 2.0 / 7.0, 1L))) // two size-1 islands
-  }
-
-  test("dup-span stats: within-doc repetition alone is not cross-doc dup") {
-    // "m n o" occurs twice in doc 0 but in no other doc → df counts
-    // DISTINCT docs, so nothing in either doc is covered
-    val d = Seq(
-      (0L, "m n o m n o", "en", "s0", 11L),
-      (1L, "u v w x y z", "en", "s1", 11L)
-    ).toDF("doc_id", "text", "lang", "source", "n_chars")
-    val out = Dedup.dupSpanStats(d).collect()
-      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSeq.sorted
-    assert(out === Seq((0L, 0L, 0L), (1L, 0L, 0L)))
-  }
-
-  test("phrase search counts every overlapping occurrence per doc") {
-    val d = Seq(
-      (0L, "slow hash batch slow hash batch ok", "en", "s0", 34L),
-      (1L, "row column sort and slow hash batch", "en", "s1", 35L),
-      (2L, "slow hash only never the full phrase", "en", "s2", 36L),
-      (3L, "nothing relevant here at all", "en", "s3", 28L)
-    ).toDF("doc_id", "text", "lang", "source", "n_chars")
-    val out = llm.Retrieval.phraseSearch(d).collect()
-      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
-    assert(out === Map(
-      ("slow hash batch", 0L) -> 2L,
-      ("slow hash batch", 1L) -> 1L,
-      ("row column sort", 1L) -> 1L))
-  }
-
-  test("bloom-prefiltered decontamination equals the exact broadcast path") {
-    // eval docs are doc_id % 5 == 0; doc 7 copies eval doc 5's text
-    // (fully contaminated), doc 11 shares a 3-shingle span, doc 13 is
-    // clean. The bloom path must reproduce the exact path bit-for-bit
-    // (false positives die in the verify join).
-    val d = Seq(
-      (5L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s0", 46L),
-      (7L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s1", 46L),
-      (11L, "intro words then alpha beta gamma delta closing remarks", "en", "s2", 55L),
-      (13L, "completely unrelated content about storage engines", "en", "s3", 50L),
-      (10L, "another eval document with its own phrasing", "en", "s4", 43L)
-    ).toDF("doc_id", "text", "lang", "source", "n_chars")
-    val exact = Curate.decontaminate(d, evalMod = 5L).collect().toSeq
-    val bloom = Curate.decontaminateBloom(d, evalMod = 5L).collect().toSeq
-    assert(bloom === exact)
-    // sanity on content: the verbatim copy is fully contaminated,
-    // the clean doc matches nothing
-    val byId = bloom.map(r => r.getLong(0) -> r).toMap
-    assert(byId(7L).getBoolean(4))
-    assert(byId(13L).getLong(2) === 0L)
-  }
-
-  test("phrase search matches only exact in-order adjacency") {
-    val d = Seq(
-      (0L, "batch hash slow", "en", "s0", 15L),       // reversed
-      (1L, "slow hash fast batch", "en", "s1", 20L),  // gap breaks it
-      (2L, "a slow hash batch b", "en", "s2", 19L)    // embedded match
-    ).toDF("doc_id", "text", "lang", "source", "n_chars")
-    val out = llm.Retrieval.phraseSearch(d).collect()
-      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
-    assert(out === Map(("slow hash batch", 2L) -> 1L))
-  }
 }
