@@ -360,8 +360,8 @@ object SparkEntry {
          FROM events GROUP BY 1 ORDER BY 1""",
     "q_variant_field_agg" ->
       """SELECT event_type, count(*) AS n_events,
-         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-         CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS n_distinct_k
+         CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         CAST(count(DISTINCT TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS n_distinct_k
          FROM events GROUP BY 1 ORDER BY 1""",
     "q_latest_per_user" ->
       """SELECT user_id, event_id, ts, event_type, value FROM (

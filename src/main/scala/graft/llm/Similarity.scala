@@ -33,6 +33,10 @@ object Similarity {
     * already far past sane, but unambiguous as a refusal threshold. */
   val ExactBaselineMaxRows = 1000000L
 
+  /** Guard on the RAW input frame, not prepared(): the row count is
+    * identical, but counting raw parquet resolves from row-group
+    * metadata (no norm/cast work), so the guard costs ~nothing even
+    * inside plan-construction sweeps like PlanAudit. */
   private def requireBaselineSized(n: DataFrame, who: String): DataFrame = {
     val cnt = n.count()
     require(cnt <= ExactBaselineMaxRows,
@@ -85,7 +89,7 @@ object Similarity {
     * 100 TB corpus. */
   def bruteForceTopK(embeddings: DataFrame, k: Int): DataFrame = {
     graft.functions.TopKByScore.register(embeddings.sparkSession)
-    val n = requireBaselineSized(prepared(embeddings), "bruteForceTopK")
+    val n = prepared(requireBaselineSized(embeddings, "bruteForceTopK"))
     n.as("a").join(n.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(
         col("a.vec_id").as("query_id"),
@@ -120,7 +124,7 @@ object Similarity {
     * bucketing below restricts candidate generation the same way the
     * MinHash bands do for lexical dedup. */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val n = requireBaselineSized(prepared(embeddings), "cosineNearDupPairs")
+    val n = prepared(requireBaselineSized(embeddings, "cosineNearDupPairs"))
     n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("vec_a"),
@@ -359,8 +363,23 @@ object Similarity {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
+    // Job-group propagation: the caller (e.g. Bench's per-query worker)
+    // may have setJobGroup so its watchdog can cancelJobGroup on
+    // timeout. Pool threads inherit the local properties of whichever
+    // thread CREATED them — a stale, possibly wrong group — so each
+    // fit task explicitly installs the caller's group (or clears the
+    // inherited one) before touching Spark. Without this a timed-out
+    // query's fit jobs would be uncancellable and keep burning cores.
+    val sc = n.sparkSession.sparkContext
+    val group = sc.getLocalProperty("spark.jobGroup.id")
+    val desc = sc.getLocalProperty("spark.job.description")
+    val interrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
     n.count() // materialize the shared cache ONCE before the races
-    val fits = (0 until PqM).map(m => Future(fitSubCodebook(pqSub(n, m))))
+    val fits = (0 until PqM).map(m => Future {
+      if (group != null) sc.setJobGroup(group, desc, "true" == interrupt)
+      else sc.clearJobGroup()
+      fitSubCodebook(pqSub(n, m))
+    })
     Await.result(Future.sequence(fits), Duration.Inf)
   }
 
@@ -578,6 +597,31 @@ object Similarity {
     cents
   }
 
+  /** (vec_id, centroid_id, ccos) for every vector × centroid: the fit
+    * + broadcast-score frame every IVF-family operator ranks. One
+    * definition so assignment semantics (cosine formula, tie order)
+    * can never drift between the index writer, the probes, and the
+    * quality reports. */
+  private def centroidScores(n: DataFrame): DataFrame = {
+    val cents = fitFrom(n)
+      .select(col("cid").as("centroid_id"), col("cv"))
+      .withColumn("cnrm", norm(col("cv")))
+    n.join(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
+  }
+
+  /** Hard assignment: rank-1 centroid per vector (ties → lower id,
+    * the oracle's row_number order), optionally with its score. */
+  private def assignToCentroids(n: DataFrame, withScore: Boolean = false): DataFrame = {
+    val top = centroidScores(n).groupBy("vec_id")
+      .agg(call_function("top_k_by", col("ccos"), col("centroid_id"), lit(1)).as("top"))
+    val base = top.select(col("vec_id"),
+      col("top").getItem(0).getField("id").as("centroid_id"),
+      col("top").getItem(0).getField("score").as("ccos"))
+    if (withScore) base else base.drop("ccos")
+  }
+
   /** IVF top-k over k-means-fitted centroids: every vector is assigned
     * to its max-cosine centroid; a query probes its NumProbes nearest
     * centroids' buckets only, so the probe touches nprobe/ncentroids
@@ -588,12 +632,7 @@ object Similarity {
    * its action and unpersists / clearCache()s (Bench and Verify do). */
   def ivfTopK(embeddings: DataFrame, k: Int): DataFrame = {
     val n = prepared(embeddings).cache()
-    val cents = fitFrom(n)
-      .select(col("cid").as("centroid_id"), col("cv"))
-      .withColumn("cnrm", norm(col("cv")))
-    val scored = n.join(broadcast(cents))
-      .select(col("vec_id"), col("centroid_id"),
-        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
+    val scored = centroidScores(n)
     // top-NumProbes centroids per vector via the bounded-heap aggregate
     // (map-side combine) — pos 0 is the assignment, all positions are
     // the probe set; identical to the oracle's row_number ranking.
@@ -638,15 +677,7 @@ object Similarity {
                     buckets: Int = 8): Unit = {
     val n = prepared(embeddings).cache()
     try {
-      val cents = fitFrom(n)
-        .select(col("cid").as("centroid_id"), col("cv"))
-        .withColumn("cnrm", norm(col("cv")))
-      val scored = n.join(broadcast(cents))
-        .select(col("vec_id"), col("centroid_id"),
-          (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
-      val assign = scored.groupBy("vec_id")
-        .agg(call_function("top_k_by", col("ccos"), col("centroid_id"), lit(1)).as("top"))
-        .select(col("vec_id"), col("top").getItem(0).getField("id").as("centroid_id"))
+      val assign = assignToCentroids(n)
       assign.join(n.select("vec_id", "v", "nrm"), "vec_id")
         .write
         .bucketBy(buckets, "centroid_id")
@@ -796,15 +827,7 @@ object Similarity {
     // lazy plan; released by the caller's clearCache() (Bench/Verify)
     val n = prepared(embeddings).cache()
     val labels = embeddings.select(col("vec_id"), col("label"))
-    val cents = fitFrom(n)
-      .select(col("cid").as("centroid_id"), col("cv"))
-      .withColumn("cnrm", norm(col("cv")))
-    val scored = n.join(broadcast(cents))
-      .select(col("vec_id"), col("centroid_id"),
-        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
-    val assign = scored.groupBy("vec_id")
-      .agg(call_function("top_k_by", col("ccos"), col("centroid_id"), lit(1)).as("top"))
-      .select(col("vec_id"), col("top").getItem(0).getField("id").as("centroid_id"))
+    val assign = assignToCentroids(n)
     val withV = assign.join(n.select("vec_id", "v", "nrm"), "vec_id")
     val pairs = withV.as("a").join(withV.as("b"),
         col("a.centroid_id") === col("b.centroid_id") &&
@@ -866,17 +889,7 @@ object Similarity {
     * order-free. */
   def clusterQuality(embeddings: DataFrame): DataFrame = {
     val n = prepared(embeddings).cache()
-    val cents = fitFrom(n)
-      .select(col("cid").as("centroid_id"), col("cv"))
-      .withColumn("cnrm", norm(col("cv")))
-    val scored = n.join(broadcast(cents))
-      .select(col("vec_id"), col("centroid_id"),
-        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
-    val assign = scored.groupBy("vec_id")
-      .agg(call_function("top_k_by", col("ccos"), col("centroid_id"), lit(1)).as("top"))
-      .select(col("vec_id"),
-        col("top").getItem(0).getField("id").as("centroid_id"),
-        col("top").getItem(0).getField("score").as("ccos"))
+    val assign = assignToCentroids(n, withScore = true)
     assign.groupBy("centroid_id")
       .agg(count(lit(1)).as("n_members"),
         sort_array(collect_list(struct(col("vec_id"), col("ccos")))).as("xs"),
@@ -916,15 +929,7 @@ object Similarity {
     // same cache lifecycle as ivfTopK: shared between the eager fit and
     // the returned lazy plan; released by the caller's clearCache()
     val n = prepared(embeddings).cache()
-    val cents = fitFrom(n)
-      .select(col("cid").as("centroid_id"), col("cv"))
-      .withColumn("cnrm", norm(col("cv")))
-    val scored = n.join(broadcast(cents))
-      .select(col("vec_id"), col("centroid_id"),
-        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
-    val assign = scored.groupBy("vec_id")
-      .agg(call_function("top_k_by", col("ccos"), col("centroid_id"), lit(1)).as("top"))
-      .select(col("vec_id"), col("top").getItem(0).getField("id").as("centroid_id"))
+    val assign = assignToCentroids(n)
     val withV = assign.join(n.select("vec_id", "v", "nrm"), "vec_id")
     val dups = withV.as("a").join(withV.as("b"),
         col("a.centroid_id") === col("b.centroid_id") &&
@@ -967,15 +972,7 @@ object Similarity {
     // eager fit and the returned lazy plan; released by the caller
     val n = prepared(embeddings).cache()
     val labels = embeddings.select(col("vec_id"), col("label"))
-    val cents = fitFrom(n)
-      .select(col("cid").as("centroid_id"), col("cv"))
-      .withColumn("cnrm", norm(col("cv")))
-    val scored = n.join(broadcast(cents))
-      .select(col("vec_id"), col("centroid_id"),
-        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
-    val assign = scored.groupBy("vec_id")
-      .agg(call_function("top_k_by", col("ccos"), col("centroid_id"), lit(1)).as("top"))
-      .select(col("vec_id"), col("top").getItem(0).getField("id").as("centroid_id"))
+    val assign = assignToCentroids(n)
     val withV = assign.join(n.select("vec_id", "v", "nrm"), "vec_id")
       .join(labels, "vec_id")
     val labelPred =

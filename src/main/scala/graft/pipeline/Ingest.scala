@@ -51,14 +51,17 @@ object Ingest {
     * without reparsing and without a declared schema — the engine-
     * native path for sparse, evolving event properties at corpus
     * scale (with parquet variant shredding, extraction pushes into
-    * the scan). Row-local decode + one hash aggregate; `try_` keeps a
+    * the scan). Row-local decode + one hash aggregate; `try_` at BOTH
+    * steps — try_parse_json guards only parse failures, and a
+    * well-formed payload whose field isn't castable ({"k":"abc"})
+    * would still kill the job under strict variant_get — keeps any
     * malformed payload a NULL, not a job failure, matching the
     * dead-letter philosophy of the ingest path. */
   def variantFieldAgg(events: DataFrame): DataFrame =
     events
       .withColumn("v", try_parse_json(col("props")))
       .select(col("event_type"),
-        variant_get(col("v"), "$.k", "int").as("k"))
+        try_variant_get(col("v"), "$.k", "int").as("k"))
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n_events"),

@@ -29,11 +29,21 @@ object SessionizeTws {
 
   class SessionProcessor extends StatefulProcessor[String, Txn, SessionOut] {
     @transient private var state: ValueState[SessionState] = _
+    // the currently-armed timer's expiry, in PROCESSING time — kept in
+    // its own state slot (the multi-variable capability TWS adds over
+    // GroupState). Timer bookkeeping must never compare against the
+    // session's EVENT-time lastMs: during a backlog replay event time
+    // lags wall clock by hours, and any event-vs-processing comparison
+    // would close live sessions (or never close idle ones when event
+    // time leads).
+    @transient private var armed: ValueState[Long] = _
     @transient private var useTimers: Boolean = false
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       state = getHandle.getValueState[SessionState]("session",
         Encoders.product[SessionState], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed",
+        Encoders.scalaLong, TTLConfig.NONE)
       useTimers = timeMode == TimeMode.ProcessingTime()
     }
 
@@ -60,22 +70,28 @@ object SessionizeTws {
       }
       cur.foreach { s =>
         state.update(s)
-        if (useTimers)
-          getHandle.registerTimer(timers.getCurrentProcessingTimeInMs() + GapMs)
+        if (useTimers) {
+          // one live timer per key: replace the old one so only the
+          // LATEST arm can close the session
+          if (armed.exists()) getHandle.deleteTimer(armed.get())
+          val expiry = timers.getCurrentProcessingTimeInMs() + GapMs
+          getHandle.registerTimer(expiry)
+          armed.update(expiry)
+        }
       }
       out.result().iterator
     }
 
     override def handleExpiredTimer(account: String, timers: TimerValues,
         info: ExpiredTimerInfo): Iterator[SessionOut] =
-      if (state.exists()) {
+      // only the currently-armed timer closes the session; anything
+      // else is a stale arm from before a newer event re-armed
+      if (state.exists() && armed.exists() &&
+          armed.get() == info.getExpiryTimeInMs()) {
         val s = state.get()
-        // a newer event may have re-armed a later timer; only close if
-        // the session has genuinely been idle for the full gap
-        if (info.getExpiryTimeInMs() - s.lastMs >= GapMs) {
-          state.clear()
-          Iterator(closed(account, s))
-        } else Iterator.empty
+        state.clear()
+        armed.clear()
+        Iterator(closed(account, s))
       } else Iterator.empty
   }
 

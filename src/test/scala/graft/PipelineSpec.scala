@@ -120,16 +120,19 @@ class PipelineSpec extends SparkSpec {
       (2L, "click", """{"k": 42}"""),
       (3L, "click", """{"k": 7, "extra": {"nested": true}}"""), // evolving schema
       (4L, "view", """not json at all"""),                     // malformed
-      (5L, "view", """{"other": 1}"""))                        // field missing
+      (5L, "view", """{"other": 1}"""),                        // field missing
+      (6L, "view", """{"k": "abc"}"""))                        // non-castable k
       .toDF("event_id", "event_type", "props")
     val out = Ingest.variantFieldAgg(df).collect()
       .map(r => r.getString(0) -> ((r.getLong(1),
         if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3)))).toMap
     // click: 3 events, sum 91, distinct {42, 7}
     assert(out("click") === ((3L, 91L, 2L)))
-    // view: both rows yield NULL k (malformed parse / missing field):
-    // counted as events, excluded from sum (NULL) and distinct
-    assert(out("view") === ((2L, -1L, 0L)))
+    // view: all three rows yield NULL k (malformed parse / missing
+    // field / non-castable value — the last needs try_variant_get, not
+    // just try_parse_json): counted as events, excluded from sum and
+    // distinct, and none of them fails the job
+    assert(out("view") === ((3L, -1L, 0L)))
   }
 
   test("S2/S4 kafka round-trip preserves fields") {
