@@ -235,7 +235,19 @@ object SparkEntry {
     // MinHash estimator accuracy vs exact jaccard (4-sigma boolean)
     "q_minhash_est" -> ((s, d) => llm.Dedup.minhashEstimateCheck(Tables.documents(s, d))),
     // Tukey-fence IQR outlier report per type (exact quartiles)
-    "q_iqr_outliers" -> ((s, d) => Windows.iqrOutliers(ev(s, d)))
+    "q_iqr_outliers" -> ((s, d) => Windows.iqrOutliers(ev(s, d))),
+    // JL ±1-sign random projection (map-only dimensionality reduction)
+    "q_jl_projection" -> ((s, d) => llm.Similarity.jlProject(Tables.embeddings(s, d))),
+    // crawl-order novelty: share of shingles first seen in this doc
+    "q_novelty" -> ((s, d) => llm.Dedup.noveltyScore(Tables.documents(s, d))),
+    // source-pair shingle-vocabulary overlap / Jaccard matrix
+    "q_source_overlap" -> ((s, d) => llm.Dedup.sourceOverlap(Tables.documents(s, d))),
+    // reproducible training-order shuffle: shard + intra-shard sort key
+    "q_shuffle_shards" -> ((s, d) => llm.Curate.shuffleShards(Tables.documents(s, d))),
+    // batching planner: per-pow2-bucket padding-waste report
+    "q_length_buckets" -> ((s, d) => llm.Curate.lengthBuckets(Tables.documents(s, d))),
+    // profile-trained char-trigram language ID (textcat-style)
+    "q_char_lid" -> ((s, d) => llm.TextStats.charTrigramLid(Tables.documents(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -495,6 +507,12 @@ object SparkEntry {
     "q_cohort_retention" -> Temporal.sqlCohortRetention,
     "q_incremental_agg" -> Temporal.sqlIncrementalDailySummary,
     "q_minhash_est" -> llm.Dedup.sqlMinhashEstimateCheck(),
-    "q_iqr_outliers" -> Windows.sqlIqrOutliers
+    "q_iqr_outliers" -> Windows.sqlIqrOutliers,
+    "q_jl_projection" -> llm.Similarity.sqlJlProject(),
+    "q_novelty" -> llm.Dedup.sqlNoveltyScore,
+    "q_source_overlap" -> llm.Dedup.sqlSourceOverlap,
+    "q_shuffle_shards" -> llm.Curate.sqlShuffleShards(),
+    "q_length_buckets" -> llm.Curate.sqlLengthBuckets,
+    "q_char_lid" -> llm.TextStats.sqlCharTrigramLid
   )
 }

@@ -650,4 +650,80 @@ object Curate {
           FROM stats)
         SELECT lang, CAST(rnk AS INTEGER) AS rnk, doc_id, quality_score
         FROM ranked WHERE rnk <= $k ORDER BY lang, rnk"""
+
+  // ---- deterministic training-order shuffle --------------------------
+
+  val NumShards = 64
+
+  /** Reproducible global shuffle for training-data ordering: every
+    * document gets a shard (md5 bucket) and an intra-shard sort key
+    * (the full md5 digest). The write contract downstream is
+    * `repartition(col("shard")).sortWithinPartitions(col("sort_key"))`
+    * — ONE hash shuffle plus a per-partition local sort, which at any
+    * corpus size beats both a global ORDER BY (single-partition range
+    * sort boundary) and randomShuffle-style RNG (not reproducible
+    * across re-runs / repartitions). Epoch reshuffles re-salt the key.
+    * This query emits the assignment itself so the oracle can verify
+    * the exact shard/key mapping. */
+  def shuffleShards(documents: DataFrame, shards: Int = NumShards): DataFrame =
+    documents
+      .select(col("doc_id"),
+        hashBucket("shuffle", shards).as("shard"),
+        md5(concat(lit("shuffle:"), col("doc_id").cast("string"))).as("sort_key"))
+      .orderBy("doc_id")
+
+  def sqlShuffleShards(shards: Int = NumShards): String =
+    s"""SELECT doc_id,
+        ${sqlHashBucket("shuffle", shards)} AS shard,
+        md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS sort_key
+        FROM documents ORDER BY doc_id"""
+
+  // ---- length-bucketed batching planner ------------------------------
+
+  /** Padding-waste report for length-bucketed batching: round every
+    * document's whitespace token count up to the next power of two
+    * (the bucket a batch-builder would pad it to) and report, per
+    * bucket, document count, real token mass, padded token mass, and
+    * the padding-waste fraction. The capacity planner for training
+    * batch construction: buckets with high waste want finer splits or
+    * packing ([[packSequences]]); the report is one map-only bucket
+    * assignment plus one hash aggregate.
+    *
+    * The pow-2 ceiling is computed from the BINARY STRING length of
+    * (n-1) — `1 << len(bin(n-1))` — never from float log2: library
+    * log2 rounding at exact powers of two differs across engines and
+    * the oracle compares every cell. */
+  def lengthBuckets(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("n"))
+      .withColumn("bucket_cap",
+        when(col("n") <= 1, 1L)
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), length(bin(n - 1)))")))
+      .groupBy("bucket_cap")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("sum_tokens"))
+      .select(col("bucket_cap"), col("n_docs"), col("sum_tokens"),
+        (col("bucket_cap") * col("n_docs")).as("padded_tokens"),
+        (lit(1.0) - col("sum_tokens").cast("double") /
+          (col("bucket_cap") * col("n_docs")).cast("double")).as("pad_waste"))
+      .orderBy("bucket_cap")
+
+  val sqlLengthBuckets: String =
+    """WITH t AS (
+         SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n
+         FROM documents),
+       b AS (
+         SELECT doc_id, n,
+           CASE WHEN n <= 1 THEN CAST(1 AS BIGINT)
+                ELSE CAST(1 AS BIGINT) << length(bin(n - 1)) END AS bucket_cap
+         FROM t),
+       g AS (
+         SELECT bucket_cap, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS sum_tokens
+         FROM b GROUP BY 1)
+       SELECT bucket_cap, n_docs, sum_tokens,
+         bucket_cap * n_docs AS padded_tokens,
+         1.0 - CAST(sum_tokens AS DOUBLE) / CAST(bucket_cap * n_docs AS DOUBLE) AS pad_waste
+       FROM g ORDER BY bucket_cap"""
 }

@@ -1115,4 +1115,92 @@ object Dedup {
           max_run
         FROM g2 ORDER BY doc_id"""
   }
+
+  /** Per-document novelty in crawl order: the fraction of a document's
+    * distinct shingles whose FIRST corpus occurrence (min doc_id) is
+    * this document. A snapshot-refresh triage signal — documents with
+    * novelty ≈ 0 re-state content the corpus already has and can be
+    * dropped before any expensive downstream pass. The dual of
+    * [[memorizationRisk]]: same shingle explode + one aggregate keyed
+    * on the shingle + one per-doc aggregate, exact integer counts.
+    * Shuffles only 16-char shingle keys and longs — safe at any
+    * corpus size (the df-skew profile is the same AQE-bounded one as
+    * the Jaccard join's build side, but with no pair expansion). */
+  def noveltyScore(documents: DataFrame): DataFrame = {
+    // cached: feeds the first-seen aggregate and the probe side of its own join
+    val s = TextPrep.shingleSets(documents).cache()
+    val first = s.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+    s.join(first, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  val sqlNoveltyScore: String =
+    s"""WITH ${TextPrep.sqlShingleCtes},
+        fs AS (SELECT sh, min(doc_id) AS first_doc FROM s GROUP BY 1),
+        g AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+            CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+          FROM s JOIN fs USING (sh) GROUP BY 1)
+        SELECT doc_id, n_shingles, n_novel,
+          CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS novelty
+        FROM g ORDER BY doc_id"""
+
+  /** Source-pair content-overlap matrix: for every pair of sources,
+    * the number of distinct shingles both contain and the Jaccard
+    * similarity of their shingle vocabularies. The "are these two
+    * scrapes the same crawl?" report that decides which source to
+    * deprioritize before per-document dedup even runs.
+    *
+    * Shape: distinct (source, shingle) → self-join keyed on the
+    * shingle → pair counts. The join key is the shingle, so each
+    * bucket holds at most #sources rows and the pair expansion is
+    * bounded by #sources² per shingle — corpus-size-independent,
+    * unlike a document-pair join. One extra hash-aggregate computes
+    * per-source vocabulary sizes for the Jaccard denominator. */
+  def sourceOverlap(documents: DataFrame): DataFrame = {
+    graft.functions.TextHashExprs.register(documents.sparkSession)
+    val ss = documents
+      .select(col("source"),
+        call_function("shingle_hashes", col("text"), lit(TextPrep.ShingleWords)).as("d"))
+      .select(col("source"), explode(col("d.shs")).as("sh"))
+      .distinct()
+      .cache() // feeds the totals aggregate and both sides of the pair join
+    val totals = ss.groupBy("source").agg(count(lit(1)).as("n"))
+    ss.as("a")
+      .join(ss.as("b"), col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(totals.select(col("source").as("source_a"), col("n").as("n_a")), "source_a")
+      .join(totals.select(col("source").as("source_b"), col("n").as("n_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"), col("n_a"), col("n_b"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double")).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sqlSourceOverlap: String = {
+    val w = TextPrep.sqlWords
+    s"""WITH ss AS (
+          SELECT DISTINCT source, sh FROM (
+            SELECT source,
+              unnest(list_distinct(${TextPrep.sqlShingles(w)})) AS sh
+            FROM documents WHERE len($w) >= ${TextPrep.ShingleWords})),
+        tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ss GROUP BY 1),
+        p AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+            CAST(count(*) AS BIGINT) AS n_shared
+          FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT source_a, source_b, n_shared, ta.n AS n_a, tb.n AS n_b,
+          CAST(n_shared AS DOUBLE) / CAST(ta.n + tb.n - n_shared AS DOUBLE) AS jaccard
+        FROM p JOIN tot ta ON p.source_a = ta.source
+               JOIN tot tb ON p.source_b = tb.source
+        ORDER BY source_a, source_b"""
+  }
 }

@@ -275,6 +275,56 @@ object Similarity {
             i -> abs(v[i] - CAST(q[i] AS DOUBLE) * scale))) AS max_abs_err
         FROM qd ORDER BY vec_id"""
 
+  // ---- Johnson–Lindenstrauss sign projection ------------------------
+
+  val JlK = 8                   // projected dimensionality
+
+  /** Deterministic ±1 for projection cell (j, i): the first hex digit
+    * of md5("j_i") decides the sign, so the whole matrix is a pure
+    * function both engines (and every executor) can recompute —
+    * no broadcast state, no RNG seed plumbing. */
+  private def jlSign(j: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${j}_$i".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss dimensionality reduction with a ±1 sign
+    * matrix (Achlioptas 2001: database-friendly random projections):
+    * p_j = ⟨v, s_j⟩ / √k for k fixed sign rows s_j. Distances are
+    * preserved within (1±ε) w.h.p., so downstream clustering / LSH /
+    * dedup can run over k components instead of Dim — a Dim/k memory
+    * and bandwidth cut for every consumer.
+    *
+    * The sign rows are plan-time literal arrays feeding the codegen'd
+    * left-fold dot product: the whole operator is one map-only
+    * projection, zero shuffles, and scales to any corpus size. The
+    * oracle recomputes the identical md5-derived signs and the same
+    * left-fold accumulation order, so doubles match bit-for-bit. */
+  def jlProject(embeddings: DataFrame, k: Int = JlK): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(embeddings.sparkSession)
+    val n = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val projected = (1 to k).map { j =>
+      val signs = array((1 to Dim).map(i => lit(jlSign(j, i))): _*)
+      (dot(col("v"), signs) / math.sqrt(k.toDouble)).as(s"p$j")
+    }
+    n.select(col("vec_id") +: projected: _*).orderBy("vec_id")
+  }
+
+  def sqlJlProject(k: Int = JlK): String = {
+    val cols = (1 to k).map { j =>
+      s"""list_reduce(list_transform(generate_series(1, $Dim),
+            i -> v[i] * (CASE WHEN substr(md5('${j}_' || CAST(i AS VARCHAR)), 1, 1) < '8'
+                         THEN 1.0 ELSE -1.0 END)),
+          (x, y) -> x + y) / sqrt(CAST($k AS DOUBLE)) AS p$j"""
+    }.mkString(",\n          ")
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT vec_id,
+          $cols
+        FROM n ORDER BY vec_id"""
+  }
+
   // ---- product quantization -----------------------------------------
 
   val PqM = 4                   // subspaces

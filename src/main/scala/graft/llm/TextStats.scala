@@ -850,4 +850,76 @@ object TextStats {
           ($pred) = lang_actual AS lang_match
         FROM scored ORDER BY doc_id"""
   }
+
+  // ---- profile-based character-trigram language ID -------------------
+
+  val LidTopTrigrams = 30
+
+  /** Character-trigram language ID, profile-trained on the corpus
+    * itself: build a top-[[LidTopTrigrams]] trigram profile per
+    * labeled language (rank-weighted, w = 31-rank), then predict each
+    * document's language as the profile with the highest summed weight
+    * over the document's DISTINCT trigrams (tie → lexicographic). The
+    * textcat/fastText-style upgrade over [[languageId]]'s fixed marker
+    * list — the profile comes from data, not constants.
+    *
+    * Scale shape: the trigram explode is linear in corpus chars; the
+    * profile rank window partitions by language over the PER-LANGUAGE
+    * TRIGRAM VOCABULARY, which is bounded by the charset (≤ 37³ rows
+    * per language) — alphabet-sized, not corpus-sized. The finished
+    * profile (#langs × 30 rows) broadcasts to the scoring join, and
+    * the final argmax window holds ≤ #langs rows per document. */
+  def charTrigramLid(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tg = documents
+      .filter(length(lower(col("text"))) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          "transform(sequence(1, length(lower(text)) - 2), i -> substring(lower(text), i, 3))"))
+          .as("tri"))
+    val counts = tg.groupBy("lang", "tri").agg(count(lit(1)).as("c"))
+    val rnk = org.apache.spark.sql.functions.row_number()
+      .over(Window.partitionBy("lang").orderBy(col("c").desc, col("tri").asc))
+    val profile = counts.withColumn("rnk", rnk)
+      .filter(col("rnk") <= LidTopTrigrams)
+      .select(col("lang").as("plang"), col("tri"),
+        (lit(LidTopTrigrams + 1) - col("rnk")).cast("long").as("w"))
+    val docTri = tg.distinct()
+    val scores = docTri.join(broadcast(profile), "tri")
+      .groupBy(col("doc_id"), col("lang"), col("plang"))
+      .agg(sum(col("w")).as("score"))
+    val best = org.apache.spark.sql.functions.row_number()
+      .over(Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang").asc))
+    scores.withColumn("rn", best).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("lang_actual"),
+        col("plang").as("lang_pred"), col("score"),
+        (col("plang") === col("lang")).as("lang_match"))
+      .orderBy("doc_id")
+  }
+
+  val sqlCharTrigramLid: String =
+    s"""WITH tg AS (
+          SELECT doc_id, lang,
+            unnest(list_transform(generate_series(1, length(lower(text)) - 2),
+              i -> substr(lower(text), i, 3))) AS tri
+          FROM documents WHERE length(lower(text)) >= 3),
+        cnt AS (SELECT lang, tri, count(*) AS c FROM tg GROUP BY 1, 2),
+        prof AS (
+          SELECT lang AS plang, tri, CAST(${LidTopTrigrams + 1} - rnk AS BIGINT) AS w
+          FROM (
+            SELECT lang, tri, c,
+              row_number() OVER (PARTITION BY lang ORDER BY c DESC, tri ASC) AS rnk
+            FROM cnt)
+          WHERE rnk <= $LidTopTrigrams),
+        dt AS (SELECT DISTINCT doc_id, lang, tri FROM tg),
+        sc AS (
+          SELECT doc_id, dt.lang, plang, CAST(sum(w) AS BIGINT) AS score
+          FROM dt JOIN prof USING (tri) GROUP BY 1, 2, 3),
+        best AS (
+          SELECT doc_id, lang, plang, score,
+            row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang ASC) AS rn
+          FROM sc)
+        SELECT doc_id, lang AS lang_actual, plang AS lang_pred, score,
+          plang = lang AS lang_match
+        FROM best WHERE rn = 1 ORDER BY doc_id"""
 }

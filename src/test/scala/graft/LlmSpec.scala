@@ -923,6 +923,97 @@ class LlmSpec extends SparkSpec {
       .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
     assert(out === Map(("slow hash batch", 2L) -> 1L))
   }
+  test("jl projection: exact left-fold values, norms preserved on average") {
+    val emb = Tables.embeddings(spark, sf())
+    val out = Similarity.jlProject(emb).collect()
+    val in = emb.orderBy("vec_id").collect()
+    assert(out.length === in.length)
+    // recompute p1 of the first vector with the same md5-sign formula
+    // and the same ascending-i accumulation order: must match exactly
+    val v = in.head.getSeq[Float](1).map(_.toDouble)
+    def sign(j: Int, i: Int): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${j}_$i".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+    }
+    val expected = (1 to Similarity.Dim)
+      .foldLeft(0.0)((acc, i) => acc + v(i - 1) * sign(1, i)) /
+      math.sqrt(Similarity.JlK.toDouble)
+    assert(out.head.getDouble(1) === expected)
+    // JL promise: squared norm is preserved in expectation — check the
+    // corpus mean ratio sits in a loose band (k=8 is high-variance)
+    val ratios = out.zip(in).map { case (p, o) =>
+      val pv = (1 to Similarity.JlK).map(j => p.getDouble(j))
+      val ov = o.getSeq[Float](1).map(_.toDouble)
+      pv.map(x => x * x).sum / ov.map(x => x * x).sum
+    }
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.7 && mean < 1.3, s"mean norm ratio $mean outside JL band")
+  }
+
+  test("novelty: first copy owns shared shingles, dup scores zero") {
+    val nov = Dedup.noveltyScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(nov(0L)._3 === 1.0) // first occurrence of every shingle it has
+    assert(nov(1L)._3 === 0.0) // exact dup of 0: nothing first-seen here
+    assert(nov(2L)._3 > 0.0 && nov(2L)._3 < 1.0) // near dup: only the changed part
+    assert(nov(3L)._3 === 1.0) // unique content
+    assert(!nov.contains(4L)) // 2 words < shingle width: filtered
+  }
+
+  test("source overlap: dup sources jaccard 1, disjoint sources absent") {
+    val m = Dedup.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    assert(m(("s0", "s1")) === 1.0) // identical single docs
+    assert(m(("s0", "s2")) > 0.0 && m(("s0", "s2")) < 1.0)
+    assert(!m.keys.exists { case (a, b) => a == "s3" || b == "s3" })
+    // symmetric duplicates are not emitted: a < b ordering only
+    assert(!m.contains(("s1", "s0")))
+  }
+
+  test("shuffle shards: deterministic, in-range, spread, stable under growth") {
+    val documents = Tables.documents(spark, sf())
+    val a = Curate.shuffleShards(documents).collect()
+    val b = Curate.shuffleShards(documents).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    assert(a.forall(r => r.getLong(1) >= 0 && r.getLong(1) < Curate.NumShards))
+    assert(a.map(_.getLong(1)).distinct.length > Curate.NumShards / 2)
+    // adding documents never reassigns existing ones
+    val grown = documents.union(documents.withColumn("doc_id", col("doc_id") + 1000000L))
+    val g = Curate.shuffleShards(grown).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(a.forall(r => g(r.getLong(0)) === ((r.getLong(1), r.getString(2)))))
+  }
+
+  test("char-trigram LID learns profiles from labels and separates langs") {
+    val d = Seq(
+      (0L, "alpha alpha alpha granite granite", "aa", "s", 33L),
+      (1L, "alpha granite alpha granite alpha", "aa", "s", 33L),
+      (2L, "zephyr zephyr quartz quartz zephyr", "zz", "s", 34L),
+      (3L, "quartz zephyr quartz zephyr quartz", "zz", "s", 34L),
+      (4L, "alpha granite alpha", "aa", "s", 19L) // held-in doc, clear aa
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextStats.charTrigramLid(d).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(4))).toMap
+    assert(out.size === 5)
+    assert((0L to 4L).forall(i => out(i)._2), s"misclassified: $out")
+    assert(out(4L)._1 === "aa")
+  }
+
+  test("length buckets: pow-2 caps, exact counts, waste math") {
+    val d = Seq(
+      (0L, "a", "en", "s", 1L),             // 1 word  -> cap 1
+      (1L, "a b c", "en", "s", 5L),         // 3 words -> cap 4
+      (2L, "a b c d", "en", "s", 7L),       // 4 words -> cap 4
+      (3L, "a b c d e", "en", "s", 9L)      // 5 words -> cap 8
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curate.lengthBuckets(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(1L) === ((1L, 1L, 1L, 0.0)))
+    assert(out(4L) === ((2L, 7L, 8L, 1.0 - 7.0 / 8.0)))
+    assert(out(8L) === ((1L, 5L, 8L, 1.0 - 5.0 / 8.0)))
+    assert(out.keySet === Set(1L, 4L, 8L))
+  }
 }
 
 class TopKAggSpec extends SparkSpec {
