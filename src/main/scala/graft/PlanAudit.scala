@@ -59,7 +59,8 @@ object PlanAudit {
     "q_semantic_dedup" -> Set("BNLJ"),     // √n centroid frame
     "q_source_divergence" -> Set("BNLJ"),  // corpus total row
     "q_drift_words" -> Set("BNLJ"),        // corpus total row
-    "q_temperature_mix" -> Set("BNLJ")     // per-lang weight rows
+    "q_temperature_mix" -> Set("BNLJ"),    // per-lang weight rows
+    "q_pagerank" -> Set("BNLJ")            // single-row node-count frame per iteration
   )
 
   /** Audit one query's executed plan string → flags found. */

@@ -247,7 +247,9 @@ object SparkEntry {
     // batching planner: per-pow2-bucket padding-waste report
     "q_length_buckets" -> ((s, d) => llm.Curate.lengthBuckets(Tables.documents(s, d))),
     // profile-trained char-trigram language ID (textcat-style)
-    "q_char_lid" -> ((s, d) => llm.TextStats.charTrigramLid(Tables.documents(s, d)))
+    "q_char_lid" -> ((s, d) => llm.TextStats.charTrigramLid(Tables.documents(s, d))),
+    // template-hub scoring: integer PageRank over the near-dup graph
+    "q_pagerank" -> ((s, d) => llm.Dedup.dupPageRank(Tables.documents(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -513,6 +515,7 @@ object SparkEntry {
     "q_source_overlap" -> llm.Dedup.sqlSourceOverlap,
     "q_shuffle_shards" -> llm.Curate.sqlShuffleShards(),
     "q_length_buckets" -> llm.Curate.sqlLengthBuckets,
-    "q_char_lid" -> llm.TextStats.sqlCharTrigramLid
+    "q_char_lid" -> llm.TextStats.sqlCharTrigramLid,
+    "q_pagerank" -> llm.Dedup.sqlDupPageRank()
   )
 }

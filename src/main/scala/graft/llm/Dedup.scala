@@ -1203,4 +1203,84 @@ object Dedup {
                JOIN tot tb ON p.source_b = tb.source
         ORDER BY source_a, source_b"""
   }
+
+  // ---- dup-graph PageRank -------------------------------------------
+
+  val PrScale = 1000000000000L  // rank mass fixed-point scale (1e12)
+  val PrIters = 3
+
+  /** PageRank over an undirected pair graph, INTEGERIZED: all rank
+    * mass lives in BIGINT fixed-point (scale [[PrScale]]) and every
+    * division is explicit floor division, so per-node aggregation
+    * order cannot perturb a single bit — double-based PageRank sums
+    * neighbor contributions in partition order and is unreproducible
+    * across engines.
+    *
+    * Iteration t: contrib(u) = r_t(u) div deg(u); r_{t+1}(v) =
+    * (15·(S div n)) div 100 + (85·Σ_{u∼v} contrib(u)) div 100.
+    * Every node in an undirected edge list has deg ≥ 1 and at least
+    * one in-neighbor, so no dangling-mass term is needed. Each round
+    * is one edge-list join + one hash aggregate — the classic Spark
+    * PageRank shape, bounded rounds, never materializing anything
+    * larger than the edge list. 85·s ≤ 85·S ≪ 2⁶³: no overflow. */
+  def pageRankFromPairs(pairs: DataFrame, iters: Int = PrIters): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache() // reused every iteration
+    val deg = edges.groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("deg"))
+    val nodes = deg.select("doc_id")
+    val nN = nodes.agg(count(lit(1)).as("n_nodes"))
+    var ranks = nodes.crossJoin(broadcast(nN))
+      .select(col("doc_id"), expr(s"$PrScale div n_nodes").as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(deg, "doc_id")
+        .select(col("doc_id"), expr("r div deg").as("c"))
+      val s = edges.join(contrib.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id")).agg(sum(col("c")).as("s"))
+      ranks = s.crossJoin(broadcast(nN))
+        .select(col("doc_id"),
+          expr(s"(15 * ($PrScale div n_nodes)) div 100 + (85 * s) div 100").as("r"))
+    }
+    ranks.join(deg, "doc_id")
+      .select(col("doc_id"), col("deg"), col("r").as("rank_e12"))
+      .orderBy("doc_id")
+  }
+
+  /** Template-hub scoring: PageRank over the MinHash-LSH near-dup
+    * graph. High-rank documents sit at the center of dense duplicate
+    * neighborhoods (boilerplate templates, mirrored pages) — the docs
+    * whose removal or canonical-representative choice matters most. */
+  def dupPageRank(documents: DataFrame,
+                  threshold: Double = ClusterThreshold,
+                  iters: Int = PrIters): DataFrame =
+    pageRankFromPairs(
+      minhashLshPairs(documents).filter(col("jaccard") >= threshold), iters)
+
+  def sqlDupPageRank(threshold: Double = ClusterThreshold,
+                     iters: Int = PrIters): String = {
+    val iterCtes = (1 to iters).map { t =>
+      s"""c$t AS (SELECT r.doc_id, r // deg AS c
+             FROM r${t - 1} r JOIN deg USING (doc_id)),
+          s$t AS (SELECT e.dst AS doc_id, CAST(sum(c) AS BIGINT) AS s
+             FROM e JOIN c$t ON e.src = c$t.doc_id GROUP BY 1),
+          r$t AS (SELECT doc_id,
+               CAST((15 * ($PrScale // n_nodes)) // 100 + (85 * s) // 100 AS BIGINT) AS r
+             FROM s$t CROSS JOIN nn)"""
+    }.mkString(",\n        ")
+    s"""WITH $sqlMinhashCtes,
+        pr_pairs AS (
+          SELECT doc_a, doc_b FROM verified
+          WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= $threshold),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM pr_pairs
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM pr_pairs),
+        deg AS (SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+        r0 AS (SELECT doc_id, CAST($PrScale // n_nodes AS BIGINT) AS r
+               FROM deg CROSS JOIN nn),
+        $iterCtes
+        SELECT r$iters.doc_id, deg, r AS rank_e12
+        FROM r$iters JOIN deg USING (doc_id)
+        ORDER BY doc_id"""
+  }
 }

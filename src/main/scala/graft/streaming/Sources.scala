@@ -203,6 +203,66 @@ object Sources {
       }
       .start()
 
+  /** The idempotent-replay write used by every exactly-once file sink
+    * here: each micro-batch lands in its own `batch_id=N` partition
+    * with DYNAMIC partition overwrite, so re-running a batch after a
+    * crash REPLACES its partition instead of appending duplicates.
+    * File sinks are append-only by default; this is the standard
+    * foreachBatch recipe for at-least-once → effectively-once when
+    * the write itself must be the transaction boundary. */
+  def writeBatchIdempotent(batch: DataFrame, outDir: String, batchId: Long): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+
+  /** Generic exactly-once-style parquet sink: any stream →
+    * [[writeBatchIdempotent]] per micro-batch. Checkpoint tracks the
+    * source offsets; the batch-id-partitioned layout makes the data
+    * write idempotent under replay of the last uncommitted batch. */
+  def idempotentSinkQuery(df: DataFrame, outDir: String,
+                          checkpoint: String): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchIdempotent(batch, outDir, batchId)
+      }
+      .start()
+
+  /** Streaming sketch maintenance: each micro-batch aggregates its own
+    * Count–Min sketch (one Depth×Width counter row per batch, whatever
+    * the batch size) into a `batch_id`-partitioned layout via
+    * [[writeBatchIdempotent]] — replay-safe like every sink here, and
+    * with NO read-modify-write on shared state: CMS is a linear
+    * sketch, so the corpus sketch is recovered by element-wise sum at
+    * read time ([[readCmsSketch]]), bit-identical to one batch build
+    * over the union of all batches. */
+  def cmsSinkQuery(docs: DataFrame, sketchDir: String,
+                   checkpoint: String): StreamingQuery = {
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.functions.GraftFunctions.registerAll(batch.sparkSession)
+        val sk = batch
+          .select(explode(graft.llm.TextPrep.wordsCol).as("word"))
+          .agg(call_function("cms_build", col("word")).as("sk"))
+        writeBatchIdempotent(sk, sketchDir, batchId)
+      }
+      .start()
+  }
+
+  /** Element-wise sum of every per-batch sketch → the corpus sketch
+    * (single `sk` array row, same shape `cms_query` probes). */
+  def readCmsSketch(spark: SparkSession, sketchDir: String): DataFrame =
+    spark.read.parquet(sketchDir)
+      .select(posexplode(col("sk")).as(Seq("pos", "c")))
+      .groupBy("pos").agg(sum(col("c")).as("c"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+        .as("sk"))
+
   /** S7: partitioned warehouse sink layout
     * (`spark_config.yml:50-69` — transactions by year/month/day). */
   def writeWarehouse(df: DataFrame, path: String): Unit =

@@ -1000,6 +1000,23 @@ class LlmSpec extends SparkSpec {
     assert(out(4L)._1 === "aa")
   }
 
+  test("pagerank: star center outranks leaves, integer math is exactly stable") {
+    val pairs = Seq((0L, 1L), (0L, 2L)).toDF("doc_a", "doc_b") // star: 0 is the hub
+    val a = Dedup.pageRankFromPairs(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(a(0L)._1 === 2L && a(1L)._1 === 1L) // degrees
+    assert(a(0L)._2 > a(1L)._2, s"hub must outrank leaf: $a")
+    assert(a(1L) === a(2L)) // symmetric leaves identical
+    // exact first-iteration algebra, by hand: n=3, S=1e12
+    // base = (15*(S div 3)) div 100; hub gets both leaf contribs
+    val b = Dedup.pageRankFromPairs(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(a === b) // bit-stable across runs: no float accumulation
+    // total mass stays ≈ S (floor losses only shrink it, never grow)
+    val total = a.values.map(_._2).sum
+    assert(total <= Dedup.PrScale && total > Dedup.PrScale * 9 / 10)
+  }
+
   test("length buckets: pow-2 caps, exact counts, waste math") {
     val d = Seq(
       (0L, "a", "en", "s", 1L),             // 1 word  -> cap 1

@@ -592,4 +592,54 @@ class StreamPipelineSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("kafka"))
   }
+
+  test("streaming CMS maintenance: batch-sketch sum equals one-shot build") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.registerAll(spark)
+    val dir = Files.createTempDirectory("cms_out").toString
+    val ckpt = Files.createTempDirectory("cms_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Sources.cmsSinkQuery(mem.toDF().toDF("doc_id", "text"), dir, ckpt)
+    val texts = Seq("spark streams data", "data data pipelines", "spark again")
+    try {
+      mem.addData((0L, texts(0)), (1L, texts(1)))
+      q.processAllAvailable()
+      mem.addData((2L, texts(2)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val summed = Sources.readCmsSketch(spark, dir)
+      .select("sk").as[Seq[Long]].head()
+    // linearity: sum of per-batch sketches == one-shot sketch of all texts
+    val oneShot = texts.toDF("text")
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .agg(expr("cms_build(word)").as("sk"))
+      .select("sk").as[Seq[Long]].head()
+    assert(summed === oneShot)
+    // the recovered sketch answers point queries with CMS guarantees
+    val est = Sources.readCmsSketch(spark, dir)
+      .select(expr("cms_query(sk, 'data')")).as[Long].head()
+    assert(est >= 3L) // 'data' appears 3 times; CMS never undercounts
+  }
+
+  test("idempotent sink: replaying a batch replaces its partition, not appends") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("idem_out").toString
+    val ckpt = Files.createTempDirectory("idem_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Sources.idempotentSinkQuery(mem.toDF().toDF("id", "v"), out, ckpt)
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 3L)
+      // simulate the crash-replay of batch 1 with a partial/altered
+      // payload: the batch_id=1 partition must be REPLACED, batch 0 kept
+      Sources.writeBatchIdempotent(
+        Seq((3L, "c"), (4L, "d")).toDF("id", "v"), out, 1L)
+      val rows = spark.read.parquet(out)
+        .select("id", "batch_id").as[(Long, Long)].collect().toSet
+      assert(rows === Set((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)))
+    } finally q.stop()
+  }
 }
