@@ -60,7 +60,10 @@ object PlanAudit {
     "q_source_divergence" -> Set("BNLJ"),  // corpus total row
     "q_drift_words" -> Set("BNLJ"),        // corpus total row
     "q_temperature_mix" -> Set("BNLJ"),    // per-lang weight rows
-    "q_pagerank" -> Set("BNLJ")            // single-row node-count frame per iteration
+    "q_pagerank" -> Set("BNLJ"),           // single-row node-count frame per iteration
+    // recall evaluation harness: sampled-query × corpus ground truth is
+    // the DEFINITION of the measurement (q = fixed eval budget)
+    "q_ivf_recall" -> Set("BNLJ")
   )
 
   /** Audit one query's executed plan string → flags found. */

@@ -249,7 +249,9 @@ object SparkEntry {
     // profile-trained char-trigram language ID (textcat-style)
     "q_char_lid" -> ((s, d) => llm.TextStats.charTrigramLid(Tables.documents(s, d))),
     // template-hub scoring: integer PageRank over the near-dup graph
-    "q_pagerank" -> ((s, d) => llm.Dedup.dupPageRank(Tables.documents(s, d)))
+    "q_pagerank" -> ((s, d) => llm.Dedup.dupPageRank(Tables.documents(s, d))),
+    // ANN index evaluation: sampled-query recall@k of IVF vs exact
+    "q_ivf_recall" -> ((s, d) => llm.Similarity.ivfRecall(Tables.embeddings(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -516,6 +518,7 @@ object SparkEntry {
     "q_shuffle_shards" -> llm.Curate.sqlShuffleShards(),
     "q_length_buckets" -> llm.Curate.sqlLengthBuckets,
     "q_char_lid" -> llm.TextStats.sqlCharTrigramLid,
-    "q_pagerank" -> llm.Dedup.sqlDupPageRank()
+    "q_pagerank" -> llm.Dedup.sqlDupPageRank(),
+    "q_ivf_recall" -> llm.Similarity.sqlIvfRecall()
   )
 }

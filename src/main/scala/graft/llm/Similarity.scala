@@ -1088,4 +1088,71 @@ object Similarity {
           d.d IS NULL AS keep
         FROM assign LEFT JOIN d USING (vec_id)
         ORDER BY assign.vec_id"""
+
+  // ---- ANN recall evaluation ----------------------------------------
+
+  val RecallSampleMod = 20
+  val RecallK = 10
+
+  /** IVF recall@k report — the evaluation harness every ANN index
+    * needs before anyone trusts it: for a deterministic 1-in-
+    * [[RecallSampleMod]] sample of query vectors, compare [[ivfTopK]]'s
+    * neighbor set against the EXACT top-k and report hits per query.
+    *
+    * The ground-truth side is sampled-queries × corpus — the one
+    * deliberate quadratic-ish shape here, and exactly how recall is
+    * measured in practice at any scale: q is a FIXED evaluation budget
+    * (the mod keeps this suite deterministic; a production harness
+    * pins q ≈ 1000 queries), so cost is q·n map work with the
+    * bounded-heap aggregate keeping ≤ k rows per query per map
+    * partition off each scan. Declared in PlanAudit.allowlist as an
+    * evaluation baseline. */
+  def ivfRecall(embeddings: DataFrame, k: Int = RecallK): DataFrame = {
+    graft.functions.TopKByScore.register(embeddings.sparkSession)
+    val n = prepared(embeddings).cache()
+    val q = n.filter(pmod(col("vec_id"), lit(RecallSampleMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val exact = q.join(n, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
+      .groupBy("query_id")
+      .agg(call_function("top_k_by", col("cosine"), col("neighbor_id"), lit(k)).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("neighbor_id"))
+    val approx = ivfTopK(embeddings, k)
+      .filter(pmod(col("query_id"), lit(RecallSampleMod)) === 0)
+      .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact").cast("double")).as("recall"))
+      .orderBy("query_id")
+  }
+
+  def sqlIvfRecall(k: Int = RecallK): String =
+    s"""WITH $sqlPrepared,
+        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+              WHERE vec_id % $RecallSampleMod = 0),
+        ex AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, n.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.query_id ORDER BY
+                list_reduce(list_transform(generate_series(1, $Dim),
+                  i -> qv[i] * v[i]), (x, y) -> x + y) / (qn * nrm) DESC,
+                n.vec_id ASC) AS rnk
+            FROM q JOIN n ON n.vec_id <> q.query_id)
+          WHERE rnk <= $k),
+        iv AS (SELECT query_id, neighbor_id FROM (${sqlIvfTopK(k)})
+               WHERE query_id % $RecallSampleMod = 0),
+        j AS (
+          SELECT ex.query_id,
+            CASE WHEN iv.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+          FROM ex LEFT JOIN iv
+            ON ex.query_id = iv.query_id AND ex.neighbor_id = iv.neighbor_id)
+        SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact,
+          CAST(sum(hit) AS BIGINT) AS n_hit,
+          CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+        FROM j GROUP BY 1 ORDER BY 1"""
 }

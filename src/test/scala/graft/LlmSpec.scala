@@ -1017,6 +1017,22 @@ class LlmSpec extends SparkSpec {
     assert(total <= Dedup.PrScale && total > Dedup.PrScale * 9 / 10)
   }
 
+  test("ivf recall: sampled queries, hits bounded by k, deterministic") {
+    val emb = Tables.embeddings(spark, sf())
+    val out = Similarity.ivfRecall(emb).collect()
+    assert(out.nonEmpty)
+    // only the 1-in-20 sample appears, and every recall is well-formed
+    assert(out.forall(r => r.getLong(0) % Similarity.RecallSampleMod == 0))
+    assert(out.forall { r =>
+      val (ne, nh, rec) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      nh >= 0 && nh <= ne && rec >= 0.0 && rec <= 1.0 && rec == nh.toDouble / ne
+    })
+    // the index must find SOME true neighbors overall
+    assert(out.map(_.getLong(2)).sum > 0L, "IVF found zero true neighbors")
+    val again = Similarity.ivfRecall(emb).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("length buckets: pow-2 caps, exact counts, waste math") {
     val d = Seq(
       (0L, "a", "en", "s", 1L),             // 1 word  -> cap 1
