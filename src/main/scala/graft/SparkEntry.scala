@@ -251,7 +251,9 @@ object SparkEntry {
     // template-hub scoring: integer PageRank over the near-dup graph
     "q_pagerank" -> ((s, d) => llm.Dedup.dupPageRank(Tables.documents(s, d))),
     // ANN index evaluation: sampled-query recall@k of IVF vs exact
-    "q_ivf_recall" -> ((s, d) => llm.Similarity.ivfRecall(Tables.embeddings(s, d)))
+    "q_ivf_recall" -> ((s, d) => llm.Similarity.ivfRecall(Tables.embeddings(s, d))),
+    // Deequ-style whole-table column profile (one stack + one agg)
+    "q_schema_profile" -> ((s, d) => Validate.schemaProfile(ev(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -519,6 +521,7 @@ object SparkEntry {
     "q_length_buckets" -> llm.Curate.sqlLengthBuckets,
     "q_char_lid" -> llm.TextStats.sqlCharTrigramLid,
     "q_pagerank" -> llm.Dedup.sqlDupPageRank(),
-    "q_ivf_recall" -> llm.Similarity.sqlIvfRecall()
+    "q_ivf_recall" -> llm.Similarity.sqlIvfRecall(),
+    "q_schema_profile" -> Validate.sqlSchemaProfile
   )
 }

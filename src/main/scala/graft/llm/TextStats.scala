@@ -857,35 +857,41 @@ object TextStats {
 
   /** Character-trigram language ID, profile-trained on the corpus
     * itself: build a top-[[LidTopTrigrams]] trigram profile per
-    * labeled language (rank-weighted, w = 31-rank), then predict each
-    * document's language as the profile with the highest summed weight
-    * over the document's DISTINCT trigrams (tie → lexicographic). The
-    * textcat/fastText-style upgrade over [[languageId]]'s fixed marker
-    * list — the profile comes from data, not constants.
+    * labeled language (document-frequency ranked, weight = 31-rank),
+    * then predict each document's language as the profile with the
+    * highest summed weight over the document's DISTINCT trigrams
+    * (tie → lexicographic). The textcat/fastText-style upgrade over
+    * [[languageId]]'s fixed marker list — the profile comes from
+    * data, not constants.
     *
-    * Scale shape: the trigram explode is linear in corpus chars; the
-    * profile rank window partitions by language over the PER-LANGUAGE
-    * TRIGRAM VOCABULARY, which is bounded by the charset (≤ 37³ rows
-    * per language) — alphabet-sized, not corpus-sized. The finished
-    * profile (#langs × 30 rows) broadcasts to the scoring join, and
-    * the final argmax window holds ≤ #langs rows per document. */
+    * Scale shape: trigram dedup happens ROW-LOCALLY (array_distinct
+    * before the explode), so one explode feeds both the profile
+    * aggregate and the scoring join with NO corpus-wide DISTINCT
+    * shuffle. The profile rank window partitions by language over the
+    * per-language trigram vocabulary, which is bounded by the charset
+    * (≤ 37³ rows per language) — alphabet-sized, not corpus-sized.
+    * The finished profile (#langs × 30 rows) broadcasts to the
+    * scoring join, and the final argmax window holds ≤ #langs rows
+    * per document. */
   def charTrigramLid(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tg = documents
+    // per-doc DISTINCT trigrams, deduplicated inside the row
+    val dt = documents
       .filter(length(lower(col("text"))) >= 3)
       .select(col("doc_id"), col("lang"),
         explode(expr(
-          "transform(sequence(1, length(lower(text)) - 2), i -> substring(lower(text), i, 3))"))
+          "array_distinct(transform(sequence(1, length(lower(text)) - 2), " +
+            "i -> substring(lower(text), i, 3)))"))
           .as("tri"))
-    val counts = tg.groupBy("lang", "tri").agg(count(lit(1)).as("c"))
+      .cache() // feeds the profile aggregate and the scoring join
+    val counts = dt.groupBy("lang", "tri").agg(count(lit(1)).as("c"))
     val rnk = org.apache.spark.sql.functions.row_number()
       .over(Window.partitionBy("lang").orderBy(col("c").desc, col("tri").asc))
     val profile = counts.withColumn("rnk", rnk)
       .filter(col("rnk") <= LidTopTrigrams)
       .select(col("lang").as("plang"), col("tri"),
         (lit(LidTopTrigrams + 1) - col("rnk")).cast("long").as("w"))
-    val docTri = tg.distinct()
-    val scores = docTri.join(broadcast(profile), "tri")
+    val scores = dt.join(broadcast(profile), "tri")
       .groupBy(col("doc_id"), col("lang"), col("plang"))
       .agg(sum(col("w")).as("score"))
     val best = org.apache.spark.sql.functions.row_number()
@@ -898,12 +904,13 @@ object TextStats {
   }
 
   val sqlCharTrigramLid: String =
-    s"""WITH tg AS (
+    s"""WITH dt AS (
           SELECT doc_id, lang,
-            unnest(list_transform(generate_series(1, length(lower(text)) - 2),
-              i -> substr(lower(text), i, 3))) AS tri
+            unnest(list_distinct(list_transform(
+              generate_series(1, length(lower(text)) - 2),
+              i -> substr(lower(text), i, 3)))) AS tri
           FROM documents WHERE length(lower(text)) >= 3),
-        cnt AS (SELECT lang, tri, count(*) AS c FROM tg GROUP BY 1, 2),
+        cnt AS (SELECT lang, tri, count(*) AS c FROM dt GROUP BY 1, 2),
         prof AS (
           SELECT lang AS plang, tri, CAST(${LidTopTrigrams + 1} - rnk AS BIGINT) AS w
           FROM (
@@ -911,7 +918,6 @@ object TextStats {
               row_number() OVER (PARTITION BY lang ORDER BY c DESC, tri ASC) AS rnk
             FROM cnt)
           WHERE rnk <= $LidTopTrigrams),
-        dt AS (SELECT DISTINCT doc_id, lang, tri FROM tg),
         sc AS (
           SELECT doc_id, dt.lang, plang, CAST(sum(w) AS BIGINT) AS score
           FROM dt JOIN prof USING (tri) GROUP BY 1, 2, 3),

@@ -145,4 +145,60 @@ object Validate {
     events.filter(!isValid(events))
       .select("event_id", "user_id", "event_type", "value")
       .orderBy("event_id")
+
+  /** Deequ-style whole-table column profile: one row per column with
+    * completeness (null rate), exact cardinality, and the length range
+    * of a CANONICAL string rendering (stringification is pinned per
+    * type — strftime pattern for timestamps, decimal(18,2) for the
+    * money-ish double — because engine-default casts of
+    * timestamps/doubles to text do not agree across engines and the
+    * oracle hash-compares every cell).
+    *
+    * Shape: a map-only #cols× stack (explode of per-column structs),
+    * then ONE hash aggregate; the distinct count partial-aggregates
+    * map-side on (column, value). Exact cardinality is the profile's
+    * cost center at 100 TB — the documented swap is
+    * approx_count_distinct (same plan minus the distinct shuffle),
+    * as in [[graft.pipeline.Windows.approxDistinctUsers]]. */
+  def schemaProfile(events: DataFrame): DataFrame = {
+    val enc: Seq[(String, Column)] = Seq(
+      "event_id" -> col("event_id").cast("string"),
+      "event_type" -> col("event_type"),
+      "props" -> col("props"),
+      "ts" -> date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+      "user_id" -> col("user_id").cast("string"),
+      "value" -> col("value").cast("decimal(18,2)").cast("string"))
+    events
+      .select(explode(array(enc.map { case (n, c) =>
+        struct(lit(n).as("col_name"), c.as("v")) }: _*)).as("s"))
+      .select(col("s.col_name").as("col_name"), col("s.v").as("v"))
+      .groupBy("col_name")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(length(col("v"))).cast("long").as("min_len"),
+        max(length(col("v"))).cast("long").as("max_len"))
+      .withColumn("completeness",
+        (col("n_total") - col("n_null")).cast("double") / col("n_total").cast("double"))
+      .orderBy("col_name")
+  }
+
+  val sqlSchemaProfile: String =
+    """WITH st AS (
+         SELECT 'event_id' AS col_name, CAST(event_id AS VARCHAR) AS v FROM events
+         UNION ALL SELECT 'event_type', event_type FROM events
+         UNION ALL SELECT 'props', props FROM events
+         UNION ALL SELECT 'ts', strftime(ts, '%Y-%m-%d %H:%M:%S') FROM events
+         UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+         UNION ALL SELECT 'value', CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) FROM events)
+       SELECT col_name,
+         CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+         CAST(min(length(v)) AS BIGINT) AS min_len,
+         CAST(max(length(v)) AS BIGINT) AS max_len,
+         CAST(count(*) - sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS completeness
+       FROM st GROUP BY 1 ORDER BY 1"""
 }

@@ -80,4 +80,25 @@ class ValidateSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(dead === Seq(2L, 3L, 4L, 5L, 6L, 7L))
   }
+
+  test("schema profile: per-column completeness, cardinality, length range") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:15:00")
+    val df = Seq(
+      (1L, Some(10L), "click", Some(5.0), Some(ts), """{"k":1}"""),
+      (2L, None, "view", Some(5.0), Some(ts), """{"k":22}"""),
+      (3L, Some(10L), "click", None, None, """{"k":1}""")
+    ).toDF("event_id", "user_id", "event_type", "value", "ts", "props")
+    val p = Validate.schemaProfile(df).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6))).toMap
+    assert(p.keySet === Set("event_id", "event_type", "props", "ts", "user_id", "value"))
+    assert(p("event_id") === ((3L, 0L, 3L, 1L, 1L, 1.0)))
+    assert(p("user_id") === ((3L, 1L, 1L, 2L, 2L, 2.0 / 3.0)))
+    assert(p("event_type") === ((3L, 0L, 2L, 4L, 5L, 1.0)))
+    // value renders canonically as decimal(18,2): "5.00", one distinct
+    assert(p("value") === ((3L, 1L, 1L, 4L, 4L, 2.0 / 3.0)))
+    assert(p("ts")._3 === 1L && p("ts")._2 === 1L)
+    assert(p("props") === ((3L, 0L, 2L, 7L, 8L, 1.0)))
+  }
 }
