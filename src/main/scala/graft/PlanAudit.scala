@@ -63,7 +63,8 @@ object PlanAudit {
     "q_pagerank" -> Set("BNLJ"),           // single-row node-count frame per iteration
     // recall evaluation harness: sampled-query × corpus ground truth is
     // the DEFINITION of the measurement (q = fixed eval budget)
-    "q_ivf_recall" -> Set("BNLJ")
+    "q_ivf_recall" -> Set("BNLJ"),
+    "q_bpe_train" -> Set("BNLJ")           // single-row best-pair frame per merge round
   )
 
   /** Audit one query's executed plan string → flags found. */

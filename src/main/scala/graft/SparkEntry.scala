@@ -253,7 +253,9 @@ object SparkEntry {
     // ANN index evaluation: sampled-query recall@k of IVF vs exact
     "q_ivf_recall" -> ((s, d) => llm.Similarity.ivfRecall(Tables.embeddings(s, d))),
     // Deequ-style whole-table column profile (one stack + one agg)
-    "q_schema_profile" -> ((s, d) => Validate.schemaProfile(ev(s, d)))
+    "q_schema_profile" -> ((s, d) => Validate.schemaProfile(ev(s, d))),
+    // the full BPE merge loop: learned merge table over the word dict
+    "q_bpe_train" -> ((s, d) => llm.TextStats.bpeTrain(Tables.documents(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -522,6 +524,7 @@ object SparkEntry {
     "q_char_lid" -> llm.TextStats.sqlCharTrigramLid,
     "q_pagerank" -> llm.Dedup.sqlDupPageRank(),
     "q_ivf_recall" -> llm.Similarity.sqlIvfRecall(),
-    "q_schema_profile" -> Validate.sqlSchemaProfile
+    "q_schema_profile" -> Validate.sqlSchemaProfile,
+    "q_bpe_train" -> llm.TextStats.sqlBpeTrain()
   )
 }

@@ -928,4 +928,134 @@ object TextStats {
         SELECT doc_id, lang AS lang_actual, plang AS lang_pred, score,
           plang = lang AS lang_match
         FROM best WHERE rn = 1 ORDER BY doc_id"""
+
+  // ---- BPE trainer: the full merge loop ------------------------------
+
+  val BpeMerges = 8
+
+  /** Byte-pair-encoding TRAINER (Sennrich et al. 2016) — the actual
+    * merge loop, not just one round of pair counts ([[bpePairs]]):
+    * learn [[BpeMerges]] merges by repeatedly taking the highest-
+    * weight adjacent symbol pair (weight = occurrences × word count;
+    * ties → lexicographic) and fusing it greedily left-to-right in
+    * every word. Output is the learned merge table, in order — the
+    * artifact a tokenizer ships.
+    *
+    * Scale story: the corpus is touched ONCE (the word-count
+    * aggregate); every merge iteration then runs on the WORD
+    * FREQUENCY DICT, whose size is the vocabulary, not the corpus —
+    * exactly how reference BPE trainers work, re-expressed as
+    * dict-sized DataFrame rounds (window partitions = one word, ≤
+    * max-word-length rows). Greedy non-overlapping application is a
+    * run-parity selection (gaps-and-islands over occurrence
+    * positions), NOT a sequential fold — the same windowed formula
+    * runs identically in the oracle, which recomputes each round's
+    * best pair as a scalar CTE rather than trusting any driver state.
+    * Per-round lineage is cut with localCheckpoint so round t+1 plans
+    * against materialized dict rows, and the single-row best-pair
+    * frame broadcasts (the PlanAudit BNLJ allowlist entry). */
+  def bpeTrain(documents: DataFrame, merges: Int = BpeMerges): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dict = documents
+      .select(explode(TextPrep.wordsCol).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    var seqs = dict
+      .withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .localCheckpoint()
+    val steps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (t <- 1 to merges) {
+      val pc = seqs.filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1), " +
+            "(x, y) -> named_struct('a', x, 'b', y))")).as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum(col("cnt")).as("pcnt"))
+      val best = pc.orderBy(col("pcnt").desc, col("a").asc, col("b").asc).limit(1)
+        .select(col("a").as("ba"), col("b").as("bb"),
+          concat(col("a"), col("b")).as("bm"), col("pcnt"))
+        .localCheckpoint()
+      steps += best.select(lit(t).as("step"), col("ba").as("a"), col("bb").as("b"),
+        col("bm").as("merged"), col("pcnt").as("pair_count"))
+      val w = Window.partitionBy("word").orderBy("p")
+      seqs = seqs
+        .join(broadcast(best.select("ba", "bb", "bm")), lit(true), "left")
+        .select(col("word"), col("cnt"), col("ba"), col("bb"), col("bm"),
+          posexplode(col("syms")).as(Seq("p0", "s")))
+        .withColumn("p", col("p0") + 1).drop("p0")
+        .withColumn("occ",
+          coalesce(col("s") === col("ba") && lead(col("s"), 1).over(w) === col("bb"),
+            lit(false)))
+        .withColumn("cum", sum(col("occ").cast("long"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("grp", when(col("occ"), col("p") - col("cum")))
+        .withColumn("runmin",
+          min(when(col("occ"), col("p"))).over(Window.partitionBy("word", "grp")))
+        .withColumn("sel", col("occ") && (col("p") - col("runmin")) % 2 === 0)
+        .withColumn("prevsel", lag(col("sel"), 1, false).over(w))
+        .withColumn("s2",
+          when(col("sel"), col("bm"))
+            .when(col("prevsel"), lit(null))
+            .otherwise(col("s")))
+        .filter(col("s2").isNotNull)
+        .groupBy("word", "cnt")
+        .agg(expr("transform(array_sort(collect_list(struct(p, s2))), x -> x.s2)")
+          .as("syms"))
+        .localCheckpoint()
+    }
+    steps.reduce(_ union _).orderBy("step")
+  }
+
+  def sqlBpeTrain(merges: Int = BpeMerges): String = {
+    val iterCtes = (1 to merges).map { t =>
+      s"""pc$t AS (
+            SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pcnt FROM (
+              SELECT cnt, unnest(syms[1:len(syms)-1]) AS a, unnest(syms[2:len(syms)]) AS b
+              FROM s${t - 1} WHERE len(syms) >= 2)
+            GROUP BY 1, 2),
+          best$t AS (SELECT a AS ba, b AS bb, a || b AS bm, pcnt
+                     FROM pc$t ORDER BY pcnt DESC, a, b LIMIT 1),
+          ex$t AS (
+            SELECT word, cnt, ba, bb, bm,
+              unnest(generate_series(1, len(syms))) AS p, unnest(syms) AS s
+            FROM s${t - 1} LEFT JOIN best$t ON TRUE),
+          wa$t AS (SELECT *, COALESCE(s = ba AND
+              lead(s) OVER (PARTITION BY word ORDER BY p) = bb, FALSE) AS occ
+            FROM ex$t),
+          wb$t AS (SELECT *, sum(CASE WHEN occ THEN 1 ELSE 0 END)
+              OVER (PARTITION BY word ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM wa$t),
+          wc$t AS (SELECT *, CASE WHEN occ THEN p - cum END AS grp FROM wb$t),
+          wd$t AS (SELECT *, min(CASE WHEN occ THEN p END)
+              OVER (PARTITION BY word, grp) AS runmin
+            FROM wc$t),
+          we$t AS (SELECT *, occ AND ((p - runmin) % 2 = 0) AS sel FROM wd$t),
+          wf$t AS (SELECT *, COALESCE(lag(sel) OVER (PARTITION BY word ORDER BY p),
+              FALSE) AS prevsel
+            FROM we$t),
+          ff$t AS (SELECT word, cnt, p,
+              CASE WHEN sel THEN bm WHEN prevsel THEN NULL ELSE s END AS s2
+            FROM wf$t),
+          s$t AS (SELECT word, cnt, list(s2 ORDER BY p) AS syms
+            FROM ff$t WHERE s2 IS NOT NULL GROUP BY 1, 2)"""
+    }.mkString(",\n        ")
+    val unions = (1 to merges).map { t =>
+      s"SELECT CAST($t AS INTEGER) AS step, ba AS a, bb AS b, bm AS merged, pcnt AS pair_count FROM best$t"
+    }.mkString("\n          UNION ALL ")
+    s"""WITH w0 AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest(${TextPrep.sqlWords}) AS word FROM documents)
+          WHERE word <> '' GROUP BY 1),
+        s0 AS (
+          SELECT word, cnt,
+            list_transform(generate_series(1, length(word)),
+              i -> substr(word, i, 1)) AS syms
+          FROM w0),
+        $iterCtes
+        SELECT * FROM (
+          $unions)
+        ORDER BY step"""
+  }
 }

@@ -1033,6 +1033,22 @@ class LlmSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("bpe trainer: greedy merges, weighted counts, stops when pairs run out") {
+    // dict: aaab x3, ab x2. By hand:
+    //   round 1: (a,a) 2x3=6 beats (a,b) 3+2=5 -> merge aa; aaab -> [aa,a,b]
+    //   round 2: (a,b) 3+2=5 beats (aa,a) 3    -> merge ab; -> [aa,ab], [ab]
+    //   round 3: (aa,ab) 3                      -> merge aaab
+    //   round 4: no adjacent pairs left         -> no row emitted
+    val d = Seq((0L, "aaab aaab aaab ab ab", "en", "s", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextStats.bpeTrain(d, merges = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(out === Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "a", "b", "ab", 5L),
+      (3, "aa", "ab", "aaab", 3L)))
+  }
+
   test("length buckets: pow-2 caps, exact counts, waste math") {
     val d = Seq(
       (0L, "a", "en", "s", 1L),             // 1 word  -> cap 1
