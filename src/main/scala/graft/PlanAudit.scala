@@ -64,7 +64,8 @@ object PlanAudit {
     // recall evaluation harness: sampled-query × corpus ground truth is
     // the DEFINITION of the measurement (q = fixed eval budget)
     "q_ivf_recall" -> Set("BNLJ"),
-    "q_bpe_train" -> Set("BNLJ")           // single-row best-pair frame per merge round
+    "q_bpe_train" -> Set("BNLJ"),          // single-row best-pair frame per merge round
+    "q_bpe_encode" -> Set("BNLJ")          // same loop: single-row best-pair frames
   )
 
   /** Audit one query's executed plan string → flags found. */

@@ -255,7 +255,9 @@ object SparkEntry {
     // Deequ-style whole-table column profile (one stack + one agg)
     "q_schema_profile" -> ((s, d) => Validate.schemaProfile(ev(s, d))),
     // the full BPE merge loop: learned merge table over the word dict
-    "q_bpe_train" -> ((s, d) => llm.TextStats.bpeTrain(Tables.documents(s, d)))
+    "q_bpe_train" -> ((s, d) => llm.TextStats.bpeTrain(Tables.documents(s, d))),
+    // apply the trained merges: per-doc subtoken counts + compression
+    "q_bpe_encode" -> ((s, d) => llm.TextStats.bpeEncode(Tables.documents(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -525,6 +527,7 @@ object SparkEntry {
     "q_pagerank" -> llm.Dedup.sqlDupPageRank(),
     "q_ivf_recall" -> llm.Similarity.sqlIvfRecall(),
     "q_schema_profile" -> Validate.sqlSchemaProfile,
-    "q_bpe_train" -> llm.TextStats.sqlBpeTrain()
+    "q_bpe_train" -> llm.TextStats.sqlBpeTrain(),
+    "q_bpe_encode" -> llm.TextStats.sqlBpeEncode()
   )
 }

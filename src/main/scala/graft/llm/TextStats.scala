@@ -954,7 +954,14 @@ object TextStats {
     * Per-round lineage is cut with localCheckpoint so round t+1 plans
     * against materialized dict rows, and the single-row best-pair
     * frame broadcasts (the PlanAudit BNLJ allowlist entry). */
-  def bpeTrain(documents: DataFrame, merges: Int = BpeMerges): DataFrame = {
+  def bpeTrain(documents: DataFrame, merges: Int = BpeMerges): DataFrame =
+    bpeLoop(documents, merges)._1.reduce(_ union _).orderBy("step")
+
+  /** The shared merge loop: returns (per-round merge rows, final dict
+    * segmentation). Both the trainer ([[bpeTrain]]) and the encoder
+    * ([[bpeEncode]]) are views over this one computation. */
+  private def bpeLoop(documents: DataFrame,
+                      merges: Int): (Seq[DataFrame], DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val dict = documents
       .select(explode(TextPrep.wordsCol).as("word"))
@@ -1004,10 +1011,64 @@ object TextStats {
           .as("syms"))
         .localCheckpoint()
     }
-    steps.reduce(_ union _).orderBy("step")
+    (steps.toSeq, seqs)
+  }
+
+  /** BPE ENCODER over the trained merges: segment every dict word with
+    * the final merge state, then join the segmentation back onto the
+    * corpus word stream — tokenization cost at corpus scale is one
+    * word explode plus one dict-keyed join, never a per-document
+    * re-run of the merge machinery. Emits per-document subtoken
+    * counts and the chars-per-token compression the learned vocab
+    * buys (the metric a tokenizer is judged by). Self-contained for
+    * the oracle (training re-runs inside the query); a production
+    * pipeline persists the dict segmentation like any model artifact. */
+  def bpeEncode(documents: DataFrame, merges: Int = BpeMerges): DataFrame = {
+    val seqs = bpeLoop(documents, merges)._2
+    documents
+      .select(col("doc_id"), explode(TextPrep.wordsCol).as("word"))
+      .filter(col("word") =!= "")
+      .join(seqs.select(col("word"), size(col("syms")).cast("long").as("n_sub")),
+        "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_bpe_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+      .orderBy("doc_id")
   }
 
   def sqlBpeTrain(merges: Int = BpeMerges): String = {
+    val unions = (1 to merges).map { t =>
+      s"SELECT CAST($t AS INTEGER) AS step, ba AS a, bb AS b, bm AS merged, pcnt AS pair_count FROM best$t"
+    }.mkString("\n          UNION ALL ")
+    s"""WITH ${sqlBpeCtes(merges)}
+        SELECT * FROM (
+          $unions)
+        ORDER BY step"""
+  }
+
+  def sqlBpeEncode(merges: Int = BpeMerges): String =
+    s"""WITH ${sqlBpeCtes(merges)},
+        cw AS (
+          SELECT doc_id, word FROM (
+            SELECT doc_id, unnest(${TextPrep.sqlWords}) AS word FROM documents)
+          WHERE word <> ''),
+        enc AS (
+          SELECT doc_id, word, CAST(len(syms) AS BIGINT) AS n_sub
+          FROM cw JOIN s$merges USING (word))
+        SELECT doc_id,
+          CAST(count(*) AS BIGINT) AS n_words,
+          CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens,
+          CAST(sum(length(word)) AS BIGINT) AS n_chars,
+          CAST(sum(length(word)) AS DOUBLE) / CAST(sum(n_sub) AS DOUBLE)
+            AS chars_per_token
+        FROM enc GROUP BY 1 ORDER BY 1"""
+
+  /** The shared WITH-body: w0/s0 (dict + char split) plus per-round
+    * CTEs pc/best/ex/wa..wf/ff/s for each merge round. */
+  private def sqlBpeCtes(merges: Int): String = {
     val iterCtes = (1 to merges).map { t =>
       s"""pc$t AS (
             SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pcnt FROM (
@@ -1041,10 +1102,7 @@ object TextStats {
           s$t AS (SELECT word, cnt, list(s2 ORDER BY p) AS syms
             FROM ff$t WHERE s2 IS NOT NULL GROUP BY 1, 2)"""
     }.mkString(",\n        ")
-    val unions = (1 to merges).map { t =>
-      s"SELECT CAST($t AS INTEGER) AS step, ba AS a, bb AS b, bm AS merged, pcnt AS pair_count FROM best$t"
-    }.mkString("\n          UNION ALL ")
-    s"""WITH w0 AS (
+    s"""w0 AS (
           SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
             SELECT unnest(${TextPrep.sqlWords}) AS word FROM documents)
           WHERE word <> '' GROUP BY 1),
@@ -1053,9 +1111,6 @@ object TextStats {
             list_transform(generate_series(1, length(word)),
               i -> substr(word, i, 1)) AS syms
           FROM w0),
-        $iterCtes
-        SELECT * FROM (
-          $unions)
-        ORDER BY step"""
+        $iterCtes"""
   }
 }

@@ -1049,6 +1049,20 @@ class LlmSpec extends SparkSpec {
       (3, "aa", "ab", "aaab", 3L)))
   }
 
+  test("bpe encoder: subtoken counts reflect the learned merges") {
+    // same dict as the trainer test; after 3 effective merges the
+    // segmentations are aaab -> [aaab] (1 token), ab -> [ab] (1 token)
+    val d = Seq(
+      (0L, "aaab aaab aaab ab", "en", "s", 17L),
+      (1L, "aaab ab", "en", "s", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextStats.bpeEncode(d, merges = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(out(0L) === ((4L, 4L, 14L, 14.0 / 4.0)))
+    assert(out(1L) === ((2L, 2L, 6L, 3.0)))
+  }
+
   test("length buckets: pow-2 caps, exact counts, waste math") {
     val d = Seq(
       (0L, "a", "en", "s", 1L),             // 1 word  -> cap 1
