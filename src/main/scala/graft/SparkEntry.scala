@@ -257,7 +257,11 @@ object SparkEntry {
     // the full BPE merge loop: learned merge table over the word dict
     "q_bpe_train" -> ((s, d) => llm.TextStats.bpeTrain(Tables.documents(s, d))),
     // apply the trained merges: per-doc subtoken counts + compression
-    "q_bpe_encode" -> ((s, d) => llm.TextStats.bpeEncode(Tables.documents(s, d)))
+    "q_bpe_encode" -> ((s, d) => llm.TextStats.bpeEncode(Tables.documents(s, d))),
+    // contamination audit: near-dup pairs that straddle split boundaries
+    "q_split_leakage" -> ((s, d) => llm.Curate.splitLeakage(Tables.documents(s, d))),
+    // are dedup and quality filtering redundant? point-biserial r
+    "q_dup_quality_corr" -> ((s, d) => llm.Dedup.dupQualityCorr(Tables.documents(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -528,6 +532,8 @@ object SparkEntry {
     "q_ivf_recall" -> llm.Similarity.sqlIvfRecall(),
     "q_schema_profile" -> Validate.sqlSchemaProfile,
     "q_bpe_train" -> llm.TextStats.sqlBpeTrain(),
-    "q_bpe_encode" -> llm.TextStats.sqlBpeEncode()
+    "q_bpe_encode" -> llm.TextStats.sqlBpeEncode(),
+    "q_split_leakage" -> llm.Curate.sqlSplitLeakage(),
+    "q_dup_quality_corr" -> llm.Dedup.sqlDupQualityCorr
   )
 }

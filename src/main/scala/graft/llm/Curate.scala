@@ -651,6 +651,54 @@ object Curate {
         SELECT lang, CAST(rnk AS INTEGER) AS rnk, doc_id, quality_score
         FROM ranked WHERE rnk <= $k ORDER BY lang, rnk"""
 
+  // ---- split leakage audit -------------------------------------------
+
+  val LeakageThreshold = 0.8
+
+  /** Train/eval LEAKAGE audit: near-duplicate pairs (MinHash-LSH,
+    * jaccard ≥ [[LeakageThreshold]]) whose members landed in DIFFERENT
+    * splits of [[splitAssign]]. Every row is an eval document whose
+    * near-copy is in training — the contamination that silently
+    * inflates benchmark numbers. Run this after any split; a clean
+    * pipeline dedups BEFORE splitting, and this query is the check
+    * that it actually did. Cost = the LSH pair pipeline plus two
+    * hash-computed split lookups (no extra corpus scan: the split is
+    * a pure function of doc_id, recomputed inline). */
+  def splitLeakage(documents: DataFrame,
+                   threshold: Double = LeakageThreshold): DataFrame = {
+    def splitOf(c: Column): Column = {
+      val b = conv(substring(md5(concat(lit("split:"), c.cast("string"))), 1, 15),
+        16, 10).cast("long") % 100
+      when(b < TrainPct, "train")
+        .when(b < TrainPct + ValPct, "validation")
+        .otherwise("test")
+    }
+    Dedup.minhashLshPairs(documents)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), splitOf(col("doc_a")).as("split_a"),
+        col("doc_b"), splitOf(col("doc_b")).as("split_b"), col("jaccard"))
+      .filter(col("split_a") =!= col("split_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def sqlSplitLeakage(threshold: Double = LeakageThreshold): String = {
+    def splitOf(c: String): String =
+      s"""CASE WHEN CAST(concat('0x', substr(md5('split:' || CAST($c AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < $TrainPct THEN 'train'
+          WHEN CAST(concat('0x', substr(md5('split:' || CAST($c AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < ${TrainPct + ValPct} THEN 'validation'
+          ELSE 'test' END"""
+    s"""WITH ${Dedup.sqlMinhashCtes},
+        pr AS (
+          SELECT doc_a, doc_b,
+            CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) AS jaccard
+          FROM verified
+          WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= $threshold)
+        SELECT doc_a, ${splitOf("doc_a")} AS split_a,
+               doc_b, ${splitOf("doc_b")} AS split_b, jaccard
+        FROM pr
+        WHERE ${splitOf("doc_a")} <> ${splitOf("doc_b")}
+        ORDER BY doc_a, doc_b"""
+  }
+
   // ---- deterministic training-order shuffle --------------------------
 
   val NumShards = 64

@@ -315,7 +315,7 @@ object Dedup {
   /** The CTE chain (shingles → signatures → bands → candidates →
     * verified intersections) shared by the pair query and the
     * clustering oracle. */
-  private lazy val sqlMinhashCtes: String = {
+  private[llm] lazy val sqlMinhashCtes: String = {
     val minCols = (0 until NumHashes)
       .map(i => s"list_min(list_transform(generate_series(1, len(ha)), " +
         s"j -> (ha[j] + $i * hb[j]) % ${TextPrep.HashP})) AS h$i")
@@ -1203,6 +1203,60 @@ object Dedup {
                JOIN tot tb ON p.source_b = tb.source
         ORDER BY source_a, source_b"""
   }
+
+  // ---- dup ↔ quality correlation ------------------------------------
+
+  /** Does duplication correlate with low quality? Point-biserial
+    * Pearson r between the exact-duplicate flag (md5 text df ≥ 2) and
+    * the quality score — the report that decides whether dedup and
+    * quality filtering are redundant passes or orthogonal ones.
+    *
+    * Determinism: the quality double is integerized once
+    * (floor(q·10⁴)) and every power sum is an exact BIGINT; only the
+    * final r is floating. Overflow headroom: y ≤ 10⁴ so Σy² ≤ n·10⁸ —
+    * fine to ~10¹⁰ documents. Two hash aggregates + one join on
+    * doc_id; zero-variance sides yield NULL, not NaN. */
+  def dupQualityCorr(documents: DataFrame): DataFrame = {
+    val y = TextStats.textStatsUnordered(documents)
+      .select(col("doc_id"),
+        floor(col("quality_score") * 10000).cast("long").as("y"))
+    val h = documents.select(col("doc_id"), md5(col("text")).as("h"))
+    val hc = h.groupBy("h").agg(count(lit(1)).as("c"))
+    val x = h.join(hc, "h")
+      .select(col("doc_id"), when(col("c") >= 2, 1L).otherwise(0L).as("x"))
+    x.join(y, "doc_id")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("y") * col("y")).as("syy"))
+      .select(col("n").as("n_docs"), col("sx").as("n_dups"),
+        when(col("n") * col("sx") - col("sx") * col("sx") === 0 ||
+             col("n") * col("syy") - col("sy") * col("sy") === 0, lit(null))
+          .otherwise(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sx") - col("sx") * col("sx")).cast("double")) *
+                sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("r_pb"))
+  }
+
+  val sqlDupQualityCorr: String =
+    s"""WITH stats AS (${TextStats.sqlTextStats}),
+        y AS (SELECT doc_id, CAST(floor(quality_score * 10000) AS BIGINT) AS y
+              FROM stats),
+        h AS (SELECT doc_id, md5(text) AS h FROM documents),
+        hc AS (SELECT h, CAST(count(*) AS BIGINT) AS c FROM h GROUP BY 1),
+        x AS (SELECT doc_id, CASE WHEN c >= 2 THEN 1 ELSE 0 END AS x
+              FROM h JOIN hc USING (h)),
+        s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+            CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+            CAST(sum(y * y) AS BIGINT) AS syy
+          FROM x JOIN y USING (doc_id))
+        SELECT n AS n_docs, sx AS n_dups,
+          CASE WHEN n * sx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+          ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+            (sqrt(CAST(n * sx - sx * sx AS DOUBLE)) *
+             sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+          END AS r_pb
+        FROM s"""
 
   // ---- dup-graph PageRank -------------------------------------------
 

@@ -1063,6 +1063,53 @@ class LlmSpec extends SparkSpec {
     assert(out(1L) === ((2L, 2L, 6L, 3.0)))
   }
 
+  test("split leakage: cross-split near-dups flagged, within-split not") {
+    // 40 copies of one text: every pair is a jaccard-1.0 near-dup;
+    // leakage = exactly the pairs whose hash-splits differ
+    val txt = "the quick brown fox jumps over the lazy dog today"
+    val d = (0L until 40L).map(i => (i, txt, "en", "s", 49L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def expectedSplit(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8"))
+      val b = java.lang.Long.parseLong(
+        md.take(8).map("%02x".format(_)).mkString.take(15), 16) % 100
+      if (b < 80) "train" else if (b < 90) "validation" else "test"
+    }
+    val rows = Curate.splitLeakage(d).collect()
+    assert(rows.nonEmpty, "identical docs across hash splits must leak")
+    rows.foreach { r =>
+      assert(r.getString(1) === expectedSplit(r.getLong(0)))
+      assert(r.getString(3) === expectedSplit(r.getLong(2)))
+      assert(r.getString(1) !== r.getString(3))
+      assert(r.getDouble(4) === 1.0)
+    }
+    // completeness: every cross-split pair is present
+    val splits = (0L until 40L).map(i => i -> expectedSplit(i)).toMap
+    val expected = (for {
+      a <- 0L until 40L; b <- (a + 1) until 40L
+      if splits(a) != splits(b)
+    } yield (a, b)).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(2))).toSet === expected)
+  }
+
+  test("dup-quality correlation: dup-heavy low quality drives r negative") {
+    val lowQ = "a b a b a b"
+    val highQ = ("substantial unique content about distributed query engines " * 5).trim
+    val d = Seq(
+      (0L, lowQ, "en", "s", 11L), (1L, lowQ, "en", "s", 11L),       // dups, low q
+      (2L, highQ + " one", "en", "s", 300L),
+      (3L, highQ + " two", "en", "s", 300L)                          // unique, high q
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Dedup.dupQualityCorr(d).collect().head
+    assert(r.getLong(0) === 4L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) < -0.5, s"expected strongly negative r, got $r")
+    // zero dup variance -> NULL r, never NaN
+    val unique = Seq((0L, "aa bb cc", "en", "s", 8L), (1L, "dd ee ff", "en", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Dedup.dupQualityCorr(unique).collect().head.isNullAt(2))
+  }
+
   test("length buckets: pow-2 caps, exact counts, waste math") {
     val d = Seq(
       (0L, "a", "en", "s", 1L),             // 1 word  -> cap 1
