@@ -65,7 +65,8 @@ object PlanAudit {
     // the DEFINITION of the measurement (q = fixed eval budget)
     "q_ivf_recall" -> Set("BNLJ"),
     "q_bpe_train" -> Set("BNLJ"),          // single-row best-pair frame per merge round
-    "q_bpe_encode" -> Set("BNLJ")          // same loop: single-row best-pair frames
+    "q_bpe_encode" -> Set("BNLJ"),         // same loop: single-row best-pair frames
+    "q_skew_report" -> Set("BNLJ")         // single-row totals frame
   )
 
   /** Audit one query's executed plan string → flags found. */

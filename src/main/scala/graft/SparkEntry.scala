@@ -261,7 +261,9 @@ object SparkEntry {
     // contamination audit: near-dup pairs that straddle split boundaries
     "q_split_leakage" -> ((s, d) => llm.Curate.splitLeakage(Tables.documents(s, d))),
     // are dedup and quality filtering redundant? point-biserial r
-    "q_dup_quality_corr" -> ((s, d) => llm.Dedup.dupQualityCorr(Tables.documents(s, d)))
+    "q_dup_quality_corr" -> ((s, d) => llm.Dedup.dupQualityCorr(Tables.documents(s, d))),
+    // join-key skew diagnosis: heaviest keys, share, multiple-of-average
+    "q_skew_report" -> ((s, d) => Windows.skewReport(ev(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -534,6 +536,7 @@ object SparkEntry {
     "q_bpe_train" -> llm.TextStats.sqlBpeTrain(),
     "q_bpe_encode" -> llm.TextStats.sqlBpeEncode(),
     "q_split_leakage" -> llm.Curate.sqlSplitLeakage(),
-    "q_dup_quality_corr" -> llm.Dedup.sqlDupQualityCorr
+    "q_dup_quality_corr" -> llm.Dedup.sqlDupQualityCorr,
+    "q_skew_report" -> Windows.sqlSkewReport()
   )
 }

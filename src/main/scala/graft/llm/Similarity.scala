@@ -672,6 +672,26 @@ object Similarity {
     if (withScore) base else base.drop("ccos")
   }
 
+  /** Streaming-ingest assignment: rank-1 centroid per NEW vector
+    * against a FIXED, already-fitted centroid frame (cid, cv) — the
+    * no-refit path an index append uses. Same cosine formula and
+    * (score desc, id asc) tie order as every other IVF consumer.
+    * Returns index-layout rows (vec_id, centroid_id, v, nrm). */
+  def assignToFixedCentroids(embeddings: DataFrame,
+                             centroids: DataFrame): DataFrame = {
+    graft.functions.TopKByScore.register(embeddings.sparkSession)
+    val n = prepared(embeddings)
+    val cents = centroids.select(col("cid").as("centroid_id"), col("cv"))
+      .withColumn("cnrm", norm(col("cv")))
+    n.join(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
+      .groupBy("vec_id")
+      .agg(call_function("top_k_by", col("ccos"), col("centroid_id"), lit(1)).as("top"))
+      .select(col("vec_id"), col("top").getItem(0).getField("id").as("centroid_id"))
+      .join(n.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+  }
+
   /** IVF top-k over k-means-fitted centroids: every vector is assigned
     * to its max-cosine centroid; a query probes its NumProbes nearest
     * centroids' buckets only, so the probe touches nprobe/ncentroids

@@ -576,4 +576,44 @@ object Windows {
           * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0) AS pearson_r
        FROM g ORDER BY event_type"""
+
+  val SkewTopK = 20
+
+  /** Join-key skew diagnosis: the top-[[SkewTopK]] heaviest user_id
+    * keys with their share of all rows and their multiple of the
+    * average key load — the report that decides whether a key needs
+    * salting ([[graft.pipeline.Enrich.saltedJoin]]) or AQE skew
+    * handling before a shuffle melts one reducer. One hash aggregate
+    * over the key, the bounded-heap global top-k (no unpartitioned
+    * window), and a single-row totals broadcast. */
+  def skewReport(events: DataFrame, k: Int = SkewTopK): DataFrame = {
+    // null keys never participate in an equi-join; excluding them also
+    // sidesteps the engines' opposite NULL sort placement on ties
+    val counts = events.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_rows"))
+    val tot = counts.agg(sum(col("n_rows")).as("total"),
+      count(lit(1)).as("n_keys"))
+    graft.util.TopN.rankedTopN(
+        counts, struct((-col("n_rows")).as("nk"), col("user_id").as("uk")),
+        k, "rnk")
+      .crossJoin(broadcast(tot))
+      .select(col("rnk"), col("user_id"), col("n_rows"),
+        (col("n_rows").cast("double") / col("total").cast("double")).as("share"),
+        (col("n_rows").cast("double") * col("n_keys").cast("double") /
+          col("total").cast("double")).as("x_avg"))
+      .orderBy("rnk")
+  }
+
+  def sqlSkewReport(k: Int = SkewTopK): String =
+    s"""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+          FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+          CAST(count(*) AS BIGINT) AS n_keys FROM c),
+        r AS (SELECT user_id, n_rows,
+            CAST(row_number() OVER (ORDER BY n_rows DESC, user_id ASC) AS INTEGER) AS rnk
+          FROM c)
+        SELECT rnk, user_id, n_rows,
+          CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+          CAST(n_rows AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(total AS DOUBLE) AS x_avg
+        FROM r CROSS JOIN t WHERE rnk <= $k ORDER BY rnk"""
 }

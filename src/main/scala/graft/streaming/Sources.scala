@@ -210,11 +210,12 @@ object Sources {
     * File sinks are append-only by default; this is the standard
     * foreachBatch recipe for at-least-once → effectively-once when
     * the write itself must be the transaction boundary. */
-  def writeBatchIdempotent(batch: DataFrame, outDir: String, batchId: Long): Unit =
+  def writeBatchIdempotent(batch: DataFrame, outDir: String, batchId: Long,
+                           extraPartitions: Seq[String] = Nil): Unit =
     batch.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
+      .partitionBy("batch_id" +: extraPartitions: _*)
       .parquet(outDir)
 
   /** Generic exactly-once-style parquet sink: any stream →
@@ -253,6 +254,28 @@ object Sources {
       }
       .start()
   }
+
+  /** Streaming ANN ingestion: each micro-batch of new vectors is
+    * assigned to the PERSISTED centroid set (fitted once by
+    * [[graft.llm.Similarity.fitCentroids]], broadcast per batch — no
+    * refit) and appended to a `batch_id`/`centroid_id`-partitioned
+    * index layout through [[writeBatchIdempotent]]. Probes prune on
+    * the centroid_id partition the same way the bucketed batch index
+    * does; replaying a crashed batch replaces exactly its own
+    * partitions. The index grows append-only; centroid REFIT is an
+    * offline concern (re-run the fit, rewrite the index), matching how
+    * production IVF deployments separate ingest from retrain. */
+  def ivfIngestQuery(vectors: DataFrame, centroidsPath: String,
+                     indexDir: String, checkpoint: String): StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val centroids = batch.sparkSession.read.parquet(centroidsPath)
+        val assigned = graft.llm.Similarity.assignToFixedCentroids(batch, centroids)
+        writeBatchIdempotent(assigned, indexDir, batchId, Seq("centroid_id"))
+      }
+      .start()
 
   /** Element-wise sum of every per-batch sketch → the corpus sketch
     * (single `sk` array row, same shape `cms_query` probes). */

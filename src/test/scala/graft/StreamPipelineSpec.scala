@@ -621,6 +621,45 @@ class StreamPipelineSpec extends SparkSpec {
     assert(est >= 3L) // 'data' appears 3 times; CMS never undercounts
   }
 
+  test("streaming IVF ingest: assignments match batch path, probes prune partitions") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sf())
+    val centroidsPath = Files.createTempDirectory("ivf_cents").toString
+    val indexDir = Files.createTempDirectory("ivf_idx").toString
+    val ckpt = Files.createTempDirectory("ivf_ckpt").toString
+    graft.llm.Similarity.fitCentroids(emb.limit(40))
+      .write.mode("overwrite").parquet(centroidsPath)
+    val rows = emb.filter(col("vec_id") >= 40).limit(20)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    val mem = MemoryStream[(Long, Seq[Float], Int)]
+    val q = Sources.ivfIngestQuery(
+      mem.toDF().toDF("vec_id", "embedding", "label"), centroidsPath, indexDir, ckpt)
+    try {
+      mem.addData(rows.take(10).toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(10).toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val idx = spark.read.parquet(indexDir)
+    assert(idx.count() === 20L)
+    // streamed assignments == one-shot batch assignments on the union
+    val expected = graft.llm.Similarity.assignToFixedCentroids(
+        emb.filter(col("vec_id") >= 40).limit(20),
+        spark.read.parquet(centroidsPath))
+      .select("vec_id", "centroid_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // partition-column inference reads centroid_id back as INT: cast
+    val got = idx.select(col("vec_id"), col("centroid_id").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    // a single-centroid probe prunes on the partition column
+    val someCid = got.values.head
+    val probePlan = idx.filter(col("centroid_id") === someCid)
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("PartitionFilters") &&
+      probePlan.contains("centroid_id"), probePlan.take(500))
+  }
+
   test("idempotent sink: replaying a batch replaces its partition, not appends") {
     implicit val sqlCtx = spark.sqlContext
     val out = Files.createTempDirectory("idem_out").toString

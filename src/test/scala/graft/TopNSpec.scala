@@ -32,4 +32,17 @@ class TopNSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
     assert(!plan.contains("Window"))
   }
+
+  test("skew report: hot key first, shares and x_avg exact, nulls excluded") {
+    val events = (Seq.fill(6)(7L) ++ Seq(1L, 2L, 3L)).zipWithIndex
+      .map { case (u, i) => (i.toLong, Option(u), "click", 1.0) }
+      .:+((99L, Option.empty[Long], "click", 1.0)) // null key must not rank
+      .toDF("event_id", "user_id", "event_type", "value")
+    val out = graft.pipeline.Windows.skewReport(events, 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    // 4 keys, 9 non-null rows: key 7 holds 6/9 of rows = 2.67x average
+    assert(out.head === ((1, 7L, 6L, 6.0 / 9.0, 6.0 * 4.0 / 9.0)))
+    assert(out.length === 3)
+    assert(!out.exists(_._2 == 0L))
+  }
 }
