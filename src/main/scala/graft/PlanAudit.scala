@@ -51,6 +51,7 @@ object PlanAudit {
     "q_incremental_agg" -> Set("BNLJ"),    // one max-day cutoff row
     "q_keywords" -> Set("BNLJ"),           // corpus doc-count row
     "q_label_purity_ann" -> Set("BNLJ"),   // √n centroid frame
+    "q_label_suspects" -> Set("BNLJ"),     // √n centroid frame (same bucketed shape)
     "q_length_histogram" -> Set("BNLJ"),   // one total row
     "q_mixture_sample" -> Set("BNLJ"),     // per-lang rate rows
     "q_positive_pairs" -> Set("BNLJ"),     // √n centroid frame

@@ -263,7 +263,9 @@ object SparkEntry {
     // are dedup and quality filtering redundant? point-biserial r
     "q_dup_quality_corr" -> ((s, d) => llm.Dedup.dupQualityCorr(Tables.documents(s, d))),
     // join-key skew diagnosis: heaviest keys, share, multiple-of-average
-    "q_skew_report" -> ((s, d) => Windows.skewReport(ev(s, d)))
+    "q_skew_report" -> ((s, d) => Windows.skewReport(ev(s, d))),
+    // mislabeled-sample triage: kNN neighborhoods voting against labels
+    "q_label_suspects" -> ((s, d) => llm.Similarity.labelSuspects(Tables.embeddings(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -537,6 +539,7 @@ object SparkEntry {
     "q_bpe_encode" -> llm.TextStats.sqlBpeEncode(),
     "q_split_leakage" -> llm.Curate.sqlSplitLeakage(),
     "q_dup_quality_corr" -> llm.Dedup.sqlDupQualityCorr,
-    "q_skew_report" -> Windows.sqlSkewReport()
+    "q_skew_report" -> Windows.sqlSkewReport(),
+    "q_label_suspects" -> llm.Similarity.sqlLabelSuspects()
   )
 }

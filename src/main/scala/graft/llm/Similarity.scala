@@ -948,6 +948,70 @@ object Similarity {
           CAST(n_matches AS DOUBLE) / CAST(n_neighbor_rows AS DOUBLE) AS purity
         FROM g ORDER BY label"""
 
+  /** Mislabeled-sample detection: vectors whose IVF-bucketed kNN
+    * neighborhood votes AGAINST their own label (strict minority
+    * agreement, integer test 2·agree < n — no float threshold to
+    * disagree across engines). The confident-learning-style triage
+    * list a labeling pipeline reviews first; same bucketed candidate
+    * shape as [[knnLabelPurityAnn]], aggregated per vector instead of
+    * per label. */
+  def labelSuspects(embeddings: DataFrame, k: Int = PurityK): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(embeddings.sparkSession)
+    val n = prepared(embeddings).cache()
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val assign = assignToCentroids(n)
+    val withV = assign.join(n.select("vec_id", "v", "nrm"), "vec_id")
+    val pairs = withV.as("a").join(withV.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"),
+        col("b.vec_id").as("neighbor_id"), cosine("a", "b"))
+    pairs.groupBy("query_id")
+      .agg(call_function("top_k_by", col("cosine"), col("neighbor_id"), lit(k)).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("neighbor_id"))
+      .join(labels.withColumnRenamed("vec_id", "query_id"), "query_id")
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel")), "neighbor_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("nlabel") === col("label"), 1L).otherwise(0L)).as("n_agree"))
+      .filter(col("n_agree") * 2 < col("n_neighbors"))
+      .select(col("query_id"), col("label"), col("n_neighbors"), col("n_agree"),
+        (col("n_agree").cast("double") / col("n_neighbors").cast("double"))
+          .as("agreement"))
+      .orderBy("query_id")
+  }
+
+  def sqlLabelSuspects(k: Int = PurityK): String =
+    s"""WITH $sqlFitRankedCtes,
+        assign AS (SELECT vec_id, centroid_id FROM ranked WHERE crnk = 1),
+        lbl AS (SELECT vec_id, label FROM embeddings),
+        p AS (
+          SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id,
+            $sqlCosine AS cosine
+          FROM assign x JOIN assign y
+            ON x.centroid_id = y.centroid_id AND x.vec_id <> y.vec_id
+          JOIN n a ON x.vec_id = a.vec_id
+          JOIN n b ON y.vec_id = b.vec_id),
+        r AS (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM p),
+        t AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= $k),
+        j AS (
+          SELECT t.query_id, ql.label,
+            CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END AS m
+          FROM t JOIN lbl ql ON t.query_id = ql.vec_id
+                 JOIN lbl nl ON t.neighbor_id = nl.vec_id),
+        g AS (
+          SELECT query_id, label, CAST(count(*) AS BIGINT) AS n_neighbors,
+            CAST(sum(m) AS BIGINT) AS n_agree
+          FROM j GROUP BY 1, 2)
+        SELECT query_id, label, n_neighbors, n_agree,
+          CAST(n_agree AS DOUBLE) / CAST(n_neighbors AS DOUBLE) AS agreement
+        FROM g WHERE n_agree * 2 < n_neighbors
+        ORDER BY query_id"""
+
   /** Clustering-quality report over the k-means fit: per centroid,
     * member count, mean and min cosine-to-centroid. The "is the
     * embedding space clusterable / is the fit any good" table read

@@ -1017,6 +1017,16 @@ class LlmSpec extends SparkSpec {
     assert(total <= Dedup.PrScale && total > Dedup.PrScale * 9 / 10)
   }
 
+  test("label suspects: the planted mislabel is the only flag") {
+    val a = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val b = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val rows = (0L to 4L).map(i => (i, a, 0)) ++ Seq((5L, a, 1)) ++ // 5 = planted
+      (6L to 11L).map(i => (i, b, 1))
+    val out = Similarity.labelSuspects(rows.toDF("vec_id", "embedding", "label"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(4)))
+    assert(out === Seq((5L, 1, 0.0)), s"got ${out.toSeq}")
+  }
+
   test("ivf recall: sampled queries, hits bounded by k, deterministic") {
     val emb = Tables.embeddings(spark, sf())
     val out = Similarity.ivfRecall(emb).collect()
