@@ -265,7 +265,11 @@ object SparkEntry {
     // join-key skew diagnosis: heaviest keys, share, multiple-of-average
     "q_skew_report" -> ((s, d) => Windows.skewReport(ev(s, d))),
     // mislabeled-sample triage: kNN neighborhoods voting against labels
-    "q_label_suspects" -> ((s, d) => llm.Similarity.labelSuspects(Tables.embeddings(s, d)))
+    "q_label_suspects" -> ((s, d) => llm.Similarity.labelSuspects(Tables.embeddings(s, d))),
+    // mergeable HLL sketches: daily sketches union'd to corpus distinct
+    "q_hll_union" -> ((s, d) => Windows.hllDailyDistinct(ev(s, d))),
+    // robust MAD outlier report (exact medians, 3-MAD fence)
+    "q_mad_outliers" -> ((s, d) => Windows.madOutliers(ev(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -540,6 +544,8 @@ object SparkEntry {
     "q_split_leakage" -> llm.Curate.sqlSplitLeakage(),
     "q_dup_quality_corr" -> llm.Dedup.sqlDupQualityCorr,
     "q_skew_report" -> Windows.sqlSkewReport(),
-    "q_label_suspects" -> llm.Similarity.sqlLabelSuspects()
+    "q_label_suspects" -> llm.Similarity.sqlLabelSuspects(),
+    "q_hll_union" -> Windows.sqlHllDailyDistinct,
+    "q_mad_outliers" -> Windows.sqlMadOutliers
   )
 }

@@ -577,6 +577,102 @@ object Windows {
               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0) AS pearson_r
        FROM g ORDER BY event_type"""
 
+  /** Mergeable-sketch distinct counting (Spark 4 DataSketches HLL):
+    * one fixed-size sketch per day, UNION'd to the corpus estimate
+    * without ever rescanning raw data — the warehouse rollup pattern
+    * where daily partitions keep sketches and any date-range distinct
+    * count is a sketch merge. The oracle cannot evaluate HLL bytes,
+    * so (exactly like the approx_count_distinct gate) it verifies the
+    * exact companions and the tolerance BOOLEANS: each estimate must
+    * sit within 10 % of exact (default lgConfigK=12 ⇒ ~1.6 % stderr,
+    * so the margin is generous and the gate deterministic). */
+  def hllDailyDistinct(events: DataFrame): DataFrame = {
+    val e = events.filter(col("user_id").isNotNull)
+    val daily = e.groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+        countDistinct(col("user_id")).as("n_exact"))
+    val dayRows = daily.select(
+      concat(lit("day:"), col("day").cast("string")).as("scope"),
+      col("n_exact"),
+      (abs(expr("hll_sketch_estimate(sk)").cast("double") -
+        col("n_exact").cast("double")) <=
+        lit(0.1) * col("n_exact").cast("double")).as("within_tol"))
+    val total = daily
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").cast("double").as("est"))
+      .crossJoin(broadcast(e.agg(countDistinct(col("user_id")).as("n_exact"))))
+      .select(lit("total").as("scope"), col("n_exact"),
+        (abs(col("est") - col("n_exact").cast("double")) <=
+          lit(0.1) * col("n_exact").cast("double")).as("within_tol"))
+    dayRows.union(total).orderBy("scope")
+  }
+
+  val sqlHllDailyDistinct: String =
+    """WITH e AS (
+         SELECT CAST(ts AS DATE) AS day, user_id FROM events
+         WHERE user_id IS NOT NULL),
+       d AS (
+         SELECT 'day:' || CAST(day AS VARCHAR) AS scope,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+         FROM e GROUP BY 1),
+       t AS (
+         SELECT 'total' AS scope,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+         FROM e)
+       SELECT scope, n_exact, TRUE AS within_tol
+       FROM (SELECT * FROM d UNION ALL SELECT * FROM t)
+       ORDER BY scope"""
+
+  /** Robust outlier report: median absolute deviation per event type
+    * (exact interpolated medians, the same percentile/quantile_cont
+    * agreement [[valueProfile]] relies on), flagging |x − med| >
+    * 3·MAD. Three corpus passes by construction (MAD needs the median
+    * joined back, the flag needs the MAD joined back) — each one is a
+    * broadcast join of a per-type row, so nothing shuffles but the
+    * grouped aggregates. */
+  def madOutliers(events: DataFrame): DataFrame = {
+    val med = events.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5D)").as("med"))
+    val dev = events.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("value"), col("med"),
+        abs(col("value") - col("med")).as("adev"))
+    val mad = dev.groupBy("event_type")
+      .agg(min(col("med")).as("med"), expr("percentile(adev, 0.5D)").as("mad"),
+        count(col("value")).as("n"))
+    dev.select(col("event_type"), col("adev"))
+      .join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(min(col("n")).as("n"), min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
+        sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("event_type"), col("n"), col("med"), col("mad"),
+        col("n_outliers"),
+        (col("n_outliers").cast("double") / col("n").cast("double"))
+          .as("outlier_rate"))
+      .orderBy("event_type")
+  }
+
+  val sqlMadOutliers: String =
+    """WITH med AS (
+         SELECT event_type, quantile_cont(value, 0.5) AS med
+         FROM events GROUP BY 1),
+       dev AS (
+         SELECT e.event_type, e.value, med, abs(e.value - med) AS adev
+         FROM events e JOIN med USING (event_type)),
+       m AS (
+         SELECT event_type, min(med) AS med, quantile_cont(adev, 0.5) AS mad,
+           CAST(count(value) AS BIGINT) AS n
+         FROM dev GROUP BY 1),
+       g AS (
+         SELECT dev.event_type, min(n) AS n, min(m.med) AS med,
+           min(mad) AS mad,
+           CAST(sum(CASE WHEN adev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+         FROM dev JOIN m USING (event_type) GROUP BY 1)
+       SELECT event_type, n, med, mad, n_outliers,
+         CAST(n_outliers AS DOUBLE) / CAST(n AS DOUBLE) AS outlier_rate
+       FROM g ORDER BY event_type"""
+
   val SkewTopK = 20
 
   /** Join-key skew diagnosis: the top-[[SkewTopK]] heaviest user_id

@@ -33,6 +33,32 @@ class TopNSpec extends SparkSpec {
     assert(!plan.contains("Window"))
   }
 
+  test("hll union: day sketches merge to the exact total at small cardinality") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val events = Seq(
+      (1L, Some(10L), ts("2024-01-01 10:00:00")), (2L, Some(11L), ts("2024-01-01 11:00:00")),
+      (3L, Some(10L), ts("2024-01-02 10:00:00")), (4L, Some(12L), ts("2024-01-02 11:00:00")),
+      (5L, Option.empty[Long], ts("2024-01-02 12:00:00")) // null user excluded
+    ).toDF("event_id", "user_id", "ts")
+    val out = graft.pipeline.Windows.hllDailyDistinct(events).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out("day:2024-01-01") === ((2L, true)))
+    assert(out("day:2024-01-02") === ((2L, true)))
+    assert(out("total") === ((3L, true))) // 10 overlaps both days
+  }
+
+  test("mad outliers: zero-MAD spike flagged, symmetric data clean") {
+    val events = Seq(
+      ("click", 1.0), ("click", 1.0), ("click", 1.0), ("click", 1.0), ("click", 100.0),
+      ("view", 1.0), ("view", 2.0), ("view", 3.0)
+    ).toDF("event_type", "value")
+    val out = graft.pipeline.Windows.madOutliers(events).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(out("click") === ((5L, 1.0, 0.0, 1L))) // MAD 0: any deviation flags
+    assert(out("view") === ((3L, 2.0, 1.0, 0L)))
+  }
+
   test("skew report: hot key first, shares and x_avg exact, nulls excluded") {
     val events = (Seq.fill(6)(7L) ++ Seq(1L, 2L, 3L)).zipWithIndex
       .map { case (u, i) => (i.toLong, Option(u), "click", 1.0) }
