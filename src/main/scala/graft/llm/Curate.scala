@@ -91,12 +91,27 @@ object Curate {
   /** 60-bit integer from the first 15 hex digits of md5(salt:doc_id) —
     * the same md5-arithmetic portability trick as the MinHash base
     * hashes (TextPrep.sqlShingleCtes). */
-  private def hashBucket(salt: String, mod: Int): Column =
-    conv(substring(md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 15),
+  private def hashBucket(salt: String, mod: Int,
+                         c: Column = col("doc_id")): Column =
+    conv(substring(md5(concat(lit(s"$salt:"), c.cast("string"))), 1, 15),
       16, 10).cast("long") % mod
 
-  private def sqlHashBucket(salt: String, mod: Int): String =
-    s"CAST(concat('0x', substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % $mod"
+  private def sqlHashBucket(salt: String, mod: Int,
+                            e: String = "doc_id"): String =
+    s"CAST(concat('0x', substr(md5('$salt:' || CAST($e AS VARCHAR)), 1, 15)) AS BIGINT) % $mod"
+
+  /** The split label for a bucket column — ONE definition shared by
+    * [[splitAssign]] and the [[splitLeakage]] audit, so the audit can
+    * never silently check a different split than the one assigned. */
+  private def splitCase(bucket: Column): Column =
+    when(bucket < TrainPct, "train")
+      .when(bucket < TrainPct + ValPct, "validation")
+      .otherwise("test")
+
+  private def sqlSplitCase(bucketExpr: String): String =
+    s"""CASE WHEN $bucketExpr < $TrainPct THEN 'train'
+        WHEN $bucketExpr < ${TrainPct + ValPct} THEN 'validation'
+        ELSE 'test' END"""
 
   /** Assign every document to train/validation/test by hash bucket.
     * Adding documents never reassigns existing ones, and the split
@@ -105,17 +120,12 @@ object Curate {
   def splitAssign(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), hashBucket("split", 100).as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < TrainPct, "train")
-          .when(col("bucket") < TrainPct + ValPct, "validation")
-          .otherwise("test"))
+      .withColumn("split", splitCase(col("bucket")))
       .orderBy("doc_id")
 
   val sqlSplitAssign: String =
     s"""SELECT doc_id, ${sqlHashBucket("split", 100)} AS bucket,
-        CASE WHEN ${sqlHashBucket("split", 100)} < $TrainPct THEN 'train'
-             WHEN ${sqlHashBucket("split", 100)} < ${TrainPct + ValPct} THEN 'validation'
-             ELSE 'test' END AS split
+        ${sqlSplitCase(sqlHashBucket("split", 100))} AS split
         FROM documents ORDER BY doc_id"""
 
   // ---- stratified sampling ------------------------------------------
@@ -666,13 +676,7 @@ object Curate {
     * a pure function of doc_id, recomputed inline). */
   def splitLeakage(documents: DataFrame,
                    threshold: Double = LeakageThreshold): DataFrame = {
-    def splitOf(c: Column): Column = {
-      val b = conv(substring(md5(concat(lit("split:"), c.cast("string"))), 1, 15),
-        16, 10).cast("long") % 100
-      when(b < TrainPct, "train")
-        .when(b < TrainPct + ValPct, "validation")
-        .otherwise("test")
-    }
+    def splitOf(c: Column): Column = splitCase(hashBucket("split", 100, c))
     Dedup.minhashLshPairs(documents)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), splitOf(col("doc_a")).as("split_a"),
@@ -682,10 +686,7 @@ object Curate {
   }
 
   def sqlSplitLeakage(threshold: Double = LeakageThreshold): String = {
-    def splitOf(c: String): String =
-      s"""CASE WHEN CAST(concat('0x', substr(md5('split:' || CAST($c AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < $TrainPct THEN 'train'
-          WHEN CAST(concat('0x', substr(md5('split:' || CAST($c AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < ${TrainPct + ValPct} THEN 'validation'
-          ELSE 'test' END"""
+    def splitOf(c: String): String = sqlSplitCase(sqlHashBucket("split", 100, c))
     s"""WITH ${Dedup.sqlMinhashCtes},
         pr AS (
           SELECT doc_a, doc_b,

@@ -1212,10 +1212,12 @@ object Dedup {
     * quality filtering are redundant passes or orthogonal ones.
     *
     * Determinism: the quality double is integerized once
-    * (floor(q·10⁴)) and every power sum is an exact BIGINT; only the
-    * final r is floating. Overflow headroom: y ≤ 10⁴ so Σy² ≤ n·10⁸ —
-    * fine to ~10¹⁰ documents. Two hash aggregates + one join on
-    * doc_id; zero-variance sides yield NULL, not NaN. */
+    * (floor(q·10⁴)) and every power sum is an exact BIGINT; the final
+    * cross-products run in DECIMAL(38)/HUGEINT (n·Σy² and (Σy)² pass
+    * 2⁶³ already at ~10⁶ docs — BIGINT products would ANSI-overflow),
+    * exact to ~10¹⁰ docs, and only the final r is floating. Two hash
+    * aggregates + one join on doc_id; zero-variance sides yield NULL,
+    * not NaN. */
   def dupQualityCorr(documents: DataFrame): DataFrame = {
     val y = TextStats.textStatsUnordered(documents)
       .select(col("doc_id"),
@@ -1228,12 +1230,16 @@ object Dedup {
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("y") * col("y")).as("syy"))
       .select(col("n").as("n_docs"), col("sx").as("n_dups"),
-        when(col("n") * col("sx") - col("sx") * col("sx") === 0 ||
-             col("n") * col("syy") - col("sy") * col("sy") === 0, lit(null))
+        col("n").cast("decimal(38,0)").as("dn"), col("sx").cast("decimal(38,0)").as("dsx"),
+        col("sy").cast("decimal(38,0)").as("dsy"), col("sxy").cast("decimal(38,0)").as("dsxy"),
+        col("syy").cast("decimal(38,0)").as("dsyy"))
+      .select(col("n_docs"), col("n_dups"),
+        when(col("dn") * col("dsx") - col("dsx") * col("dsx") === 0 ||
+             col("dn") * col("dsyy") - col("dsy") * col("dsy") === 0, lit(null))
           .otherwise(
-            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-              (sqrt((col("n") * col("sx") - col("sx") * col("sx")).cast("double")) *
-                sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            (col("dn") * col("dsxy") - col("dsx") * col("dsy")).cast("double") /
+              (sqrt((col("dn") * col("dsx") - col("dsx") * col("dsx")).cast("double")) *
+                sqrt((col("dn") * col("dsyy") - col("dsy") * col("dsy")).cast("double"))))
           .as("r_pb"))
   }
 
@@ -1249,14 +1255,19 @@ object Dedup {
           SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
             CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
             CAST(sum(y * y) AS BIGINT) AS syy
-          FROM x JOIN y USING (doc_id))
+          FROM x JOIN y USING (doc_id)),
+        h2 AS (
+          SELECT n, sx, CAST(n AS HUGEINT) AS dn, CAST(sx AS HUGEINT) AS dsx,
+            CAST(sy AS HUGEINT) AS dsy, CAST(sxy AS HUGEINT) AS dsxy,
+            CAST(syy AS HUGEINT) AS dsyy
+          FROM s)
         SELECT n AS n_docs, sx AS n_dups,
-          CASE WHEN n * sx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
-          ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
-            (sqrt(CAST(n * sx - sx * sx AS DOUBLE)) *
-             sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+          CASE WHEN dn * dsx - dsx * dsx = 0 OR dn * dsyy - dsy * dsy = 0 THEN NULL
+          ELSE CAST(dn * dsxy - dsx * dsy AS DOUBLE) /
+            (sqrt(CAST(dn * dsx - dsx * dsx AS DOUBLE)) *
+             sqrt(CAST(dn * dsyy - dsy * dsy AS DOUBLE)))
           END AS r_pb
-        FROM s"""
+        FROM h2"""
 
   // ---- dup-graph PageRank -------------------------------------------
 

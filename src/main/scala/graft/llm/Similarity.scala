@@ -891,10 +891,16 @@ object Similarity {
     * purity signal (do nearby vectors share the label?) is if anything
     * SHARPER on within-cluster neighbors. Queries in singleton buckets
     * contribute no neighbor rows (the oracle does the same). */
-  def knnLabelPurityAnn(embeddings: DataFrame, k: Int = PurityK): DataFrame = {
+  /** Shared ANN-bucketed neighbor/label vote rows (query_id, label,
+    * nlabel): same-centroid candidates → top-k by cosine → both
+    * endpoint labels joined. [[knnLabelPurityAnn]] aggregates these
+    * per label; [[labelSuspects]] per vector — one candidate pipeline,
+    * so tie order and bucket shape can never diverge between them.
+    * Cache lifecycle: prepared() is shared between the eager fit and
+    * the returned lazy plan; released by the caller's clearCache()
+    * (Bench/Verify). */
+  private def neighborLabelVotes(embeddings: DataFrame, k: Int): DataFrame = {
     graft.functions.GraftFunctions.registerAll(embeddings.sparkSession)
-    // cache lifecycle: shared between the eager fit and the returned
-    // lazy plan; released by the caller's clearCache() (Bench/Verify)
     val n = prepared(embeddings).cache()
     val labels = embeddings.select(col("vec_id"), col("label"))
     val assign = assignToCentroids(n)
@@ -911,6 +917,11 @@ object Similarity {
       .join(labels.withColumnRenamed("vec_id", "query_id"), "query_id")
       .join(labels.select(col("vec_id").as("neighbor_id"),
         col("label").as("nlabel")), "neighbor_id")
+      .select("query_id", "label", "nlabel")
+  }
+
+  def knnLabelPurityAnn(embeddings: DataFrame, k: Int = PurityK): DataFrame =
+    neighborLabelVotes(embeddings, k)
       .groupBy("label")
       .agg(count(lit(1)).as("n_neighbor_rows"),
         sum(when(col("nlabel") === col("label"), 1L).otherwise(0L)).as("n_matches"))
@@ -918,73 +929,11 @@ object Similarity {
         (col("n_matches").cast("double") /
           col("n_neighbor_rows").cast("double")).as("purity"))
       .orderBy("label")
-  }
 
-  def sqlKnnLabelPurityAnn(k: Int = PurityK): String =
-    s"""WITH $sqlFitRankedCtes,
-        assign AS (SELECT vec_id, centroid_id FROM ranked WHERE crnk = 1),
-        lbl AS (SELECT vec_id, label FROM embeddings),
-        p AS (
-          SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id,
-            $sqlCosine AS cosine
-          FROM assign x JOIN assign y
-            ON x.centroid_id = y.centroid_id AND x.vec_id <> y.vec_id
-          JOIN n a ON x.vec_id = a.vec_id
-          JOIN n b ON y.vec_id = b.vec_id),
-        r AS (SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
-          FROM p),
-        t AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= $k),
-        j AS (
-          SELECT ql.label,
-            CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END AS m
-          FROM t JOIN lbl ql ON t.query_id = ql.vec_id
-                 JOIN lbl nl ON t.neighbor_id = nl.vec_id),
-        g AS (
-          SELECT label, CAST(count(*) AS BIGINT) AS n_neighbor_rows,
-            CAST(sum(m) AS BIGINT) AS n_matches
-          FROM j GROUP BY 1)
-        SELECT label, n_neighbor_rows, n_matches,
-          CAST(n_matches AS DOUBLE) / CAST(n_neighbor_rows AS DOUBLE) AS purity
-        FROM g ORDER BY label"""
-
-  /** Mislabeled-sample detection: vectors whose IVF-bucketed kNN
-    * neighborhood votes AGAINST their own label (strict minority
-    * agreement, integer test 2·agree < n — no float threshold to
-    * disagree across engines). The confident-learning-style triage
-    * list a labeling pipeline reviews first; same bucketed candidate
-    * shape as [[knnLabelPurityAnn]], aggregated per vector instead of
-    * per label. */
-  def labelSuspects(embeddings: DataFrame, k: Int = PurityK): DataFrame = {
-    graft.functions.GraftFunctions.registerAll(embeddings.sparkSession)
-    val n = prepared(embeddings).cache()
-    val labels = embeddings.select(col("vec_id"), col("label"))
-    val assign = assignToCentroids(n)
-    val withV = assign.join(n.select("vec_id", "v", "nrm"), "vec_id")
-    val pairs = withV.as("a").join(withV.as("b"),
-        col("a.centroid_id") === col("b.centroid_id") &&
-          col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("query_id"),
-        col("b.vec_id").as("neighbor_id"), cosine("a", "b"))
-    pairs.groupBy("query_id")
-      .agg(call_function("top_k_by", col("cosine"), col("neighbor_id"), lit(k)).as("top"))
-      .select(col("query_id"), explode(col("top")).as("e"))
-      .select(col("query_id"), col("e.id").as("neighbor_id"))
-      .join(labels.withColumnRenamed("vec_id", "query_id"), "query_id")
-      .join(labels.select(col("vec_id").as("neighbor_id"),
-        col("label").as("nlabel")), "neighbor_id")
-      .groupBy(col("query_id"), col("label"))
-      .agg(count(lit(1)).as("n_neighbors"),
-        sum(when(col("nlabel") === col("label"), 1L).otherwise(0L)).as("n_agree"))
-      .filter(col("n_agree") * 2 < col("n_neighbors"))
-      .select(col("query_id"), col("label"), col("n_neighbors"), col("n_agree"),
-        (col("n_agree").cast("double") / col("n_neighbors").cast("double"))
-          .as("agreement"))
-      .orderBy("query_id")
-  }
-
-  def sqlLabelSuspects(k: Int = PurityK): String =
-    s"""WITH $sqlFitRankedCtes,
+  /** Shared SQL twin of [[neighborLabelVotes]]: CTEs ending in
+    * `j(query_id, label, m)` where m = 1 iff the neighbor agrees. */
+  private def sqlVoteCtes(k: Int): String =
+    s"""$sqlFitRankedCtes,
         assign AS (SELECT vec_id, centroid_id FROM ranked WHERE crnk = 1),
         lbl AS (SELECT vec_id, label FROM embeddings),
         p AS (
@@ -1002,7 +951,38 @@ object Similarity {
           SELECT t.query_id, ql.label,
             CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END AS m
           FROM t JOIN lbl ql ON t.query_id = ql.vec_id
-                 JOIN lbl nl ON t.neighbor_id = nl.vec_id),
+                 JOIN lbl nl ON t.neighbor_id = nl.vec_id)"""
+
+  def sqlKnnLabelPurityAnn(k: Int = PurityK): String =
+    s"""WITH ${sqlVoteCtes(k)},
+        g AS (
+          SELECT label, CAST(count(*) AS BIGINT) AS n_neighbor_rows,
+            CAST(sum(m) AS BIGINT) AS n_matches
+          FROM j GROUP BY 1)
+        SELECT label, n_neighbor_rows, n_matches,
+          CAST(n_matches AS DOUBLE) / CAST(n_neighbor_rows AS DOUBLE) AS purity
+        FROM g ORDER BY label"""
+
+  /** Mislabeled-sample detection: vectors whose IVF-bucketed kNN
+    * neighborhood votes AGAINST their own label (strict minority
+    * agreement, integer test 2·agree < n — no float threshold to
+    * disagree across engines). The confident-learning-style triage
+    * list a labeling pipeline reviews first; same bucketed candidate
+    * shape as [[knnLabelPurityAnn]], aggregated per vector instead of
+    * per label. */
+  def labelSuspects(embeddings: DataFrame, k: Int = PurityK): DataFrame =
+    neighborLabelVotes(embeddings, k)
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("nlabel") === col("label"), 1L).otherwise(0L)).as("n_agree"))
+      .filter(col("n_agree") * 2 < col("n_neighbors"))
+      .select(col("query_id"), col("label"), col("n_neighbors"), col("n_agree"),
+        (col("n_agree").cast("double") / col("n_neighbors").cast("double"))
+          .as("agreement"))
+      .orderBy("query_id")
+
+  def sqlLabelSuspects(k: Int = PurityK): String =
+    s"""WITH ${sqlVoteCtes(k)},
         g AS (
           SELECT query_id, label, CAST(count(*) AS BIGINT) AS n_neighbors,
             CAST(sum(m) AS BIGINT) AS n_agree
@@ -1176,25 +1156,28 @@ object Similarity {
   // ---- ANN recall evaluation ----------------------------------------
 
   val RecallSampleMod = 20
+  val RecallMaxQueries = 500
   val RecallK = 10
 
   /** IVF recall@k report — the evaluation harness every ANN index
-    * needs before anyone trusts it: for a deterministic 1-in-
-    * [[RecallSampleMod]] sample of query vectors, compare [[ivfTopK]]'s
-    * neighbor set against the EXACT top-k and report hits per query.
+    * needs before anyone trusts it: for a deterministic query sample,
+    * compare [[ivfTopK]]'s neighbor set against the EXACT top-k and
+    * report hits per query.
     *
     * The ground-truth side is sampled-queries × corpus — the one
-    * deliberate quadratic-ish shape here, and exactly how recall is
-    * measured in practice at any scale: q is a FIXED evaluation budget
-    * (the mod keeps this suite deterministic; a production harness
-    * pins q ≈ 1000 queries), so cost is q·n map work with the
-    * bounded-heap aggregate keeping ≤ k rows per query per map
-    * partition off each scan. Declared in PlanAudit.allowlist as an
-    * evaluation baseline. */
+    * deliberate quadratic-looking shape here, and exactly how recall
+    * is measured in practice. The sample is a HARD FIXED budget, not
+    * a proportion: the smallest [[RecallMaxQueries]] vec_ids that are
+    * ≡ 0 (mod [[RecallSampleMod]]) — a TakeOrdered of ≤ 500 rows — so
+    * ground-truth cost is bounded-q·n map work at ANY corpus size,
+    * with the bounded-heap aggregate keeping ≤ k rows per query per
+    * map partition off each scan. Declared in PlanAudit.allowlist as
+    * an evaluation harness. */
   def ivfRecall(embeddings: DataFrame, k: Int = RecallK): DataFrame = {
     graft.functions.TopKByScore.register(embeddings.sparkSession)
     val n = prepared(embeddings).cache()
     val q = n.filter(pmod(col("vec_id"), lit(RecallSampleMod)) === 0)
+      .orderBy("vec_id").limit(RecallMaxQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val exact = q.join(n, col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -1218,7 +1201,8 @@ object Similarity {
   def sqlIvfRecall(k: Int = RecallK): String =
     s"""WITH $sqlPrepared,
         q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
-              WHERE vec_id % $RecallSampleMod = 0),
+              WHERE vec_id % $RecallSampleMod = 0
+              ORDER BY vec_id LIMIT $RecallMaxQueries),
         ex AS (
           SELECT query_id, neighbor_id FROM (
             SELECT q.query_id, n.vec_id AS neighbor_id,

@@ -591,6 +591,7 @@ object Windows {
     val daily = e.groupBy(to_date(col("ts")).as("day"))
       .agg(expr("hll_sketch_agg(user_id)").as("sk"),
         countDistinct(col("user_id")).as("n_exact"))
+      .cache() // one row per day; feeds both the day rows and the union
     val dayRows = daily.select(
       concat(lit("day:"), col("day").cast("string")).as("scope"),
       col("n_exact"),
