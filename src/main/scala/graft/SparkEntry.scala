@@ -269,7 +269,9 @@ object SparkEntry {
     // mergeable HLL sketches: daily sketches union'd to corpus distinct
     "q_hll_union" -> ((s, d) => Windows.hllDailyDistinct(ev(s, d))),
     // robust MAD outlier report (exact medians, 3-MAD fence)
-    "q_mad_outliers" -> ((s, d) => Windows.madOutliers(ev(s, d)))
+    "q_mad_outliers" -> ((s, d) => Windows.madOutliers(ev(s, d))),
+    // the pipeline dashboard: docs/tokens surviving each curation stage
+    "q_curation_funnel" -> ((s, d) => llm.Curate.curationFunnel(Tables.documents(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -546,6 +548,7 @@ object SparkEntry {
     "q_skew_report" -> Windows.sqlSkewReport(),
     "q_label_suspects" -> llm.Similarity.sqlLabelSuspects(),
     "q_hll_union" -> Windows.sqlHllDailyDistinct,
-    "q_mad_outliers" -> Windows.sqlMadOutliers
+    "q_mad_outliers" -> Windows.sqlMadOutliers,
+    "q_curation_funnel" -> llm.Curate.sqlCurationFunnel()
   )
 }

@@ -661,6 +661,111 @@ object Curate {
         SELECT lang, CAST(rnk AS INTEGER) AS rnk, doc_id, quality_score
         FROM ranked WHERE rnk <= $k ORDER BY lang, rnk"""
 
+  // ---- curation funnel -----------------------------------------------
+
+  val QualityFloor = 0.5
+
+  /** The whole-pipeline dashboard in one query: document and token
+    * counts surviving each curation stage, cumulatively —
+    * 1_raw → 2_exact_dedup (md5 first-copy) → 3_near_dedup (no LSH
+    * partner with a smaller doc_id at jaccard ≥ ClusterThreshold; the
+    * pair-based survivor rule incremental dedup uses, deliberately
+    * not transitive closure) → 4_rules ([[c4Filter]]) →
+    * 5_quality (score ≥ [[QualityFloor]]).
+    *
+    * This is the report a data lead reads before a training run: how
+    * much of the crawl survives, and which stage is eating it. Cost =
+    * the LSH pair pipeline plus three doc-keyed joins and ONE
+    * single-row aggregate; the per-stage rows are five projections of
+    * that aggregate. */
+  def curationFunnel(documents: DataFrame): DataFrame = {
+    val stats = TextStats.textStatsUnordered(documents)
+      .select(col("doc_id"), col("n_words"), col("quality_score"))
+    val h = documents.select(col("doc_id"), md5(col("text")).as("h"))
+    val keepExact = h
+      .join(h.groupBy("h").agg(min(col("doc_id")).as("m")), "h")
+      .select(col("doc_id"), (col("doc_id") === col("m")).as("s2"))
+    // pairs are emitted doc_a < doc_b, so "has a smaller near-dup
+    // partner" == "appears as doc_b"
+    val droppedNear = Dedup.minhashLshPairs(documents)
+      .filter(col("jaccard") >= Dedup.ClusterThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("near_dropped", lit(true))
+    val flags = stats
+      .join(keepExact, "doc_id")
+      .join(droppedNear, Seq("doc_id"), "left")
+      .join(c4Filter(documents).select(col("doc_id"), col("keep")), "doc_id")
+      .select(col("n_words"), col("s2"),
+        (col("s2") && !coalesce(col("near_dropped"), lit(false))).as("s3"),
+        col("keep"), col("quality_score"))
+      .withColumn("s4", col("s3") && col("keep"))
+      .withColumn("s5", col("s4") && col("quality_score") >= QualityFloor)
+    val a = flags.agg(
+      count(lit(1)).as("n1"), sum(col("n_words")).as("t1"),
+      sum(when(col("s2"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("s2"), col("n_words")).otherwise(0L)).as("t2"),
+      sum(when(col("s3"), 1L).otherwise(0L)).as("n3"),
+      sum(when(col("s3"), col("n_words")).otherwise(0L)).as("t3"),
+      sum(when(col("s4"), 1L).otherwise(0L)).as("n4"),
+      sum(when(col("s4"), col("n_words")).otherwise(0L)).as("t4"),
+      sum(when(col("s5"), 1L).otherwise(0L)).as("n5"),
+      sum(when(col("s5"), col("n_words")).otherwise(0L)).as("t5"))
+    val stages = Seq(
+      ("1_raw", "n1", "t1"), ("2_exact_dedup", "n2", "t2"),
+      ("3_near_dedup", "n3", "t3"), ("4_rules", "n4", "t4"),
+      ("5_quality", "n5", "t5"))
+    stages.map { case (name, n, t) =>
+      a.select(lit(name).as("stage"), col(n).as("n_docs"), col(t).as("n_tokens"),
+        (col(n).cast("double") / col("n1").cast("double")).as("pct_docs"))
+    }.reduce(_ union _).orderBy("stage")
+  }
+
+  def sqlCurationFunnel(): String = {
+    val unions = Seq(
+      ("1_raw", "n1", "t1"), ("2_exact_dedup", "n2", "t2"),
+      ("3_near_dedup", "n3", "t3"), ("4_rules", "n4", "t4"),
+      ("5_quality", "n5", "t5"))
+      .map { case (name, n, t) =>
+        s"""SELECT '$name' AS stage, $n AS n_docs, $t AS n_tokens,
+            CAST($n AS DOUBLE) / CAST(n1 AS DOUBLE) AS pct_docs FROM a"""
+      }.mkString("\n          UNION ALL ")
+    s"""WITH ${Dedup.sqlMinhashCtes},
+        stats AS (${TextStats.sqlTextStats}),
+        hh AS (SELECT doc_id, md5(text) AS h FROM documents),
+        ke AS (
+          SELECT hh.doc_id, hh.doc_id = m AS s2
+          FROM hh JOIN (SELECT h, min(doc_id) AS m FROM hh GROUP BY 1) g
+            USING (h)),
+        dn AS (
+          SELECT DISTINCT doc_b AS doc_id FROM verified
+          WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE)
+            >= ${Dedup.ClusterThreshold}),
+        c4 AS ($sqlC4Filter),
+        flags AS (
+          SELECT s.n_words, ke.s2,
+            ke.s2 AND dn.doc_id IS NULL AS s3,
+            ke.s2 AND dn.doc_id IS NULL AND c4.keep AS s4,
+            ke.s2 AND dn.doc_id IS NULL AND c4.keep
+              AND s.quality_score >= $QualityFloor AS s5
+          FROM stats s JOIN ke ON s.doc_id = ke.doc_id
+            LEFT JOIN dn ON s.doc_id = dn.doc_id
+            JOIN c4 ON s.doc_id = c4.doc_id),
+        a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n1, CAST(sum(n_words) AS BIGINT) AS t1,
+            CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+            CAST(sum(CASE WHEN s2 THEN n_words ELSE 0 END) AS BIGINT) AS t2,
+            CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+            CAST(sum(CASE WHEN s3 THEN n_words ELSE 0 END) AS BIGINT) AS t3,
+            CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+            CAST(sum(CASE WHEN s4 THEN n_words ELSE 0 END) AS BIGINT) AS t4,
+            CAST(sum(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT) AS n5,
+            CAST(sum(CASE WHEN s5 THEN n_words ELSE 0 END) AS BIGINT) AS t5
+          FROM flags)
+        SELECT stage, n_docs, n_tokens, pct_docs FROM (
+          $unions)
+        ORDER BY stage"""
+  }
+
   // ---- split leakage audit -------------------------------------------
 
   val LeakageThreshold = 0.8

@@ -1073,6 +1073,36 @@ class LlmSpec extends SparkSpec {
     assert(out(1L) === ((2L, 2L, 6L, 3.0)))
   }
 
+  test("curation funnel: each stage eats exactly its target docs") {
+    // 35 distinct words (dense shingle set so the near-dup pair is
+    // firmly inside LSH recall), stopwords present, mean wlen in band
+    val good = "the quick brown fox leaps over lazy dogs and runs past " +
+      "tall green trees near blue lake with cold wind from north hill " +
+      "then turns back home to rest under warm sun light all day"
+    // near dup: only the LAST word changes -> shingle jaccard ~0.89
+    val near = (good.split(" ").dropRight(1) :+ "cats").mkString(" ")
+    // rule-fail: unique content (not a near dup of good), brace word
+    val braced = Seq.fill(7)("a tiny red snake rests").mkString(" ") + " {"
+    val d = Seq(
+      (0L, good, "en", "s", good.length.toLong),
+      (1L, good, "en", "s", good.length.toLong),   // exact dup -> stage 2
+      (2L, near, "en", "s", 0L),                   // near dup  -> stage 3
+      (3L, braced, "en", "s", 0L)                  // brace     -> stage 4
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curate.curationFunnel(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("1_raw")._1 === 4L && out("1_raw")._3 === 1.0)
+    assert(out("2_exact_dedup")._1 === 3L)  // doc 1 gone
+    assert(out("3_near_dedup")._1 === 2L)   // doc 2 gone
+    assert(out("4_rules")._1 === 1L)        // doc 3 gone (brace)
+    assert(out("5_quality")._1 <= 1L)
+    // docs and tokens are monotone non-increasing down the funnel
+    val order = Seq("1_raw", "2_exact_dedup", "3_near_dedup", "4_rules", "5_quality")
+    order.sliding(2).foreach { case Seq(x, y) =>
+      assert(out(x)._1 >= out(y)._1 && out(x)._2 >= out(y)._2)
+    }
+  }
+
   test("split leakage: cross-split near-dups flagged, within-split not") {
     // 40 copies of one text: every pair is a jaccard-1.0 near-dup;
     // leakage = exactly the pairs whose hash-splits differ
