@@ -271,7 +271,15 @@ object SparkEntry {
     // robust MAD outlier report (exact medians, 3-MAD fence)
     "q_mad_outliers" -> ((s, d) => Windows.madOutliers(ev(s, d))),
     // the pipeline dashboard: docs/tokens surviving each curation stage
-    "q_curation_funnel" -> ((s, d) => llm.Curate.curationFunnel(Tables.documents(s, d)))
+    "q_curation_funnel" -> ((s, d) => llm.Curate.curationFunnel(Tables.documents(s, d))),
+    // TPC-H Q1 pricing summary: all-decimal money products, one agg
+    "q_pricing_summary" -> ((s, d) => Enrich.pricingSummary(Tables.lineitem(s, d))),
+    // lineitem x part star join, dimension broadcast
+    "q_brand_revenue" -> ((s, d) =>
+      Enrich.brandRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    // supplier x nation rollup: the last two driver tables exercised
+    "q_supplier_balances" -> ((s, d) =>
+      Enrich.supplierBalances(Tables.supplier(s, d), Tables.nation(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -549,6 +557,9 @@ object SparkEntry {
     "q_label_suspects" -> llm.Similarity.sqlLabelSuspects(),
     "q_hll_union" -> Windows.sqlHllDailyDistinct,
     "q_mad_outliers" -> Windows.sqlMadOutliers,
-    "q_curation_funnel" -> llm.Curate.sqlCurationFunnel()
+    "q_curation_funnel" -> llm.Curate.sqlCurationFunnel(),
+    "q_pricing_summary" -> Enrich.sqlPricingSummary,
+    "q_brand_revenue" -> Enrich.sqlBrandRevenue,
+    "q_supplier_balances" -> Enrich.sqlSupplierBalances
   )
 }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Enrichment stages — dimension joins, categorization, multi-source
@@ -130,4 +130,92 @@ object Enrich {
         count(lit(1)).as("n_orders"),
         Aggregate.moneySum(col("o_totalprice")).as("total_revenue"))
       .orderBy("nation")
+
+  /** TPC-H Q1-shaped pricing summary over lineitem: per
+    * (returnflag, linestatus), quantity/price/discounted/charged sums
+    * and averages. Every money product runs entirely in DECIMAL —
+    * extprice·(1−disc)·(1+tax) as exact decimal products BEFORE the
+    * sum — so partial-aggregation order cannot perturb a bit; the
+    * averages divide exact sums as the final (deterministic) IEEE op.
+    * One partial+final hash aggregate over a pruned 7-column scan. */
+  def pricingSummary(lineitem: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(18,2)")
+    val discPrice = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
+    val charge = discPrice * (lit(1).cast("decimal(18,2)") + dec(col("l_tax")))
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(dec(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val sqlPricingSummary: String =
+    """SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+         * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+         AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Revenue by part brand: the lineitem ⋈ part star join with the
+    * dimension broadcast — per brand, line count and exact discounted
+    * revenue. */
+  def brandRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(18,2)")
+    val discPrice = dec(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
+    lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(discPrice).cast("double").as("revenue"))
+      .orderBy("p_brand")
+  }
+
+  val sqlBrandRevenue: String =
+    """SELECT p_brand, count(*) AS n_lines,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       GROUP BY 1 ORDER BY 1"""
+
+  /** Supplier account-balance rollup per nation (supplier ⋈ nation,
+    * dimension broadcast): the last two driver tables exercised. */
+  def supplierBalances(supplier: DataFrame, nation: DataFrame): DataFrame =
+    supplier
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        Aggregate.moneySum(col("s_acctbal")).as("total_acctbal"),
+        (Aggregate.moneySum(col("s_acctbal")) / count(lit(1))).as("avg_acctbal"))
+      .orderBy("nation")
+
+  val sqlSupplierBalances: String =
+    """SELECT n_name AS nation, count(*) AS n_suppliers,
+       CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+       CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_acctbal
+       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       GROUP BY 1 ORDER BY 1"""
 }

@@ -475,4 +475,32 @@ class CoverageSpec extends SparkSpec {
     assert(a === b)
     assert(a.count(_.head == "en") === 3 && a.count(_.head == "fr") === 3)
   }
+
+  test("pricing summary: all-decimal money algebra, shipdate fence inclusive") {
+    import java.sql.Timestamp
+    val li = Seq(
+      // flag, status, qty, extprice, disc, tax, shipdate
+      ("A", "F", 10.0, 100.0, 0.10, 0.05, Timestamp.valueOf("1998-09-02 00:00:00")),
+      ("A", "F", 20.0, 200.0, 0.00, 0.10, Timestamp.valueOf("1998-01-01 00:00:00")),
+      ("N", "O", 5.0, 50.0, 0.50, 0.00, Timestamp.valueOf("1997-06-15 00:00:00")),
+      ("A", "F", 99.0, 999.0, 0.99, 0.99, Timestamp.valueOf("1998-09-03 00:00:00")) // fenced out
+    ).toDF("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+      "l_discount", "l_tax", "l_shipdate")
+    val out = graft.pipeline.Enrich.pricingSummary(li).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(9))).toMap
+    // AF: qty 30, base 300, disc_price 100*0.9 + 200*1.0 = 290,
+    //     charge 90*1.05 + 200*1.10 = 94.5 + 220 = 314.5; 2 rows kept
+    assert(out(("A", "F")) === ((30.0, 300.0, 290.0, 314.5, 2L)))
+    assert(out(("N", "O")) === ((5.0, 50.0, 25.0, 25.0, 1L)))
+    assert(out.size === 2)
+  }
+
+  test("brand revenue broadcasts the part dimension") {
+    val plan = graft.pipeline.Enrich.brandRevenue(
+        Tables.lineitem(spark, sf()), Tables.part(spark, sf()))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+    assert(!plan.contains("SortMergeJoin"))
+  }
 }
