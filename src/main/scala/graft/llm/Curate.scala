@@ -679,11 +679,14 @@ object Curate {
     * single-row aggregate; the per-stage rows are five projections of
     * that aggregate. */
   def curationFunnel(documents: DataFrame): DataFrame = {
+    // fingerprint = md5(text), already computed by the stats pass —
+    // the exact-dedup stage reuses it instead of re-hashing the corpus
     val stats = TextStats.textStatsUnordered(documents)
-      .select(col("doc_id"), col("n_words"), col("quality_score"))
-    val h = documents.select(col("doc_id"), md5(col("text")).as("h"))
-    val keepExact = h
-      .join(h.groupBy("h").agg(min(col("doc_id")).as("m")), "h")
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+        col("fingerprint"))
+    val keepExact = stats
+      .join(stats.groupBy("fingerprint").agg(min(col("doc_id")).as("m")),
+        "fingerprint")
       .select(col("doc_id"), (col("doc_id") === col("m")).as("s2"))
     // pairs are emitted doc_a < doc_b, so "has a smaller near-dup
     // partner" == "appears as doc_b"
@@ -695,28 +698,35 @@ object Curate {
       .join(keepExact, "doc_id")
       .join(droppedNear, Seq("doc_id"), "left")
       .join(c4Filter(documents).select(col("doc_id"), col("keep")), "doc_id")
-      .select(col("n_words"), col("s2"),
+      .select(col("n_tokens"), col("s2"),
         (col("s2") && !coalesce(col("near_dropped"), lit(false))).as("s3"),
         col("keep"), col("quality_score"))
       .withColumn("s4", col("s3") && col("keep"))
       .withColumn("s5", col("s4") && col("quality_score") >= QualityFloor)
+    // cached: the expensive pipeline collapses to ONE row consumed by
+    // all five stage projections — never rely on exchange reuse alone
     val a = flags.agg(
-      count(lit(1)).as("n1"), sum(col("n_words")).as("t1"),
+      count(lit(1)).as("n1"), sum(col("n_tokens")).as("t1"),
       sum(when(col("s2"), 1L).otherwise(0L)).as("n2"),
-      sum(when(col("s2"), col("n_words")).otherwise(0L)).as("t2"),
+      sum(when(col("s2"), col("n_tokens")).otherwise(0L)).as("t2"),
       sum(when(col("s3"), 1L).otherwise(0L)).as("n3"),
-      sum(when(col("s3"), col("n_words")).otherwise(0L)).as("t3"),
+      sum(when(col("s3"), col("n_tokens")).otherwise(0L)).as("t3"),
       sum(when(col("s4"), 1L).otherwise(0L)).as("n4"),
-      sum(when(col("s4"), col("n_words")).otherwise(0L)).as("t4"),
+      sum(when(col("s4"), col("n_tokens")).otherwise(0L)).as("t4"),
       sum(when(col("s5"), 1L).otherwise(0L)).as("n5"),
-      sum(when(col("s5"), col("n_words")).otherwise(0L)).as("t5"))
+      sum(when(col("s5"), col("n_tokens")).otherwise(0L)).as("t5"))
+      .cache()
     val stages = Seq(
       ("1_raw", "n1", "t1"), ("2_exact_dedup", "n2", "t2"),
       ("3_near_dedup", "n3", "t3"), ("4_rules", "n4", "t4"),
       ("5_quality", "n5", "t5"))
     stages.map { case (name, n, t) =>
+      // NULL (not NaN) on an empty corpus: Spark 0.0/0.0 is NaN but
+      // DuckDB's is NULL, and the oracle compares every cell
       a.select(lit(name).as("stage"), col(n).as("n_docs"), col(t).as("n_tokens"),
-        (col(n).cast("double") / col("n1").cast("double")).as("pct_docs"))
+        when(col("n1") === 0, lit(null))
+          .otherwise(col(n).cast("double") / col("n1").cast("double"))
+          .as("pct_docs"))
     }.reduce(_ union _).orderBy("stage")
   }
 
@@ -727,22 +737,24 @@ object Curate {
       ("5_quality", "n5", "t5"))
       .map { case (name, n, t) =>
         s"""SELECT '$name' AS stage, $n AS n_docs, $t AS n_tokens,
-            CAST($n AS DOUBLE) / CAST(n1 AS DOUBLE) AS pct_docs FROM a"""
+            CASE WHEN n1 = 0 THEN NULL
+                 ELSE CAST($n AS DOUBLE) / CAST(n1 AS DOUBLE) END AS pct_docs
+            FROM a"""
       }.mkString("\n          UNION ALL ")
     s"""WITH ${Dedup.sqlMinhashCtes},
         stats AS (${TextStats.sqlTextStats}),
-        hh AS (SELECT doc_id, md5(text) AS h FROM documents),
         ke AS (
-          SELECT hh.doc_id, hh.doc_id = m AS s2
-          FROM hh JOIN (SELECT h, min(doc_id) AS m FROM hh GROUP BY 1) g
-            USING (h)),
+          SELECT s0.doc_id, s0.doc_id = m AS s2
+          FROM stats s0 JOIN (
+            SELECT fingerprint, min(doc_id) AS m FROM stats GROUP BY 1) g
+            USING (fingerprint)),
         dn AS (
           SELECT DISTINCT doc_b AS doc_id FROM verified
           WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE)
             >= ${Dedup.ClusterThreshold}),
         c4 AS ($sqlC4Filter),
         flags AS (
-          SELECT s.n_words, ke.s2,
+          SELECT s.n_tokens, ke.s2,
             ke.s2 AND dn.doc_id IS NULL AS s3,
             ke.s2 AND dn.doc_id IS NULL AND c4.keep AS s4,
             ke.s2 AND dn.doc_id IS NULL AND c4.keep
@@ -751,15 +763,15 @@ object Curate {
             LEFT JOIN dn ON s.doc_id = dn.doc_id
             JOIN c4 ON s.doc_id = c4.doc_id),
         a AS (
-          SELECT CAST(count(*) AS BIGINT) AS n1, CAST(sum(n_words) AS BIGINT) AS t1,
+          SELECT CAST(count(*) AS BIGINT) AS n1, CAST(sum(n_tokens) AS BIGINT) AS t1,
             CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-            CAST(sum(CASE WHEN s2 THEN n_words ELSE 0 END) AS BIGINT) AS t2,
+            CAST(sum(CASE WHEN s2 THEN n_tokens ELSE 0 END) AS BIGINT) AS t2,
             CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
-            CAST(sum(CASE WHEN s3 THEN n_words ELSE 0 END) AS BIGINT) AS t3,
+            CAST(sum(CASE WHEN s3 THEN n_tokens ELSE 0 END) AS BIGINT) AS t3,
             CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
-            CAST(sum(CASE WHEN s4 THEN n_words ELSE 0 END) AS BIGINT) AS t4,
+            CAST(sum(CASE WHEN s4 THEN n_tokens ELSE 0 END) AS BIGINT) AS t4,
             CAST(sum(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT) AS n5,
-            CAST(sum(CASE WHEN s5 THEN n_words ELSE 0 END) AS BIGINT) AS t5
+            CAST(sum(CASE WHEN s5 THEN n_tokens ELSE 0 END) AS BIGINT) AS t5
           FROM flags)
         SELECT stage, n_docs, n_tokens, pct_docs FROM (
           $unions)

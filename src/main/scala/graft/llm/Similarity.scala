@@ -877,20 +877,6 @@ object Similarity {
           CAST(n_matches AS DOUBLE) / CAST(n_neighbor_rows AS DOUBLE) AS purity
         FROM g ORDER BY label"""
 
-  /** Scale-safe twin of [[knnLabelPurity]]: identical per-label purity
-    * report, but the neighbor lists come from IVF-bucketed candidates
-    * (same-centroid members only — the [[minedPairs]] candidate shape)
-    * instead of the exact all-pairs join. Per query, top-k by cosine
-    * WITHIN its centroid bucket via the bounded-heap aggregate.
-    *
-    * 100 TB shape: the fit is the broadcast k-means; assignment is a
-    * map-only pass; the pair space is per-bucket (n/√n rows each →
-    * n^1.5 total work, partitionable by centroid_id), never the n² of
-    * the exact baseline. Neighbors outside the query's bucket are
-    * missed by design — the same recall trade as IVF probes, and the
-    * purity signal (do nearby vectors share the label?) is if anything
-    * SHARPER on within-cluster neighbors. Queries in singleton buckets
-    * contribute no neighbor rows (the oracle does the same). */
   /** Shared ANN-bucketed neighbor/label vote rows (query_id, label,
     * nlabel): same-centroid candidates → top-k by cosine → both
     * endpoint labels joined. [[knnLabelPurityAnn]] aggregates these
@@ -920,6 +906,20 @@ object Similarity {
       .select("query_id", "label", "nlabel")
   }
 
+  /** Scale-safe twin of [[knnLabelPurity]]: identical per-label purity
+    * report, but the neighbor lists come from IVF-bucketed candidates
+    * (same-centroid members only — the [[minedPairs]] candidate shape)
+    * instead of the exact all-pairs join. Per query, top-k by cosine
+    * WITHIN its centroid bucket via the bounded-heap aggregate.
+    *
+    * 100 TB shape: the fit is the broadcast k-means; assignment is a
+    * map-only pass; the pair space is per-bucket (n/√n rows each →
+    * n^1.5 total work, partitionable by centroid_id), never the n² of
+    * the exact baseline. Neighbors outside the query's bucket are
+    * missed by design — the same recall trade as IVF probes, and the
+    * purity signal (do nearby vectors share the label?) is if anything
+    * SHARPER on within-cluster neighbors. Queries in singleton buckets
+    * contribute no neighbor rows (the oracle does the same). */
   def knnLabelPurityAnn(embeddings: DataFrame, k: Int = PurityK): DataFrame =
     neighborLabelVotes(embeddings, k)
       .groupBy("label")
