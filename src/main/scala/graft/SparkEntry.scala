@@ -279,7 +279,9 @@ object SparkEntry {
       Enrich.brandRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
     // supplier x nation rollup: the last two driver tables exercised
     "q_supplier_balances" -> ((s, d) =>
-      Enrich.supplierBalances(Tables.supplier(s, d), Tables.nation(s, d)))
+      Enrich.supplierBalances(Tables.supplier(s, d), Tables.nation(s, d))),
+    // DSIR importance weights: hashed-unigram target/raw ratio products
+    "q_dsir_weights" -> ((s, d) => llm.Curate.dsirWeights(Tables.documents(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -560,6 +562,7 @@ object SparkEntry {
     "q_curation_funnel" -> llm.Curate.sqlCurationFunnel(),
     "q_pricing_summary" -> Enrich.sqlPricingSummary,
     "q_brand_revenue" -> Enrich.sqlBrandRevenue,
-    "q_supplier_balances" -> Enrich.sqlSupplierBalances
+    "q_supplier_balances" -> Enrich.sqlSupplierBalances,
+    "q_dsir_weights" -> llm.Curate.sqlDsirWeights()
   )
 }

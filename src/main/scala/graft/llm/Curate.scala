@@ -661,6 +661,98 @@ object Curate {
         SELECT lang, CAST(rnk AS INTEGER) AS rnk, doc_id, quality_score
         FROM ranked WHERE rnk <= $k ORDER BY lang, rnk"""
 
+  // ---- DSIR-style importance weighting -------------------------------
+
+  val DsirBuckets = 1024
+  val DsirTargetLang = "en"
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how target-like its hashed unigram distribution is.
+    * Features are md5-hashed word buckets (B = [[DsirBuckets]]); the
+    * per-word factor is the add-one-smoothed target/raw bucket
+    * probability ratio, and the document weight is the product of its
+    * words' factors in word-position order. `target_like` (weight ≥ 1)
+    * is the resampling keep-signal.
+    *
+    * Determinism: bucket counts are exact integers; each per-word
+    * factor is ONE double division of exact integer products (both
+    * ≤ ~2⁴⁵ at web scale — exactly representable), and the product
+    * folds in pinned word order on both engines. No transcendental
+    * functions anywhere — production DSIR sums library logs to dodge
+    * under/overflow on very long documents, which no two engines
+    * round identically; at this corpus' lengths the pinned-order
+    * product is the hash-portable formulation, and the 100 TB variant
+    * swaps in integer-bit log2 (the [[TextStats.rarityScore]] trick)
+    * if documents grow past ~10³ words.
+    *
+    * Shapes: one positional explode, two bucket histograms (≤ B rows
+    * each), a broadcast ratio table, one per-doc fold aggregate. */
+  def dsirWeights(documents: DataFrame,
+                  targetLang: String = DsirTargetLang): DataFrame = {
+    val w = documents
+      .select(col("doc_id"), col("lang"),
+        posexplode(TextPrep.wordsCol).as(Seq("p", "word")))
+      .withColumn("b",
+        conv(substring(md5(concat(lit("dsir:"), col("word"))), 1, 15), 16, 10)
+          .cast("long") % DsirBuckets)
+    val raw = w.groupBy("b").agg(count(lit(1)).as("rc"))
+    val tgt = w.filter(col("lang") === targetLang)
+      .groupBy("b").agg(count(lit(1)).as("tc"))
+    val tot = w.agg(count(lit(1)).as("rtot"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ttot"))
+    val rtab = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        (((coalesce(col("tc"), lit(0L)) + 1) * (col("rtot") + DsirBuckets))
+          .cast("double") /
+          ((col("rc") + 1) * (col("ttot") + DsirBuckets)).cast("double")).as("r"))
+    val d = w.join(broadcast(rtab), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        expr("aggregate(transform(array_sort(collect_list(struct(p, r))), x -> x.r), " +
+          "CAST(1.0 AS DOUBLE), (a, x) -> a * x)").as("weight"))
+    // resampling keep-signal: above-median weight (DSIR selects by
+    // weight rank; an absolute 1.0 cut is meaningless because add-one
+    // smoothing biases every factor slightly down)
+    val med = d.agg(expr("percentile(weight, 0.5D)").as("medw"))
+    d.crossJoin(broadcast(med))
+      .select(col("doc_id"), col("n_words"), col("weight"),
+        (col("weight") >= col("medw")).as("target_like"))
+      .orderBy("doc_id")
+  }
+
+  def sqlDsirWeights(targetLang: String = DsirTargetLang): String =
+    s"""WITH w AS (
+          SELECT doc_id, lang,
+            unnest(generate_series(1, len(ws))) AS p, unnest(ws) AS word
+          FROM (SELECT doc_id, lang, ${TextPrep.sqlWords} AS ws FROM documents)),
+        wb AS (
+          SELECT doc_id, lang, p,
+            CAST(concat('0x', substr(md5('dsir:' || word), 1, 15)) AS BIGINT)
+              % $DsirBuckets AS b
+          FROM w),
+        raw AS (SELECT b, CAST(count(*) AS BIGINT) AS rc FROM wb GROUP BY 1),
+        tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS tc FROM wb
+                WHERE lang = '$targetLang' GROUP BY 1),
+        tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS rtot,
+            CAST(sum(CASE WHEN lang = '$targetLang' THEN 1 ELSE 0 END) AS BIGINT)
+              AS ttot
+          FROM wb),
+        rt AS (
+          SELECT raw.b,
+            CAST((COALESCE(tc, 0) + 1) * (rtot + $DsirBuckets) AS DOUBLE)
+              / CAST((rc + 1) * (ttot + $DsirBuckets) AS DOUBLE) AS r
+          FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
+        d AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+            list_reduce(list(r ORDER BY p), (a, x) -> a * x) AS weight
+          FROM wb JOIN rt USING (b) GROUP BY 1),
+        med AS (SELECT quantile_cont(weight, 0.5) AS medw FROM d)
+        SELECT doc_id, n_words, weight, weight >= medw AS target_like
+        FROM d CROSS JOIN med ORDER BY doc_id"""
+
   // ---- curation funnel -----------------------------------------------
 
   val QualityFloor = 0.5

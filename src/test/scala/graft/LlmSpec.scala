@@ -1073,6 +1073,24 @@ class LlmSpec extends SparkSpec {
     assert(out(1L) === ((2L, 2L, 6L, 3.0)))
   }
 
+  test("dsir weights: target-language docs outweigh off-target docs") {
+    val d = ((0L until 10L).map(i =>
+        (i, "solar panels store bright energy cleanly", "en", "s", 40L)) ++
+      (10L until 20L).map(i =>
+        (i, "gravel trucks haul heavy cargo slowly", "de", "s", 38L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curate.dsirWeights(d).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3)))
+    val (en, de) = out.partition(_._1 < 10L)
+    assert(en.map(_._2).min > de.map(_._2).max,
+      s"en weights must dominate: $out")
+    assert(en.forall(_._3) && de.forall(!_._3)) // median splits the langs
+    // deterministic across runs
+    val again = Curate.dsirWeights(d).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3)))
+    assert(out.toSeq === again.toSeq)
+  }
+
   test("curation funnel: each stage eats exactly its target docs") {
     // 35 distinct words (dense shingle set so the near-dup pair is
     // firmly inside LSH recall), stopwords present, mean wlen in band
