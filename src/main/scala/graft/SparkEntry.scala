@@ -281,7 +281,9 @@ object SparkEntry {
     "q_supplier_balances" -> ((s, d) =>
       Enrich.supplierBalances(Tables.supplier(s, d), Tables.nation(s, d))),
     // DSIR importance weights: hashed-unigram target/raw ratio products
-    "q_dsir_weights" -> ((s, d) => llm.Curate.dsirWeights(Tables.documents(s, d)))
+    "q_dsir_weights" -> ((s, d) => llm.Curate.dsirWeights(Tables.documents(s, d))),
+    // winsorization: clamp to exact [p05,p95], report moved mass
+    "q_winsorize" -> ((s, d) => Windows.winsorize(ev(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -563,6 +565,7 @@ object SparkEntry {
     "q_pricing_summary" -> Enrich.sqlPricingSummary,
     "q_brand_revenue" -> Enrich.sqlBrandRevenue,
     "q_supplier_balances" -> Enrich.sqlSupplierBalances,
-    "q_dsir_weights" -> llm.Curate.sqlDsirWeights()
+    "q_dsir_weights" -> llm.Curate.sqlDsirWeights(),
+    "q_winsorize" -> Windows.sqlWinsorize
   )
 }

@@ -674,6 +674,55 @@ object Windows {
          CAST(n_outliers AS DOUBLE) / CAST(n AS DOUBLE) AS outlier_rate
        FROM g ORDER BY event_type"""
 
+  /** Winsorization: clamp values to the exact [p05, p95] band per
+    * event type and report how much mass moved — the outlier-taming
+    * preprocessing step that keeps extreme rows (unlike trimming).
+    * Two grouped passes (cutpoints, then clamp+aggregate) joined by a
+    * per-type broadcast; sums decimal-stabilized. The interpolated
+    * cutpoints are quantized to cents with EXPLICIT floor(x·100+0.5)
+    * (the int8-quantization trick) before any use: an interpolated
+    * percentile can land exactly on a representable .xx5 tie, where
+    * Spark's decimal cast rounds half-up and DuckDB's half-to-even —
+    * quantizing first leaves no tie for the engines to disagree on.
+    * Completes the robust-preprocessing family next to
+    * [[zscoreByType]], [[madOutliers]], and [[iqrOutliers]]. */
+  def winsorize(events: DataFrame): DataFrame = {
+    val cuts = events.groupBy("event_type")
+      .agg(expr("percentile(value, array(0.05D, 0.95D))").as("pct"))
+      .select(col("event_type"),
+        (floor(col("pct").getItem(0) * 100.0 + 0.5) / 100.0).as("lo"),
+        (floor(col("pct").getItem(1) * 100.0 + 0.5) / 100.0).as("hi"))
+    events.join(broadcast(cuts), "event_type")
+      .select(col("event_type"), col("value"), col("lo"), col("hi"),
+        greatest(col("lo"), least(col("hi"), col("value"))).as("w"))
+      .groupBy("event_type")
+      .agg(count(col("value")).as("n"),
+        min(col("lo")).as("p05"), min(col("hi")).as("p95"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clamped_lo"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clamped_hi"),
+        Aggregate.moneySum(col("value")).as("sum_raw"),
+        Aggregate.moneySum(col("w")).as("sum_winsorized"))
+      .orderBy("event_type")
+  }
+
+  val sqlWinsorize: String =
+    """WITH cuts AS (
+         SELECT event_type,
+           floor(quantile_cont(value, 0.05) * 100.0 + 0.5) / 100.0 AS lo,
+           floor(quantile_cont(value, 0.95) * 100.0 + 0.5) / 100.0 AS hi
+         FROM events GROUP BY 1),
+       j AS (
+         SELECT e.event_type, e.value, lo, hi,
+           greatest(lo, least(hi, e.value)) AS w
+         FROM events e JOIN cuts USING (event_type))
+       SELECT event_type, CAST(count(value) AS BIGINT) AS n,
+         min(lo) AS p05, min(hi) AS p95,
+         CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+         CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_raw,
+         CAST(sum(CAST(w AS DECIMAL(18,2))) AS DOUBLE) AS sum_winsorized
+       FROM j GROUP BY 1 ORDER BY 1"""
+
   val SkewTopK = 20
 
   /** Join-key skew diagnosis: the top-[[SkewTopK]] heaviest user_id

@@ -59,6 +59,18 @@ class TopNSpec extends SparkSpec {
     assert(out("view") === ((3L, 2.0, 1.0, 0L)))
   }
 
+  test("winsorize: spike clamps to the interpolated p95, mass reconciles") {
+    val events = ((1 to 10).map(_ => ("click", 1.0)) :+ (("click", 1000.0)))
+      .toDF("event_type", "value")
+    val r = graft.pipeline.Windows.winsorize(events).collect().head
+    // 11 values: p95 interpolates between the 10th (1.0) and 11th (1000.0)
+    // at fraction 0.5 -> 500.5; p05 stays 1.0
+    assert(r.getLong(1) === 11L)
+    assert(r.getDouble(2) === 1.0 && r.getDouble(3) === 500.5)
+    assert(r.getLong(4) === 0L && r.getLong(5) === 1L)
+    assert(r.getDouble(6) === 1010.0 && r.getDouble(7) === 510.5)
+  }
+
   test("skew report: hot key first, shares and x_avg exact, nulls excluded") {
     val events = (Seq.fill(6)(7L) ++ Seq(1L, 2L, 3L)).zipWithIndex
       .map { case (u, i) => (i.toLong, Option(u), "click", 1.0) }
