@@ -707,11 +707,14 @@ object Curate {
         (((coalesce(col("tc"), lit(0L)) + 1) * (col("rtot") + DsirBuckets))
           .cast("double") /
           ((col("rc") + 1) * (col("ttot") + DsirBuckets)).cast("double")).as("r"))
+    // cached: one row per doc, consumed by both the median aggregate
+    // and the output projection — never rerun the explode pipeline
     val d = w.join(broadcast(rtab), "b")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         expr("aggregate(transform(array_sort(collect_list(struct(p, r))), x -> x.r), " +
           "CAST(1.0 AS DOUBLE), (a, x) -> a * x)").as("weight"))
+      .cache()
     // resampling keep-signal: above-median weight (DSIR selects by
     // weight rank; an absolute 1.0 cut is meaningless because add-one
     // smoothing biases every factor slightly down)
