@@ -675,38 +675,42 @@ object Curate {
     * words' factors in word-position order. `target_like` (weight ≥ 1)
     * is the resampling keep-signal.
     *
-    * Determinism: bucket counts are exact integers; each per-word
-    * factor is ONE double division of exact integer products (both
-    * ≤ ~2⁴⁵ at web scale — exactly representable), and the product
-    * folds in pinned word order on both engines. No transcendental
-    * functions anywhere — production DSIR sums library logs to dodge
+    * Determinism: bucket counts are exact integers, each exactly
+    * double-representable (< 2⁵³ words); the per-word factor casts
+    * each count to double BEFORE multiplying (int64 products of two
+    * ~2⁴⁵ counts would overflow — and Spark wraps where DuckDB
+    * throws), so the factor is two identically-rounded double
+    * products and one division, and the per-doc product folds in
+    * pinned word order on both engines. No transcendental functions
+    * anywhere — production DSIR sums library logs to dodge
     * under/overflow on very long documents, which no two engines
     * round identically; at this corpus' lengths the pinned-order
     * product is the hash-portable formulation, and the 100 TB variant
     * swaps in integer-bit log2 (the [[TextStats.rarityScore]] trick)
     * if documents grow past ~10³ words.
     *
-    * Shapes: one positional explode, two bucket histograms (≤ B rows
-    * each), a broadcast ratio table, one per-doc fold aggregate. */
+    * Shapes: one positional explode (cached — it feeds the histograms
+    * AND the scoring join), two ≤ B-row bucket histograms whose own
+    * sums provide the totals, a broadcast ratio table, one per-doc
+    * fold aggregate. */
   def dsirWeights(documents: DataFrame,
                   targetLang: String = DsirTargetLang): DataFrame = {
     val w = documents
       .select(col("doc_id"), col("lang"),
         posexplode(TextPrep.wordsCol).as(Seq("p", "word")))
-      .withColumn("b",
-        conv(substring(md5(concat(lit("dsir:"), col("word"))), 1, 15), 16, 10)
-          .cast("long") % DsirBuckets)
+      .withColumn("b", hashBucket("dsir", DsirBuckets, col("word")))
+      .cache()
     val raw = w.groupBy("b").agg(count(lit(1)).as("rc"))
     val tgt = w.filter(col("lang") === targetLang)
       .groupBy("b").agg(count(lit(1)).as("tc"))
-    val tot = w.agg(count(lit(1)).as("rtot"),
-      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ttot"))
+    val tot = raw.agg(sum(col("rc")).as("rtot"))
+      .crossJoin(tgt.agg(coalesce(sum(col("tc")), lit(0L)).as("ttot")))
+    val dbl = (c: Column) => c.cast("double")
     val rtab = raw.join(tgt, Seq("b"), "left")
       .crossJoin(broadcast(tot))
       .select(col("b"),
-        (((coalesce(col("tc"), lit(0L)) + 1) * (col("rtot") + DsirBuckets))
-          .cast("double") /
-          ((col("rc") + 1) * (col("ttot") + DsirBuckets)).cast("double")).as("r"))
+        (dbl(coalesce(col("tc"), lit(0L)) + 1) * dbl(col("rtot") + DsirBuckets) /
+          (dbl(col("rc") + 1) * dbl(col("ttot") + DsirBuckets))).as("r"))
     // cached: one row per doc, consumed by both the median aggregate
     // and the output projection — never rerun the explode pipeline
     val d = w.join(broadcast(rtab), "b")
@@ -731,22 +735,20 @@ object Curate {
             unnest(generate_series(1, len(ws))) AS p, unnest(ws) AS word
           FROM (SELECT doc_id, lang, ${TextPrep.sqlWords} AS ws FROM documents)),
         wb AS (
-          SELECT doc_id, lang, p,
-            CAST(concat('0x', substr(md5('dsir:' || word), 1, 15)) AS BIGINT)
-              % $DsirBuckets AS b
+          SELECT doc_id, lang, p, ${sqlHashBucket("dsir", DsirBuckets, "word")} AS b
           FROM w),
         raw AS (SELECT b, CAST(count(*) AS BIGINT) AS rc FROM wb GROUP BY 1),
         tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS tc FROM wb
                 WHERE lang = '$targetLang' GROUP BY 1),
         tot AS (
-          SELECT CAST(count(*) AS BIGINT) AS rtot,
-            CAST(sum(CASE WHEN lang = '$targetLang' THEN 1 ELSE 0 END) AS BIGINT)
-              AS ttot
-          FROM wb),
+          SELECT rtot, ttot FROM
+            (SELECT CAST(sum(rc) AS BIGINT) AS rtot FROM raw)
+            CROSS JOIN
+            (SELECT CAST(COALESCE(sum(tc), 0) AS BIGINT) AS ttot FROM tgt)),
         rt AS (
           SELECT raw.b,
-            CAST((COALESCE(tc, 0) + 1) * (rtot + $DsirBuckets) AS DOUBLE)
-              / CAST((rc + 1) * (ttot + $DsirBuckets) AS DOUBLE) AS r
+            CAST(COALESCE(tc, 0) + 1 AS DOUBLE) * CAST(rtot + $DsirBuckets AS DOUBLE)
+              / (CAST(rc + 1 AS DOUBLE) * CAST(ttot + $DsirBuckets AS DOUBLE)) AS r
           FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
         d AS (
           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,

@@ -687,12 +687,16 @@ object Windows {
     * Completes the robust-preprocessing family next to
     * [[zscoreByType]], [[madOutliers]], and [[iqrOutliers]]. */
   def winsorize(events: DataFrame): DataFrame = {
-    val cuts = events.groupBy("event_type")
+    // NULL values out up front: least/greatest SKIP nulls in both
+    // engines, so an unfiltered null value would fabricate w = hi and
+    // un-reconcile the moved-mass report
+    val e = events.filter(col("value").isNotNull)
+    val cuts = e.groupBy("event_type")
       .agg(expr("percentile(value, array(0.05D, 0.95D))").as("pct"))
       .select(col("event_type"),
         (floor(col("pct").getItem(0) * 100.0 + 0.5) / 100.0).as("lo"),
         (floor(col("pct").getItem(1) * 100.0 + 0.5) / 100.0).as("hi"))
-    events.join(broadcast(cuts), "event_type")
+    e.join(broadcast(cuts), "event_type")
       .select(col("event_type"), col("value"), col("lo"), col("hi"),
         greatest(col("lo"), least(col("hi"), col("value"))).as("w"))
       .groupBy("event_type")
@@ -706,15 +710,16 @@ object Windows {
   }
 
   val sqlWinsorize: String =
-    """WITH cuts AS (
+    """WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+       cuts AS (
          SELECT event_type,
            floor(quantile_cont(value, 0.05) * 100.0 + 0.5) / 100.0 AS lo,
            floor(quantile_cont(value, 0.95) * 100.0 + 0.5) / 100.0 AS hi
-         FROM events GROUP BY 1),
+         FROM ev GROUP BY 1),
        j AS (
          SELECT e.event_type, e.value, lo, hi,
            greatest(lo, least(hi, e.value)) AS w
-         FROM events e JOIN cuts USING (event_type))
+         FROM ev e JOIN cuts USING (event_type))
        SELECT event_type, CAST(count(value) AS BIGINT) AS n,
          min(lo) AS p05, min(hi) AS p95,
          CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,

@@ -60,7 +60,10 @@ class TopNSpec extends SparkSpec {
   }
 
   test("winsorize: spike clamps to the interpolated p95, mass reconciles") {
-    val events = ((1 to 10).map(_ => ("click", 1.0)) :+ (("click", 1000.0)))
+    // the null row must vanish entirely — least/greatest skip NULLs,
+    // so an unfiltered null would fabricate w = hi
+    val events = ((1 to 10).map(_ => ("click", Option(1.0))) ++
+      Seq(("click", Option(1000.0)), ("click", Option.empty[Double])))
       .toDF("event_type", "value")
     val r = graft.pipeline.Windows.winsorize(events).collect().head
     // 11 values: p95 interpolates between the 10th (1.0) and 11th (1000.0)
