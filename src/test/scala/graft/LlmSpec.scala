@@ -951,6 +951,22 @@ class LlmSpec extends SparkSpec {
     assert(mean > 0.7 && mean < 1.3, s"mean norm ratio $mean outside JL band")
   }
 
+  test("jl projection: exactly linear under power-of-two scaling") {
+    val emb = Tables.embeddings(spark, sf()).limit(20)
+    val scaled = emb.withColumn("embedding",
+      expr("transform(embedding, x -> x * 4.0F)"))
+    val a = Similarity.jlProject(emb).collect()
+      .map(r => r.getLong(0) -> (1 to Similarity.JlK).map(r.getDouble)).toMap
+    val b = Similarity.jlProject(scaled).collect()
+      .map(r => r.getLong(0) -> (1 to Similarity.JlK).map(r.getDouble)).toMap
+    // x4 is exact in IEEE and distributes exactly over the fold, so the
+    // projection must scale bit-exactly — any drift means the fold
+    // order or sign matrix changed
+    a.foreach { case (id, pa) =>
+      assert(pa.map(_ * 4.0) === b(id), s"vec $id not exactly linear")
+    }
+  }
+
   test("novelty: first copy owns shared shingles, dup scores zero") {
     val nov = Dedup.noveltyScore(docs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap

@@ -59,6 +59,22 @@ class TopNSpec extends SparkSpec {
     assert(out("view") === ((3L, 2.0, 1.0, 0L)))
   }
 
+  test("length buckets: pow-2 invariant against a spec reimplementation") {
+    val rnd = new scala.util.Random(42)
+    val counts = (0 until 300).map(_ => 1 + rnd.nextInt(2000))
+    val docs = counts.zipWithIndex.map { case (n, i) =>
+      (i.toLong, Seq.fill(n)("w").mkString(" "), "en", "s", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    def capOf(n: Int): Long =
+      if (n <= 1) 1L else 2L * java.lang.Integer.highestOneBit(n - 1)
+    val expected = counts.groupBy(n => capOf(n))
+      .map { case (cap, ns) => cap -> (ns.size.toLong, ns.map(_.toLong).sum) }
+    val got = graft.llm.Curate.lengthBuckets(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expected)
+    got.keys.foreach(cap => assert((cap & (cap - 1)) == 0, s"cap $cap not pow2"))
+  }
+
   test("winsorize: spike clamps to the interpolated p95, mass reconciles") {
     // the null row must vanish entirely — least/greatest skip NULLs,
     // so an unfiltered null would fabricate w = hi
