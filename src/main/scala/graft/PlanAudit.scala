@@ -69,7 +69,8 @@ object PlanAudit {
     "q_bpe_encode" -> Set("BNLJ"),         // same loop: single-row best-pair frames
     "q_skew_report" -> Set("BNLJ"),        // single-row totals frame
     "q_hll_union" -> Set("BNLJ"),          // single-row exact-total companion frame
-    "q_dsir_weights" -> Set("BNLJ")        // single-row totals + median-weight frames
+    "q_dsir_weights" -> Set("BNLJ"),       // single-row totals + median-weight frames
+    "q_cluster_text_quality" -> Set("BNLJ") // √n centroid frame (assignment pass)
   )
 
   /** Audit one query's executed plan string → flags found. */

@@ -283,7 +283,10 @@ object SparkEntry {
     // DSIR importance weights: hashed-unigram target/raw ratio products
     "q_dsir_weights" -> ((s, d) => llm.Curate.dsirWeights(Tables.documents(s, d))),
     // winsorization: clamp to exact [p05,p95], report moved mass
-    "q_winsorize" -> ((s, d) => Windows.winsorize(ev(s, d)))
+    "q_winsorize" -> ((s, d) => Windows.winsorize(ev(s, d))),
+    // cross-table: per embedding centroid, member-document text quality
+    "q_cluster_text_quality" -> ((s, d) =>
+      llm.Similarity.clusterTextQuality(Tables.embeddings(s, d), Tables.documents(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -566,6 +569,7 @@ object SparkEntry {
     "q_brand_revenue" -> Enrich.sqlBrandRevenue,
     "q_supplier_balances" -> Enrich.sqlSupplierBalances,
     "q_dsir_weights" -> llm.Curate.sqlDsirWeights(),
-    "q_winsorize" -> Windows.sqlWinsorize
+    "q_winsorize" -> Windows.sqlWinsorize,
+    "q_cluster_text_quality" -> llm.Similarity.sqlClusterTextQuality()
   )
 }

@@ -1024,6 +1024,53 @@ object Similarity {
           min(ccos) AS min_cos
         FROM a GROUP BY 1 ORDER BY 1"""
 
+  /** Cross-table curation report: per embedding centroid, the TEXT
+    * quality of its member documents (vec_id ↔ doc_id) — "are
+    * embedding clusters quality-homogeneous, and which clusters hold
+    * the junk?" This turns SemDeDup's cluster structure into a
+    * corpus-level decision (drop or downsample whole low-quality
+    * clusters before any per-document pass). Quality is integerized
+    * once (floor(q·10⁴)) so the per-centroid sums are exact integers;
+    * the mean divides exact numbers in a fixed order. One assignment
+    * pass + one doc-keyed join + one hash aggregate. */
+  def clusterTextQuality(embeddings: DataFrame,
+                         documents: DataFrame): DataFrame = {
+    val n = prepared(embeddings).cache()
+    val assign = assignToCentroids(n)
+    val q = TextStats.textStatsUnordered(documents)
+      .select(col("doc_id").as("vec_id"),
+        floor(col("quality_score") * 10000).cast("long").as("qi"))
+    assign.join(q, "vec_id")
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_members"), sum(col("qi")).as("q_sum"),
+        min(col("qi")).as("q_min"), max(col("qi")).as("q_max"))
+      .select(col("centroid_id"), col("n_members"),
+        (col("q_sum").cast("double") / col("n_members").cast("double") / 10000.0)
+          .as("mean_quality"),
+        (col("q_min").cast("double") / 10000.0).as("min_quality"),
+        (col("q_max").cast("double") / 10000.0).as("max_quality"))
+      .orderBy("centroid_id")
+  }
+
+  def sqlClusterTextQuality(): String =
+    s"""WITH $sqlFitRankedCtes,
+        a AS (SELECT vec_id, centroid_id FROM ranked WHERE crnk = 1),
+        stats AS (${TextStats.sqlTextStats}),
+        q AS (SELECT doc_id AS vec_id,
+                CAST(floor(quality_score * 10000) AS BIGINT) AS qi
+              FROM stats),
+        g AS (
+          SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_members,
+            CAST(sum(qi) AS BIGINT) AS q_sum,
+            CAST(min(qi) AS BIGINT) AS q_min, CAST(max(qi) AS BIGINT) AS q_max
+          FROM a JOIN q USING (vec_id) GROUP BY 1)
+        SELECT centroid_id, n_members,
+          CAST(q_sum AS DOUBLE) / CAST(n_members AS DOUBLE) / 10000.0
+            AS mean_quality,
+          CAST(q_min AS DOUBLE) / 10000.0 AS min_quality,
+          CAST(q_max AS DOUBLE) / 10000.0 AS max_quality
+        FROM g ORDER BY 1"""
+
   val SemDedupThreshold = 0.4
 
   /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): cluster

@@ -1043,6 +1043,19 @@ class LlmSpec extends SparkSpec {
     assert(out === Seq((5L, 1, 0.0)), s"got ${out.toSeq}")
   }
 
+  test("cluster text quality: per-centroid stats well-formed, ids joined") {
+    val emb = Tables.embeddings(spark, sf()).limit(60)
+    val documents = Tables.documents(spark, sf())
+    val out = Similarity.clusterTextQuality(emb, documents).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(1)).sum === 60L) // every vector lands somewhere
+    out.foreach { r =>
+      val (mean, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(lo <= mean && mean <= hi, s"mean outside [min,max]: $r")
+      assert(lo >= 0.0 && hi <= 1.0001)
+    }
+  }
+
   test("ivf recall: sampled queries, hits bounded by k, deterministic") {
     val emb = Tables.embeddings(spark, sf())
     val out = Similarity.ivfRecall(emb).collect()
