@@ -70,7 +70,15 @@ object PlanAudit {
     "q_skew_report" -> Set("BNLJ"),        // single-row totals frame
     "q_hll_union" -> Set("BNLJ"),          // single-row exact-total companion frame
     "q_dsir_weights" -> Set("BNLJ"),       // single-row totals + median-weight frames
-    "q_cluster_text_quality" -> Set("BNLJ") // √n centroid frame (assignment pass)
+    "q_cluster_text_quality" -> Set("BNLJ"), // √n centroid frame (assignment pass)
+    // k-class model dim (k = #labels, bounded model state like k-means
+    // centroids) crossJoined onto the token explode — NB scoring is
+    // O(tokens × k) by definition
+    "q_nb_classify" -> Set("BNLJ"),
+    "q_nb_confusion" -> Set("BNLJ"),
+    "q_nb_crossval" -> Set("BNLJ"),        // (K·k)-row fold×class model dim
+    "q_triangles" -> Set("BNLJ"),          // single-row census totals join
+    "q_cuped" -> Set("BNLJ")               // single-row pooled-moments frame
   )
 
   /** Audit one query's executed plan string → flags found. */

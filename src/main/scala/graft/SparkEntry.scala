@@ -286,7 +286,24 @@ object SparkEntry {
     "q_winsorize" -> ((s, d) => Windows.winsorize(ev(s, d))),
     // cross-table: per embedding centroid, member-document text quality
     "q_cluster_text_quality" -> ((s, d) =>
-      llm.Similarity.clusterTextQuality(Tables.embeddings(s, d), Tables.documents(s, d)))
+      llm.Similarity.clusterTextQuality(Tables.embeddings(s, d), Tables.documents(s, d))),
+    // integer-exact multinomial Naive Bayes: the learned twin of the
+    // marker-heuristic language ID (per-doc argmin surprisal bits)
+    "q_nb_classify" -> ((s, d) => llm.Classify.nbClassify(Tables.documents(s, d))),
+    "q_nb_confusion" -> ((s, d) => llm.Classify.nbConfusion(Tables.documents(s, d))),
+    // record linkage with lossless (brand, type, size-window) blocking
+    "q_entity_resolution" -> ((s, d) => Linkage.entityResolution(Tables.part(s, d))),
+    // degree-ordered triangle census of the near-dup pair graph
+    "q_triangles" -> ((s, d) => llm.Dedup.triangleStats(Tables.documents(s, d))),
+    // TPC-H Q3 shape: segment x date-filtered 3-table join, decimal top-K
+    "q_top_unshipped" -> ((s, d) => Enrich.topUnshippedOrders(
+      Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    // k-fold cross-validated NB accuracy (held-out counts by subtraction)
+    "q_nb_crossval" -> ((s, d) => llm.Classify.nbCrossval(Tables.documents(s, d))),
+    // CUPED variance-reduced A/B readout from exact decimal power sums
+    "q_cuped" -> ((s, d) => Windows.cupedReadout(ev(s, d))),
+    // per-language tokenizer fertility from the trained BPE merges
+    "q_bpe_fertility" -> ((s, d) => llm.TextStats.bpeFertility(Tables.documents(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -570,6 +587,14 @@ object SparkEntry {
     "q_supplier_balances" -> Enrich.sqlSupplierBalances,
     "q_dsir_weights" -> llm.Curate.sqlDsirWeights(),
     "q_winsorize" -> Windows.sqlWinsorize,
-    "q_cluster_text_quality" -> llm.Similarity.sqlClusterTextQuality()
+    "q_cluster_text_quality" -> llm.Similarity.sqlClusterTextQuality(),
+    "q_nb_classify" -> llm.Classify.sqlNbClassify,
+    "q_nb_confusion" -> llm.Classify.sqlNbConfusion,
+    "q_entity_resolution" -> Linkage.sqlEntityResolution(),
+    "q_triangles" -> llm.Dedup.sqlTriangleStats(),
+    "q_top_unshipped" -> Enrich.sqlTopUnshippedOrders(),
+    "q_nb_crossval" -> llm.Classify.sqlNbCrossval(),
+    "q_cuped" -> Windows.sqlCupedReadout,
+    "q_bpe_fertility" -> llm.TextStats.sqlBpeFertility()
   )
 }

@@ -1,0 +1,311 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Learned text classification for corpus curation: a multinomial
+  * Naive Bayes classifier over word counts, the workhorse behind
+  * quality/domain classifiers in public training-data pipelines
+  * (GPT-3's WebText quality filter, CCNet's domain buckets — both
+  * published as linear classifiers over bag-of-words features).
+  *
+  * Everything is INTEGER-exact so the DuckDB oracle hash-matches:
+  * instead of float log-probabilities, each (class, word) gets an
+  * integerized surprisal `bits = floor(log2((N_c + V) / (n_cw + 1)))`
+  * — add-one smoothing inside an integer division, the log2 computed
+  * exactly as `length(bin(q)) - 1` (the bigramSurprisal /rarityScore
+  * trick). A document's class score is the integer sum of its word
+  * bits plus the integer prior bits; the prediction is the argmin with
+  * a lexicographic tie-break. No transcendental function, no float
+  * accumulation order, no cross-engine drift.
+  *
+  * Scale shape (100 TB): training is one (class, word) hash aggregate
+  * over the token explode — the same shuffle a vocabulary build pays.
+  * Scoring joins the token explode against the model on (word, class):
+  * the k-class fan-out is a broadcast of a CLASS-dimension frame
+  * (#classes rows — bounded model state, like k-means centroids), so
+  * the corpus-sized side is exploded tokens × k, the irreducible cost
+  * of scoring k classes. The argmin is a per-document window (k rows
+  * per partition key). Self-classification on the training corpus is
+  * the standard mechanics check; on the synthetic word-salad corpus
+  * the signal (and therefore accuracy) is near chance — the accuracy
+  * column measures exactly that, it is not a bug.
+  */
+object Classify {
+
+  /** Class column: language label (pairs with the marker-heuristic
+    * language ID — this is its learned twin). */
+  private val ClassCol = "lang"
+
+  /** (doc_id, word) one row per token occurrence. */
+  private def tokens(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col(ClassCol).as("cls"),
+      explode(TextPrep.wordsCol).as("word"))
+
+  /** Integer log2 of a positive integer column: floor(log2(q)). */
+  private def ilog2(q: Column): Column =
+    (length(bin(q)) - 1).cast("long")
+
+  /** Per-document scores for every candidate class plus the argmin
+    * prediction; shared by [[nbClassify]] and [[nbConfusion]]. */
+  private def scored(documents: DataFrame): DataFrame = {
+    val toks = tokens(documents).cache()
+    // model: per-class token totals + doc counts (k rows, bounded)
+    val classes = toks.groupBy(col("cls").as("cand"))
+      .agg(count(lit(1)).as("n_c"))
+    val docsPerClass = documents.groupBy(col(ClassCol).as("cand"))
+      .agg(count(lit(1)).as("nd_c"))
+    val totals = documents.agg(count(lit(1)).as("nd"))
+    val vocab = toks.agg(countDistinct(col("word")).as("v"))
+    val classDim = classes.join(docsPerClass, "cand")
+      .crossJoin(totals).crossJoin(vocab)
+      .select(col("cand"), col("n_c"), col("v"),
+        ilog2(expr("nd DIV nd_c")).as("prior_bits"))
+    // model: per-(class, word) counts — one corpus-sized hash aggregate
+    val counts = toks.groupBy(col("cls").as("cand"), col("word"))
+      .agg(count(lit(1)).as("n_cw"))
+    // score: token explode × k candidate classes, word bits from the
+    // model join (missing (cand, word) ⇒ n_cw = 0 via the left join)
+    val perClass = toks.select(col("doc_id"), col("word"))
+      .crossJoin(broadcast(classDim))
+      .join(counts, Seq("cand", "word"), "left")
+      .select(col("doc_id"), col("cand"), col("prior_bits"),
+        ilog2(expr("(n_c + v) DIV (coalesce(n_cw, 0L) + 1)")).as("bits"))
+      .groupBy(col("doc_id"), col("cand"), col("prior_bits"))
+      .agg(sum(col("bits")).as("word_bits"))
+      .select(col("doc_id"), col("cand"),
+        (col("prior_bits") + col("word_bits")).as("total_bits"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("total_bits").asc, col("cand").asc)
+    perClass
+      .withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand").as("cls_pred"),
+        col("total_bits").as("bits_pred"))
+  }
+
+  /** Per-document prediction vs actual label. */
+  def nbClassify(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col(ClassCol).as("cls_actual"))
+      .join(scored(documents), "doc_id")
+      .select(col("doc_id"), col("cls_actual"), col("cls_pred"),
+        col("bits_pred"),
+        (col("cls_actual") === col("cls_pred")).as("correct"))
+      .orderBy("doc_id")
+
+  /** Confusion matrix + per-cell share of the actual class. */
+  def nbConfusion(documents: DataFrame): DataFrame = {
+    val cls = documents.select(col("doc_id"), col(ClassCol).as("cls_actual"))
+    val perActual = org.apache.spark.sql.expressions.Window
+      .partitionBy("cls_actual")
+    cls.join(scored(documents), "doc_id")
+      .groupBy(col("cls_actual"), col("cls_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share_of_actual",
+        col("n_docs").cast("double") /
+          sum(col("n_docs")).over(perActual).cast("double"))
+      .orderBy("cls_actual", "cls_pred")
+  }
+
+  /** Number of cross-validation folds (fold = doc_id mod K). */
+  val CvFolds = 5
+
+  /** K-fold cross-validated NB accuracy — the honest version of
+    * [[nbClassify]]'s self-training number: each document is scored
+    * by a model trained on the OTHER K−1 folds.
+    *
+    * No K× model materialization: held-out counts are computed BY
+    * SUBTRACTION at scoring time — the token joins the full-corpus
+    * (class, word) count and its own fold's (fold, class, word) count,
+    * and the held-out count is their difference. The only quantity
+    * that can't be subtracted directly is the held-out vocabulary size
+    * (distinct counts don't subtract), recovered exactly as
+    * V − #(words appearing ONLY in this fold) — one extra word-level
+    * aggregate. Class/doc totals subtract the same way. Still one
+    * token explode, two model joins, one window: the same 100 TB
+    * shape as nbClassify plus a bounded (K × k)-row class dimension. */
+  def nbCrossval(documents: DataFrame, k: Int = CvFolds): DataFrame = {
+    val toks = tokens(documents)
+      .withColumn("fold", pmod(col("doc_id"), lit(k.toLong)))
+      .cache()
+    // class dimension per (fold, cand): held-out totals by subtraction
+    val nC = toks.groupBy(col("cls").as("cand")).agg(count(lit(1)).as("n_c"))
+    val nCf = toks.groupBy(col("fold"), col("cls").as("cand"))
+      .agg(count(lit(1)).as("n_cf"))
+    val ndC = documents.groupBy(col(ClassCol).as("cand"))
+      .agg(count(lit(1)).as("nd_c"))
+    val ndCf = documents
+      .withColumn("fold", pmod(col("doc_id"), lit(k.toLong)))
+      .groupBy(col("fold"), col(ClassCol).as("cand"))
+      .agg(count(lit(1)).as("nd_cf"))
+    val nd = documents.agg(count(lit(1)).as("nd"))
+    val ndF = documents
+      .withColumn("fold", pmod(col("doc_id"), lit(k.toLong)))
+      .groupBy("fold").agg(count(lit(1)).as("nd_f"))
+    // held-out vocab: V − #words whose every occurrence is in this fold
+    val vAll = toks.agg(countDistinct(col("word")).as("v_all"))
+    val wordFolds = toks.groupBy("word")
+      .agg(countDistinct(col("fold")).as("nf"), min(col("fold")).as("only_fold"))
+    val vOnly = wordFolds.filter(col("nf") === 1)
+      .groupBy(col("only_fold").as("fold"))
+      .agg(count(lit(1)).as("v_only"))
+    val folds = ndF.select(col("fold"))
+    val classDim = folds
+      .crossJoin(nC).crossJoin(nd).crossJoin(vAll)
+      .join(ndC, "cand")
+      .join(nCf, Seq("fold", "cand"), "left")
+      .join(ndCf, Seq("fold", "cand"), "left")
+      .join(ndF, "fold")
+      .join(vOnly, Seq("fold"), "left")
+      .select(col("fold"), col("cand"),
+        (col("n_c") - coalesce(col("n_cf"), lit(0L))).as("n_c_f"),
+        (col("v_all") - coalesce(col("v_only"), lit(0L))).as("v_f"),
+        (col("nd") - col("nd_f")).as("nd_ho"),
+        (col("nd_c") - coalesce(col("nd_cf"), lit(0L))).as("nd_c_f"))
+      .filter(col("nd_c_f") > 0) // class absent from the held-out folds
+      .withColumn("prior_bits", ilog2(expr("nd_ho DIV nd_c_f")))
+    val cwAll = toks.groupBy(col("cls").as("cand"), col("word"))
+      .agg(count(lit(1)).as("n_all"))
+    val cwFold = toks.groupBy(col("fold"), col("cls").as("cand"), col("word"))
+      .agg(count(lit(1)).as("n_in_fold"))
+    val perClass = toks.select(col("doc_id"), col("fold"), col("word"))
+      .join(broadcast(classDim), Seq("fold"))
+      .join(cwAll, Seq("cand", "word"), "left")
+      .join(cwFold, Seq("fold", "cand", "word"), "left")
+      .select(col("doc_id"), col("fold"), col("cand"), col("prior_bits"),
+        ilog2(expr(
+          """(n_c_f + v_f) DIV
+             (coalesce(n_all, 0L) - coalesce(n_in_fold, 0L) + 1)"""))
+          .as("bits"))
+      .groupBy(col("doc_id"), col("fold"), col("cand"), col("prior_bits"))
+      .agg(sum(col("bits")).as("word_bits"))
+      .select(col("doc_id"), col("fold"), col("cand"),
+        (col("prior_bits") + col("word_bits")).as("total_bits"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("total_bits").asc, col("cand").asc)
+    val pred = perClass
+      .withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("fold"), col("cand").as("cls_pred"))
+    documents.select(col("doc_id"), col(ClassCol).as("cls_actual"))
+      .join(pred, "doc_id")
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cls_actual") === col("cls_pred"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("fold"), col("n_docs"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_docs").cast("double"))
+          .as("accuracy"))
+      .orderBy("fold")
+  }
+
+  def sqlNbCrossval(k: Int = CvFolds): String = {
+    val w = TextPrep.sqlWords
+    s"""WITH toks AS (
+          SELECT doc_id, doc_id % $k AS fold, lang AS cls,
+            unnest($w) AS word
+          FROM documents),
+        n_c AS (SELECT cls AS cand, count(*) AS n_c FROM toks GROUP BY 1),
+        n_cf AS (SELECT fold, cls AS cand, count(*) AS n_cf
+                 FROM toks GROUP BY 1, 2),
+        nd_c AS (SELECT lang AS cand, count(*) AS nd_c
+                 FROM documents GROUP BY 1),
+        nd_cf AS (SELECT doc_id % $k AS fold, lang AS cand, count(*) AS nd_cf
+                  FROM documents GROUP BY 1, 2),
+        nd AS (SELECT count(*) AS nd FROM documents),
+        nd_f AS (SELECT doc_id % $k AS fold, count(*) AS nd_f
+                 FROM documents GROUP BY 1),
+        v_all AS (SELECT count(DISTINCT word) AS v_all FROM toks),
+        wf AS (SELECT word, count(DISTINCT fold) AS nf, min(fold) AS only_fold
+               FROM toks GROUP BY 1),
+        v_only AS (SELECT only_fold AS fold, count(*) AS v_only
+                   FROM wf WHERE nf = 1 GROUP BY 1),
+        class_dim AS (
+          SELECT f.fold, c.cand,
+            c.n_c - coalesce(n_cf.n_cf, 0) AS n_c_f,
+            v_all.v_all - coalesce(v_only.v_only, 0) AS v_f,
+            CAST(length(bin(
+              (nd.nd - f.nd_f) // (nd_c.nd_c - coalesce(nd_cf.nd_cf, 0))
+            )) - 1 AS BIGINT) AS prior_bits
+          FROM nd_f f
+          CROSS JOIN n_c c CROSS JOIN nd CROSS JOIN v_all
+          JOIN nd_c ON nd_c.cand = c.cand
+          LEFT JOIN n_cf ON n_cf.fold = f.fold AND n_cf.cand = c.cand
+          LEFT JOIN nd_cf ON nd_cf.fold = f.fold AND nd_cf.cand = c.cand
+          LEFT JOIN v_only ON v_only.fold = f.fold
+          WHERE nd_c.nd_c - coalesce(nd_cf.nd_cf, 0) > 0),
+        cw_all AS (SELECT cls AS cand, word, count(*) AS n_all
+                   FROM toks GROUP BY 1, 2),
+        cw_fold AS (SELECT fold, cls AS cand, word, count(*) AS n_in_fold
+                    FROM toks GROUP BY 1, 2, 3),
+        per_class AS (
+          SELECT t.doc_id, t.fold, d.cand,
+            d.prior_bits + CAST(sum(length(bin(
+              (d.n_c_f + d.v_f) //
+              (coalesce(a.n_all, 0) - coalesce(ff.n_in_fold, 0) + 1)
+            )) - 1) AS BIGINT) AS total_bits
+          FROM toks t
+          JOIN class_dim d ON d.fold = t.fold
+          LEFT JOIN cw_all a ON a.cand = d.cand AND a.word = t.word
+          LEFT JOIN cw_fold ff ON ff.fold = t.fold AND ff.cand = d.cand
+            AND ff.word = t.word
+          GROUP BY t.doc_id, t.fold, d.cand, d.prior_bits),
+        pred AS (
+          SELECT doc_id, fold, cand AS cls_pred
+          FROM per_class
+          QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY total_bits ASC, cand ASC) = 1)
+        SELECT p.fold, count(*) AS n_docs,
+          CAST(sum(CASE WHEN d.lang = p.cls_pred THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_correct,
+          CAST(sum(CASE WHEN d.lang = p.cls_pred THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS accuracy
+        FROM documents d JOIN pred p USING (doc_id)
+        GROUP BY 1 ORDER BY 1"""
+  }
+
+  private val sqlScoredCtes: String = {
+    val w = TextPrep.sqlWords
+    s"""toks AS (
+          SELECT doc_id, lang AS cls, unnest($w) AS word FROM documents),
+        classes AS (SELECT cls AS cand, count(*) AS n_c FROM toks GROUP BY 1),
+        dpc AS (SELECT lang AS cand, count(*) AS nd_c FROM documents GROUP BY 1),
+        tot AS (SELECT count(*) AS nd FROM documents),
+        voc AS (SELECT count(DISTINCT word) AS v FROM toks),
+        class_dim AS (
+          SELECT cand, n_c, v,
+            CAST(length(bin(nd // nd_c)) - 1 AS BIGINT) AS prior_bits
+          FROM classes JOIN dpc USING (cand), tot, voc),
+        counts AS (
+          SELECT cls AS cand, word, count(*) AS n_cw FROM toks GROUP BY 1, 2),
+        per_class AS (
+          SELECT t.doc_id, d.cand,
+            d.prior_bits + CAST(sum(
+              length(bin((d.n_c + d.v) // (coalesce(c.n_cw, 0) + 1))) - 1
+            ) AS BIGINT) AS total_bits
+          FROM toks t CROSS JOIN class_dim d
+          LEFT JOIN counts c ON c.cand = d.cand AND c.word = t.word
+          GROUP BY t.doc_id, d.cand, d.prior_bits),
+        pred AS (
+          SELECT doc_id, cand AS cls_pred, total_bits AS bits_pred
+          FROM per_class
+          QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY total_bits ASC, cand ASC) = 1)"""
+  }
+
+  val sqlNbClassify: String =
+    s"""WITH $sqlScoredCtes
+        SELECT d.doc_id, d.lang AS cls_actual, p.cls_pred, p.bits_pred,
+          d.lang = p.cls_pred AS correct
+        FROM documents d JOIN pred p USING (doc_id)
+        ORDER BY doc_id"""
+
+  val sqlNbConfusion: String =
+    s"""WITH $sqlScoredCtes
+        SELECT d.lang AS cls_actual, p.cls_pred, count(*) AS n_docs,
+          CAST(count(*) AS DOUBLE) /
+            CAST(sum(count(*)) OVER (PARTITION BY d.lang) AS DOUBLE)
+            AS share_of_actual
+        FROM documents d JOIN pred p USING (doc_id)
+        GROUP BY 1, 2 ORDER BY 1, 2"""
+}

@@ -1348,4 +1348,88 @@ object Dedup {
         FROM r$iters JOIN deg USING (doc_id)
         ORDER BY doc_id"""
   }
+
+  /** Triangle census of the near-dup pair graph: node/edge/wedge/
+    * triangle counts and the global clustering coefficient
+    * 3·triangles / wedges. On a dedup graph this separates
+    * CLIQUE-like duplicate neighborhoods (mirrored template families —
+    * coefficient near 1) from CHAIN-like drift (incremental edits —
+    * coefficient near 0), which decides whether transitive-closure
+    * clustering over-merges.
+    *
+    * Scale shape: the classic degree-ordered orientation [Chiba &
+    * Nishizeki '85; Suri & Vassilvitskii WWW'11 for the MapReduce
+    * form] — each undirected edge is directed from its lower
+    * (degree, id) endpoint to its higher one, so every vertex's
+    * out-degree is O(√m) regardless of how skewed the raw degree
+    * distribution is, and the wedge self-join (the quadratic step)
+    * is quadratic only in OUT-degree. Hub nodes (boilerplate matched
+    * by thousands of docs) generate no wedges at all from their own
+    * partition. The oracle counts the same triangles with the naive
+    * id-orientation — the count is orientation-invariant, so the
+    * scalable plan and the simple plan must agree exactly.
+    */
+  def triangleStats(documents: DataFrame,
+                    threshold: Double = ClusterThreshold): DataFrame = {
+    val e = minhashLshPairs(documents)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .localCheckpoint() // pair generation runs once, feeds 4 consumers
+    val sym = e.union(e.select(col("v"), col("u"))).toDF("u", "v")
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+    // orient each edge from lower (deg, id) to higher (deg, id)
+    val o = e
+      .join(deg.select(col("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("u").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("id"), col("du").as("d")))
+          .otherwise(struct(col("v").as("id"), col("dv").as("d"))).as("s"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("v").as("id"), col("dv").as("d")))
+          .otherwise(struct(col("u").as("id"), col("du").as("d"))).as("t"))
+      .select(col("s.id").as("src"), col("t.id").as("dst"),
+        col("t.d").as("ddst"))
+      .localCheckpoint() // reused as both wedge sides and probe side
+    val wedgePairs = o.as("o1").join(o.as("o2"),
+        col("o1.src") === col("o2.src") &&
+          (struct(col("o1.ddst"), col("o1.dst")) <
+            struct(col("o2.ddst"), col("o2.dst"))))
+      .select(col("o1.dst").as("x"), col("o2.dst").as("y"))
+    val tri = wedgePairs.join(o,
+        col("x") === col("src") && col("y") === col("dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodeStats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"))
+    val edgeStats = e.agg(count(lit(1)).as("n_edges"))
+    nodeStats.crossJoin(edgeStats).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          col("n_triangles").cast("double") * 3.0 /
+            col("n_wedges").cast("double"))
+          .otherwise(lit(0.0)).as("global_clustering"))
+  }
+
+  def sqlTriangleStats(threshold: Double = ClusterThreshold): String =
+    s"""WITH $sqlMinhashCtes,
+        tp AS (
+          SELECT doc_a AS a, doc_b AS b FROM verified
+          WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= $threshold),
+        sym AS (SELECT a AS u FROM tp UNION ALL SELECT b AS u FROM tp),
+        deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+        ns AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+               FROM deg),
+        ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM tp),
+        tri AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_triangles
+          FROM tp e1 JOIN tp e2 ON e2.a = e1.b
+                     JOIN tp e3 ON e3.a = e1.a AND e3.b = e2.b)
+        SELECT n_nodes, n_edges, n_wedges, n_triangles,
+          CASE WHEN n_wedges > 0
+            THEN CAST(n_triangles AS DOUBLE) * 3.0 / CAST(n_wedges AS DOUBLE)
+            ELSE 0.0 END AS global_clustering
+        FROM ns, ne, tri"""
 }

@@ -1046,6 +1046,50 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer-equity report: per language, the trained tokenizer's
+    * FERTILITY (BPE tokens emitted per word) and compression
+    * (chars per token) — the standard multilingual-tokenizer fairness
+    * measurement (a language with high fertility pays more sequence
+    * length per sentence, so its effective context and training mix
+    * shrink). Same dict join as [[bpeEncode]], rolled up by `lang`
+    * instead of doc — the per-word segmentation is corpus-bounded
+    * (dict-sized), the rollup is one agg over the word stream. */
+  def bpeFertility(documents: DataFrame, merges: Int = BpeMerges): DataFrame = {
+    val seqs = bpeLoop(documents, merges)._2
+    documents
+      .select(col("lang"), explode(TextPrep.wordsCol).as("word"))
+      .filter(col("word") =!= "")
+      .join(seqs.select(col("word"), size(col("syms")).cast("long").as("n_sub")),
+        "word")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_bpe_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+        (col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+          .as("chars_per_token"))
+      .orderBy("lang")
+  }
+
+  def sqlBpeFertility(merges: Int = BpeMerges): String =
+    s"""WITH ${sqlBpeCtes(merges)},
+        cw AS (
+          SELECT lang, word FROM (
+            SELECT lang, unnest(${TextPrep.sqlWords}) AS word FROM documents)
+          WHERE word <> ''),
+        enc AS (
+          SELECT lang, word, CAST(len(syms) AS BIGINT) AS n_sub
+          FROM cw JOIN s$merges USING (word))
+        SELECT lang,
+          CAST(count(*) AS BIGINT) AS n_words,
+          CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens,
+          CAST(sum(n_sub) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fertility,
+          CAST(sum(length(word)) AS DOUBLE) / CAST(sum(n_sub) AS DOUBLE)
+            AS chars_per_token
+        FROM enc GROUP BY 1 ORDER BY 1"""
+
   def sqlBpeTrain(merges: Int = BpeMerges): String = {
     val unions = (1 to merges).map { t =>
       s"SELECT CAST($t AS INTEGER) AS step, ba AS a, bb AS b, bm AS merged, pcnt AS pair_count FROM best$t"

@@ -218,4 +218,61 @@ object Enrich {
        CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_acctbal
        FROM supplier JOIN nation ON s_nationkey = n_nationkey
        GROUP BY 1 ORDER BY 1"""
+
+  val ShippingSegment = "BUILDING"
+  val ShippingDate = "1998-07-01"
+  val ShippingTopK = 10
+
+  /** TPC-H Q3 shape — top-K highest-revenue orders placed before a
+    * date but not fully shipped by it, for one market segment: the
+    * classic 3-table selective join (customer filter ⋈ orders date
+    * filter ⋈ lineitem date filter) ending in a top-K.
+    *
+    * Scale shape: both date predicates and the segment predicate push
+    * into the parquet scans; the two joins shuffle on the natural keys
+    * (custkey, orderkey) with AQE free to broadcast the
+    * segment-filtered customer side when it fits; revenue sums run in
+    * decimal (order-independent); the top-K is TakeOrderedAndProject —
+    * per-partition heaps, no global sort exchange. Tie-break on
+    * o_orderkey keeps the K rows deterministic across engines. */
+  def topUnshippedOrders(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame,
+                         segment: String = ShippingSegment,
+                         date: String = ShippingDate,
+                         k: Int = ShippingTopK): DataFrame =
+    customer.filter(col("c_mktsegment") === segment).select("c_custkey")
+      .join(orders.filter(col("o_orderdate") < lit(date))
+          .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem.filter(col("l_shipdate") > lit(date))
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(k)
+
+  def sqlTopUnshippedOrders(segment: String = ShippingSegment,
+                            date: String = ShippingDate,
+                            k: Int = ShippingTopK): String =
+    s"""SELECT o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         o_orderpriority,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+           AS DOUBLE) AS revenue
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE c_mktsegment = '$segment'
+         AND o_orderdate < DATE '$date'
+         AND l_shipdate > DATE '$date'
+       GROUP BY 1, 2, 3
+       ORDER BY revenue DESC, o_orderkey ASC
+       LIMIT $k"""
 }

@@ -767,4 +767,104 @@ object Windows {
           CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE) AS share,
           CAST(n_rows AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(total AS DOUBLE) AS x_avg
         FROM r CROSS JOIN t WHERE rnk <= $k ORDER BY rnk"""
+
+  /** Pre/post split for the CUPED experiment readout (events span one
+    * month; first half is the pre-experiment covariate window). */
+  val CupedSplit = "2024-01-16"
+
+  /** CUPED variance-reduced A/B readout (Deng et al., WSDM'13 — the
+    * standard experimentation trick): per experiment arm, the raw
+    * post-period mean and the covariate-adjusted mean
+    * ȳ_a − θ·(x̄_a − x̄), where x is the user's PRE-period metric,
+    * θ = cov(x,y)/var(x) pooled, and the summary reports the achieved
+    * variance reduction 1 − (var(y) − cov²/var(x))/var(y) — computed
+    * ALGEBRAICALLY from exact power sums, never from a second pass
+    * over adjusted doubles (whose accumulation order would be
+    * nondeterministic).
+    *
+    * Determinism: every sum (Sx, Sy, Sxx, Sxy, Syy) is exact DECIMAL
+    * arithmetic (2-scale inputs → 4-scale products, no rounding), cast
+    * to double only once at the end; θ and the means then derive from
+    * identical single IEEE expressions on identical inputs in both
+    * engines. Scale shape: one per-user aggregate (shuffle on
+    * user_id), one 2-row arm aggregate, one single-row pooled frame
+    * broadcast onto it. Arm assignment is the user-id hash the
+    * experimentation platform would persist. */
+  def cupedReadout(events: DataFrame): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+    val zero = lit(0).cast("decimal(18,2)")
+    val split = lit(CupedSplit).cast("timestamp")
+    val perUser = events
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        coalesce(sum(when(col("ts") < split, dec(col("value")))), zero)
+          .cast("decimal(18,2)").as("x"),
+        coalesce(sum(when(col("ts") >= split, dec(col("value")))), zero)
+          .cast("decimal(18,2)").as("y"))
+      .withColumn("arm", pmod(col("user_id"), lit(2L)))
+    val pooled = perUser.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("y") * col("y")).cast("double").as("syy"))
+    val arms = perUser.groupBy("arm").agg(
+      count(lit(1)).cast("double").as("n_a"),
+      sum(col("x")).cast("double").as("sx_a"),
+      sum(col("y")).cast("double").as("sy_a"))
+    arms.crossJoin(broadcast(pooled))
+      .withColumn("theta",
+        (col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n")))
+      .select(
+        col("arm"),
+        col("n_a").cast("long").as("n_users"),
+        (col("sy_a") / col("n_a")).as("mean_y"),
+        (col("sy_a") / col("n_a") -
+          col("theta") * (col("sx_a") / col("n_a") - col("sx") / col("n")))
+          .as("mean_y_adj"),
+        col("theta"),
+        (lit(1.0) -
+          ((col("syy") - col("sy") * col("sy") / col("n")) -
+            (col("sxy") - col("sx") * col("sy") / col("n")) *
+              (col("sxy") - col("sx") * col("sy") / col("n")) /
+              (col("sxx") - col("sx") * col("sx") / col("n"))) /
+            (col("syy") - col("sy") * col("sy") / col("n")))
+          .as("var_reduction"))
+      .orderBy("arm")
+  }
+
+  val sqlCupedReadout: String =
+    s"""WITH pu AS (
+          SELECT user_id, user_id % 2 AS arm,
+            CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '$CupedSplit 00:00:00'
+              THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS x,
+            CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '$CupedSplit 00:00:00'
+              THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS y
+          FROM events
+          WHERE user_id IS NOT NULL AND value IS NOT NULL
+          GROUP BY 1),
+        pooled AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+            CAST(sum(x * x) AS DOUBLE) AS sxx,
+            CAST(sum(x * y) AS DOUBLE) AS sxy,
+            CAST(sum(y * y) AS DOUBLE) AS syy
+          FROM pu),
+        arms AS (
+          SELECT arm, CAST(count(*) AS DOUBLE) AS n_a,
+            CAST(sum(x) AS DOUBLE) AS sx_a, CAST(sum(y) AS DOUBLE) AS sy_a
+          FROM pu GROUP BY 1)
+        SELECT arm, CAST(n_a AS BIGINT) AS n_users,
+          sy_a / n_a AS mean_y,
+          sy_a / n_a - ((sxy - sx * sy / n) / (sxx - sx * sx / n))
+            * (sx_a / n_a - sx / n) AS mean_y_adj,
+          (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+          1.0 - ((syy - sy * sy / n) -
+            (sxy - sx * sy / n) * (sxy - sx * sy / n) /
+              (sxx - sx * sx / n)) /
+            (syy - sy * sy / n) AS var_reduction
+        FROM arms CROSS JOIN pooled ORDER BY arm"""
 }

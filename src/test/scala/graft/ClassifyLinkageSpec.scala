@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Naive Bayes classifier, record linkage, triangle census, and the
+  * TPC-H Q3 shape — handcrafted inputs with known answers. */
+class ClassifyLinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("nbClassify learns a clear word signal and predicts it") {
+    // class 'a' docs speak apples, class 'b' docs speak bolts
+    val docs = Seq(
+      (1L, "apple apple orchard fruit", "a"),
+      (2L, "apple fruit orchard apple", "a"),
+      (3L, "bolt nut wrench bolt", "b"),
+      (4L, "bolt wrench nut nut", "b"),
+      (5L, "apple orchard apple fruit", "a"))
+      .toDF("doc_id", "text", "lang")
+    val out = llm.Classify.nbClassify(docs)
+      .select("doc_id", "cls_actual", "cls_pred", "correct")
+      .as[(Long, String, String, Boolean)].collect()
+    assert(out.length == 5)
+    assert(out.forall(_._4), s"misclassified: ${out.filterNot(_._4).toSeq}")
+  }
+
+  test("nbClassify breaks exact score ties lexicographically") {
+    // perfectly symmetric classes: every doc scores identically for
+    // both, so every prediction must be the lexicographically first
+    val docs = Seq(
+      (1L, "x y", "b"), (2L, "x y", "a"),
+      (3L, "x y", "b"), (4L, "x y", "a"))
+      .toDF("doc_id", "text", "lang")
+    val preds = llm.Classify.nbClassify(docs)
+      .select("cls_pred").distinct().as[String].collect()
+    assert(preds.toSeq == Seq("a"))
+  }
+
+  test("nbConfusion shares sum to 1 per actual class") {
+    val docs = Tables.documents(spark, sf())
+    val sums = llm.Classify.nbConfusion(docs)
+      .groupBy("cls_actual").agg(sum("share_of_actual").as("s"))
+      .select("s").as[Double].collect()
+    assert(sums.nonEmpty && sums.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
+
+  test("entityResolution window blocking is lossless across the size boundary") {
+    val parts = Seq(
+      // sizes 5 and 6 land in DIFFERENT width-2 buckets under a naive
+      // floor(size/2) key; the two-bucket window must still pair them
+      (1L, "red widget", "Brand#1", "ECONOMY", 5),
+      (2L, "red gadget", "Brand#1", "ECONOMY", 6), // lev(widget,gadget)=3 ≤ 4
+      // same block, name too far — candidate but not a match
+      (3L, "purple anvil", "Brand#1", "ECONOMY", 5),
+      // matching names but different brand — must never pair
+      (4L, "red widget", "Brand#2", "ECONOMY", 5),
+      // size gap 2 — candidate never generated
+      (5L, "red widget", "Brand#1", "ECONOMY", 8))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+    val pairs = pipeline.Linkage.entityResolution(parts)
+      .select("k1", "k2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("entityResolution emits each matched pair exactly once") {
+    val out = pipeline.Linkage.entityResolution(Tables.part(spark, sf()))
+    assert(out.count() == out.select("k1", "k2").distinct().count())
+  }
+
+  test("triangleStats counts a clique and ignores isolated docs") {
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val docs = Seq(
+      (1L, t, "en"), (2L, t, "en"), (3L, t, "en"), // identical → 3-clique
+      (4L, "completely different words entirely here nothing shared at all ok", "en"))
+      .toDF("doc_id", "text", "lang")
+    val row = llm.Dedup.triangleStats(docs).collect().head
+    assert(row.getAs[Long]("n_nodes") == 3)
+    assert(row.getAs[Long]("n_edges") == 3)
+    assert(row.getAs[Long]("n_wedges") == 3)
+    assert(row.getAs[Long]("n_triangles") == 1)
+    assert(math.abs(row.getAs[Double]("global_clustering") - 1.0) < 1e-12)
+  }
+
+  test("nbCrossval scores each doc against a model excluding its own fold") {
+    // fold 0 = docs 0,5; fold 1 = docs 1,6; ... (K=5). Signal words are
+    // shared across folds, so held-out models still carry them; every
+    // fold should classify perfectly on this clean signal.
+    val docs = (0L until 10L).map { i =>
+      if (i % 2 == 0) (i, "apple apple orchard fruit apple", "a")
+      else (i, "bolt nut wrench bolt nut", "b")
+    }.toDF("doc_id", "text", "lang")
+    val out = llm.Classify.nbCrossval(docs)
+      .select("fold", "n_docs", "accuracy")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._1) == (0L until 5L))
+    assert(out.map(_._2).sum == 10L)
+    assert(out.forall(_._3 == 1.0), s"got $out")
+  }
+
+  test("nbCrossval never trains on the scored fold") {
+    // fold-0 'a' docs pair a fold-0-ONLY marker 'zzz' with the class-b
+    // word 'bolt'. A model that (wrongly) saw its own fold would count
+    // zzz as strong 'a' evidence; the held-out model has never seen
+    // zzz, so only the b-evidence remains and fold 0 must misclassify
+    val docs = Seq(
+      (0L, "zzz bolt", "a"), (5L, "zzz bolt", "a"),
+      (1L, "apple apple apple", "a"), (6L, "apple apple apple", "a"),
+      (2L, "bolt bolt bolt", "b"), (7L, "bolt bolt bolt", "b"),
+      (3L, "bolt bolt nut", "b"), (8L, "apple apple fruit", "a"),
+      (4L, "nut nut bolt", "b"), (9L, "nut bolt bolt", "b"))
+      .toDF("doc_id", "text", "lang")
+    val acc = llm.Classify.nbCrossval(docs)
+      .select("fold", "accuracy").as[(Long, Double)].collect().toMap
+    // folds 1-4 classify on live signal; fold 0's 'a' docs lost theirs
+    assert(acc(1L) == 1.0 && acc(2L) == 1.0, s"got $acc")
+    assert(acc(0L) == 0.0, s"fold 0 scored on its own words: $acc")
+  }
+
+  test("cupedReadout: adjusted means preserve the pooled mean and reduce variance") {
+    val out = pipeline.Windows.cupedReadout(Tables.events(spark, sf("sf0.01")))
+      .collect()
+    assert(out.length == 2)
+    val varRed = out.head.getAs[Double]("var_reduction")
+    assert(varRed >= 0.0 && varRed < 1.0) // cov²/var ≥ 0 ⇒ never negative
+    // CUPED is mean-preserving in the weighted pooled sense:
+    // Σ n_a·(adj_a − y_a) = −θ·Σ n_a·(x̄_a − x̄) = 0
+    val drift = out.map(r =>
+      r.getAs[Long]("n_users") *
+        (r.getAs[Double]("mean_y_adj") - r.getAs[Double]("mean_y"))).sum
+    assert(math.abs(drift) < 1e-6, s"pooled mean drifted by $drift")
+    assert(out.map(_.getAs[Double]("theta")).distinct.length == 1)
+  }
+
+  test("bpeFertility aggregates exactly the per-doc encoder totals") {
+    val docs = Tables.documents(spark, sf())
+    val perDoc = llm.TextStats.bpeEncode(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(
+        sum("n_words").as("w"), sum("n_bpe_tokens").as("t"))
+    val fert = llm.TextStats.bpeFertility(docs)
+    val joined = fert.join(perDoc, "lang")
+      .select("n_words", "w", "n_bpe_tokens", "t")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(joined.nonEmpty)
+    assert(joined.forall(r => r._1 == r._2 && r._3 == r._4), s"got ${joined.toSeq}")
+  }
+
+  test("topUnshippedOrders filters both dates and ranks by decimal revenue") {
+    val customer = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val orders = Seq(
+      (10L, 1L, "1998-01-01", "1-URGENT"), // qualifies
+      (11L, 1L, "1998-01-01", "2-HIGH"),   // qualifies, higher revenue
+      (12L, 1L, "1999-01-01", "1-URGENT"), // ordered after cutoff
+      (13L, 2L, "1998-01-01", "1-URGENT")) // wrong segment
+      .toDF("o_orderkey", "o_custkey", "od", "o_orderpriority")
+      .withColumn("o_orderdate", col("od").cast("timestamp")).drop("od")
+    val lineitem = Seq(
+      (10L, 100.0, 0.1, "1998-08-01"),
+      (10L, 50.0, 0.0, "1998-01-02"),  // shipped before cutoff — excluded
+      (11L, 300.0, 0.5, "1998-08-01"),
+      (12L, 999.0, 0.0, "1999-02-01"),
+      (13L, 999.0, 0.0, "1998-08-01"))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "sd")
+      .withColumn("l_shipdate", col("sd").cast("timestamp")).drop("sd")
+    val out = pipeline.Enrich.topUnshippedOrders(customer, orders, lineitem)
+      .select("o_orderkey", "revenue").as[(Long, Double)].collect().toSeq
+    // order 11: 300·0.5 = 150.00 beats order 10: 100·0.9 = 90.00
+    assert(out == Seq((11L, 150.0), (10L, 90.0)), s"got $out")
+  }
+}
