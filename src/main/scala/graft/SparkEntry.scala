@@ -303,7 +303,15 @@ object SparkEntry {
     // CUPED variance-reduced A/B readout from exact decimal power sums
     "q_cuped" -> ((s, d) => Windows.cupedReadout(ev(s, d))),
     // per-language tokenizer fertility from the trained BPE merges
-    "q_bpe_fertility" -> ((s, d) => llm.TextStats.bpeFertility(Tables.documents(s, d)))
+    "q_bpe_fertility" -> ((s, d) => llm.TextStats.bpeFertility(Tables.documents(s, d))),
+    // TPC-H Q5 shape: 6-table snowflake with cross-dimension equality
+    "q_local_volume" -> ((s, d) => Enrich.localSupplierVolume(
+      Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+      Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    // TPC-H Q10 shape: returned-item losses, customer-grain top-K
+    "q_returned_items" -> ((s, d) => Enrich.returnedItemLosses(
+      Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+      Tables.nation(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -595,6 +603,8 @@ object SparkEntry {
     "q_top_unshipped" -> Enrich.sqlTopUnshippedOrders(),
     "q_nb_crossval" -> llm.Classify.sqlNbCrossval(),
     "q_cuped" -> Windows.sqlCupedReadout,
-    "q_bpe_fertility" -> llm.TextStats.sqlBpeFertility()
+    "q_bpe_fertility" -> llm.TextStats.sqlBpeFertility(),
+    "q_local_volume" -> Enrich.sqlLocalSupplierVolume(),
+    "q_returned_items" -> Enrich.sqlReturnedItemLosses()
   )
 }

@@ -275,4 +275,119 @@ object Enrich {
        GROUP BY 1, 2, 3
        ORDER BY revenue DESC, o_orderkey ASC
        LIMIT $k"""
+
+  val VolumeRegion = "ASIA"
+  val VolumeYearStart = "1996-01-01"
+  val VolumeYearEnd = "1997-01-01"
+
+  /** TPC-H Q5 shape — revenue per nation where the CUSTOMER and the
+    * SUPPLIER sit in the same nation of one region, for one order
+    * year: the 6-table snowflake join with a cross-dimension equality
+    * (c_nationkey = s_nationkey) that no single star arm can satisfy
+    * alone.
+    *
+    * Scale shape: the fact side stays lineitem⋈orders⋈customer⋈
+    * supplier shuffling on natural keys; nation and region are
+    * broadcast; the same-nation constraint rides the supplier join
+    * (no extra shuffle); the date predicate prunes the orders scan
+    * and the region predicate shrinks the nation broadcast before it
+    * ships. Output is region-bounded rows. */
+  def localSupplierVolume(customer: DataFrame, orders: DataFrame,
+                          lineitem: DataFrame, supplier: DataFrame,
+                          nation: DataFrame, region: DataFrame,
+                          regionName: String = VolumeRegion,
+                          from: String = VolumeYearStart,
+                          until: String = VolumeYearEnd): DataFrame =
+    lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(orders
+          .filter(col("o_orderdate") >= lit(from) && col("o_orderdate") < lit(until))
+          .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(supplier.select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation
+          .join(broadcast(region.filter(col("r_name") === regionName)),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("nation").asc)
+
+  def sqlLocalSupplierVolume(regionName: String = VolumeRegion,
+                             from: String = VolumeYearStart,
+                             until: String = VolumeYearEnd): String =
+    s"""SELECT n_name AS nation,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+           AS DOUBLE) AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = '$regionName'
+         AND o_orderdate >= DATE '$from' AND o_orderdate < DATE '$until'
+       GROUP BY 1 ORDER BY revenue DESC, nation ASC"""
+
+  val ReturnedQuarterStart = "1996-10-01"
+  val ReturnedQuarterEnd = "1997-01-01"
+  val ReturnedTopK = 20
+
+  /** TPC-H Q10 shape — top-K customers by revenue lost to RETURNED
+    * items in one order quarter: join-then-aggregate-then-rank at
+    * customer grain (much higher cardinality than a nation rollup —
+    * the group-by key is the fact side's foreign key).
+    *
+    * Scale shape: returnflag + date predicates prune both fact scans
+    * before the join; the aggregate shuffles on c_custkey (the same
+    * key the customer join needs — one exchange serves both under
+    * AQE); the final top-K is TakeOrderedAndProject. */
+  def returnedItemLosses(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame, nation: DataFrame,
+                         from: String = ReturnedQuarterStart,
+                         until: String = ReturnedQuarterEnd,
+                         k: Int = ReturnedTopK): DataFrame =
+    lineitem.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(orders
+          .filter(col("o_orderdate") >= lit(from) && col("o_orderdate") < lit(until))
+          .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"),
+        col("c_acctbal"), col("n_name").as("nation"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(k)
+
+  def sqlReturnedItemLosses(from: String = ReturnedQuarterStart,
+                            until: String = ReturnedQuarterEnd,
+                            k: Int = ReturnedTopK): String =
+    s"""SELECT c_custkey, c_name, c_acctbal, n_name AS nation,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+           AS DOUBLE) AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       WHERE l_returnflag = 'R'
+         AND o_orderdate >= DATE '$from' AND o_orderdate < DATE '$until'
+       GROUP BY 1, 2, 3, 4
+       ORDER BY revenue DESC, c_custkey ASC
+       LIMIT $k"""
 }

@@ -144,6 +144,64 @@ class ClassifyLinkageSpec extends SparkSpec {
     assert(joined.forall(r => r._1 == r._2 && r._3 == r._4), s"got ${joined.toSeq}")
   }
 
+  test("localSupplierVolume enforces the customer=supplier nation constraint") {
+    val customer = Seq((1L, 2L), (2L, 3L)).toDF("c_custkey", "c_nationkey")
+    val orders = Seq((10L, 1L, "1996-06-01"), (11L, 2L, "1996-06-01"),
+      (12L, 1L, "1995-06-01")) // outside the year window
+      .toDF("o_orderkey", "o_custkey", "od")
+      .withColumn("o_orderdate", col("od").cast("timestamp")).drop("od")
+    val lineitem = Seq(
+      (10L, 100L, 100.0, 0.0), // supplier 100 in nation 2 = customer 1's → counts
+      (10L, 200L, 100.0, 0.0), // supplier 200 in nation 3 ≠ customer 1's → dropped
+      (11L, 200L, 100.0, 0.0), // customer 2 nation 3 = supplier 200's → counts
+      (12L, 100L, 100.0, 0.0)) // order outside window → dropped
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val supplier = Seq((100L, 2L), (200L, 3L)).toDF("s_suppkey", "s_nationkey")
+    val nation = Seq((2L, "NATION_2", 2L), (3L, "NATION_3", 2L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val region = Seq((2L, "ASIA"), (0L, "AFRICA")).toDF("r_regionkey", "r_name")
+    val out = pipeline.Enrich.localSupplierVolume(
+        customer, orders, lineitem, supplier, nation, region)
+      .select("nation", "revenue").as[(String, Double)].collect().toSet
+    assert(out == Set(("NATION_2", 100.0), ("NATION_3", 100.0)), s"got $out")
+  }
+
+  test("Q5/Q10 plans broadcast dimensions and keep the top-K exchange-free") {
+    val d = sf()
+    val q5 = pipeline.Enrich.localSupplierVolume(
+      Tables.customer(spark, d), Tables.orders(spark, d),
+      Tables.lineitem(spark, d), Tables.supplier(spark, d),
+      Tables.nation(spark, d), Tables.region(spark, d))
+    val p5 = q5.queryExecution.executedPlan.toString
+    assert(p5.contains("BroadcastHashJoin"), p5.take(400))
+    assert(!p5.contains("CartesianProduct") && !p5.contains("BroadcastNestedLoopJoin"))
+    val q10 = pipeline.Enrich.returnedItemLosses(
+      Tables.customer(spark, d), Tables.orders(spark, d),
+      Tables.lineitem(spark, d), Tables.nation(spark, d))
+    val p10 = q10.queryExecution.executedPlan.toString
+    assert(p10.contains("TakeOrderedAndProject"), p10.take(400))
+    // returnflag + date predicates reach the parquet scans
+    assert(p10.contains("PushedFilters") &&
+      p10.contains("EqualTo(l_returnflag,R)"), p10.take(800))
+  }
+
+  test("returnedItemLosses only counts returned lineitems in the quarter") {
+    val customer = Seq((1L, "c1", 10.0, 2L))
+      .toDF("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val orders = Seq((10L, 1L, "1996-11-01"), (11L, 1L, "1996-02-01"))
+      .toDF("o_orderkey", "o_custkey", "od")
+      .withColumn("o_orderdate", col("od").cast("timestamp")).drop("od")
+    val lineitem = Seq(
+      (10L, "R", 100.0, 0.1), // in quarter, returned → 90.00
+      (10L, "N", 500.0, 0.0), // not returned
+      (11L, "R", 500.0, 0.0)) // outside quarter
+      .toDF("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+    val nation = Seq((2L, "NATION_2")).toDF("n_nationkey", "n_name")
+    val out = pipeline.Enrich.returnedItemLosses(customer, orders, lineitem, nation)
+      .select("c_custkey", "revenue").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 90.0)), s"got $out")
+  }
+
   test("topUnshippedOrders filters both dates and ranks by decimal revenue") {
     val customer = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
       .toDF("c_custkey", "c_mktsegment")
