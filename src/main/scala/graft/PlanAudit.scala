@@ -78,7 +78,11 @@ object PlanAudit {
     "q_nb_confusion" -> Set("BNLJ"),
     "q_nb_crossval" -> Set("BNLJ"),        // (K·k)-row fold×class model dim
     "q_triangles" -> Set("BNLJ"),          // single-row census totals join
-    "q_cuped" -> Set("BNLJ")               // single-row pooled-moments frame
+    "q_cuped" -> Set("BNLJ"),              // single-row pooled-moments frame
+    // waterfilling rank/prefix windows run over the SOURCE-level
+    // aggregate frame (rows = #sources), same class as q_volume_anomaly's
+    // day frame; the single-row totals/water frames broadcast
+    "q_unimax_mix" -> Set("BNLJ", "UNPART_WINDOW")
   )
 
   /** Audit one query's executed plan string → flags found. */

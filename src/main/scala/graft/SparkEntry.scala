@@ -311,7 +311,9 @@ object SparkEntry {
     // TPC-H Q10 shape: returned-item losses, customer-grain top-K
     "q_returned_items" -> ((s, d) => Enrich.returnedItemLosses(
       Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
-      Tables.nation(s, d)))
+      Tables.nation(s, d))),
+    // UniMax epoch-capped budget allocation: integer waterfilling
+    "q_unimax_mix" -> ((s, d) => llm.Curate.unimaxMix(Tables.documents(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -605,6 +607,7 @@ object SparkEntry {
     "q_cuped" -> Windows.sqlCupedReadout,
     "q_bpe_fertility" -> llm.TextStats.sqlBpeFertility(),
     "q_local_volume" -> Enrich.sqlLocalSupplierVolume(),
-    "q_returned_items" -> Enrich.sqlReturnedItemLosses()
+    "q_returned_items" -> Enrich.sqlReturnedItemLosses(),
+    "q_unimax_mix" -> llm.Curate.sqlUnimaxMix()
   )
 }

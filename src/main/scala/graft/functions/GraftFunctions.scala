@@ -26,6 +26,7 @@ object GraftFunctions {
     "top_k_by" -> (e => TopKByScore(e(0), e(1), intArg(e(2))).toAggregateExpression()),
     "shingle_hashes" -> (e => ShingleHashes(e(0), intArg(e(1)))),
     "gram_hashes_pos" -> (e => GramHashesPos(e(0), intArg(e(1)))),
+    "char_grams" -> (e => CharGrams(e(0), intArg(e(1)))),
     "nfc_normalize" -> (e => NfcNormalize(e(0))),
     "minhash_sigs" -> (e => MinhashSigs(e(0), e(1), intArg(e(2)))),
     "simhash64" -> (e => SimHash64(e(0))),

@@ -102,6 +102,34 @@ object TextHash {
         new GenericArrayData(hb)))
   }
 
+  /** Distinct lowercase character n-grams of a document, first-
+    * occurrence order. The trigram-LID hot path: the built-in route
+    * (`transform(sequence(...)) → substring → array_distinct`) is an
+    * interpreted higher-order lambda allocating one Catalyst array per
+    * row plus a full intermediate gram array BEFORE deduplication;
+    * this is one compiled pass with row-local dedup. Semantics match
+    * `list_distinct(list_transform(generate_series(1, len-(n-1)),
+    * i -> substr(lower(text), i, n)))` on the oracle side for the
+    * corpus charset (single-code-unit characters). */
+  def computeCharGrams(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toLowerCase.toString
+    if (s.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= s.length - n) {
+      seen.add(s.substring(i, i + n))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      out(k) = UTF8String.fromString(it.next())
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature: sig(i) = min_j (ha(j) + i*hb(j)) mod P for
     * i in [0, k). One pass over the base hashes; empty input yields an
     * empty signature (callers filter size(shs) > 0 upstream). */
@@ -314,6 +342,30 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.TextHash.normalizeNfc($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `char_grams(text, n)` → array<string> of DISTINCT lowercase
+  * character n-grams, first-occurrence order. */
+case class CharGrams(child: Expression, gramChars: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_grams requires a string argument, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.computeCharGrams(input.asInstanceOf[UTF8String], gramChars)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextHash.computeCharGrams($c, $gramChars);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -989,4 +989,89 @@ object Curate {
          bucket_cap * n_docs AS padded_tokens,
          1.0 - CAST(sum_tokens AS DOUBLE) / CAST(bucket_cap * n_docs AS DOUBLE) AS pad_waste
        FROM g ORDER BY bucket_cap"""
+
+  /** UniMax epoch cap (each source may repeat at most this many times). */
+  val UnimaxEpochCap = 3L
+
+  /** UniMax-style token-budget allocation (Chung et al., 2023 —
+    * "UniMax: Fairer and More Effective Language Sampling"): given a
+    * training token budget and a per-source epoch cap C, allocate the
+    * budget as uniformly as possible across sources subject to no
+    * source exceeding C epochs of its own data. This is exact integer
+    * WATERFILLING: with per-source caps c_s = C·n_s sorted ascending,
+    * a source is CAPPED iff its cap fits under the fair share of the
+    * budget remaining after all smaller caps are granted
+    * (c_i·(k−i+1) + prefix_{i−1} ≤ B — a monotone prefix property),
+    * and every uncapped source receives the integer water level
+    * t = (B − Σ capped) div #uncapped. The ≤ #uncapped−1 remainder
+    * tokens are intentionally left unallocated (reported), not
+    * smeared — determinism over cosmetics.
+    *
+    * Budget here = half an epoch of the full corpus, which forces a
+    * real reallocation. Scale shape: one corpus aggregate to
+    * source-level rows, then rank/prefix windows over the SOURCE
+    * frame — aggregate-sized (#sources, millions at web scale, never
+    * corpus-sized), the same class as q_volume_anomaly's day frame. */
+  def unimaxMix(documents: DataFrame, epochCap: Long = UnimaxEpochCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = documents
+      .select(col("source"), size(TextPrep.wordsCol).cast("long").as("n_toks"))
+      .groupBy("source").agg(sum(col("n_toks")).as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * epochCap)
+    val totals = per.agg(
+      sum(col("n_tokens")).as("corpus_tokens"),
+      count(lit(1)).as("k"))
+    val byCap = Window.orderBy(col("cap").asc, col("source").asc)
+    val ranked = per.crossJoin(broadcast(totals))
+      .withColumn("budget", expr("corpus_tokens DIV 2"))
+      .withColumn("i", row_number().over(byCap).cast("long"))
+      .withColumn("prefix", sum(col("cap")).over(
+        byCap.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("capped",
+        col("cap") * (col("k") - col("i") + 1L) + col("prefix") - col("cap")
+          <= col("budget"))
+    val water = ranked.agg(
+      sum(when(col("capped"), col("cap")).otherwise(0L)).as("capped_sum"),
+      sum(when(col("capped"), 1L).otherwise(0L)).as("m"))
+    ranked.crossJoin(broadcast(water))
+      .withColumn("level",
+        when(col("k") > col("m"),
+          expr("(budget - capped_sum) DIV (k - m)")).otherwise(lit(0L)))
+      .select(col("source"), col("n_tokens"), col("cap"), col("budget"),
+        when(col("capped"), col("cap")).otherwise(col("level")).as("alloc"))
+      .withColumn("epochs",
+        col("alloc").cast("double") / col("n_tokens").cast("double"))
+      .orderBy("source")
+  }
+
+  def sqlUnimaxMix(epochCap: Long = UnimaxEpochCap): String =
+    s"""WITH per AS (
+          SELECT source, CAST(sum(len(${TextPrep.sqlWords})) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1),
+        per2 AS (SELECT source, n_tokens, n_tokens * $epochCap AS cap FROM per),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens,
+                  CAST(count(*) AS BIGINT) AS k FROM per2),
+        ranked AS (
+          SELECT source, n_tokens, cap, corpus_tokens // 2 AS budget, k,
+            CAST(row_number() OVER (ORDER BY cap ASC, source ASC) AS BIGINT) AS i,
+            CAST(sum(cap) OVER (ORDER BY cap ASC, source ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS prefix
+          FROM per2 CROSS JOIN tot),
+        flagged AS (
+          SELECT *, cap * (k - i + 1) + prefix - cap <= budget AS capped
+          FROM ranked),
+        water AS (
+          SELECT CAST(sum(CASE WHEN capped THEN cap ELSE 0 END) AS BIGINT)
+              AS capped_sum,
+            CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS m
+          FROM flagged)
+        SELECT source, n_tokens, cap, budget,
+          CASE WHEN capped THEN cap
+            ELSE CASE WHEN k > m THEN (budget - capped_sum) // (k - m)
+              ELSE 0 END END AS alloc,
+          CAST(CASE WHEN capped THEN cap
+            ELSE CASE WHEN k > m THEN (budget - capped_sum) // (k - m)
+              ELSE 0 END END AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs
+        FROM flagged CROSS JOIN water
+        ORDER BY source"""
 }

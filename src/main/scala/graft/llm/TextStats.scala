@@ -876,21 +876,21 @@ object TextStats {
   def charTrigramLid(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // per-doc DISTINCT trigrams, deduplicated inside the row
+    graft.functions.TextHashExprs.register(documents.sparkSession)
     val dt = documents
       .filter(length(lower(col("text"))) >= 3)
       .select(col("doc_id"), col("lang"),
-        explode(expr(
-          "array_distinct(transform(sequence(1, length(lower(text)) - 2), " +
-            "i -> substring(lower(text), i, 3)))"))
-          .as("tri"))
-      // cached: the explode feeds both the profile aggregate and the
-      // scoring join, and recomputing the 3-char substring storm costs
-      // more than materializing it (measured: 10.0 s vs 6.9 s fresh at
-      // sf0.1). At 100 TB the profile side trains on a bounded doc
-      // SAMPLE instead (the standard LID methodology), which shrinks
-      // this frame to sample size; the full-corpus profile here keeps
-      // the small-sf oracle deterministic for every language.
-      .cache()
+        // native codegen'd distinct-trigram kernel — the interpreted
+        // transform/substring/array_distinct chain was this query's
+        // whole-suite-slowest hot path
+        explode(call_function("char_grams", col("text"), lit(3))).as("tri"))
+      // NOT cached: with the compiled kernel, recomputing the explode
+      // for the profile side costs less than materializing it (the
+      // interpreted chain measured the opposite — the cache was its
+      // workaround). At 100 TB the profile side trains on a bounded
+      // doc SAMPLE instead (the standard LID methodology); the
+      // full-corpus profile here keeps the small-sf oracle
+      // deterministic for every language.
     val counts = dt.groupBy("lang", "tri").agg(count(lit(1)).as("c"))
     val rnk = org.apache.spark.sql.functions.row_number()
       .over(Window.partitionBy("lang").orderBy(col("c").desc, col("tri").asc))

@@ -202,6 +202,47 @@ class ClassifyLinkageSpec extends SparkSpec {
     assert(out == Seq((1L, 90.0)), s"got $out")
   }
 
+  test("unimaxMix caps small sources and waterfills the rest") {
+    // one tiny source (cap 3·10=30 under any fair share) + three large.
+    // corpus=1210 tokens → budget=605. tiny capped at 30; level =
+    // (605-30) div 3 = 191 each; remainder 575-573=2 unallocated.
+    val docs = Seq(
+      (1L, ("w " * 10).trim, "tiny"),
+      (2L, ("w " * 400).trim, "big1"),
+      (3L, ("w " * 400).trim, "big2"),
+      (4L, ("w " * 400).trim, "big3"))
+      .toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+    val out = llm.Curate.unimaxMix(docs)
+      .select("source", "alloc").as[(String, Long)].collect().toMap
+    assert(out("tiny") == 30L, s"got $out")
+    assert(out("big1") == 191L && out("big2") == 191L && out("big3") == 191L,
+      s"got $out")
+  }
+
+  test("unimaxMix never exceeds the budget or any source's epoch cap") {
+    val out = llm.Curate.unimaxMix(Tables.documents(spark, sf()))
+      .select("alloc", "cap", "budget").as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r._1 <= r._2), "a source exceeded its epoch cap")
+    assert(out.map(_._1).sum <= out.head._3, "allocation exceeded the budget")
+  }
+
+  test("char_grams kernel matches the interpreted transform chain") {
+    graft.functions.TextHashExprs.register(spark)
+    val docs = Tables.documents(spark, sf()).limit(50)
+      .union(Seq((9001L, "ab", "en", "x", 2L), (9002L, "AbCd", "en", "x", 4L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // (sequence(1, len-2) auto-descends for len < 3 — guard with CASE,
+    // the same reason the production query filters length >= 3)
+    val diff = docs.select(col("doc_id"),
+        call_function("char_grams", col("text"), lit(3)).as("fast"),
+        expr("CASE WHEN length(text) < 3 THEN array() ELSE " +
+          "array_distinct(transform(sequence(1, length(lower(text)) - 2), " +
+          "i -> substring(lower(text), i, 3))) END").as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(diff.count() == 0, diff.take(3).mkString(";"))
+  }
+
   test("topUnshippedOrders filters both dates and ranks by decimal revenue") {
     val customer = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
       .toDF("c_custkey", "c_mktsegment")
