@@ -82,7 +82,10 @@ object PlanAudit {
     // waterfilling rank/prefix windows run over the SOURCE-level
     // aggregate frame (rows = #sources), same class as q_volume_anomaly's
     // day frame; the single-row totals/water frames broadcast
-    "q_unimax_mix" -> Set("BNLJ", "UNPART_WINDOW")
+    "q_unimax_mix" -> Set("BNLJ", "UNPART_WINDOW"),
+    // rank + tau extraction run on the TakeOrdered (k+1)-row frame —
+    // constant-sized at any corpus; single-row tau broadcast
+    "q_priority_sample" -> Set("BNLJ", "UNPART_WINDOW")
   )
 
   /** Audit one query's executed plan string → flags found. */

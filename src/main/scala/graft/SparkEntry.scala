@@ -313,7 +313,12 @@ object SparkEntry {
       Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
       Tables.nation(s, d))),
     // UniMax epoch-capped budget allocation: integer waterfilling
-    "q_unimax_mix" -> ((s, d) => llm.Curate.unimaxMix(Tables.documents(s, d)))
+    "q_unimax_mix" -> ((s, d) => llm.Curate.unimaxMix(Tables.documents(s, d))),
+    // multi-probe LSH: Hamming-1 probe fan-out, recall bought with compute
+    "q_embed_lsh_mp" -> ((s, d) =>
+      llm.Similarity.multiProbeLshPairs(Tables.embeddings(s, d), 0.3)),
+    // priority sampling: top-k by w/u with the tau-threshold estimator
+    "q_priority_sample" -> ((s, d) => llm.Curate.prioritySample(Tables.documents(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -608,6 +613,8 @@ object SparkEntry {
     "q_bpe_fertility" -> llm.TextStats.sqlBpeFertility(),
     "q_local_volume" -> Enrich.sqlLocalSupplierVolume(),
     "q_returned_items" -> Enrich.sqlReturnedItemLosses(),
-    "q_unimax_mix" -> llm.Curate.sqlUnimaxMix()
+    "q_unimax_mix" -> llm.Curate.sqlUnimaxMix(),
+    "q_embed_lsh_mp" -> llm.Similarity.sqlMultiProbeLshPairs(0.3),
+    "q_priority_sample" -> llm.Curate.sqlPrioritySample()
   )
 }

@@ -990,6 +990,70 @@ object Curate {
          1.0 - CAST(sum_tokens AS DOUBLE) / CAST(bucket_cap * n_docs AS DOUBLE) AS pad_waste
        FROM g ORDER BY bucket_cap"""
 
+  val PrioritySampleK = 100
+  private val PriorityM = 1048576L // 2^20 uniform-hash resolution
+
+  /** Priority sampling (Duffield, Lund & Thorup, JACM'07): a
+    * weight-sensitive sample of k documents with an UNBIASED
+    * subset-sum estimator — the principled way to answer "how many
+    * tokens does slice X hold" from a fixed-size sample when document
+    * sizes are wildly skewed (uniform sampling misses the heavy tail;
+    * weight-proportional without the threshold correction is biased).
+    * Each doc gets priority w/u with u uniform in (0,1]; the top-k by
+    * priority are kept, and every kept doc's weight estimate is
+    * max(w, τ) where τ is the (k+1)-th priority.
+    *
+    * Determinism: u = (h+1)/2^20 from the md5 split-hash family (no
+    * engine RNG); priority = (w·2^20)/(h+1) — exact BIGINT numerator
+    * (w·2^20 < 2^53), ONE double division. Scale shape: the top-(k+1)
+    * is TakeOrderedAndProject (per-partition heaps, no global sort);
+    * the τ extraction and final rank run on the (k+1)-row frame —
+    * constant-sized at any corpus. Corpus ≤ k degenerates correctly:
+    * τ = 0 and every estimate is the exact weight. */
+  def prioritySample(documents: DataFrame, k: Int = PrioritySampleK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = documents
+      .select(col("doc_id"), size(TextPrep.wordsCol).cast("long").as("w"))
+      .withColumn("h", hashBucket("prio", PriorityM.toInt))
+      .withColumn("priority",
+        (col("w") * lit(PriorityM)).cast("double") /
+          (col("h") + lit(1L)).cast("double"))
+    val top = base.orderBy(col("priority").desc, col("doc_id").asc).limit(k + 1)
+    val ranked = top.withColumn("rn", row_number().over(
+      Window.orderBy(col("priority").desc, col("doc_id").asc)))
+    val tau = ranked.agg(coalesce(
+      max(when(col("rn") === k + 1, col("priority"))), lit(0.0)).as("tau"))
+    ranked.filter(col("rn") <= k)
+      .crossJoin(broadcast(tau))
+      .select(col("doc_id"), col("w").as("n_tokens"), col("priority"),
+        greatest(col("w").cast("double"), col("tau")).as("est_tokens"))
+      .orderBy("doc_id")
+  }
+
+  def sqlPrioritySample(k: Int = PrioritySampleK): String =
+    s"""WITH base AS (
+          SELECT doc_id,
+            CAST(len(${TextPrep.sqlWords}) AS BIGINT) AS w,
+            ${sqlHashBucket("prio", PriorityM.toInt)} AS h
+          FROM documents),
+        pr AS (
+          SELECT doc_id, w,
+            CAST(w * $PriorityM AS DOUBLE) / CAST(h + 1 AS DOUBLE) AS priority
+          FROM base),
+        top AS (
+          SELECT * FROM pr ORDER BY priority DESC, doc_id ASC LIMIT ${k + 1}),
+        ranked AS (
+          SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS rn
+          FROM top),
+        tau AS (
+          SELECT coalesce(max(CASE WHEN rn = ${k + 1} THEN priority END), 0.0)
+            AS tau
+          FROM ranked)
+        SELECT doc_id, w AS n_tokens, priority,
+          greatest(CAST(w AS DOUBLE), tau) AS est_tokens
+        FROM ranked CROSS JOIN tau
+        WHERE rn <= $k ORDER BY doc_id"""
+
   /** UniMax epoch cap (each source may repeat at most this many times). */
   val UnimaxEpochCap = 3L
 

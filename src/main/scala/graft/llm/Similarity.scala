@@ -233,6 +233,74 @@ object Similarity {
         WHERE cosine >= $threshold ORDER BY vec_a, vec_b"""
   }
 
+  /** Multi-probe sign-LSH near-dup (Lv et al., VLDB'07): each vector
+    * probes its own bucket AND the NumPlanes buckets at Hamming
+    * distance 1 in every table, so a pair collides if their codes
+    * differ by ≤ 1 bit somewhere — the recall of roughly
+    * squaring the table count bought with compute (7× probe rows)
+    * instead of memory (no extra index tables). The candidate set is
+    * a strict superset of [[lshNearDupPairs]]'s; the exact-cosine
+    * verification filter is identical, so extra candidates can only
+    * ADD true pairs, never corrupt them.
+    *
+    * Probing is one-sided (probe rows join bucket rows): for a pair
+    * (a, b) with Hamming-≤1 codes, a's probe set contains b's code by
+    * symmetry of single-bit flips, so the a < b direction finds every
+    * such pair exactly once before the dedup. Scale shape unchanged:
+    * the join key is still (table, bucket); the probe explode is
+    * map-side. */
+  def multiProbeLshPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val n = prepared(embeddings)
+    val tableBuckets = (0 until NumTables).map { t =>
+      struct(lit(t).as("tbl"), bucketCol(t).as("bucket"))
+    }
+    val b = n.select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .cache() // both join sides + probe fan-out; caller-released
+    val probeCols = col("bucket") +:
+      (0 until NumPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))
+    val probes = b.select(col("vec_id"), col("tbl"),
+      explode(array(probeCols: _*)).as("probe"))
+    val cand = probes.as("x").join(b.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.probe") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(n.as("a"), col("vec_a") === col("a.vec_id"))
+      .join(n.as("b"), col("vec_b") === col("b.vec_id"))
+      .select(col("vec_a"), col("vec_b"), cosine("a", "b"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  def sqlMultiProbeLshPairs(threshold: Double): String = {
+    val tableSelects = (0 until NumTables).map { t =>
+      val bucketExpr = (0 until NumPlanes).map { p =>
+        val w = planes(t)(p).mkString("[", ", ", "]")
+        s"CASE WHEN list_reduce(list_transform(generate_series(1, $Dim), " +
+          s"i -> v[i] * ($w)[i]), (x, y) -> x + y) >= 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bucketExpr AS bucket FROM n"
+    }.mkString(" UNION ALL ")
+    val probeList = ("bucket" +:
+      (0 until NumPlanes).map(p => s"xor(bucket, ${1L << p})")).mkString("[", ", ", "]")
+    s"""WITH $sqlPrepared,
+        bkt AS ($tableSelects),
+        probes AS (
+          SELECT vec_id, tbl, unnest($probeList) AS probe FROM bkt),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+          FROM probes x JOIN bkt y
+            ON x.tbl = y.tbl AND x.probe = y.bucket AND x.vec_id < y.vec_id),
+        p AS (
+          SELECT vec_a, vec_b, $sqlCosine AS cosine
+          FROM cand JOIN n a ON vec_a = a.vec_id
+                    JOIN n b ON vec_b = b.vec_id)
+        SELECT vec_a, vec_b, cosine FROM p
+        WHERE cosine >= $threshold ORDER BY vec_a, vec_b"""
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max|v|/127,
     * q_i = clamp(round(v_i/scale)). The ANN memory path — an int8
     * corpus is 8× smaller than float64, so 8× more vectors fit in

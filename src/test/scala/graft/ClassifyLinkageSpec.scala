@@ -227,6 +227,45 @@ class ClassifyLinkageSpec extends SparkSpec {
     assert(out.map(_._1).sum <= out.head._3, "allocation exceeded the budget")
   }
 
+  test("multiProbeLshPairs returns a superset of the single-probe pairs") {
+    val emb = Tables.embeddings(spark, sf())
+    val single = llm.Similarity.lshNearDupPairs(emb, 0.3)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val multi = llm.Similarity.multiProbeLshPairs(emb, 0.3)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(multi),
+      s"missing from multi-probe: ${(single -- multi).take(5)}")
+    val cos = llm.Similarity.multiProbeLshPairs(emb, 0.3)
+      .select("cosine").as[Double].collect()
+    assert(cos.forall(_ >= 0.3))
+  }
+
+  test("prioritySample keeps k docs with tau-corrected estimates") {
+    val out = llm.Curate.prioritySample(Tables.documents(spark, sf("sf0.01")))
+      .select("n_tokens", "priority", "est_tokens")
+      .as[(Long, Double, Double)].collect()
+    assert(out.length == llm.Curate.PrioritySampleK)
+    // every estimate is max(w, tau) ≥ w for ONE shared tau: rows where
+    // the estimate exceeds the raw weight all expose tau directly
+    assert(out.forall(r => r._3 >= r._1.toDouble))
+    val exposed = out.filter(r => r._3 > r._1.toDouble).map(_._3).distinct
+    assert(exposed.length <= 1, s"multiple tau values: ${exposed.toSeq}")
+    exposed.headOption.foreach { tau =>
+      assert(out.forall(r => r._3 == math.max(r._1.toDouble, tau)))
+    }
+  }
+
+  test("prioritySample degenerates to the full population when corpus <= k") {
+    val docs = Seq((1L, "a b c", "en"), (2L, "d e", "en"), (3L, "f", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = llm.Curate.prioritySample(docs, k = 10)
+      .select("doc_id", "n_tokens", "est_tokens")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    // tau = 0 → every doc kept with its EXACT weight
+    assert(out.map(_._1) == Seq(1L, 2L, 3L))
+    assert(out.forall(r => r._3 == r._2.toDouble), s"got $out")
+  }
+
   test("char_grams kernel matches the interpreted transform chain") {
     graft.functions.TextHashExprs.register(spark)
     val docs = Tables.documents(spark, sf()).limit(50)
