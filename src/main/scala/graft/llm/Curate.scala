@@ -1018,7 +1018,12 @@ object Curate {
       .withColumn("priority",
         (col("w") * lit(PriorityM)).cast("double") /
           (col("h") + lit(1L)).cast("double"))
-    val top = base.orderBy(col("priority").desc, col("doc_id").asc).limit(k + 1)
+    // cached: ranked feeds BOTH the tau broadcast and the final
+    // projection, and TakeOrderedAndProject has no Exchange for plan
+    // reuse to dedup — uncached, the corpus scan + per-doc md5 would
+    // run twice. (k+1) rows; caller-released like every op cache.
+    val top = base.orderBy(col("priority").desc, col("doc_id").asc)
+      .limit(k + 1).cache()
     val ranked = top.withColumn("rn", row_number().over(
       Window.orderBy(col("priority").desc, col("doc_id").asc)))
     val tau = ranked.agg(coalesce(

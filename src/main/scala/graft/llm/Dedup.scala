@@ -1374,7 +1374,12 @@ object Dedup {
     val e = minhashLshPairs(documents)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .localCheckpoint() // pair generation runs once, feeds 4 consumers
+      // cache, NOT localCheckpoint: pair generation runs once across
+      // the 4 consumers either way, but a lazy cache keeps the full
+      // lineage visible to PlanAudit's plan-shape gate (an eager
+      // checkpoint would execute jobs at plan-construction time AND
+      // hide everything upstream of it from the audit)
+      .cache()
     val sym = e.union(e.select(col("v"), col("u"))).toDF("u", "v")
     val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
     // orient each edge from lower (deg, id) to higher (deg, id)
@@ -1390,7 +1395,7 @@ object Dedup {
           .otherwise(struct(col("u").as("id"), col("du").as("d"))).as("t"))
       .select(col("s.id").as("src"), col("t.id").as("dst"),
         col("t.d").as("ddst"))
-      .localCheckpoint() // reused as both wedge sides and probe side
+      .cache() // reused as both wedge sides and probe side
     val wedgePairs = o.as("o1").join(o.as("o2"),
         col("o1.src") === col("o2.src") &&
           (struct(col("o1.ddst"), col("o1.dst")) <

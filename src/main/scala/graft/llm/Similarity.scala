@@ -168,6 +168,35 @@ object Similarity {
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** (vec_id, tbl, bucket) over all NumTables — THE LSH index frame,
+    * one definition shared by single- and multi-probe pair generation
+    * (they must hash into bit-identical buckets or the multi-probe
+    * candidate-superset guarantee silently breaks). Cached: it feeds
+    * both sides of the candidate self-join, and Spark does not share
+    * subplans — uncached, the 96 codegen'd dot products per row run
+    * twice. Caller-released lifecycle (Bench/Verify clearCache); at
+    * cluster scale this is the materialized LSH index table. */
+  private def bucketFrame(n: DataFrame): DataFrame = {
+    val tableBuckets = (0 until NumTables).map { t =>
+      struct(lit(t).as("tbl"), bucketCol(t).as("bucket"))
+    }
+    n.select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .cache()
+  }
+
+  /** The SQL twin of [[bucketFrame]]: per-table bucket codes as a
+    * UNION ALL — one definition for both probe variants. */
+  private def sqlBucketSelects: String =
+    (0 until NumTables).map { t =>
+      val bucketExpr = (0 until NumPlanes).map { p =>
+        val w = planes(t)(p).mkString("[", ", ", "]")
+        s"CASE WHEN list_reduce(list_transform(generate_series(1, $Dim), " +
+          s"i -> v[i] * ($w)[i]), (x, y) -> x + y) >= 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bucketExpr AS bucket FROM n"
+    }.mkString(" UNION ALL ")
+
   /** Multi-table sign-projection LSH near-dup: NumTables independent
     * hash tables, each bucketing on the sign bits of NumPlanes random
     * projections; pairs sharing a bucket in ANY table are candidates
@@ -186,17 +215,7 @@ object Similarity {
     * pairs. */
   def lshNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
     val n = prepared(embeddings)
-    val tableBuckets = (0 until NumTables).map { t =>
-      struct(lit(t).as("tbl"), bucketCol(t).as("bucket"))
-    }
-    // cached: the bucket frame feeds BOTH sides of the self-join, and
-    // Spark does not share subplans — uncached, the 96 codegen'd dot
-    // products per row run twice. Same caller-released lifecycle as
-    // ivfTopK (Bench/Verify clearCache after each query); at cluster
-    // scale this is the materialized LSH index table.
-    val b = n.select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-      .cache()
+    val b = bucketFrame(n)
     val cand = b.as("x").join(b.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -210,17 +229,9 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  def sqlLshNearDupPairs(threshold: Double): String = {
-    val tableSelects = (0 until NumTables).map { t =>
-      val bucketExpr = (0 until NumPlanes).map { p =>
-        val w = planes(t)(p).mkString("[", ", ", "]")
-        s"CASE WHEN list_reduce(list_transform(generate_series(1, $Dim), " +
-          s"i -> v[i] * ($w)[i]), (x, y) -> x + y) >= 0 THEN ${1L << p} ELSE 0 END"
-      }.mkString(" + ")
-      s"SELECT vec_id, $t AS tbl, $bucketExpr AS bucket FROM n"
-    }.mkString(" UNION ALL ")
+  def sqlLshNearDupPairs(threshold: Double): String =
     s"""WITH $sqlPrepared,
-        bkt AS ($tableSelects),
+        bkt AS ($sqlBucketSelects),
         cand AS (
           SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
           FROM bkt x JOIN bkt y
@@ -231,7 +242,6 @@ object Similarity {
                     JOIN n b ON vec_b = b.vec_id)
         SELECT vec_a, vec_b, cosine FROM p
         WHERE cosine >= $threshold ORDER BY vec_a, vec_b"""
-  }
 
   /** Multi-probe sign-LSH near-dup (Lv et al., VLDB'07): each vector
     * probes its own bucket AND the NumPlanes buckets at Hamming
@@ -251,12 +261,7 @@ object Similarity {
     * map-side. */
   def multiProbeLshPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
     val n = prepared(embeddings)
-    val tableBuckets = (0 until NumTables).map { t =>
-      struct(lit(t).as("tbl"), bucketCol(t).as("bucket"))
-    }
-    val b = n.select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-      .cache() // both join sides + probe fan-out; caller-released
+    val b = bucketFrame(n)
     val probeCols = col("bucket") +:
       (0 until NumPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))
     val probes = b.select(col("vec_id"), col("tbl"),
@@ -275,18 +280,10 @@ object Similarity {
   }
 
   def sqlMultiProbeLshPairs(threshold: Double): String = {
-    val tableSelects = (0 until NumTables).map { t =>
-      val bucketExpr = (0 until NumPlanes).map { p =>
-        val w = planes(t)(p).mkString("[", ", ", "]")
-        s"CASE WHEN list_reduce(list_transform(generate_series(1, $Dim), " +
-          s"i -> v[i] * ($w)[i]), (x, y) -> x + y) >= 0 THEN ${1L << p} ELSE 0 END"
-      }.mkString(" + ")
-      s"SELECT vec_id, $t AS tbl, $bucketExpr AS bucket FROM n"
-    }.mkString(" UNION ALL ")
     val probeList = ("bucket" +:
       (0 until NumPlanes).map(p => s"xor(bucket, ${1L << p})")).mkString("[", ", ", "]")
     s"""WITH $sqlPrepared,
-        bkt AS ($tableSelects),
+        bkt AS ($sqlBucketSelects),
         probes AS (
           SELECT vec_id, tbl, unnest($probeList) AS probe FROM bkt),
         cand AS (

@@ -59,6 +59,12 @@ class ClassifyLinkageSpec extends SparkSpec {
     val pairs = pipeline.Linkage.entityResolution(parts)
       .select("k1", "k2").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)), s"got $pairs")
+    // the bucket width derives from the threshold: at maxSizeDiff=3
+    // the size-5/size-8 pair (gap 3, different width-2 buckets) must
+    // now be blocked together and match
+    val wide = pipeline.Linkage.entityResolution(parts, maxSizeDiff = 3)
+      .select("k1", "k2").as[(Long, Long)].collect().toSet
+    assert(wide == Set((1L, 2L), (1L, 5L), (2L, 5L)), s"got $wide")
   }
 
   test("entityResolution emits each matched pair exactly once") {
