@@ -85,7 +85,10 @@ object PlanAudit {
     "q_unimax_mix" -> Set("BNLJ", "UNPART_WINDOW"),
     // rank + tau extraction run on the TakeOrdered (k+1)-row frame —
     // constant-sized at any corpus; single-row tau broadcast
-    "q_priority_sample" -> Set("BNLJ", "UNPART_WINDOW")
+    "q_priority_sample" -> Set("BNLJ", "UNPART_WINDOW"),
+    // recall evaluation harness: the exact all-pairs truth side is the
+    // DEFINITION of the measurement (bounded, requireBaselineSized)
+    "q_lsh_recall" -> Set("BNLJ")
   )
 
   /** Audit one query's executed plan string → flags found. */

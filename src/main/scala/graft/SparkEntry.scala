@@ -318,7 +318,12 @@ object SparkEntry {
     "q_embed_lsh_mp" -> ((s, d) =>
       llm.Similarity.multiProbeLshPairs(Tables.embeddings(s, d), 0.3)),
     // priority sampling: top-k by w/u with the tau-threshold estimator
-    "q_priority_sample" -> ((s, d) => llm.Curate.prioritySample(Tables.documents(s, d)))
+    "q_priority_sample" -> ((s, d) => llm.Curate.prioritySample(Tables.documents(s, d))),
+    // reciprocal rank fusion of the quality and rarity rankings
+    "q_rrf_rank" -> ((s, d) => llm.Curate.rrfRank(Tables.documents(s, d))),
+    // recall measurement: single- vs multi-probe LSH against exact truth
+    "q_lsh_recall" -> ((s, d) =>
+      llm.Similarity.lshRecall(Tables.embeddings(s, d), 0.3))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -615,6 +620,8 @@ object SparkEntry {
     "q_returned_items" -> Enrich.sqlReturnedItemLosses(),
     "q_unimax_mix" -> llm.Curate.sqlUnimaxMix(),
     "q_embed_lsh_mp" -> llm.Similarity.sqlMultiProbeLshPairs(0.3),
-    "q_priority_sample" -> llm.Curate.sqlPrioritySample()
+    "q_priority_sample" -> llm.Curate.sqlPrioritySample(),
+    "q_rrf_rank" -> llm.Curate.sqlRrfRank(),
+    "q_lsh_recall" -> llm.Similarity.sqlLshRecall(0.3)
   )
 }

@@ -1059,6 +1059,69 @@ object Curate {
         FROM ranked CROSS JOIN tau
         WHERE rn <= $k ORDER BY doc_id"""
 
+  val RrfListN = 200
+  val RrfTopK = 50
+  val RrfC = 60 // the standard RRF dampening constant
+
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR'09) of
+    * two curation signals: fuse the quality-score ranking and the
+    * rarity ranking into one robust ordering —
+    * rrf(d) = 1/(C+rank_quality) + 1/(C+rank_rarity) — and keep the
+    * top-K. Rank fusion beats score fusion when the signals live on
+    * incomparable scales (a [0,1] heuristic vs surprisal bits), which
+    * is exactly the curation situation; docs strong on one list and
+    * absent from the other still surface, docs mediocre on both don't.
+    *
+    * Scale shape: RRF is DEFINED over bounded top-N lists, so each
+    * input ranking is TakeOrderedAndProject (per-partition heaps —
+    * never a corpus-wide sort), the rank windows and the full-outer
+    * fuse run on the two N-row frames, and absence from a list
+    * contributes 0 via coalesce. Determinism: ranks are integers with
+    * doc_id tie-breaks; the two reciprocal terms are added in pinned
+    * order. */
+  def rrfRank(documents: DataFrame, n: Int = RrfListN,
+              k: Int = RrfTopK, c: Int = RrfC): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ranked(df: DataFrame, score: String, rankCol: String): DataFrame = {
+      val top = df.orderBy(col(score).desc, col("doc_id").asc).limit(n)
+      top.withColumn(rankCol, row_number().over(
+          Window.orderBy(col(score).desc, col("doc_id").asc)).cast("long"))
+        .select(col("doc_id"), col(rankCol))
+    }
+    val q = ranked(TextStats.textStatsUnordered(documents)
+      .select(col("doc_id"), col("quality_score")), "quality_score", "rank_quality")
+    val r = ranked(TextStats.rarityScore(documents)
+      .select(col("doc_id"), col("mean_rarity_bits")), "mean_rarity_bits", "rank_rarity")
+    q.join(r, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_quality"), col("rank_rarity"),
+        (coalesce(lit(1.0) / (lit(c.toLong) + col("rank_quality")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c.toLong) + col("rank_rarity")), lit(0.0)))
+          .as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def sqlRrfRank(n: Int = RrfListN, k: Int = RrfTopK, c: Int = RrfC): String =
+    s"""WITH qt AS (
+          SELECT doc_id, quality_score FROM (${TextStats.sqlTextStats})
+          ORDER BY quality_score DESC, doc_id ASC LIMIT $n),
+        qr AS (
+          SELECT doc_id, CAST(row_number() OVER (
+            ORDER BY quality_score DESC, doc_id ASC) AS BIGINT) AS rank_quality
+          FROM qt),
+        rt AS (
+          SELECT doc_id, mean_rarity_bits FROM (${TextStats.sqlRarityScore})
+          ORDER BY mean_rarity_bits DESC, doc_id ASC LIMIT $n),
+        rr AS (
+          SELECT doc_id, CAST(row_number() OVER (
+            ORDER BY mean_rarity_bits DESC, doc_id ASC) AS BIGINT) AS rank_rarity
+          FROM rt)
+        SELECT doc_id, rank_quality, rank_rarity,
+          coalesce(1.0 / ($c + rank_quality), 0.0)
+            + coalesce(1.0 / ($c + rank_rarity), 0.0) AS rrf_score
+        FROM qr FULL OUTER JOIN rr USING (doc_id)
+        ORDER BY rrf_score DESC, doc_id ASC LIMIT $k"""
+
   /** UniMax epoch cap (each source may repeat at most this many times). */
   val UnimaxEpochCap = 3L
 

@@ -298,6 +298,51 @@ object Similarity {
         WHERE cosine >= $threshold ORDER BY vec_a, vec_b"""
   }
 
+  /** LSH recall evaluation: single-probe vs multi-probe pair counts
+    * against the exact all-pairs ground truth at the same threshold —
+    * the measurement that justifies (or refutes) paying the 7× probe
+    * fan-out. Both LSH variants exact-verify their candidates, so
+    * every pair they emit IS a true pair and recall is a pure count
+    * ratio — no pair-level join needed.
+    *
+    * Like q_ivf_recall this is a declared evaluation harness: the
+    * ground-truth side is the bounded exact baseline
+    * ([[requireBaselineSized]] guards it); the LSH sides are the
+    * production-scale plans being measured. */
+  def lshRecall(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val truth = cosineNearDupPairs(embeddings, threshold)
+      .agg(count(lit(1)).as("n_true"))
+    val variants = lshNearDupPairs(embeddings, threshold)
+      .agg(count(lit(1)).as("n_found"))
+      .select(lit("1_single_probe").as("variant"), col("n_found"))
+      .union(multiProbeLshPairs(embeddings, threshold)
+        .agg(count(lit(1)).as("n_found"))
+        .select(lit("2_multi_probe").as("variant"), col("n_found")))
+    variants.crossJoin(broadcast(truth))
+      .select(col("variant"), col("n_found"), col("n_true"),
+        (col("n_found").cast("double") / col("n_true").cast("double"))
+          .as("recall"))
+      .orderBy("variant")
+  }
+
+  def sqlLshRecall(threshold: Double): String =
+    s"""WITH tr AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_true
+          FROM (${sqlCosineNearDupPairs(threshold)})),
+        sp AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_found
+          FROM (${sqlLshNearDupPairs(threshold)})),
+        mp AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_found
+          FROM (${sqlMultiProbeLshPairs(threshold)})),
+        v AS (
+          SELECT '1_single_probe' AS variant, n_found FROM sp
+          UNION ALL
+          SELECT '2_multi_probe' AS variant, n_found FROM mp)
+        SELECT variant, n_found, n_true,
+          CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
+        FROM v CROSS JOIN tr ORDER BY variant"""
+
   /** Symmetric per-vector int8 quantization: scale = max|v|/127,
     * q_i = clamp(round(v_i/scale)). The ANN memory path — an int8
     * corpus is 8× smaller than float64, so 8× more vectors fit in

@@ -272,6 +272,38 @@ class ClassifyLinkageSpec extends SparkSpec {
     assert(out.forall(r => r._3 == r._2.toDouble), s"got $out")
   }
 
+  test("rrfRank fuses exactly the reciprocal ranks of its two input lists") {
+    val docs = Tables.documents(spark, sf())
+    // independently rebuild both rankings from the public building blocks
+    val qRanks = llm.TextStats.textStats(docs)
+      .select("doc_id", "quality_score")
+      .as[(Long, Double)].collect()
+      .sortBy { case (id, q) => (-q, id) }.take(llm.Curate.RrfListN)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val rRanks = llm.TextStats.rarityScore(docs)
+      .select("doc_id", "mean_rarity_bits")
+      .as[(Long, Double)].collect()
+      .sortBy { case (id, r) => (-r, id) }.take(llm.Curate.RrfListN)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val out = llm.Curate.rrfRank(docs)
+      .select("doc_id", "rank_quality", "rank_rarity", "rrf_score")
+      .as[(Long, Option[Long], Option[Long], Double)].collect()
+    assert(out.length == llm.Curate.RrfTopK)
+    out.foreach { case (id, rq, rr, score) =>
+      assert(rq == qRanks.get(id), s"doc $id quality rank")
+      assert(rr == rRanks.get(id), s"doc $id rarity rank")
+      val expected = rq.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        rr.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(score == expected, s"doc $id rrf $score vs $expected")
+    }
+    // the output really is the global top-K by fused score
+    val all = (qRanks.keySet ++ rRanks.keySet).toSeq.map { id =>
+      id -> (qRanks.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        rRanks.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0))
+    }.sortBy { case (id, s) => (-s, id) }.take(llm.Curate.RrfTopK).map(_._1)
+    assert(out.map(_._1).toSeq == all)
+  }
+
   test("char_grams kernel matches the interpreted transform chain") {
     graft.functions.TextHashExprs.register(spark)
     val docs = Tables.documents(spark, sf()).limit(50)
