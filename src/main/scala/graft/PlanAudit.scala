@@ -88,7 +88,10 @@ object PlanAudit {
     "q_priority_sample" -> Set("BNLJ", "UNPART_WINDOW"),
     // recall evaluation harness: the exact all-pairs truth side is the
     // DEFINITION of the measurement (bounded, requireBaselineSized)
-    "q_lsh_recall" -> Set("BNLJ")
+    "q_lsh_recall" -> Set("BNLJ"),
+    // pairwise crossJoin of the #sources-row KB-sketch frame — the
+    // broadcast-sized postprocess that REPLACES the corpus pair join
+    "q_theta_overlap" -> Set("BNLJ")
   )
 
   /** Audit one query's executed plan string → flags found. */

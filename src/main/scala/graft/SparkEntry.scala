@@ -323,7 +323,11 @@ object SparkEntry {
     "q_rrf_rank" -> ((s, d) => llm.Curate.rrfRank(Tables.documents(s, d))),
     // recall measurement: single- vs multi-probe LSH against exact truth
     "q_lsh_recall" -> ((s, d) =>
-      llm.Similarity.lshRecall(Tables.embeddings(s, d), 0.3))
+      llm.Similarity.lshRecall(Tables.embeddings(s, d), 0.3)),
+    // theta-sketch source overlap: the one-pass scale twin of q_source_overlap
+    "q_theta_overlap" -> ((s, d) => llm.Dedup.thetaSourceOverlap(Tables.documents(s, d))),
+    // mergeable KLL quantile rollup: rank-tolerance-validated p50/p95
+    "q_kll_quantiles" -> ((s, d) => Windows.kllValueQuantiles(ev(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -622,6 +626,8 @@ object SparkEntry {
     "q_embed_lsh_mp" -> llm.Similarity.sqlMultiProbeLshPairs(0.3),
     "q_priority_sample" -> llm.Curate.sqlPrioritySample(),
     "q_rrf_rank" -> llm.Curate.sqlRrfRank(),
-    "q_lsh_recall" -> llm.Similarity.sqlLshRecall(0.3)
+    "q_lsh_recall" -> llm.Similarity.sqlLshRecall(0.3),
+    "q_theta_overlap" -> llm.Dedup.sqlThetaSourceOverlap,
+    "q_kll_quantiles" -> Windows.sqlKllValueQuantiles
   )
 }

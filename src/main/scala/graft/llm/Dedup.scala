@@ -1349,6 +1349,83 @@ object Dedup {
         ORDER BY doc_id"""
   }
 
+  /** Sketch-based source overlap — the SCALE TWIN of [[sourceOverlap]]:
+    * one theta sketch (DataSketches, Spark 4 built-in) per source over
+    * the same distinct-shingle key, then pairwise
+    * intersection/union ESTIMATES from the #sources-row sketch frame.
+    * The exact version's shingle-keyed pair join touches the corpus
+    * once per source pair; this reduces the corpus to #sources
+    * KB-sized sketches in ONE pass and intersects sketches — at 100 TB
+    * that is the difference between a corpus-sized shuffle matrix and
+    * a broadcast-sized postprocess. Theta sketches are KMV-style
+    * (k smallest key hashes, fixed seed): order-independent and
+    * deterministic for a given key set, so the tolerance booleans are
+    * stable across runs and engines.
+    *
+    * Output follows the q_hll_union oracle pattern: exact counts (the
+    * DuckDB-computable half) plus within-tolerance booleans for the
+    * estimates — the oracle asserts the booleans are TRUE, so estimate
+    * drift past tolerance fails the correctness gate, not just a
+    * bench. */
+  def thetaSourceOverlap(documents: DataFrame): DataFrame = {
+    graft.functions.TextHashExprs.register(documents.sparkSession)
+    val ss = documents
+      .select(col("source"),
+        call_function("shingle_hashes", col("text"), lit(TextPrep.ShingleWords)).as("d"))
+      .select(col("source"), explode(col("d.shs")).as("sh"))
+      .distinct()
+      .cache() // feeds the sketch agg, the exact pair join, and totals
+    val sk = ss.groupBy("source")
+      .agg(expr("theta_sketch_agg(sh)").as("sk"), count(lit(1)).as("n"))
+    val est = sk.as("a").crossJoin(sk.as("b"))
+      .filter(col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        expr("theta_sketch_estimate(theta_intersection(a.sk, b.sk))")
+          .cast("double").as("inter_est"),
+        expr("theta_sketch_estimate(theta_union(a.sk, b.sk))")
+          .cast("double").as("union_est"))
+    val exact = ss.as("x")
+      .join(ss.as("y"), col("x.sh") === col("y.sh") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val totals = ss.groupBy("source").agg(count(lit(1)).as("nt"))
+    exact
+      .join(totals.select(col("source").as("source_a"), col("nt").as("n_a")), "source_a")
+      .join(totals.select(col("source").as("source_b"), col("nt").as("n_b")), "source_b")
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_shared"))
+      .join(est, Seq("source_a", "source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"), col("n_union"),
+        (abs(col("inter_est") - col("n_shared").cast("double")) <=
+          greatest(lit(0.1) * col("n_shared").cast("double"), lit(50.0)))
+          .as("inter_ok"),
+        (abs(col("union_est") - col("n_union").cast("double")) <=
+          greatest(lit(0.1) * col("n_union").cast("double"), lit(50.0)))
+          .as("union_ok"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sqlThetaSourceOverlap: String = {
+    val w = TextPrep.sqlWords
+    s"""WITH ss AS (
+          SELECT DISTINCT source, sh FROM (
+            SELECT source,
+              unnest(list_distinct(${TextPrep.sqlShingles(w)})) AS sh
+            FROM documents WHERE len($w) >= ${TextPrep.ShingleWords})),
+        pair AS (
+          SELECT x.source AS source_a, y.source AS source_b,
+            CAST(count(*) AS BIGINT) AS n_shared
+          FROM ss x JOIN ss y ON x.sh = y.sh AND x.source < y.source
+          GROUP BY 1, 2),
+        tot AS (SELECT source, CAST(count(*) AS BIGINT) AS nt FROM ss GROUP BY 1)
+        SELECT source_a, source_b, n_shared,
+          ta.nt + tb.nt - n_shared AS n_union,
+          TRUE AS inter_ok, TRUE AS union_ok
+        FROM pair
+        JOIN tot ta ON ta.source = source_a
+        JOIN tot tb ON tb.source = source_b
+        ORDER BY source_a, source_b"""
+  }
+
   /** Triangle census of the near-dup pair graph: node/edge/wedge/
     * triangle counts and the global clustering coefficient
     * 3·triangles / wedges. On a dedup graph this separates

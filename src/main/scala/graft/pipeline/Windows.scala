@@ -768,6 +768,69 @@ object Windows {
           CAST(n_rows AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(total AS DOUBLE) AS x_avg
         FROM r CROSS JOIN t WHERE rnk <= $k ORDER BY rnk"""
 
+  /** Mergeable quantile rollup with KLL sketches (DataSketches, Spark 4
+    * built-in): one KLL sketch of `value` per DAY, daily p50/p95
+    * estimates from each sketch, and a whole-range estimate from
+    * `kll_merge_agg` over the daily sketches — percentiles for ANY
+    * date range from per-partition sketches, never a re-scan or a
+    * global sort (exact percentiles need the full dataset on one
+    * axis; at 100 TB the one-pass sketch + KB-sized merges is the
+    * only viable percentile path, the quantile analog of the HLL
+    * distinct rollup).
+    *
+    * KLL compaction is randomized, so estimates are validated by RANK
+    * tolerance, not value equality: the exact rank of each estimated
+    * quantile (one conditional count per scope) must sit within ±4 pp
+    * of the target — several times KLL's ~1.65% 99%-confidence rank
+    * error at default k, so the boolean is stable across runs. Oracle
+    * pattern as q_hll_union: exact row counts + TRUE booleans. */
+  def kllValueQuantiles(events: DataFrame): DataFrame = {
+    val e = events.filter(col("value").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("value"))
+    val daily = e.groupBy("day")
+      .agg(expr("kll_sketch_agg_double(value)").as("sk"),
+        count(lit(1)).as("n_rows"))
+      .cache() // one row per day; feeds the day rows and the merge
+    val est = daily.select(
+        concat(lit("day:"), col("day").cast("string")).as("scope"),
+        col("n_rows"),
+        expr("kll_sketch_get_quantile_double(sk, 0.5)").as("e50"),
+        expr("kll_sketch_get_quantile_double(sk, 0.95)").as("e95"))
+      .union(daily
+        .agg(expr("kll_merge_agg_double(sk)").as("sk"),
+          sum(col("n_rows")).as("n_rows"))
+        .select(lit("total").as("scope"), col("n_rows"),
+          expr("kll_sketch_get_quantile_double(sk, 0.5)").as("e50"),
+          expr("kll_sketch_get_quantile_double(sk, 0.95)").as("e95")))
+    val scoped = e.select(concat(lit("day:"), col("day").cast("string")).as("scope"),
+        col("value"))
+      .union(e.select(lit("total").as("scope"), col("value")))
+    scoped.join(broadcast(est), "scope")
+      .groupBy(col("scope"), col("n_rows"))
+      .agg(
+        (sum(when(col("value") <= col("e50"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("r50"),
+        (sum(when(col("value") <= col("e95"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("r95"))
+      .select(col("scope"), col("n_rows"),
+        (col("r50") >= 0.46 && col("r50") <= 0.54).as("p50_rank_ok"),
+        (col("r95") >= 0.91 && col("r95") <= 0.99).as("p95_rank_ok"))
+      .orderBy("scope")
+  }
+
+  val sqlKllValueQuantiles: String =
+    """WITH e AS (
+         SELECT CAST(ts AS DATE) AS day, value FROM events
+         WHERE value IS NOT NULL),
+       d AS (
+         SELECT concat('day:', CAST(day AS VARCHAR)) AS scope,
+           CAST(count(*) AS BIGINT) AS n_rows
+         FROM e GROUP BY 1),
+       t AS (SELECT 'total' AS scope, CAST(count(*) AS BIGINT) AS n_rows FROM e)
+       SELECT scope, n_rows, TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
+       FROM (SELECT * FROM d UNION ALL SELECT * FROM t)
+       ORDER BY scope"""
+
   /** Pre/post split for the CUPED experiment readout (events span one
     * month; first half is the pre-experiment covariate window). */
   val CupedSplit = "2024-01-16"

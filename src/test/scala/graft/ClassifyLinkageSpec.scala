@@ -304,6 +304,26 @@ class ClassifyLinkageSpec extends SparkSpec {
     assert(out.map(_._1).toSeq == all)
   }
 
+  test("thetaSourceOverlap estimates agree with the exact overlap") {
+    val out = llm.Dedup.thetaSourceOverlap(Tables.documents(spark, sf()))
+      .select("n_shared", "n_union", "inter_ok", "union_ok")
+      .as[(Long, Long, Boolean, Boolean)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r._1 <= r._2), "intersection exceeded union")
+    assert(out.forall(_._3) && out.forall(_._4),
+      s"estimates out of tolerance: ${out.filterNot(r => r._3 && r._4).take(3).toSeq}")
+  }
+
+  test("kllValueQuantiles ranks land inside tolerance for every scope") {
+    val out = pipeline.Windows.kllValueQuantiles(Tables.events(spark, sf("sf0.01")))
+      .select("scope", "n_rows", "p50_rank_ok", "p95_rank_ok")
+      .as[(String, Long, Boolean, Boolean)].collect()
+    assert(out.count(_._1 == "total") == 1)
+    assert(out.map(_._2).sum == 2 * out.filter(_._1 == "total").head._2,
+      "day rows don't sum to the total scope")
+    assert(out.forall(r => r._3 && r._4), s"out of tolerance: ${out.filterNot(r => r._3 && r._4).toSeq}")
+  }
+
   test("char_grams kernel matches the interpreted transform chain") {
     graft.functions.TextHashExprs.register(spark)
     val docs = Tables.documents(spark, sf()).limit(50)
