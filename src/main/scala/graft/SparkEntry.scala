@@ -327,7 +327,11 @@ object SparkEntry {
     // theta-sketch source overlap: the one-pass scale twin of q_source_overlap
     "q_theta_overlap" -> ((s, d) => llm.Dedup.thetaSourceOverlap(Tables.documents(s, d))),
     // mergeable KLL quantile rollup: rank-tolerance-validated p50/p95
-    "q_kll_quantiles" -> ((s, d) => Windows.kllValueQuantiles(ev(s, d)))
+    "q_kll_quantiles" -> ((s, d) => Windows.kllValueQuantiles(ev(s, d))),
+    // four report grains in one shuffle via GROUPING SETS
+    "q_grouping_sets" -> ((s, d) => Windows.multiGrainAgg(ev(s, d))),
+    // wide-to-long unpivot of the lineitem money columns
+    "q_unpivot" -> ((s, d) => Windows.unpivotMetrics(Tables.lineitem(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -628,6 +632,8 @@ object SparkEntry {
     "q_rrf_rank" -> llm.Curate.sqlRrfRank(),
     "q_lsh_recall" -> llm.Similarity.sqlLshRecall(0.3),
     "q_theta_overlap" -> llm.Dedup.sqlThetaSourceOverlap,
-    "q_kll_quantiles" -> Windows.sqlKllValueQuantiles
+    "q_kll_quantiles" -> Windows.sqlKllValueQuantiles,
+    "q_grouping_sets" -> Windows.sqlMultiGrainAgg,
+    "q_unpivot" -> Windows.sqlUnpivotMetrics
   )
 }

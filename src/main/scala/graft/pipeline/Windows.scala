@@ -768,6 +768,72 @@ object Windows {
           CAST(n_rows AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(total AS DOUBLE) AS x_avg
         FROM r CROSS JOIN t WHERE rnk <= $k ORDER BY rnk"""
 
+  /** Multi-grain aggregation in ONE pass with GROUPING SETS: per
+    * (type, day), per type, per day, and grand total — four report
+    * grains from a single shuffle instead of four scans + a union
+    * (what Catalyst expands to an Expand node feeding one aggregate).
+    * Per-set grouping() flags, not grouping_id, so no cross-engine
+    * bit-order assumption; null grain keys sort NULLS FIRST pinned on
+    * both sides. */
+  def multiGrainAgg(events: DataFrame): DataFrame = {
+    val e = events.filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
+    e.groupingSets(
+        Seq(Seq(col("event_type"), col("day")), Seq(col("event_type")),
+          Seq(col("day")), Seq()),
+        col("event_type"), col("day"))
+      .agg(grouping(col("event_type")).cast("int").as("g_type"),
+        grouping(col("day")).cast("int").as("g_day"),
+        count(lit(1)).as("n_events"),
+        Aggregate.moneySum(col("value")).as("sum_value"))
+      .select(col("g_type"), col("g_day"), col("event_type"), col("day"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("g_type"), col("g_day"),
+        col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+  }
+
+  val sqlMultiGrainAgg: String =
+    """WITH e AS (
+         SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
+         FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL)
+       SELECT CAST(grouping(event_type) AS INTEGER) AS g_type,
+         CAST(grouping(day) AS INTEGER) AS g_day,
+         event_type, day,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM e
+       GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())
+       ORDER BY g_type, g_day, event_type NULLS FIRST, day NULLS FIRST"""
+
+  /** Wide-to-long UNPIVOT of the lineitem money columns — the melt
+    * every metrics store needs (one (metric, value) stream from N
+    * metric columns, then a single grouped aggregate instead of N
+    * column-wise ones). Spark's native unpivot is a zero-shuffle
+    * Expand; the oracle expresses the same relation as a UNION ALL —
+    * same rows, engine-preferred syntax on each side. */
+  def unpivotMetrics(lineitem: DataFrame): DataFrame = {
+    val metrics = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    lineitem
+      .unpivot(Array(col("l_orderkey")), metrics.map(col).toArray, "metric", "val")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n_rows"),
+        Aggregate.moneySum(col("val")).as("sum_value"),
+        (Aggregate.moneySum(col("val")) / count(lit(1))).as("avg_value"))
+      .orderBy("metric")
+  }
+
+  val sqlUnpivotMetrics: String =
+    """WITH m AS (
+         SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+         UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+         UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+         UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+       SELECT metric, count(*) AS n_rows,
+         CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+       FROM m GROUP BY 1 ORDER BY 1"""
+
   /** Mergeable quantile rollup with KLL sketches (DataSketches, Spark 4
     * built-in): one KLL sketch of `value` per DAY, daily p50/p95
     * estimates from each sketch, and a whole-range estimate from

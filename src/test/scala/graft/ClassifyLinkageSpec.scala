@@ -324,6 +324,25 @@ class ClassifyLinkageSpec extends SparkSpec {
     assert(out.forall(r => r._3 && r._4), s"out of tolerance: ${out.filterNot(r => r._3 && r._4).toSeq}")
   }
 
+  test("multiGrainAgg grains are mutually consistent") {
+    val out = pipeline.Windows.multiGrainAgg(Tables.events(spark, sf()))
+      .select("g_type", "g_day", "n_events")
+      .as[(Int, Int, Long)].collect()
+    val total = out.filter(r => r._1 == 1 && r._2 == 1).map(_._3)
+    assert(total.length == 1)
+    // every grain sums to the same grand total
+    assert(out.filter(r => r._1 == 0 && r._2 == 1).map(_._3).sum == total.head)
+    assert(out.filter(r => r._1 == 1 && r._2 == 0).map(_._3).sum == total.head)
+    assert(out.filter(r => r._1 == 0 && r._2 == 0).map(_._3).sum == total.head)
+  }
+
+  test("unpivotMetrics emits one metric row per source column with equal counts") {
+    val out = pipeline.Windows.unpivotMetrics(Tables.lineitem(spark, sf()))
+      .select("metric", "n_rows").as[(String, Long)].collect().toMap
+    assert(out.keySet == Set("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    assert(out.values.toSet.size == 1, s"unequal counts: $out")
+  }
+
   test("char_grams kernel matches the interpreted transform chain") {
     graft.functions.TextHashExprs.register(spark)
     val docs = Tables.documents(spark, sf()).limit(50)
