@@ -331,7 +331,9 @@ object SparkEntry {
     // four report grains in one shuffle via GROUPING SETS
     "q_grouping_sets" -> ((s, d) => Windows.multiGrainAgg(ev(s, d))),
     // wide-to-long unpivot of the lineitem money columns
-    "q_unpivot" -> ((s, d) => Windows.unpivotMetrics(Tables.lineitem(s, d)))
+    "q_unpivot" -> ((s, d) => Windows.unpivotMetrics(Tables.lineitem(s, d))),
+    // OLS trend per event type from exact power sums
+    "q_trend_slopes" -> ((s, d) => Windows.trendSlopes(ev(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -634,6 +636,7 @@ object SparkEntry {
     "q_theta_overlap" -> llm.Dedup.sqlThetaSourceOverlap,
     "q_kll_quantiles" -> Windows.sqlKllValueQuantiles,
     "q_grouping_sets" -> Windows.sqlMultiGrainAgg,
-    "q_unpivot" -> Windows.sqlUnpivotMetrics
+    "q_unpivot" -> Windows.sqlUnpivotMetrics,
+    "q_trend_slopes" -> Windows.sqlTrendSlopes
   )
 }

@@ -897,6 +897,74 @@ object Windows {
        FROM (SELECT * FROM d UNION ALL SELECT * FROM t)
        ORDER BY scope"""
 
+  /** Per-segment trend detection: ordinary-least-squares slope and
+    * intercept of DAILY TOTAL VALUE over the day index, one regression
+    * per event type — "is purchase volume growing and how fast", the
+    * report behind every burn-up chart. Same determinism machinery as
+    * the CUPED readout: x is an exact integer day index (datediff from
+    * the segment's own first day), y is the decimal daily sum, all
+    * five power sums are exact (BIGINT·decimal products), and
+    * slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) is evaluated as one
+    * identical IEEE expression in both engines. Scale shape: the
+    * corpus shuffle is the (type, day) aggregate; the regression runs
+    * on the days-per-type frame (rows = #days), a partitioned
+    * aggregate, no window, no broadcast. Degenerate one-day segments
+    * yield NULL slope (zero x-variance), pinned identically. */
+  def trendSlopes(events: DataFrame): DataFrame = {
+    val daily = events
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("y"))
+    val indexed = daily
+      .withColumn("x0", min(col("day")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+      .select(col("event_type"),
+        datediff(col("day"), col("x0")).cast("long").as("x"), col("y"))
+    indexed.groupBy("event_type")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("x").cast("decimal(18,0)") * col("y")).cast("double").as("sxy"))
+      .select(col("event_type"), col("n").cast("long").as("n_days"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") === 0.0, lit(null))
+          .otherwise((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")))
+          .as("slope_per_day"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") === 0.0, lit(null))
+          .otherwise((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"))
+          .as("intercept"))
+      .orderBy("event_type")
+  }
+
+  val sqlTrendSlopes: String =
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+         FROM events
+         WHERE value IS NOT NULL AND event_type IS NOT NULL
+         GROUP BY 1, 2),
+       idx AS (
+         SELECT event_type,
+           CAST(date_diff('day', min(day) OVER (PARTITION BY event_type), day)
+             AS BIGINT) AS x,
+           y
+         FROM daily),
+       s AS (
+         SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+           CAST(sum(x * x) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(x AS DECIMAL(18,0)) * y) AS DOUBLE) AS sxy
+         FROM idx GROUP BY 1)
+       SELECT event_type, CAST(n AS BIGINT) AS n_days,
+         CASE WHEN n * sxx - sx * sx = 0.0 THEN NULL
+           ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope_per_day,
+         CASE WHEN n * sxx - sx * sx = 0.0 THEN NULL
+           ELSE (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+           END AS intercept
+       FROM s ORDER BY event_type"""
+
   /** Pre/post split for the CUPED experiment readout (events span one
     * month; first half is the pre-experiment covariate window). */
   val CupedSplit = "2024-01-16"

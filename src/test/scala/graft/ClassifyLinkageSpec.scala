@@ -343,6 +343,22 @@ class ClassifyLinkageSpec extends SparkSpec {
     assert(out.values.toSet.size == 1, s"unequal counts: $out")
   }
 
+  test("trendSlopes recovers an exact linear trend and nulls zero-variance segments") {
+    // type 'a': daily total = 2·dayIndex + 5 → slope exactly 2, intercept 5.
+    // type 'b': a single day → zero x-variance → NULL slope.
+    val rows = (0 until 10).map { d =>
+      (1000L + d, f"2024-01-${d + 1}%02d 12:00:00", "a", 2.0 * d + 5.0)
+    } :+ ((2000L, "2024-01-05 12:00:00", "b", 7.0))
+    val events = rows.toDF("event_id", "tss", "event_type", "value")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+      .withColumn("user_id", lit(1L)).withColumn("props", lit("{}"))
+    val m = pipeline.Windows.trendSlopes(events)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m("a").getLong(1) == 10L)
+    assert(m("a").getDouble(2) == 2.0 && m("a").getDouble(3) == 5.0)
+    assert(m("b").isNullAt(2) && m("b").isNullAt(3))
+  }
+
   test("char_grams kernel matches the interpreted transform chain") {
     graft.functions.TextHashExprs.register(spark)
     val docs = Tables.documents(spark, sf()).limit(50)
