@@ -1163,14 +1163,34 @@ object Dedup {
     * bounded by #sources² per shingle — corpus-size-independent,
     * unlike a document-pair join. One extra hash-aggregate computes
     * per-source vocabulary sizes for the Jaccard denominator. */
-  def sourceOverlap(documents: DataFrame): DataFrame = {
+  /** Distinct (source, shingle) — ONE definition shared by the exact
+    * overlap and its theta-sketch scale twin: the tolerance booleans
+    * compare estimate against exact, so both MUST see the identical
+    * key universe (shingle size, short-doc guard, distinct
+    * semantics). Cached; identical plans share one cache entry. */
+  private def sourceShingleFrame(documents: DataFrame): DataFrame = {
     graft.functions.TextHashExprs.register(documents.sparkSession)
-    val ss = documents
+    documents
       .select(col("source"),
         call_function("shingle_hashes", col("text"), lit(TextPrep.ShingleWords)).as("d"))
       .select(col("source"), explode(col("d.shs")).as("sh"))
       .distinct()
-      .cache() // feeds the totals aggregate and both sides of the pair join
+      .cache()
+  }
+
+  /** The SQL twin of [[sourceShingleFrame]], as a WITH-clause entry. */
+  private def sqlSourceShinglesCte: String = {
+    val w = TextPrep.sqlWords
+    s"""ss AS (
+          SELECT DISTINCT source, sh FROM (
+            SELECT source,
+              unnest(list_distinct(${TextPrep.sqlShingles(w)})) AS sh
+            FROM documents WHERE len($w) >= ${TextPrep.ShingleWords}))"""
+  }
+
+  def sourceOverlap(documents: DataFrame): DataFrame = {
+    // feeds the totals aggregate and both sides of the pair join
+    val ss = sourceShingleFrame(documents)
     val totals = ss.groupBy("source").agg(count(lit(1)).as("n"))
     ss.as("a")
       .join(ss.as("b"), col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
@@ -1185,12 +1205,7 @@ object Dedup {
   }
 
   val sqlSourceOverlap: String = {
-    val w = TextPrep.sqlWords
-    s"""WITH ss AS (
-          SELECT DISTINCT source, sh FROM (
-            SELECT source,
-              unnest(list_distinct(${TextPrep.sqlShingles(w)})) AS sh
-            FROM documents WHERE len($w) >= ${TextPrep.ShingleWords})),
+    s"""WITH $sqlSourceShinglesCte,
         tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ss GROUP BY 1),
         p AS (
           SELECT a.source AS source_a, b.source AS source_b,
@@ -1368,13 +1383,8 @@ object Dedup {
     * drift past tolerance fails the correctness gate, not just a
     * bench. */
   def thetaSourceOverlap(documents: DataFrame): DataFrame = {
-    graft.functions.TextHashExprs.register(documents.sparkSession)
-    val ss = documents
-      .select(col("source"),
-        call_function("shingle_hashes", col("text"), lit(TextPrep.ShingleWords)).as("d"))
-      .select(col("source"), explode(col("d.shs")).as("sh"))
-      .distinct()
-      .cache() // feeds the sketch agg, the exact pair join, and totals
+    // feeds the sketch agg, the exact pair join, and totals
+    val ss = sourceShingleFrame(documents)
     val sk = ss.groupBy("source")
       .agg(expr("theta_sketch_agg(sh)").as("sk"), count(lit(1)).as("n"))
     val est = sk.as("a").crossJoin(sk.as("b"))
@@ -1394,9 +1404,15 @@ object Dedup {
       .join(totals.select(col("source").as("source_b"), col("nt").as("n_b")), "source_b")
       .withColumn("n_union", col("n_a") + col("n_b") - col("n_shared"))
       .join(est, Seq("source_a", "source_b"))
+      // theta INTERSECTION error scales with the UNION (the retained
+      // intersection sample is |I|·k/|U| entries once sketches leave
+      // exact mode), so the slack must carry a union-proportional
+      // term or low-overlap pairs over large unions fail with a
+      // CORRECT estimate
       .select(col("source_a"), col("source_b"), col("n_shared"), col("n_union"),
         (abs(col("inter_est") - col("n_shared").cast("double")) <=
-          greatest(lit(0.1) * col("n_shared").cast("double"), lit(50.0)))
+          greatest(lit(0.1) * col("n_shared").cast("double"),
+            lit(0.05) * col("n_union").cast("double"), lit(50.0)))
           .as("inter_ok"),
         (abs(col("union_est") - col("n_union").cast("double")) <=
           greatest(lit(0.1) * col("n_union").cast("double"), lit(50.0)))
@@ -1405,12 +1421,7 @@ object Dedup {
   }
 
   val sqlThetaSourceOverlap: String = {
-    val w = TextPrep.sqlWords
-    s"""WITH ss AS (
-          SELECT DISTINCT source, sh FROM (
-            SELECT source,
-              unnest(list_distinct(${TextPrep.sqlShingles(w)})) AS sh
-            FROM documents WHERE len($w) >= ${TextPrep.ShingleWords})),
+    s"""WITH $sqlSourceShinglesCte,
         pair AS (
           SELECT x.source AS source_a, y.source AS source_b,
             CAST(count(*) AS BIGINT) AS n_shared

@@ -879,8 +879,17 @@ object Windows {
         (sum(when(col("value") <= col("e95"), 1L).otherwise(0L)).cast("double") /
           count(lit(1)).cast("double")).as("r95"))
       .select(col("scope"), col("n_rows"),
-        (col("r50") >= 0.46 && col("r50") <= 0.54).as("p50_rank_ok"),
-        (col("r95") >= 0.91 && col("r95") <= 0.99).as("p95_rank_ok"))
+        // upper bounds widen by 1/n: with n values the inclusive
+        // quantile's achievable rank is quantized to multiples of 1/n
+        // (a 19-row day's p95 is necessarily its max, rank 1.0), so a
+        // fixed band would fail small scopes with a CORRECT estimate
+        (col("r50") >= 0.46 &&
+          col("r50") <= lit(0.54) + lit(1.0) / col("n_rows").cast("double"))
+          .as("p50_rank_ok"),
+        (col("r95") >= 0.91 &&
+          col("r95") <= least(lit(1.0),
+            lit(0.99) + lit(1.0) / col("n_rows").cast("double")))
+          .as("p95_rank_ok"))
       .orderBy("scope")
   }
 

@@ -315,7 +315,9 @@ class ClassifyLinkageSpec extends SparkSpec {
   }
 
   test("kllValueQuantiles ranks land inside tolerance for every scope") {
-    val out = pipeline.Windows.kllValueQuantiles(Tables.events(spark, sf("sf0.01")))
+    // sf0.001 on purpose: its thinnest days (~20 rows) exercise the
+    // rank-quantization edge the wider scales never hit
+    val out = pipeline.Windows.kllValueQuantiles(Tables.events(spark, sf()))
       .select("scope", "n_rows", "p50_rank_ok", "p95_rank_ok")
       .as[(String, Long, Boolean, Boolean)].collect()
     assert(out.count(_._1 == "total") == 1)
