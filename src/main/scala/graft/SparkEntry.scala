@@ -333,7 +333,9 @@ object SparkEntry {
     // wide-to-long unpivot of the lineitem money columns
     "q_unpivot" -> ((s, d) => Windows.unpivotMetrics(Tables.lineitem(s, d))),
     // OLS trend per event type from exact power sums
-    "q_trend_slopes" -> ((s, d) => Windows.trendSlopes(ev(s, d)))
+    "q_trend_slopes" -> ((s, d) => Windows.trendSlopes(ev(s, d))),
+    // ER endgame: connected components over the match graph
+    "q_entity_clusters" -> ((s, d) => Linkage.entityClusters(Tables.part(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -637,6 +639,7 @@ object SparkEntry {
     "q_kll_quantiles" -> Windows.sqlKllValueQuantiles,
     "q_grouping_sets" -> Windows.sqlMultiGrainAgg,
     "q_unpivot" -> Windows.sqlUnpivotMetrics,
-    "q_trend_slopes" -> Windows.sqlTrendSlopes
+    "q_trend_slopes" -> Windows.sqlTrendSlopes,
+    "q_entity_clusters" -> Linkage.sqlEntityClusters()
   )
 }

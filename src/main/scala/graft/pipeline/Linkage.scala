@@ -86,4 +86,62 @@ object Linkage {
           AND d_size <= $maxSizeDiff
         ORDER BY k1, k2"""
   }
+
+  /** The entity-resolution ENDGAME: connected components over the
+    * match graph, labeling every record with the minimum partkey of
+    * its entity — records sharing a label are one real-world entity
+    * (the canonical representative is the label holder). Same
+    * min-label propagation as the document dup-clustering: each round
+    * one edge-list shuffle, convergence = zero changed labels,
+    * rounds = component diameter (match graphs are near-cliques, so
+    * 1–2 in practice). Unmatched records are singleton entities of
+    * themselves. The Spark side and the recursive-CTE oracle both
+    * consume the ONE match definition ([[entityResolution]] /
+    * [[sqlEntityResolution]]) — the clustering can never disagree
+    * with the published pairs about what matched. */
+  def entityClusters(part: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = entityResolution(part).select(col("k1"), col("k2"))
+    val sym = edges
+      .union(edges.select(col("k2"), col("k1")))
+      .toDF("src", "dst")
+      .localCheckpoint() // pair generation runs once, not once per round
+    var labels = part.select(col("p_partkey"))
+      .withColumn("label", col("p_partkey"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("p_partkey", "nid"), col("dst") === col("nid"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("nmin"))
+      val updated = labels.withColumnRenamed("label", "old")
+        .join(neighborMin, col("p_partkey") === col("src"), "left")
+        .select(col("p_partkey"), col("old"),
+          least(col("old"), coalesce(col("nmin"), col("old"))).as("label"))
+        .localCheckpoint()
+      converged = updated.filter(col("label") =!= col("old")).count() == 0
+      labels = updated.select(col("p_partkey"), col("label"))
+      round += 1
+    }
+    labels.select(col("p_partkey"), col("label").as("entity_id"))
+      .orderBy("p_partkey")
+  }
+
+  def sqlEntityClusters(maxLev: Int = MaxNameLev,
+                        maxSizeDiff: Int = MaxSizeDiff): String =
+    s"""WITH RECURSIVE m AS (
+          SELECT k1, k2 FROM (${sqlEntityResolution(maxLev, maxSizeDiff)})),
+        sym AS (
+          SELECT k1 AS src, k2 AS dst FROM m
+          UNION ALL SELECT k2, k1 FROM m),
+        reach(src, dst) AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        minr AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src)
+        SELECT p.p_partkey,
+          least(p.p_partkey, coalesce(minr.mn, p.p_partkey)) AS entity_id
+        FROM part p LEFT JOIN minr ON p.p_partkey = minr.src
+        ORDER BY p.p_partkey"""
 }

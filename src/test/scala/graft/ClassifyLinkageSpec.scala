@@ -67,6 +67,26 @@ class ClassifyLinkageSpec extends SparkSpec {
     assert(wide == Set((1L, 2L), (1L, 5L), (2L, 5L)), s"got $wide")
   }
 
+  test("entityClusters merges transitive matches and leaves singletons alone") {
+    // 1-2 match and 2-6 match (via the adjacent-size window), but 1-6
+    // (gap 2) do NOT pair directly — the cluster must still merge all
+    // three transitively; 3 and 4 stay singletons
+    val parts = Seq(
+      (1L, "red widget", "Brand#1", "ECONOMY", 5),
+      (2L, "red gadget", "Brand#1", "ECONOMY", 6),
+      (6L, "red gadget", "Brand#1", "ECONOMY", 7),
+      (3L, "purple anvil", "Brand#1", "ECONOMY", 5),
+      (4L, "red widget", "Brand#2", "ECONOMY", 5))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+    val pairs = pipeline.Linkage.entityResolution(parts)
+      .select("k1", "k2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (2L, 6L)), s"got $pairs")
+    val out = pipeline.Linkage.entityClusters(parts)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 6L -> 1L, 3L -> 3L, 4L -> 4L),
+      s"got $out")
+  }
+
   test("entityResolution emits each matched pair exactly once") {
     val out = pipeline.Linkage.entityResolution(Tables.part(spark, sf()))
     assert(out.count() == out.select("k1", "k2").distinct().count())
