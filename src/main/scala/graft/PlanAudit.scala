@@ -91,7 +91,8 @@ object PlanAudit {
     "q_lsh_recall" -> Set("BNLJ"),
     // pairwise crossJoin of the #sources-row KB-sketch frame — the
     // broadcast-sized postprocess that REPLACES the corpus pair join
-    "q_theta_overlap" -> Set("BNLJ")
+    "q_theta_overlap" -> Set("BNLJ"),
+    "q_blocking_quality" -> Set("BNLJ")    // single-row corpus-count frame
   )
 
   /** Audit one query's executed plan string → flags found. */

@@ -335,7 +335,13 @@ object SparkEntry {
     // OLS trend per event type from exact power sums
     "q_trend_slopes" -> ((s, d) => Windows.trendSlopes(ev(s, d))),
     // ER endgame: connected components over the match graph
-    "q_entity_clusters" -> ((s, d) => Linkage.entityClusters(Tables.part(s, d)))
+    "q_entity_clusters" -> ((s, d) => Linkage.entityClusters(Tables.part(s, d))),
+    // trend-adjusted anomaly days: algebraic SSE from the fit's own sums
+    "q_trend_residuals" -> ((s, d) => Windows.trendResiduals(ev(s, d))),
+    // per-source token-mass Gini: concentration diagnostics
+    "q_gini_sources" -> ((s, d) => llm.TextStats.giniBySource(Tables.documents(s, d))),
+    // ER blocking diagnostics: block sizes + corpus reduction ratio
+    "q_blocking_quality" -> ((s, d) => Linkage.blockingQuality(Tables.part(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -640,6 +646,9 @@ object SparkEntry {
     "q_grouping_sets" -> Windows.sqlMultiGrainAgg,
     "q_unpivot" -> Windows.sqlUnpivotMetrics,
     "q_trend_slopes" -> Windows.sqlTrendSlopes,
-    "q_entity_clusters" -> Linkage.sqlEntityClusters()
+    "q_entity_clusters" -> Linkage.sqlEntityClusters(),
+    "q_trend_residuals" -> Windows.sqlTrendResiduals,
+    "q_gini_sources" -> llm.TextStats.sqlGiniBySource,
+    "q_blocking_quality" -> Linkage.sqlBlockingQuality()
   )
 }

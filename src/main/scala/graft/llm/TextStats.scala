@@ -1046,6 +1046,60 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Per-source token-mass concentration: the Gini coefficient of
+    * token counts across each source's documents —
+    * G = (2·Σ i·y₍ᵢ₎)/(n·Σy) − (n+1)/n over ascending-sorted counts.
+    * A high-Gini source packs its mass into few giant documents
+    * (crawl artifacts, concatenated dumps), a signal that per-doc
+    * quality sampling will see a very different corpus than
+    * token-weighted training does. All sums are exact integers
+    * (rank·count products in BIGINT); the two divisions are the final
+    * IEEE ops. Scale shape: one per-doc projection, a PER-SOURCE rank
+    * window (partitioned — no global sort), one aggregate. */
+  def giniBySource(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = documents.select(col("source"),
+      size(TextPrep.wordsCol).cast("long").as("n_toks"))
+    val ranked = perDoc.withColumn("i",
+      row_number().over(Window.partitionBy("source")
+        .orderBy(col("n_toks").asc)).cast("long"))
+    ranked.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        sum(col("i") * col("n_toks")).as("iy"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        ((lit(2.0) * col("iy").cast("double")) /
+          (col("n_docs").cast("double") * col("total_tokens").cast("double")) -
+          (col("n_docs") + 1L).cast("double") / col("n_docs").cast("double"))
+          .as("gini"))
+      .orderBy("source")
+  }
+
+  /* Rank ties (equal n_toks) get arbitrary i within the tie run, but
+   * Σ i·y over a tie run is invariant: the i values are a fixed rank
+   * set and y is constant inside the run — so the Gini is
+   * deterministic without a tie-break column. */
+  val sqlGiniBySource: String = {
+    val w = TextPrep.sqlWords
+    s"""WITH pd AS (
+          SELECT source, CAST(len($w) AS BIGINT) AS n_toks FROM documents),
+        r AS (
+          SELECT source, n_toks,
+            CAST(row_number() OVER (
+              PARTITION BY source ORDER BY n_toks ASC) AS BIGINT) AS i
+          FROM pd),
+        g AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+            CAST(sum(i * n_toks) AS BIGINT) AS iy
+          FROM r GROUP BY 1)
+        SELECT source, n_docs, total_tokens,
+          (2.0 * CAST(iy AS DOUBLE))
+            / (CAST(n_docs AS DOUBLE) * CAST(total_tokens AS DOUBLE))
+            - CAST(n_docs + 1 AS DOUBLE) / CAST(n_docs AS DOUBLE) AS gini
+        FROM g ORDER BY source"""
+  }
+
   /** Tokenizer-equity report: per language, the trained tokenizer's
     * FERTILITY (BPE tokens emitted per word) and compression
     * (chars per token) — the standard multilingual-tokenizer fairness

@@ -87,6 +87,70 @@ object Linkage {
         ORDER BY k1, k2"""
   }
 
+  /** Blocking-quality diagnostics — the numbers an ER deployment is
+    * tuned by: per block-key population, candidate-pair counts, and
+    * the REDUCTION RATIO (1 − candidates / all-possible-pairs), the
+    * standard blocking metric. One row per (brand, type, bucket)
+    * block with its record and pair counts, plus a 'TOTAL' row
+    * carrying the corpus-level reduction ratio — if it drifts toward
+    * 0 the blocking has degenerated and the candidate join is quietly
+    * becoming the n² it exists to avoid. Exact integers throughout;
+    * pair math in DECIMAL(38) so n² cannot overflow at corpus scale. */
+  def blockingQuality(part: DataFrame,
+                      maxSizeDiff: Int = MaxSizeDiff): DataFrame = {
+    val w = maxSizeDiff + 1
+    val blk = part.select(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("p_size"))
+      .withColumn("bkt", explode(array(
+        expr(s"p_size DIV $w"), expr(s"p_size DIV $w + 1"))))
+    val perBlock = blk.groupBy("p_brand", "p_type", "bkt")
+      .agg(count(lit(1)).as("n_records"))
+      .withColumn("n_pairs", expr("n_records * (n_records - 1) DIV 2"))
+    val totals = perBlock.agg(
+        sum(col("n_records")).as("n_entries"),
+        sum(col("n_pairs")).as("n_cand"))
+      .crossJoin(broadcast(part.agg(count(lit(1)).as("n"))))
+      .select(lit("TOTAL").as("block_key"),
+        col("n_entries").as("n_records"), col("n_cand").as("n_pairs"),
+        (lit(1.0) - col("n_cand").cast("decimal(38,0)").cast("double") /
+          expr("CAST(n * (n - 1) DIV 2 AS DECIMAL(38,0))").cast("double"))
+          .as("reduction_ratio"))
+    perBlock
+      .select(concat_ws("|", col("p_brand"), col("p_type"),
+          col("bkt").cast("string")).as("block_key"),
+        col("n_records"), col("n_pairs"),
+        lit(null).cast("double").as("reduction_ratio"))
+      .union(totals)
+      .orderBy("block_key")
+  }
+
+  def sqlBlockingQuality(maxSizeDiff: Int = MaxSizeDiff): String = {
+    val w = maxSizeDiff + 1
+    s"""WITH blk AS (
+          SELECT p_partkey, p_brand, p_type,
+            unnest([p_size // $w, p_size // $w + 1]) AS bkt
+          FROM part),
+        pb AS (
+          SELECT p_brand, p_type, bkt,
+            CAST(count(*) AS BIGINT) AS n_records,
+            CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_pairs
+          FROM blk GROUP BY 1, 2, 3),
+        tot AS (
+          SELECT 'TOTAL' AS block_key,
+            CAST(sum(n_records) AS BIGINT) AS n_records,
+            CAST(sum(n_pairs) AS BIGINT) AS n_pairs,
+            1.0 - CAST(CAST(sum(n_pairs) AS DECIMAL(38,0)) AS DOUBLE)
+              / CAST(CAST((SELECT count(*) * (count(*) - 1) // 2 FROM part)
+                AS DECIMAL(38,0)) AS DOUBLE) AS reduction_ratio
+          FROM pb)
+        SELECT concat_ws('|', p_brand, p_type, CAST(bkt AS VARCHAR))
+            AS block_key,
+          n_records, n_pairs, CAST(NULL AS DOUBLE) AS reduction_ratio
+        FROM pb
+        UNION ALL SELECT * FROM tot
+        ORDER BY block_key"""
+  }
+
   /** The entity-resolution ENDGAME: connected components over the
     * match graph, labeling every record with the minimum partkey of
     * its entity — records sharing a label are one real-world entity

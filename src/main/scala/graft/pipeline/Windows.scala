@@ -974,6 +974,104 @@ object Windows {
            END AS intercept
        FROM s ORDER BY event_type"""
 
+  /** Trend-ADJUSTED anomaly detection: flag days whose total deviates
+    * more than 2σ from their event type's own OLS trend line — the
+    * upgrade over plain z-scores (q_volume_anomaly) for metrics with
+    * drift, where a fixed-mean fence flags every late day of a
+    * growing series. The residual σ comes from the ALGEBRAIC identity
+    * SSE = Σyy − intercept·Σy − slope·Σxy, evaluated on the same
+    * exact power sums as the fit — never a second pass accumulating
+    * squared residual doubles (order-nondeterministic). Per-day
+    * fitted/residual values are then single pinned IEEE expressions.
+    * Scale shape: identical to trendSlopes plus one broadcast of the
+    * per-type model row back onto the day frame. */
+  def trendResiduals(events: DataFrame): DataFrame = {
+    val daily = events
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("y"))
+    val indexed = daily
+      .withColumn("x0", min(col("day")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+      .select(col("event_type"), col("day"),
+        datediff(col("day"), col("x0")).cast("long").as("x"), col("y"))
+    val model = indexed.groupBy("event_type")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("x").cast("decimal(18,0)") * col("y")).cast("double").as("sxy"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+      .filter(col("n") * col("sxx") - col("sx") * col("sx") =!= 0.0 &&
+        col("n") > 2.0)
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("intercept",
+        (col("sy") - col("slope") * col("sx")) / col("n"))
+      .withColumn("sigma",
+        sqrt(greatest(
+          col("syy") - col("intercept") * col("sy") - col("slope") * col("sxy"),
+          lit(0.0)) / (col("n") - 2.0)))
+      .select(col("event_type"), col("slope"), col("intercept"), col("sigma"))
+    indexed.join(broadcast(model), "event_type")
+      .withColumn("fitted", col("intercept") + col("slope") * col("x").cast("double"))
+      .withColumn("residual", col("y").cast("double") - col("fitted"))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("y").cast("double").as("daily_total"),
+        col("fitted"), col("residual"),
+        (col("sigma") > 0.0 && abs(col("residual")) > lit(2.0) * col("sigma"))
+          .as("is_outlier"))
+      .orderBy("event_type", "day")
+  }
+
+  val sqlTrendResiduals: String =
+    """WITH daily AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+         FROM events
+         WHERE value IS NOT NULL AND event_type IS NOT NULL
+         GROUP BY 1, 2),
+       idx AS (
+         SELECT event_type, day,
+           CAST(date_diff('day', min(day) OVER (PARTITION BY event_type), day)
+             AS BIGINT) AS x,
+           y
+         FROM daily),
+       s AS (
+         SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+           CAST(sum(x * x) AS DOUBLE) AS sxx,
+           CAST(sum(CAST(x AS DECIMAL(18,0)) * y) AS DOUBLE) AS sxy,
+           CAST(sum(y * y) AS DOUBLE) AS syy
+         FROM idx GROUP BY 1),
+       m AS (
+         SELECT event_type, n, sx, sy, sxy, syy,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+         FROM s WHERE n * sxx - sx * sx <> 0.0 AND n > 2.0),
+       m2 AS (
+         SELECT event_type, n, sy, sxy, syy, slope,
+           (sy - slope * sx) / n AS intercept
+         FROM m),
+       m3 AS (
+         SELECT event_type, slope, intercept,
+           sqrt(greatest(syy - intercept * sy - slope * sxy, 0.0) / (n - 2.0))
+             AS sigma
+         FROM m2)
+       SELECT i.event_type,
+         strftime(i.day, '%Y-%m-%d') AS day,
+         CAST(i.y AS DOUBLE) AS daily_total,
+         m3.intercept + m3.slope * CAST(i.x AS DOUBLE) AS fitted,
+         CAST(i.y AS DOUBLE) - (m3.intercept + m3.slope * CAST(i.x AS DOUBLE))
+           AS residual,
+         m3.sigma > 0.0 AND
+           abs(CAST(i.y AS DOUBLE)
+             - (m3.intercept + m3.slope * CAST(i.x AS DOUBLE)))
+           > 2.0 * m3.sigma AS is_outlier
+       FROM idx i JOIN m3 USING (event_type)
+       ORDER BY event_type, day"""
+
   /** Pre/post split for the CUPED experiment readout (events span one
     * month; first half is the pre-experiment covariate window). */
   val CupedSplit = "2024-01-16"

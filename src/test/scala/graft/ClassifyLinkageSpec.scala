@@ -381,6 +381,47 @@ class ClassifyLinkageSpec extends SparkSpec {
     assert(m("b").isNullAt(2) && m("b").isNullAt(3))
   }
 
+  test("giniBySource: uniform masses score 0, a point mass approaches 1") {
+    val docs = Seq(
+      // 'flat': 4 docs of 5 tokens each → Gini 0
+      (1L, "a b c d e", "flat"), (2L, "a b c d e", "flat"),
+      (3L, "a b c d e", "flat"), (4L, "a b c d e", "flat"),
+      // 'spike': three 1-token docs + one 17-token doc → G = 2·26/(4·20) − 5/4 = 0.6? recomputed in assert
+      (5L, "a", "spike"), (6L, "b", "spike"), (7L, "c", "spike"),
+      (8L, ("w " * 17).trim, "spike"))
+      .toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+    val g = llm.TextStats.giniBySource(docs)
+      .select("source", "gini").as[(String, Double)].collect().toMap
+    assert(g("flat") == 0.0, s"got $g")
+    // sorted counts 1,1,1,17: iy = 1+2+3+68 = 74; G = 2·74/(4·20) − 5/4
+    assert(math.abs(g("spike") - (2.0 * 74 / (4.0 * 20) - 5.0 / 4)) < 1e-12)
+  }
+
+  test("trendResiduals flags the injected spike day and nothing on a clean trend") {
+    val base = (0 until 12).map { d =>
+      (100L + d, f"2024-01-${d + 1}%02d 08:00:00", "a", 10.0 + d)
+    }
+    val spike = Seq((500L, "2024-01-06 09:00:00", "a", 500.0)) // day 5 doubles up
+    val events = (base ++ spike).toDF("event_id", "tss", "event_type", "value")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+      .withColumn("user_id", lit(1L)).withColumn("props", lit("{}"))
+    val out = pipeline.Windows.trendResiduals(events)
+      .select("day", "is_outlier").as[(String, Boolean)].collect().toMap
+    assert(out("2024-01-06"), s"spike not flagged: $out")
+    assert(out.count(_._2) == 1, s"extra outliers: ${out.filter(_._2)}")
+  }
+
+  test("blockingQuality TOTAL row reconciles with the per-block rows") {
+    val out = pipeline.Linkage.blockingQuality(Tables.part(spark, sf()))
+      .select("block_key", "n_records", "n_pairs")
+      .as[(String, Long, Long)].collect()
+    val total = out.filter(_._1 == "TOTAL")
+    val blocks = out.filterNot(_._1 == "TOTAL")
+    assert(total.length == 1)
+    assert(blocks.map(_._2).sum == total.head._2)
+    assert(blocks.map(_._3).sum == total.head._3)
+  }
+
   test("char_grams kernel matches the interpreted transform chain") {
     graft.functions.TextHashExprs.register(spark)
     val docs = Tables.documents(spark, sf()).limit(50)
