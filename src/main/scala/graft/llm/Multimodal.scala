@@ -8,10 +8,14 @@ import org.apache.spark.sql.functions._
   * (the Scala analogue of a vectorized pandas-UDF pipeline: one
   * decode-library initialization per partition, not per row).
   *
-  * The decode step is a clearly-marked STUB — the container has no
-  * image/audio codecs — but the Spark-side plumbing (schema, typed
-  * Dataset, per-partition batching, deterministic frame sampling,
-  * partition-friendly output) is real and tested.
+  * The image decode is REAL for the formats the JDK ships codecs for
+  * (PNG/JPEG/GIF/BMP via `javax.imageio` — zero external
+  * dependencies): width/height/channels come from the actual decoded
+  * raster. Payloads no JDK reader accepts (this corpus's text-bytes
+  * stand-ins, plus any audio/video container) fall back to the
+  * clearly-marked deterministic stub, flagged `decoded = false`, so
+  * the pipeline shape is exercised end-to-end even where a production
+  * deployment would plug in ffmpeg-class codecs.
   *
   * Scale: content bytes never shuffle — decode/feature-extract are
   * map-only over the scan; only the small feature rows move. Binary
@@ -32,8 +36,10 @@ object Multimodal {
       media_type: String,
       n_bytes: Long,
       content_hash: String,
-      fake_width: Int,
-      fake_height: Int,
+      width: Int,
+      height: Int,
+      channels: Int,
+      decoded: Boolean,
       frame_offsets: Seq[Long])
 
   /** Manufacture a deterministic multimodal table from `documents`:
@@ -46,22 +52,39 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("content"),
       length(col("text")).cast("long").as("n_bytes"))
 
-  /** STUB decoder: derives deterministic pseudo-features from the raw
-    * bytes. A real deployment replaces the body with an actual codec
-    * call; the batching shape (one init per partition, loop over rows)
-    * is the part that carries to production. */
+  /** Decoder: real `javax.imageio` decode where a JDK codec accepts
+    * the bytes (PNG/JPEG/GIF/BMP), deterministic stub features
+    * otherwise. One codec-stack initialization per PARTITION (the
+    * vectorized-UDF batching shape: the expensive setup amortizes over
+    * the whole batch, never per row); the decode itself is map-only —
+    * blobs never shuffle, only the small feature rows move. */
   def decodeFeatures(media: Dataset[MediaFile]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
-      // real pipeline: val codec = Codec.open() // once per partition
+      // Per-partition codec init: disable ImageIO's temp-file cache so
+      // decode is pure in-memory (executor-local, no disk churn), and
+      // reuse one digest instance across the batch.
+      javax.imageio.ImageIO.setUseCache(false)
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
       batch.map { m =>
-        val digest = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(m.content).map("%02x".format(_)).mkString
-        // STUB: fake decode — dimensions derived from content bytes.
-        val w = 16 + (m.content.headOption.getOrElse(0: Byte) & 0x3f)
-        val h = 16 + (m.content.lastOption.getOrElse(0: Byte) & 0x3f)
-        MediaFeatures(m.doc_id, m.media_type, m.n_bytes, digest, w, h,
-          frameOffsets(m.n_bytes, 10))
+        sha.reset()
+        val digest = sha.digest(m.content).map("%02x".format(_)).mkString
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
+          catch { case _: java.io.IOException => null }
+        if (img != null)
+          MediaFeatures(m.doc_id, m.media_type, m.n_bytes, digest,
+            img.getWidth, img.getHeight, img.getRaster.getNumBands,
+            decoded = true, frameOffsets(m.n_bytes, 10))
+        else {
+          // STUB fallback: deterministic pseudo-dimensions from the raw
+          // bytes, so undecodable payloads still flow through the same
+          // downstream plumbing (flagged decoded = false).
+          val w = 16 + (m.content.headOption.getOrElse(0: Byte) & 0x3f)
+          val h = 16 + (m.content.lastOption.getOrElse(0: Byte) & 0x3f)
+          MediaFeatures(m.doc_id, m.media_type, m.n_bytes, digest, w, h,
+            channels = 0, decoded = false, frameOffsets(m.n_bytes, 10))
+        }
       }
     }
   }
@@ -107,24 +130,27 @@ object Multimodal {
   /** Aspect-preserving resize planning on top of the TYPED decode
     * path (mapPartitions) — the first oracle-checked query that runs
     * through `decodeFeatures`, so the per-partition batching plumbing
-    * itself is hash-verified, not just unit-tested. The stub decode's
-    * fake dimensions derive from the first/last content byte, which
-    * for this ascii corpus ≡ `ascii()` of the first/last character —
-    * what the DuckDB twin computes. Resize arithmetic (one double
-    * division, multiply, floor) is IEEE-identical in both engines. */
+    * itself is hash-verified, not just unit-tested. This corpus's
+    * content is text bytes no JDK image reader accepts, so the decode
+    * takes the deterministic stub path: dimensions derive from the
+    * first/last content byte, which for this ascii corpus ≡ `ascii()`
+    * of the first/last character — what the DuckDB twin computes.
+    * (Real PNG/JPEG payloads decode for real; `LlmSpec` covers that
+    * path.) Resize arithmetic (one double division, multiply, floor)
+    * is IEEE-identical in both engines. */
   def mediaResize(documents: DataFrame,
                   tw: Int = ResizeW, th: Int = ResizeH): DataFrame = {
     import documents.sparkSession.implicits._
     decodeFeatures(mediaTable(documents).as[MediaFile])
       .toDF()
       .withColumn("scale",
-        least(lit(tw.toDouble) / col("fake_width"),
-          lit(th.toDouble) / col("fake_height")))
+        least(lit(tw.toDouble) / col("width"),
+          lit(th.toDouble) / col("height")))
       .select(
         col("doc_id"), col("media_type"),
-        col("fake_width").as("in_w"), col("fake_height").as("in_h"),
-        floor(col("fake_width") * col("scale")).cast("int").as("out_w"),
-        floor(col("fake_height") * col("scale")).cast("int").as("out_h"))
+        col("width").as("in_w"), col("height").as("in_h"),
+        floor(col("width") * col("scale")).cast("int").as("out_w"),
+        floor(col("height") * col("scale")).cast("int").as("out_h"))
       .orderBy("doc_id")
   }
 

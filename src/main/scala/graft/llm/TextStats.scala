@@ -605,12 +605,17 @@ object TextStats {
     * floor(log2) is computed EXACTLY as length(bin(rank)) - 1 — both
     * engines' bin() — so the per-doc statistic is an exact integer sum
     * and one final division, hash-portable with no transcendental-
-    * function cross-engine drift. Join side is the vocabulary
-    * (broadcast); the corpus pays one explode + map-side probe. */
+    * function cross-engine drift. The vocabulary side is deliberately
+    * NOT broadcast-hinted: unlike the coverage curve (capped at maxK
+    * rows), rarity needs EVERY word's rank, and a web-corpus
+    * vocabulary is 10⁸–10⁹ rows — a forced broadcast OOMs the driver.
+    * A plain shuffled join on `word` is the scale plan (rank side is
+    * aggregate-sized vs the corpus explode); at small scale AQE
+    * converts it to a broadcast join on its own at runtime. */
   def rarityScore(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), explode(TextPrep.wordsCol).as("word"))
-      .join(broadcast(vocabRanks(documents).select("word", "vocab_rank")), "word")
+      .join(vocabRanks(documents).select("word", "vocab_rank"), "word")
       .select(col("doc_id"),
         (length(bin(col("vocab_rank"))) - 1).cast("long").as("bits"))
       .groupBy("doc_id")

@@ -103,17 +103,27 @@ object Linkage {
         col("p_size"))
       .withColumn("bkt", explode(array(
         expr(s"p_size DIV $w"), expr(s"p_size DIV $w + 1"))))
+    // n(n-1)/2 with the multiplication in DECIMAL(38,0), never BIGINT:
+    // at n ≥ ~3.04e9 records per block, n*(n-1) wraps silently in
+    // non-ANSI BIGINT before the DIV 2 lands. The parity CASE keeps the
+    // halving as exact integer math (one factor is always even) instead
+    // of a decimal division that would widen the scale.
+    def pairsDec(n: String) =
+      s"""CAST(CASE WHEN $n % 2 = 0
+            THEN CAST($n DIV 2 AS DECIMAL(38,0)) * ($n - 1)
+            ELSE CAST($n AS DECIMAL(38,0)) * (($n - 1) DIV 2)
+          END AS DECIMAL(38,0))"""
     val perBlock = blk.groupBy("p_brand", "p_type", "bkt")
       .agg(count(lit(1)).as("n_records"))
-      .withColumn("n_pairs", expr("n_records * (n_records - 1) DIV 2"))
+      .withColumn("n_pairs", expr(pairsDec("n_records")))
     val totals = perBlock.agg(
         sum(col("n_records")).as("n_entries"),
-        sum(col("n_pairs")).as("n_cand"))
+        sum(col("n_pairs")).cast("decimal(38,0)").as("n_cand"))
       .crossJoin(broadcast(part.agg(count(lit(1)).as("n"))))
       .select(lit("TOTAL").as("block_key"),
         col("n_entries").as("n_records"), col("n_cand").as("n_pairs"),
-        (lit(1.0) - col("n_cand").cast("decimal(38,0)").cast("double") /
-          expr("CAST(n * (n - 1) DIV 2 AS DECIMAL(38,0))").cast("double"))
+        (lit(1.0) - col("n_cand").cast("double") /
+          expr(pairsDec("n")).cast("double"))
           .as("reduction_ratio"))
     perBlock
       .select(concat_ws("|", col("p_brand"), col("p_type"),
@@ -133,15 +143,16 @@ object Linkage {
         pb AS (
           SELECT p_brand, p_type, bkt,
             CAST(count(*) AS BIGINT) AS n_records,
-            CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_pairs
+            CAST(CAST(count(*) AS HUGEINT) * (count(*) - 1) // 2
+              AS DECIMAL(38,0)) AS n_pairs
           FROM blk GROUP BY 1, 2, 3),
         tot AS (
           SELECT 'TOTAL' AS block_key,
             CAST(sum(n_records) AS BIGINT) AS n_records,
-            CAST(sum(n_pairs) AS BIGINT) AS n_pairs,
-            1.0 - CAST(CAST(sum(n_pairs) AS DECIMAL(38,0)) AS DOUBLE)
-              / CAST(CAST((SELECT count(*) * (count(*) - 1) // 2 FROM part)
-                AS DECIMAL(38,0)) AS DOUBLE) AS reduction_ratio
+            CAST(sum(n_pairs) AS DECIMAL(38,0)) AS n_pairs,
+            1.0 - CAST(sum(n_pairs) AS DOUBLE)
+              / CAST(CAST((SELECT CAST(count(*) AS HUGEINT) * (count(*) - 1) // 2
+                FROM part) AS DECIMAL(38,0)) AS DOUBLE) AS reduction_ratio
           FROM pb)
         SELECT concat_ws('|', p_brand, p_type, CAST(bkt AS VARCHAR))
             AS block_key,
@@ -169,27 +180,54 @@ object Linkage {
       .union(edges.select(col("k2"), col("k1")))
       .toDF("src", "dst")
       .localCheckpoint() // pair generation runs once, not once per round
-    var labels = part.select(col("p_partkey"))
+    val seed = part.select(col("p_partkey"))
       .withColumn("label", col("p_partkey"))
       .localCheckpoint()
+    val labeled = minLabelPropagate(seed, sym, maxRounds, "p_partkey")
+    sym.unpersist()
+    labeled.select(col("p_partkey"), col("label").as("entity_id"))
+      .orderBy("p_partkey")
+  }
+
+  /** Min-label propagation to convergence — the connected-components
+    * core shared conceptually with `Dedup.dupClusters`. Each round is
+    * one edge-list shuffle; the previous round's localCheckpoint
+    * blocks are unpersisted as soon as the new checkpoint truncates
+    * lineage (they are dead weight `catalog.clearCache()` never
+    * sees). FAILS LOUDLY if `maxRounds` is hit without convergence:
+    * a silent cap-out would return labels that are NOT component
+    * minima — wrong entity ids with no signal — while the
+    * recursive-CTE oracle computes the full closure. Only reachable
+    * on a component of diameter > maxRounds (a chain-shaped match
+    * graph, plausible for drifting records at scale); raise
+    * maxRounds if hit. */
+  private[graft] def minLabelPropagate(nodes: DataFrame, sym: DataFrame,
+                                       maxRounds: Int,
+                                       idCol: String): DataFrame = {
+    var labels = nodes
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       val neighborMin = sym
-        .join(labels.withColumnRenamed("p_partkey", "nid"), col("dst") === col("nid"))
+        .join(labels.withColumnRenamed(idCol, "nid").withColumnRenamed("label", "nlabel"),
+          col("dst") === col("nid"))
         .groupBy(col("src"))
-        .agg(min(col("label")).as("nmin"))
+        .agg(min(col("nlabel")).as("nmin"))
       val updated = labels.withColumnRenamed("label", "old")
-        .join(neighborMin, col("p_partkey") === col("src"), "left")
-        .select(col("p_partkey"), col("old"),
+        .join(neighborMin, col(idCol) === col("src"), "left")
+        .select(col(idCol), col("old"),
           least(col("old"), coalesce(col("nmin"), col("old"))).as("label"))
         .localCheckpoint()
       converged = updated.filter(col("label") =!= col("old")).count() == 0
-      labels = updated.select(col("p_partkey"), col("label"))
+      val prev = labels
+      labels = updated.select(col(idCol), col("label"))
+      prev.unpersist()
       round += 1
     }
-    labels.select(col("p_partkey"), col("label").as("entity_id"))
-      .orderBy("p_partkey")
+    if (!converged) throw new IllegalStateException(
+      s"entity clustering did not converge in $maxRounds rounds — a match " +
+        "component has diameter > maxRounds; raise maxRounds")
+    labels
   }
 
   def sqlEntityClusters(maxLev: Int = MaxNameLev,

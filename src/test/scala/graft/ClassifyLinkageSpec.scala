@@ -412,14 +412,38 @@ class ClassifyLinkageSpec extends SparkSpec {
   }
 
   test("blockingQuality TOTAL row reconciles with the per-block rows") {
+    // n_pairs is DECIMAL(38,0): the n(n-1)/2 cross-product wraps BIGINT
+    // at ~3e9 records per block, so the pair math never runs in longs
     val out = pipeline.Linkage.blockingQuality(Tables.part(spark, sf()))
-      .select("block_key", "n_records", "n_pairs")
+      .select(col("block_key"), col("n_records"),
+        col("n_pairs").cast("long").as("n_pairs"))
       .as[(String, Long, Long)].collect()
     val total = out.filter(_._1 == "TOTAL")
     val blocks = out.filterNot(_._1 == "TOTAL")
     assert(total.length == 1)
     assert(blocks.map(_._2).sum == total.head._2)
     assert(blocks.map(_._3).sum == total.head._3)
+  }
+
+  test("entityClusters fails loudly when the diameter exceeds maxRounds") {
+    // a pure chain graph: every propagation round moves the min label
+    // one hop, so a 30-node chain cannot converge in 3 rounds — the
+    // loop must throw, never return non-minimal labels silently
+    val n = 30
+    val nodes = (1 to n).map(i => (i.toLong, i.toLong))
+      .toDF("p_partkey", "label")
+    val edges = (1 until n).map(i => (i.toLong, i.toLong + 1))
+    val sym = (edges ++ edges.map { case (a, b) => (b, a) })
+      .toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      pipeline.Linkage.minLabelPropagate(nodes, sym, maxRounds = 3,
+        idCol = "p_partkey").collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // and with enough rounds the same chain converges to the global min
+    val ok = pipeline.Linkage.minLabelPropagate(nodes, sym, maxRounds = n + 1,
+      idCol = "p_partkey").as[(Long, Long)].collect().toMap
+    assert(ok.values.toSet == Set(1L))
   }
 
   test("char_grams kernel matches the interpreted transform chain") {

@@ -781,16 +781,47 @@ class LlmSpec extends SparkSpec {
     assert(out(2L) === "de") // all scores 0 → first alphabetical wins
   }
 
-  test("multimodal: typed decode stub preserves batching shape and determinism") {
+  test("multimodal: typed decode preserves batching shape and determinism") {
     val feats = Multimodal.mediaFeatures(docs).collect()
     assert(feats.length === 5)
     val r = feats.head
     assert(r.getAs[String]("media_type") === "image") // doc_id 0 % 3
     assert(r.getAs[String]("content_hash").length === 64)
     assert(r.getSeq[Long](r.fieldIndex("frame_offsets")).length === 10)
+    // text bytes are not a decodable image → stub fallback, flagged
+    assert(feats.forall(!_.getAs[Boolean]("decoded")))
     // determinism: same input → same features
     val again = Multimodal.mediaFeatures(docs).collect()
     assert(feats.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
+  test("multimodal: javax.imageio decodes real PNG and JPEG payloads") {
+    import java.awt.image.BufferedImage
+    def encode(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      bos.toByteArray
+    }
+    val png = encode(40, 25, "png")
+    val jpg = encode(17, 33, "jpg")
+    val media = Seq(
+      Multimodal.MediaFile(0L, "image", png, png.length.toLong),
+      Multimodal.MediaFile(1L, "image", jpg, jpg.length.toLong),
+      Multimodal.MediaFile(2L, "image", "not an image".getBytes("UTF-8"), 12L))
+      .toDS()
+    val out = Multimodal.decodeFeatures(media).collect()
+      .map(f => f.doc_id -> f).toMap
+    // real decode: exact raster dimensions and channel count
+    assert(out(0L).decoded && out(0L).width === 40 && out(0L).height === 25
+      && out(0L).channels === 3)
+    assert(out(1L).decoded && out(1L).width === 17 && out(1L).height === 33
+      && out(1L).channels === 3)
+    // undecodable payload falls back to the deterministic stub
+    assert(!out(2L).decoded && out(2L).channels === 0)
+    assert(out(2L).width === 16 + ('n' & 0x3f) && out(2L).height === 16 + ('e' & 0x3f))
   }
 
   test("media metadata frame offsets evenly spaced") {
