@@ -377,44 +377,15 @@ object Dedup {
       .union(edges.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
       .localCheckpoint() // pair generation runs once, not once per round
-    var labels = documents.select(col("doc_id"))
+    val seed = documents.select(col("doc_id"))
       .withColumn("label", col("doc_id"))
       .localCheckpoint()
-    var round = 0
-    var converged = false
-    while (!converged && round < maxRounds) {
-      val neighborMin = sym
-        .join(labels.withColumnRenamed("doc_id", "nid"), col("dst") === col("nid"))
-        .groupBy(col("src"))
-        .agg(min(col("label")).as("nmin"))
-      val updated = labels.withColumnRenamed("label", "old")
-        .join(neighborMin, col("doc_id") === col("src"), "left")
-        .select(col("doc_id"), col("old"),
-          least(col("old"), coalesce(col("nmin"), col("old"))).as("label"))
-        .localCheckpoint()
-      // count()==0, not take(1)/isEmpty: take(1) launches partitions
-      // incrementally and cancels the rest on first hit, and a
-      // cancelled-but-running task can keep burning a core into the
-      // NEXT queries (observed: a 4 s query turning into 193 s
-      // in-suite with a degraded tail behind it). count() drains every
-      // task deterministically — the label table is small.
-      converged = updated.filter(col("label") =!= col("old")).count() == 0L
-      val prev = labels
-      labels = updated.select("doc_id", "label")
-      // The new checkpoint truncates lineage, so the previous round's
-      // blocks are dead — drop them instead of leaking RDD storage
-      // that catalog.clearCache() never sees.
-      prev.unpersist()
-      round += 1
-    }
-    sym.unpersist()
-    // A silent cap-out would return labels that are NOT component minima
-    // (the documented contract) — fail loudly instead. Only reachable on
-    // a component of diameter > maxRounds, i.e. a chain, which LSH's
-    // near-clique components don't produce; raise maxRounds if hit.
-    if (!converged) throw new IllegalStateException(
-      s"dupClusters did not converge in $maxRounds rounds — a near-dup " +
-        "component has diameter > maxRounds; raise maxRounds")
+    // the ONE min-label-propagation loop (shared with entityClusters):
+    // fail-loud convergence, per-round checkpoint hygiene, count-based
+    // action discipline — see graft.util.Graphs
+    val labels = graft.util.Graphs.minLabelPropagate(
+      seed, sym, maxRounds, "doc_id", "dupClusters")
+    graft.util.Graphs.dropCheckpoint(sym)
     labels.select(col("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
   }

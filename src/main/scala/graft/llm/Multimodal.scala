@@ -50,7 +50,10 @@ object Multimodal {
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
       encode(col("text"), "UTF-8").as("content"),
-      length(col("text")).cast("long").as("n_bytes"))
+      // octet_length, not length: n_bytes must be the byte size of the
+      // encoded content, and character count diverges from it on any
+      // non-ASCII text (the DuckDB twins use strlen for the same reason)
+      octet_length(col("text")).cast("long").as("n_bytes"))
 
   /** Decoder: real `javax.imageio` decode where a JDK codec accepts
     * the bytes (PNG/JPEG/GIF/BMP), deterministic stub features
@@ -58,7 +61,8 @@ object Multimodal {
     * vectorized-UDF batching shape: the expensive setup amortizes over
     * the whole batch, never per row); the decode itself is map-only —
     * blobs never shuffle, only the small feature rows move. */
-  def decodeFeatures(media: Dataset[MediaFile]): Dataset[MediaFeatures] = {
+  def decodeFeatures(media: Dataset[MediaFile],
+                     hashContent: Boolean = true): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
       // Per-partition codec init: disable ImageIO's temp-file cache so
@@ -67,11 +71,20 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       val sha = java.security.MessageDigest.getInstance("SHA-256")
       batch.map { m =>
-        sha.reset()
-        val digest = sha.digest(m.content).map("%02x".format(_)).mkString
+        // Dims-only consumers (resize planning) skip the digest — at
+        // corpus scale an unconditional hash is a full pass over every
+        // blob's bytes for a column they immediately drop.
+        val digest = if (!hashContent) "" else {
+          sha.reset()
+          sha.digest(m.content).map("%02x".format(_)).mkString
+        }
+        // NonFatal, not just IOException: a recognized-but-corrupt
+        // payload makes JDK readers throw RuntimeExceptions
+        // (CMMException, ArrayIndexOutOfBounds, ...) out of read();
+        // a bad blob must route to the stub, never kill the task.
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img != null)
           MediaFeatures(m.doc_id, m.media_type, m.n_bytes, digest,
             img.getWidth, img.getHeight, img.getRaster.getNumBands,
@@ -118,10 +131,10 @@ object Multimodal {
   val sqlMediaMetadata: String =
     """SELECT doc_id,
        ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
-       CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
        sha256(text) AS content_hash,
        array_to_string(list_transform(generate_series(0, 9),
-         i -> CAST(i * (length(text) // 10) AS BIGINT)), ',') AS frame_offsets
+         i -> CAST(i * (strlen(text) // 10) AS BIGINT)), ',') AS frame_offsets
        FROM documents ORDER BY doc_id"""
 
   val ResizeW = 128
@@ -141,7 +154,7 @@ object Multimodal {
   def mediaResize(documents: DataFrame,
                   tw: Int = ResizeW, th: Int = ResizeH): DataFrame = {
     import documents.sparkSession.implicits._
-    decodeFeatures(mediaTable(documents).as[MediaFile])
+    decodeFeatures(mediaTable(documents).as[MediaFile], hashContent = false)
       .toDF()
       .withColumn("scale",
         least(lit(tw.toDouble) / col("width"),
@@ -193,7 +206,7 @@ object Multimodal {
        CAST(sum(n_bytes) AS DOUBLE) / count(*) AS avg_bytes
        FROM (SELECT
          ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
-         CAST(length(text) AS BIGINT) AS n_bytes
+         CAST(strlen(text) AS BIGINT) AS n_bytes
          FROM documents)
        GROUP BY media_type ORDER BY media_type"""
 }

@@ -38,7 +38,15 @@ object Linkage {
 
   def entityResolution(part: DataFrame,
                        maxLev: Int = MaxNameLev,
-                       maxSizeDiff: Int = MaxSizeDiff): DataFrame = {
+                       maxSizeDiff: Int = MaxSizeDiff): DataFrame =
+    matchPairs(part, maxLev, maxSizeDiff).orderBy("k1", "k2")
+
+  /** The unsorted match core: [[entityResolution]] publishes it with a
+    * total order; [[entityClusters]] consumes it as an edge set, where
+    * a global sort would be a wasted range-shuffle exchange baked into
+    * the edge checkpoint. */
+  private def matchPairs(part: DataFrame, maxLev: Int,
+                         maxSizeDiff: Int): DataFrame = {
     val w = maxSizeDiff + 1
     val blk = part
       .select(col("p_partkey"), col("p_name"), col("p_brand"),
@@ -60,7 +68,6 @@ object Linkage {
     cand
       .withColumn("name_lev", levenshtein(col("name_a"), col("name_b")))
       .filter(col("name_lev") <= maxLev && col("d_size") <= maxSizeDiff)
-      .orderBy("k1", "k2")
   }
 
   def sqlEntityResolution(maxLev: Int = MaxNameLev,
@@ -91,11 +98,22 @@ object Linkage {
     * tuned by: per block-key population, candidate-pair counts, and
     * the REDUCTION RATIO (1 − candidates / all-possible-pairs), the
     * standard blocking metric. One row per (brand, type, bucket)
-    * block with its record and pair counts, plus a 'TOTAL' row
-    * carrying the corpus-level reduction ratio — if it drifts toward
-    * 0 the blocking has degenerated and the candidate join is quietly
-    * becoming the n² it exists to avoid. Exact integers throughout;
-    * pair math in DECIMAL(38) so n² cannot overflow at corpus scale. */
+    * block with its record and pair counts, plus two summary rows:
+    *
+    *  - 'TOTAL' sums the per-block pair counts — the join WORK the
+    *    blocking generates, in which a pair whose two records share
+    *    BOTH window buckets is counted twice (it really does surface
+    *    from two blocks before [[entityResolution]]'s `distinct()`);
+    *    its ratio uses this work count, so it can undershoot (even go
+    *    negative on a degenerate one-block corpus).
+    *  - 'TOTAL_DISTINCT' counts the DISTINCT candidate set — what the
+    *    scorer actually scores — and carries the canonical reduction
+    *    ratio. If it drifts toward 0 the blocking has degenerated and
+    *    the candidate join is quietly becoming the n² it exists to
+    *    avoid.
+    *
+    * Exact integers throughout; pair math in DECIMAL(38) so n² cannot
+    * overflow at corpus scale. */
   def blockingQuality(part: DataFrame,
                       maxSizeDiff: Int = MaxSizeDiff): DataFrame = {
     val w = maxSizeDiff + 1
@@ -116,13 +134,32 @@ object Linkage {
     val perBlock = blk.groupBy("p_brand", "p_type", "bkt")
       .agg(count(lit(1)).as("n_records"))
       .withColumn("n_pairs", expr(pairsDec("n_records")))
+    val nPart = broadcast(part.agg(count(lit(1)).as("n")))
     val totals = perBlock.agg(
         sum(col("n_records")).as("n_entries"),
         sum(col("n_pairs")).cast("decimal(38,0)").as("n_cand"))
-      .crossJoin(broadcast(part.agg(count(lit(1)).as("n"))))
+      .crossJoin(nPart)
       .select(lit("TOTAL").as("block_key"),
         col("n_entries").as("n_records"), col("n_cand").as("n_pairs"),
         (lit(1.0) - col("n_cand").cast("double") /
+          expr(pairsDec("n")).cast("double"))
+          .as("reduction_ratio"))
+    // the distinct candidate set (same blocked equi-join shape as the
+    // match query — bounded by block sizes, never a corpus pair join)
+    val distinctCand = blk.as("a")
+      .join(blk.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_type") === col("b.p_type") &&
+          col("a.bkt") === col("b.bkt") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_partkey").as("k1"), col("b.p_partkey").as("k2"))
+      .distinct()
+      .agg(count(lit(1)).as("n_distinct"))
+      .crossJoin(nPart)
+      .select(lit("TOTAL_DISTINCT").as("block_key"),
+        col("n").as("n_records"),
+        col("n_distinct").cast("decimal(38,0)").as("n_pairs"),
+        (lit(1.0) - col("n_distinct").cast("double") /
           expr(pairsDec("n")).cast("double"))
           .as("reduction_ratio"))
     perBlock
@@ -131,6 +168,7 @@ object Linkage {
         col("n_records"), col("n_pairs"),
         lit(null).cast("double").as("reduction_ratio"))
       .union(totals)
+      .union(distinctCand)
       .orderBy("block_key")
   }
 
@@ -153,12 +191,27 @@ object Linkage {
             1.0 - CAST(sum(n_pairs) AS DOUBLE)
               / CAST(CAST((SELECT CAST(count(*) AS HUGEINT) * (count(*) - 1) // 2
                 FROM part) AS DECIMAL(38,0)) AS DOUBLE) AS reduction_ratio
-          FROM pb)
+          FROM pb),
+        dc AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_distinct FROM (
+            SELECT DISTINCT a.p_partkey, b.p_partkey
+            FROM blk a JOIN blk b
+              ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+                AND a.bkt = b.bkt AND a.p_partkey < b.p_partkey)),
+        td AS (
+          SELECT 'TOTAL_DISTINCT' AS block_key,
+            CAST((SELECT count(*) FROM part) AS BIGINT) AS n_records,
+            CAST(n_distinct AS DECIMAL(38,0)) AS n_pairs,
+            1.0 - CAST(n_distinct AS DOUBLE)
+              / CAST(CAST((SELECT CAST(count(*) AS HUGEINT) * (count(*) - 1) // 2
+                FROM part) AS DECIMAL(38,0)) AS DOUBLE) AS reduction_ratio
+          FROM dc)
         SELECT concat_ws('|', p_brand, p_type, CAST(bkt AS VARCHAR))
             AS block_key,
           n_records, n_pairs, CAST(NULL AS DOUBLE) AS reduction_ratio
         FROM pb
         UNION ALL SELECT * FROM tot
+        UNION ALL SELECT * FROM td
         ORDER BY block_key"""
   }
 
@@ -175,7 +228,8 @@ object Linkage {
     * [[sqlEntityResolution]]) — the clustering can never disagree
     * with the published pairs about what matched. */
   def entityClusters(part: DataFrame, maxRounds: Int = 20): DataFrame = {
-    val edges = entityResolution(part).select(col("k1"), col("k2"))
+    val edges = matchPairs(part, MaxNameLev, MaxSizeDiff)
+      .select(col("k1"), col("k2"))
     val sym = edges
       .union(edges.select(col("k2"), col("k1")))
       .toDF("src", "dst")
@@ -183,51 +237,11 @@ object Linkage {
     val seed = part.select(col("p_partkey"))
       .withColumn("label", col("p_partkey"))
       .localCheckpoint()
-    val labeled = minLabelPropagate(seed, sym, maxRounds, "p_partkey")
-    sym.unpersist()
+    val labeled = graft.util.Graphs.minLabelPropagate(
+      seed, sym, maxRounds, "p_partkey", "entityClusters")
+    graft.util.Graphs.dropCheckpoint(sym)
     labeled.select(col("p_partkey"), col("label").as("entity_id"))
       .orderBy("p_partkey")
-  }
-
-  /** Min-label propagation to convergence — the connected-components
-    * core shared conceptually with `Dedup.dupClusters`. Each round is
-    * one edge-list shuffle; the previous round's localCheckpoint
-    * blocks are unpersisted as soon as the new checkpoint truncates
-    * lineage (they are dead weight `catalog.clearCache()` never
-    * sees). FAILS LOUDLY if `maxRounds` is hit without convergence:
-    * a silent cap-out would return labels that are NOT component
-    * minima — wrong entity ids with no signal — while the
-    * recursive-CTE oracle computes the full closure. Only reachable
-    * on a component of diameter > maxRounds (a chain-shaped match
-    * graph, plausible for drifting records at scale); raise
-    * maxRounds if hit. */
-  private[graft] def minLabelPropagate(nodes: DataFrame, sym: DataFrame,
-                                       maxRounds: Int,
-                                       idCol: String): DataFrame = {
-    var labels = nodes
-    var round = 0
-    var converged = false
-    while (!converged && round < maxRounds) {
-      val neighborMin = sym
-        .join(labels.withColumnRenamed(idCol, "nid").withColumnRenamed("label", "nlabel"),
-          col("dst") === col("nid"))
-        .groupBy(col("src"))
-        .agg(min(col("nlabel")).as("nmin"))
-      val updated = labels.withColumnRenamed("label", "old")
-        .join(neighborMin, col(idCol) === col("src"), "left")
-        .select(col(idCol), col("old"),
-          least(col("old"), coalesce(col("nmin"), col("old"))).as("label"))
-        .localCheckpoint()
-      converged = updated.filter(col("label") =!= col("old")).count() == 0
-      val prev = labels
-      labels = updated.select(col(idCol), col("label"))
-      prev.unpersist()
-      round += 1
-    }
-    if (!converged) throw new IllegalStateException(
-      s"entity clustering did not converge in $maxRounds rounds — a match " +
-        "component has diameter > maxRounds; raise maxRounds")
-    labels
   }
 
   def sqlEntityClusters(maxLev: Int = MaxNameLev,

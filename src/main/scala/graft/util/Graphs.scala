@@ -1,0 +1,87 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph primitives shared by the dedup clustering
+  * (`llm.Dedup.dupClusters`) and entity resolution
+  * (`pipeline.Linkage.entityClusters`) — ONE implementation of the
+  * min-label-propagation loop so a fix to its convergence, checkpoint
+  * hygiene, or action discipline can never silently miss a copy. */
+object Graphs {
+
+  /** Unpersist the RDD-layer blocks behind a `localCheckpoint()`'d
+    * frame (or any frame derived from one by narrow transforms).
+    *
+    * `Dataset.unpersist()` is a NO-OP for checkpoints: it goes through
+    * the CacheManager, which only tracks `cache()`/`persist()` plans —
+    * a localCheckpoint persists its RDD directly at the RDD layer
+    * (same reason Verify/Bench sweep `sparkContext.getPersistentRDDs`
+    * between queries instead of relying on `catalog.clearCache()`).
+    * This walks the analyzed plan and unpersists every `LogicalRDD`
+    * leaf, which is exactly the checkpoint's storage. */
+  def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** Min-label propagation to convergence: every node repeatedly takes
+    * the min of its own label and its neighbors' — connected
+    * components, with each round ONE shuffle of the edge list (never
+    * the corpus). Rounds needed = component diameter + 1 (the final
+    * zero-change round proves convergence).
+    *
+    * `nodes` must carry `idCol` and a `label` column (seed = own id),
+    * already `localCheckpoint()`'d by the caller; `sym` is the
+    * symmetric edge list (`src`, `dst`). Each round's result is
+    * localCheckpoint'd so lineage stays flat instead of growing per
+    * iteration, and the PREVIOUS round's checkpoint blocks are dropped
+    * via [[dropCheckpoint]] as soon as the new checkpoint supersedes
+    * them (they are dead weight nothing else can reference). The FINAL
+    * round's checkpoint backs the returned frame and is intentionally
+    * left alive — the caller's harness sweep releases it after the
+    * consuming action.
+    *
+    * FAILS LOUDLY (`IllegalStateException`) if `maxRounds` is hit
+    * without convergence: a silent cap-out would return labels that
+    * are NOT component minima — wrong cluster ids with no signal —
+    * while the recursive-CTE oracles compute the full closure. Only
+    * reachable on a component of diameter > maxRounds (a chain-shaped
+    * graph; LSH near-dup components are near-cliques and converge in
+    * 1–2 rounds); raise maxRounds if hit. */
+  def minLabelPropagate(nodes: DataFrame, sym: DataFrame, maxRounds: Int,
+                        idCol: String, context: String): DataFrame = {
+    var labels = nodes
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed(idCol, "nid")
+          .withColumnRenamed("label", "nlabel"), col("dst") === col("nid"))
+        .groupBy(col("src"))
+        .agg(min(col("nlabel")).as("nmin"))
+      val updated = labels.withColumnRenamed("label", "old")
+        .join(neighborMin, col(idCol) === col("src"), "left")
+        .select(col(idCol), col("old"),
+          least(col("old"), coalesce(col("nmin"), col("old"))).as("label"))
+        .localCheckpoint()
+      // count()==0, not take(1)/isEmpty: take(1) launches partitions
+      // incrementally and cancels the rest on first hit, and a
+      // cancelled-but-running task can keep burning a core into the
+      // NEXT queries (observed: a 4 s query turning into 193 s
+      // in-suite with a degraded tail behind it). count() drains every
+      // task deterministically — the label table is small.
+      converged = updated.filter(col("label") =!= col("old")).count() == 0L
+      val prev = labels
+      labels = updated.select(col(idCol), col("label"))
+      dropCheckpoint(prev)
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"$context did not converge in $maxRounds rounds — a component " +
+        "has diameter > maxRounds; raise maxRounds")
+    labels
+  }
+}

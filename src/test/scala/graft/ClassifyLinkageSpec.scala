@@ -411,7 +411,7 @@ class ClassifyLinkageSpec extends SparkSpec {
     assert(out.count(_._2) == 1, s"extra outliers: ${out.filter(_._2)}")
   }
 
-  test("blockingQuality TOTAL row reconciles with the per-block rows") {
+  test("blockingQuality summary rows reconcile with the per-block rows") {
     // n_pairs is DECIMAL(38,0): the n(n-1)/2 cross-product wraps BIGINT
     // at ~3e9 records per block, so the pair math never runs in longs
     val out = pipeline.Linkage.blockingQuality(Tables.part(spark, sf()))
@@ -419,10 +419,36 @@ class ClassifyLinkageSpec extends SparkSpec {
         col("n_pairs").cast("long").as("n_pairs"))
       .as[(String, Long, Long)].collect()
     val total = out.filter(_._1 == "TOTAL")
-    val blocks = out.filterNot(_._1 == "TOTAL")
-    assert(total.length == 1)
+    val dist = out.filter(_._1 == "TOTAL_DISTINCT")
+    val blocks = out.filterNot(r => r._1 == "TOTAL" || r._1 == "TOTAL_DISTINCT")
+    assert(total.length == 1 && dist.length == 1)
     assert(blocks.map(_._2).sum == total.head._2)
     assert(blocks.map(_._3).sum == total.head._3)
+    // the distinct candidate set can only be smaller than the per-block
+    // work count (same-bucket pairs surface from two blocks), and must
+    // be at least the published match count (matches ⊆ candidates)
+    assert(dist.head._3 <= total.head._3)
+    assert(dist.head._3 >=
+      pipeline.Linkage.entityResolution(Tables.part(spark, sf())).count())
+  }
+
+  test("dropCheckpoint releases RDD-layer blocks that unpersist() misses") {
+    def checkpointed: Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet
+    // earlier tests legitimately leave their FINAL checkpoints alive
+    // (released by the harness sweep) — track only this test's delta
+    val baseline = checkpointed
+    val df = Seq((1L, 2L), (3L, 4L)).toDF("a", "b").localCheckpoint()
+    val derived = df.select(col("a")) // narrow transform over the checkpoint
+    val mine = checkpointed -- baseline
+    assert(mine.nonEmpty)
+    // Dataset.unpersist goes through the CacheManager, which never
+    // tracked the checkpoint's RDD — the blocks survive it
+    derived.unpersist(blocking = true)
+    assert((checkpointed -- baseline) == mine)
+    // dropCheckpoint walks the plan to the LogicalRDD and unpersists it
+    util.Graphs.dropCheckpoint(derived)
+    assert(checkpointed.intersect(mine).isEmpty)
   }
 
   test("entityClusters fails loudly when the diameter exceeds maxRounds") {
@@ -436,13 +462,13 @@ class ClassifyLinkageSpec extends SparkSpec {
     val sym = (edges ++ edges.map { case (a, b) => (b, a) })
       .toDF("src", "dst")
     val ex = intercept[IllegalStateException] {
-      pipeline.Linkage.minLabelPropagate(nodes, sym, maxRounds = 3,
-        idCol = "p_partkey").collect()
+      util.Graphs.minLabelPropagate(nodes, sym, maxRounds = 3,
+        idCol = "p_partkey", context = "test").collect()
     }
     assert(ex.getMessage.contains("did not converge"))
     // and with enough rounds the same chain converges to the global min
-    val ok = pipeline.Linkage.minLabelPropagate(nodes, sym, maxRounds = n + 1,
-      idCol = "p_partkey").as[(Long, Long)].collect().toMap
+    val ok = util.Graphs.minLabelPropagate(nodes, sym, maxRounds = n + 1,
+      idCol = "p_partkey", context = "test").as[(Long, Long)].collect().toMap
     assert(ok.values.toSet == Set(1L))
   }
 
