@@ -38,7 +38,7 @@ object TextStats {
     val nWords = size(col("words")).cast("long")
     val sumLen = expr("aggregate(words, 0, (acc, w) -> acc + length(w))").cast("long")
     val nStop = expr(
-      s"size(filter(words, w -> w IN ${inList(Stopwords).replace("(", "(").replace(")", ")")}))")
+      s"size(filter(words, w -> w IN ${inList(Stopwords)}))")
     documents
       .withColumn("words", TextPrep.wordsCol)
       .select(
@@ -94,7 +94,10 @@ object TextStats {
     graft.functions.TextHashExprs.register(documents.sparkSession)
     documents
       .select(col("doc_id"),
-        size(split(lower(col("text")), " ")).cast("long").as("n_words"),
+        // the ONE shared tokenizer — inline split would silently
+        // diverge from the shingle kernel and the SQL twin if the
+        // corpus tokenization ever changes
+        size(TextPrep.wordsCol).cast("long").as("n_words"),
         size(call_function("shingle_hashes", col("text"), lit(3)).getField("shs"))
           .cast("long").as("n_distinct_3grams"),
         call_function("top_word_count", col("text")).as("top_word_count"))
@@ -153,8 +156,11 @@ object TextStats {
     * IEEE division, bit-identical in any engine. Stopwords excluded.
     *
     * Shape: two hash aggregates (per-(doc,word) tf, per-word df) and
-    * one join keyed on the word — the df side is tiny (vocabulary,
-    * not corpus) and broadcastable. */
+    * one join keyed on the word — the df side is VOCABULARY-sized,
+    * which is aggregate-scale next to the corpus explode but 10⁸–10⁹
+    * rows on a web corpus, so it is deliberately NOT broadcast-hinted
+    * (same reasoning as [[rarityScore]]: a forced broadcast OOMs the
+    * driver; AQE broadcasts on its own while the vocab is small). */
   def keywords(documents: DataFrame, k: Int = KeywordK): DataFrame = {
     val words = documents
       .select(col("doc_id"), explode(TextPrep.wordsCol).as("w"))
@@ -166,7 +172,7 @@ object TextStats {
     val n = documents.agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("salience").desc, col("w").asc)
-    tf.join(broadcast(dfreq), "w")
+    tf.join(dfreq, "w")
       .crossJoin(broadcast(n))
       .withColumn("salience", col("tf") * col("n") / col("df"))
       .withColumn("rnk", row_number().over(w))

@@ -499,7 +499,9 @@ object Windows {
         (shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
     }.reduce(_ + _)
     // value > 0 keeps the cents domain non-negative: Spark's pmod and
-    // SQL's % agree only for non-negative dividends.
+    // SQL's % agree only for non-negative dividends. user_id has no
+    // such filter, so the twin double-mods it into pmod's [0, 2^k)
+    // range — a negative id must get the same bucket on both engines.
     events
       .filter(col("user_id").isNotNull && col("value") > 0)
       .select(col("event_id"), x.as("xd"), y.as("yd"), z.as("zval"))
@@ -512,7 +514,8 @@ object Windows {
     }.mkString(" + ")
     s"""WITH d AS (
           SELECT event_id,
-            CAST(user_id % ${1L << ZBits} AS BIGINT) AS xd,
+            CAST(((user_id % ${1L << ZBits}) + ${1L << ZBits})
+              % ${1L << ZBits} AS BIGINT) AS xd,
             CAST(CAST(floor(value * 100) AS BIGINT) % ${1L << ZBits} AS BIGINT) AS yd
           FROM events WHERE user_id IS NOT NULL AND value > 0)
         SELECT event_id, xd, yd, CAST($terms AS BIGINT) AS zval
@@ -1118,31 +1121,36 @@ object Windows {
       count(lit(1)).cast("double").as("n_a"),
       sum(col("x")).cast("double").as("sx_a"),
       sum(col("y")).cast("double").as("sy_a"))
+    // Centered moments once, then every division GUARDED: a drop that
+    // falls entirely on one side of the split makes vxx (or vyy)
+    // exactly 0.00, and an unguarded double division then emits IEEE
+    // inf/NaN — whose formatting and hashing are NOT cross-engine
+    // stable. Degenerate variance yields NULL statistics instead
+    // (matching the twin's CASE guards), like every other ratio here.
     arms.crossJoin(broadcast(pooled))
-      .withColumn("theta",
-        (col("sxy") - col("sx") * col("sy") / col("n")) /
-          (col("sxx") - col("sx") * col("sx") / col("n")))
+      .withColumn("vxx", col("sxx") - col("sx") * col("sx") / col("n"))
+      .withColumn("vxy", col("sxy") - col("sx") * col("sy") / col("n"))
+      .withColumn("vyy", col("syy") - col("sy") * col("sy") / col("n"))
+      .withColumn("theta", when(col("vxx") =!= 0.0, col("vxy") / col("vxx")))
       .select(
         col("arm"),
         col("n_a").cast("long").as("n_users"),
         (col("sy_a") / col("n_a")).as("mean_y"),
-        (col("sy_a") / col("n_a") -
-          col("theta") * (col("sx_a") / col("n_a") - col("sx") / col("n")))
+        when(col("vxx") =!= 0.0,
+          col("sy_a") / col("n_a") -
+            col("theta") * (col("sx_a") / col("n_a") - col("sx") / col("n")))
           .as("mean_y_adj"),
         col("theta"),
-        (lit(1.0) -
-          ((col("syy") - col("sy") * col("sy") / col("n")) -
-            (col("sxy") - col("sx") * col("sy") / col("n")) *
-              (col("sxy") - col("sx") * col("sy") / col("n")) /
-              (col("sxx") - col("sx") * col("sx") / col("n"))) /
-            (col("syy") - col("sy") * col("sy") / col("n")))
+        when(col("vxx") =!= 0.0 && col("vyy") =!= 0.0,
+          lit(1.0) -
+            (col("vyy") - col("vxy") * col("vxy") / col("vxx")) / col("vyy"))
           .as("var_reduction"))
       .orderBy("arm")
   }
 
   val sqlCupedReadout: String =
     s"""WITH pu AS (
-          SELECT user_id, user_id % 2 AS arm,
+          SELECT user_id, ((user_id % 2) + 2) % 2 AS arm,
             CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '$CupedSplit 00:00:00'
               THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS x,
             CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '$CupedSplit 00:00:00'
@@ -1160,15 +1168,19 @@ object Windows {
         arms AS (
           SELECT arm, CAST(count(*) AS DOUBLE) AS n_a,
             CAST(sum(x) AS DOUBLE) AS sx_a, CAST(sum(y) AS DOUBLE) AS sy_a
-          FROM pu GROUP BY 1)
+          FROM pu GROUP BY 1),
+        v AS (
+          SELECT n, sx, sy,
+            sxx - sx * sx / n AS vxx,
+            sxy - sx * sy / n AS vxy,
+            syy - sy * sy / n AS vyy
+          FROM pooled)
         SELECT arm, CAST(n_a AS BIGINT) AS n_users,
           sy_a / n_a AS mean_y,
-          sy_a / n_a - ((sxy - sx * sy / n) / (sxx - sx * sx / n))
-            * (sx_a / n_a - sx / n) AS mean_y_adj,
-          (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
-          1.0 - ((syy - sy * sy / n) -
-            (sxy - sx * sy / n) * (sxy - sx * sy / n) /
-              (sxx - sx * sx / n)) /
-            (syy - sy * sy / n) AS var_reduction
-        FROM arms CROSS JOIN pooled ORDER BY arm"""
+          CASE WHEN vxx <> 0 THEN
+            sy_a / n_a - (vxy / vxx) * (sx_a / n_a - sx / n) END AS mean_y_adj,
+          CASE WHEN vxx <> 0 THEN vxy / vxx END AS theta,
+          CASE WHEN vxx <> 0 AND vyy <> 0 THEN
+            1.0 - (vyy - vxy * vxy / vxx) / vyy END AS var_reduction
+        FROM arms CROSS JOIN v ORDER BY arm"""
 }

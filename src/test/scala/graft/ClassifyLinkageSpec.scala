@@ -156,6 +156,27 @@ class ClassifyLinkageSpec extends SparkSpec {
     assert(out.map(_.getAs[Double]("theta")).distinct.length == 1)
   }
 
+  test("cupedReadout: zero pre-period variance yields NULL stats, not inf/NaN") {
+    // every event is AFTER the split → per-user x is uniformly 0.00 →
+    // vxx = 0; the guarded divisions must emit NULL (an unguarded
+    // double division would emit IEEE inf/NaN, which is not
+    // cross-engine hash-stable)
+    val ev = Seq(
+      (1L, 10.0, "2024-06-01 00:00:00"),
+      (2L, 20.0, "2024-06-02 00:00:00"),
+      (3L, 30.0, "2024-06-03 00:00:00"))
+      .toDF("user_id", "value", "s")
+      .select(col("user_id"), col("value"), col("s").cast("timestamp").as("ts"))
+    val out = pipeline.Windows.cupedReadout(ev).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("mean_y"))) // plain mean still defined
+      assert(r.isNullAt(r.fieldIndex("theta")))
+      assert(r.isNullAt(r.fieldIndex("mean_y_adj")))
+      assert(r.isNullAt(r.fieldIndex("var_reduction")))
+    }
+  }
+
   test("bpeFertility aggregates exactly the per-doc encoder totals") {
     val docs = Tables.documents(spark, sf())
     val perDoc = llm.TextStats.bpeEncode(docs)
