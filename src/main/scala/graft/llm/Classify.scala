@@ -202,7 +202,7 @@ object Classify {
   def sqlNbCrossval(k: Int = CvFolds): String = {
     val w = TextPrep.sqlWords
     s"""WITH toks AS (
-          SELECT doc_id, doc_id % $k AS fold, lang AS cls,
+          SELECT doc_id, ((doc_id % $k) + $k) % $k AS fold, lang AS cls,
             unnest($w) AS word
           FROM documents),
         n_c AS (SELECT cls AS cand, count(*) AS n_c FROM toks GROUP BY 1),
@@ -210,10 +210,10 @@ object Classify {
                  FROM toks GROUP BY 1, 2),
         nd_c AS (SELECT lang AS cand, count(*) AS nd_c
                  FROM documents GROUP BY 1),
-        nd_cf AS (SELECT doc_id % $k AS fold, lang AS cand, count(*) AS nd_cf
+        nd_cf AS (SELECT ((doc_id % $k) + $k) % $k AS fold, lang AS cand, count(*) AS nd_cf
                   FROM documents GROUP BY 1, 2),
         nd AS (SELECT count(*) AS nd FROM documents),
-        nd_f AS (SELECT doc_id % $k AS fold, count(*) AS nd_f
+        nd_f AS (SELECT ((doc_id % $k) + $k) % $k AS fold, count(*) AS nd_f
                  FROM documents GROUP BY 1),
         v_all AS (SELECT count(DISTINCT word) AS v_all FROM toks),
         wf AS (SELECT word, count(DISTINCT fold) AS nf, min(fold) AS only_fold

@@ -66,8 +66,9 @@ object Curate {
   val sqlRedactPii: String = {
     val planted = "text || ' contact user' || CAST(doc_id AS VARCHAR) " +
       "|| '@example.com or call 555-867-' " +
-      "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') " +
-      "|| ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+      "|| lpad(CAST(((doc_id % 10000) + 10000) % 10000 AS VARCHAR), 4, '0') " +
+      "|| ' ssn 123-45-' " +
+      "|| lpad(CAST(((doc_id % 10000) + 10000) % 10000 AS VARCHAR), 4, '0')"
     // single-quoted SQL literals: backslashes are literal, no doubling
     val email = EmailRe
     s"""WITH p AS (SELECT doc_id, $planted AS t FROM documents)
@@ -146,9 +147,8 @@ object Curate {
       case ((l, r), e) => when(col("lang") === l, lit(r)).otherwise(e)
     }
     documents
-      .withColumn("b",
-        conv(substring(md5(concat(lit("sample:"), col("lang"), lit(":"),
-          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 1000)
+      .withColumn("b", hashBucket("sample", 1000,
+        concat(col("lang"), lit(":"), col("doc_id").cast("string"))))
       .filter(col("b") < rate)
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
@@ -157,8 +157,7 @@ object Curate {
   val sqlStratifiedSample: String = {
     val rate = SampleRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
       .mkString("CASE ", " ", s" ELSE $DefaultRate END")
-    val b = "CAST(concat('0x', substr(md5('sample:' || lang || ':' || " +
-      "CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000"
+    val b = sqlHashBucket("sample", 1000, "lang || ':' || CAST(doc_id AS VARCHAR)")
     s"""SELECT doc_id, lang, source FROM documents
         WHERE $b < $rate ORDER BY doc_id"""
   }
@@ -204,7 +203,7 @@ object Curate {
     * overlap factor. */
   def docChunks(documents: DataFrame): DataFrame =
     documents
-      .select(col("doc_id"), split(lower(col("text")), " ").as("words"))
+      .select(col("doc_id"), TextPrep.wordsCol.as("words"))
       .withColumn("n", size(col("words")))
       .filter(col("n") > 0)
       .withColumn("n_chunks",
@@ -222,8 +221,8 @@ object Curate {
 
   val sqlDocChunks: String =
     s"""WITH d AS (
-          SELECT doc_id, string_split(lower(text), ' ') AS words,
-            CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n
+          SELECT doc_id, ${TextPrep.sqlWords} AS words,
+            CAST(len(${TextPrep.sqlWords}) AS BIGINT) AS n
           FROM documents),
         c AS (
           SELECT doc_id, words, n,
@@ -253,20 +252,23 @@ object Curate {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     documents
       .select(col("doc_id"), col("lang"),
-        size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+        // the ONE shared tokenizer (an inline split could silently
+        // diverge from TextPrep if corpus tokenization ever changes)
+        size(TextPrep.wordsCol).cast("long").as("n_tokens"))
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // integer DIV, not double /: the double path loses exactness past
+      // 2^53 cumulative tokens and drifts off the twin's exact `//`
       .select(col("doc_id"), col("lang"), col("n_tokens"),
-        (col("cum_before") / PackCapacity).cast("long").as("seq_id"),
-        ((col("cum_before") + col("n_tokens") - 1) / PackCapacity).cast("long")
-          .minus((col("cum_before") / PackCapacity).cast("long")).plus(1)
-          .as("n_seqs_spanned"))
+        expr(s"cum_before DIV $PackCapacity").as("seq_id"),
+        expr(s"(cum_before + n_tokens - 1) DIV $PackCapacity" +
+          s" - cum_before DIV $PackCapacity + 1").as("n_seqs_spanned"))
       .orderBy("doc_id")
   }
 
   val sqlPackSequences: String =
     s"""WITH t AS (
           SELECT doc_id, lang,
-            CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+            CAST(len(${TextPrep.sqlWords}) AS BIGINT) AS n_tokens
           FROM documents),
         c AS (
           SELECT doc_id, lang, n_tokens,
@@ -470,9 +472,15 @@ object Curate {
     val scores = TextStats.textStatsUnordered(documents)
       .select(col("doc_id"), col("quality_score"))
     val probs = (1 until n).map(i => s"${i.toDouble / n}D").mkString(",")
+    // cache the 1-row sketch: it feeds both the bucketing crossJoin and
+    // the final spine join as SEPARATE plan subtrees, and without the
+    // cache each re-runs the full TextStats corpus aggregate (the file's
+    // convention — curationFunnel/dsirWeights — never relies on
+    // exchange reuse alone)
     val cutsRow = scores.agg(
       expr(s"approx_percentile(quality_score, array($probs), 10000)").as("cuts"),
       count(lit(1)).as("n_total"))
+      .cache()
     val counts = scores.crossJoin(broadcast(cutsRow))
       .select(col("n_total"),
         (size(filter(col("cuts"), c => col("quality_score") > c)) + 1)
@@ -629,16 +637,15 @@ object Curate {
           .cast("long").as("rate_permille"))
     documents
       .join(broadcast(rates), "lang")
-      .withColumn("b",
-        conv(substring(md5(concat(lit("mix:"), col("lang"), lit(":"),
-          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 1000)
+      .withColumn("b", hashBucket("mix", 1000,
+        concat(col("lang"), lit(":"), col("doc_id").cast("string"))))
       .filter(col("b") < col("rate_permille"))
       .select(col("doc_id"), col("lang"), col("rate_permille"))
       .orderBy("doc_id")
   }
 
   val sqlMixtureSample: String =
-    """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+    s"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
         m AS (SELECT min(cnt) AS cmin FROM c),
         r AS (
           SELECT lang, CAST(greatest(1, floor(1000.0 *
@@ -647,8 +654,7 @@ object Curate {
           FROM c, m)
         SELECT doc_id, lang, rate_permille
         FROM documents JOIN r USING (lang)
-        WHERE CAST(concat('0x', substr(md5('mix:' || lang || ':' ||
-          CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < rate_permille
+        WHERE ${sqlHashBucket("mix", 1000, "lang || ':' || CAST(doc_id AS VARCHAR)")} < rate_permille
         ORDER BY doc_id"""
 
   def sqlQualityTopK(k: Int = QualityK): String =
@@ -959,7 +965,7 @@ object Curate {
   def lengthBuckets(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"),
-        size(split(lower(col("text")), " ")).cast("long").as("n"))
+        size(TextPrep.wordsCol).cast("long").as("n"))
       .withColumn("bucket_cap",
         when(col("n") <= 1, 1L)
           .otherwise(expr("shiftleft(CAST(1 AS BIGINT), length(bin(n - 1)))")))
@@ -973,8 +979,8 @@ object Curate {
       .orderBy("bucket_cap")
 
   val sqlLengthBuckets: String =
-    """WITH t AS (
-         SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n
+    s"""WITH t AS (
+         SELECT doc_id, CAST(len(${TextPrep.sqlWords}) AS BIGINT) AS n
          FROM documents),
        b AS (
          SELECT doc_id, n,
