@@ -66,6 +66,30 @@ object TextHash {
     * words = regex-split(lower(text), " ") keeping empties; shingle =
     * space-join of n consecutive words; ha = parse(hex[0,15)) mod P,
     * hb = parse(hex[16,31)) mod P. Returns struct(shs, ha, hb). */
+  /** Space-joined word n-gram starting at `i`, built into the reused
+    * builder — ONE definition of gram assembly for the shingle and
+    * positional-gram kernels. */
+  private def gramAt(sb: java.lang.StringBuilder, words: Array[String],
+                     i: Int, n: Int): String = {
+    sb.setLength(0)
+    var j = 0
+    while (j < n) {
+      if (j > 0) sb.append(' ')
+      sb.append(words(i + j))
+      j += 1
+    }
+    sb.toString
+  }
+
+  /** The 60-bit md5-derived hash pair — THE oracle-parity-critical
+    * formula (twin of TextPrep.sqlShingleCtes' substr(md5, 1, 15) /
+    * substr(md5, 17, 15) parses), defined ONCE so the shingle and
+    * positional-gram kernels can never drift apart. */
+  private def hex60a(hex: String): Long =
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % HashP
+  private def hex60b(hex: String): Long =
+    java.lang.Long.parseLong(hex.substring(16, 31), 16) % HashP
+
   def computeShingles(text: UTF8String, n: Int): InternalRow = {
     val words = text.toLowerCase.toString.split(" ", -1)
     if (words.length < n) return emptyShingles
@@ -73,14 +97,7 @@ object TextHash {
     val sb = new java.lang.StringBuilder(64)
     var i = 0
     while (i <= words.length - n) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(words(i + j))
-        j += 1
-      }
-      seen.add(sb.toString)
+      seen.add(gramAt(sb, words, i, n))
       i += 1
     }
     val m = seen.size
@@ -92,8 +109,8 @@ object TextHash {
     while (it.hasNext) {
       val s = it.next()
       val hex = md5Hex(s)
-      ha(k) = java.lang.Long.parseLong(hex.substring(0, 15), 16) % HashP
-      hb(k) = java.lang.Long.parseLong(hex.substring(16, 31), 16) % HashP
+      ha(k) = hex60a(hex)
+      hb(k) = hex60b(hex)
       shs(k) = UTF8String.fromString(s)
       k += 1
     }
@@ -109,15 +126,18 @@ object TextHash {
     * row plus a full intermediate gram array BEFORE deduplication;
     * this is one compiled pass with row-local dedup. Semantics match
     * `list_distinct(list_transform(generate_series(1, len-(n-1)),
-    * i -> substr(lower(text), i, n)))` on the oracle side for the
-    * corpus charset (single-code-unit characters). */
+    * i -> substr(lower(text), i, n)))` on the oracle side — in
+    * code-POINT positions, like [[computeWinnow]]: DuckDB's
+    * substr/len are character-based, so gramming by UTF-16 code
+    * units would split surrogate pairs and silently break parity on
+    * any non-BMP document. */
   def computeCharGrams(text: UTF8String, n: Int): ArrayData = {
-    val s = text.toLowerCase.toString
-    if (s.length < n) return new GenericArrayData(Array.empty[Any])
+    val cp = text.toLowerCase.toString.codePoints().toArray
+    if (cp.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0
-    while (i <= s.length - n) {
-      seen.add(s.substring(i, i + n))
+    while (i <= cp.length - n) {
+      seen.add(new String(cp, i, n))
       i += 1
     }
     val out = new Array[Any](seen.size)
@@ -135,6 +155,11 @@ object TextHash {
     * empty signature (callers filter size(shs) > 0 upstream). */
   def computeMinhash(ha: ArrayData, hb: ArrayData, k: Int): ArrayData = {
     val m = ha.numElements()
+    // minhash_sigs is SQL-exposed: mismatched arrays must fail loudly —
+    // the loop indexes hb by ha's length, and an UnsafeArrayData input
+    // would otherwise read off-buffer and return silent garbage
+    if (hb.numElements() != m) throw new IllegalArgumentException(
+      s"minhash_sigs: ha and hb must be equal-length (got $m vs ${hb.numElements()})")
     if (m == 0) return new GenericArrayData(Array.empty[Long])
     val out = new Array[Long](k)
     var i = 0
@@ -164,6 +189,11 @@ object TextHash {
     * O(n) instead of O(n·k); the SQL oracle computes each gram hash
     * directly by Horner — identical values by construction. */
   def computeWinnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    // SQL-exposed: nonsensical parameters must fail loudly, not index
+    // out of bounds (w = 0 skips the window minima loop and reads past
+    // the gram-hash array; k < 1 makes the gram count exceed the text)
+    if (k < 1 || w < 1) throw new IllegalArgumentException(
+      s"winnow_fps: gram size and window must be >= 1 (got k=$k, w=$w)")
     // Code-POINT semantics (not UTF-16 code units): the DuckDB twin
     // grams via substr/ascii, which are character-based, so surrogate
     // pairs must count as one position with their full code point value
@@ -221,15 +251,7 @@ object TextHash {
     val sb = new java.lang.StringBuilder(64)
     var i = 0
     while (i < m) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(words(i + j))
-        j += 1
-      }
-      val hex = md5Hex(sb.toString)
-      out(i) = java.lang.Long.parseLong(hex.substring(0, 15), 16) % HashP
+      out(i) = hex60a(md5Hex(gramAt(sb, words, i, n)))
       i += 1
     }
     new GenericArrayData(out)
@@ -266,21 +288,33 @@ object TextHash {
     *   j <  32: hex digit j of md5(w) has nibble bit 8 (digit in 8..f)
     *   j >= 32: hex digit j-32 of md5(w) has nibble bit 4
     *            (digit in {4,5,6,7,c,d,e,f})
-    * One md5 per word occurrence; portable to any engine with md5. */
+    * One md5 per DISTINCT word per row, votes weighted by the word's
+    * multiplicity — natural text repeats words heavily (the whole
+    * reason the Gopher top-word filters exist), so hashing per
+    * occurrence would redo identical digests by the inverse
+    * type-token ratio. Vote sums are identical either way; votes
+    * accumulate in Long so no document length can wrap them. */
   def computeSimhash(text: UTF8String): Long = {
     val words = text.toLowerCase.toString.split(" ", -1)
-    val votes = new Array[Int](64)
+    val counts = new java.util.HashMap[String, Long](words.length * 2)
     var wi = 0
     while (wi < words.length) {
-      val hex = md5Hex(words(wi))
+      counts.merge(words(wi), 1L, (a, b) => a + b)
+      wi += 1
+    }
+    val votes = new Array[Long](64)
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue.longValue()
+      val hex = md5Hex(e.getKey)
       var i = 0
       while (i < 32) {
         val nib = Character.digit(hex.charAt(i), 16)
-        if ((nib & 8) != 0) votes(i) += 1 else votes(i) -= 1
-        if ((nib & 4) != 0) votes(32 + i) += 1 else votes(32 + i) -= 1
+        if ((nib & 8) != 0) votes(i) += c else votes(i) -= c
+        if ((nib & 4) != 0) votes(32 + i) += c else votes(32 + i) -= c
         i += 1
       }
-      wi += 1
     }
     var fp = 0L
     var j = 0

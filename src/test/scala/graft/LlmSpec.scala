@@ -385,6 +385,34 @@ class LlmSpec extends SparkSpec {
     assert(fold)
   }
 
+  test("native text-hash expressions reject malformed arguments loudly") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    // mismatched ha/hb would index off the shorter array — silent
+    // garbage on UnsafeArrayData — so the kernel must throw instead
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT minhash_sigs(array(1L,2L,3L), array(1L), 4)").collect()
+    }
+    assert(e1.getMessage.contains("equal-length") ||
+      String.valueOf(e1.getCause).contains("equal-length"))
+    // w = 0 slips past the window-count guard and reads past the gram
+    // array; k < 1 similarly — both must fail loudly
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT winnow_fps('abc', 2, 0)").collect()
+    }
+    assert(e2.getMessage.contains(">= 1") ||
+      String.valueOf(e2.getCause).contains(">= 1"))
+  }
+
+  test("char_grams counts code points, not UTF-16 units (non-BMP parity)") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    // U+1D54F is a surrogate PAIR in UTF-16 but ONE character to
+    // DuckDB's substr — the kernel must gram by code point or the
+    // trigram features diverge from the oracle outside the BMP
+    val grams = spark.sql("SELECT char_grams('𝕏ab', 2)")
+      .collect().head.getSeq[String](0)
+    assert(grams === Seq("𝕏a", "ab"))
+  }
+
   test("registerAll exposes every custom function to plain SQL text") {
     graft.functions.GraftFunctions.registerAll(spark)
     assert(spark.sql("SELECT dot_d(array(1.0D,2.0D), array(3.0D,4.0D))")
