@@ -56,10 +56,16 @@ object Similarity {
   /** Left-fold L2 norm (dot of the vector with itself). */
   def norm(v: Column): Column = sqrt(call_function("dot_d", v, v))
 
-  /** embeddings → (vec_id, v: array<double>, nrm). */
+  /** embeddings → (vec_id, v: array<double>, nrm). NULL embeddings are
+    * EXCLUDED here, at the one root both engines share: a NULL vector
+    * has no geometry, and leaving it in diverges the engines — Spark's
+    * top_k_by heap skips NULL scores while the oracle's row_number
+    * ranks them NULLS LAST, so the same corpus would emit different
+    * top-k rows. Filtering at the root pins one semantic everywhere. */
   def prepared(embeddings: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.registerAll(embeddings.sparkSession)
     embeddings
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
   }
@@ -69,7 +75,7 @@ object Similarity {
          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
            sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
                 (a, b) -> a + b)) AS nrm
-         FROM embeddings)"""
+         FROM embeddings WHERE embedding IS NOT NULL)"""
 
   private def cosine(pfx1: String, pfx2: String): Column =
     (dot(col(s"$pfx1.v"), col(s"$pfx2.v")) /
@@ -214,7 +220,10 @@ object Similarity {
     * verification joins fetch vectors only for deduplicated candidate
     * pairs. */
   def lshNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val n = prepared(embeddings)
+    // cached like every other multi-reference prepared() in the file:
+    // it feeds the bucket build AND both verification-join sides, and
+    // Spark shares no subplans (caller-released via clearCache)
+    val n = prepared(embeddings).cache()
     val b = bucketFrame(n)
     val cand = b.as("x").join(b.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
@@ -260,7 +269,7 @@ object Similarity {
     * the join key is still (table, bucket); the probe explode is
     * map-side. */
   def multiProbeLshPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val n = prepared(embeddings)
+    val n = prepared(embeddings).cache() // same multi-use shape as lshNearDupPairs
     val b = bucketFrame(n)
     val probeCols = col("bucket") +:
       (0 until NumPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))
@@ -358,7 +367,11 @@ object Similarity {
     * The quantized array is emitted as a CSV string: the driver's
     * pandas compare cannot sort array cells (round-1 lesson). */
   def quantizeInt8(embeddings: DataFrame): DataFrame =
-    prepared(embeddings)
+    embeddings
+      // direct projection, NOT prepared(): quantization never reads the
+      // L2 norm, and prepared's dot+sqrt would double this map-only
+      // operator's per-row arithmetic (the twin's `n` CTE has no nrm)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("scale", expr("array_max(transform(v, x -> abs(x))) / 127.0D"))
       .withColumn("q", expr(
         "CASE WHEN scale = 0.0D THEN transform(v, x -> 0) " +
@@ -507,9 +520,12 @@ object Similarity {
       .select(col("vec_id"), col("cid"), pqL2.as("dist"))
       .groupBy("vec_id")
       .agg(call_function("top_k_by", -col("dist"), col("cid"), lit(1)).as("top"))
+      // + 0.0 canonicalizes the negate-back: the heap stores -0.0 as
+      // +0.0, so a bit-exact zero distance would round-trip to -0.0 and
+      // hash-diverge from the oracle's +0.0 sum of squares
       .select(col("vec_id"),
         col("top").getItem(0).getField("id").as(s"code$m"),
-        (-col("top").getItem(0).getField("score")).as(s"dist$m"))
+        (-col("top").getItem(0).getField("score") + lit(0.0)).as(s"dist$m"))
 
   /** Fit all PqM subspace codebooks CONCURRENTLY: each fit is an
     * independent chain of small Spark jobs punctuated by a driver-side
@@ -606,7 +622,9 @@ object Similarity {
         .agg(call_function("top_k_by", -col("adc_dist"), col("neighbor_id"), lit(k)).as("top"))
         .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
         .select(col("query_id"), (col("pos") + 1).cast("int").as("rnk"),
-          col("e.id").as("neighbor_id"), (-col("e.score")).as("adc_dist"))
+          col("e.id").as("neighbor_id"),
+          // + 0.0: same -0.0 canonicalization as encodeSub
+          (-col("e.score") + lit(0.0)).as("adc_dist"))
         .orderBy("query_id", "rnk")
   }
 
@@ -762,9 +780,16 @@ object Similarity {
     * definition so assignment semantics (cosine formula, tie order)
     * can never drift between the index writer, the probes, and the
     * quality reports. */
-  private def centroidScores(n: DataFrame): DataFrame = {
-    val cents = fitFrom(n)
-      .select(col("cid").as("centroid_id"), col("cv"))
+  private def centroidScores(n: DataFrame): DataFrame =
+    scoreAgainst(n, fitFrom(n).select(col("cid"), col("cv")))
+
+  /** vectors × a FIXED centroid frame (cid, cv) → (vec_id,
+    * centroid_id, ccos) — the one cosine-scoring join every IVF
+    * consumer (fit-time assignment, probes, streaming append) ranks,
+    * so the formula and broadcast shape can never drift between
+    * paths. */
+  private def scoreAgainst(n: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroids.select(col("cid").as("centroid_id"), col("cv"))
       .withColumn("cnrm", norm(col("cv")))
     n.join(broadcast(cents))
       .select(col("vec_id"), col("centroid_id"),
@@ -791,11 +816,7 @@ object Similarity {
                              centroids: DataFrame): DataFrame = {
     graft.functions.TopKByScore.register(embeddings.sparkSession)
     val n = prepared(embeddings)
-    val cents = centroids.select(col("cid").as("centroid_id"), col("cv"))
-      .withColumn("cnrm", norm(col("cv")))
-    n.join(broadcast(cents))
-      .select(col("vec_id"), col("centroid_id"),
-        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("ccos"))
+    scoreAgainst(n, centroids)
       .groupBy("vec_id")
       .agg(call_function("top_k_by", col("ccos"), col("centroid_id"), lit(1)).as("top"))
       .select(col("vec_id"), col("top").getItem(0).getField("id").as("centroid_id"))
