@@ -41,12 +41,17 @@ object Sources {
 
   /** S3: console debug sink — complete mode, untruncated, 10 s
     * processing-time trigger, exactly the reference's debugging output
-    * (`transaction_processor.py:200-205`, `spark_config.yml:46-47`). */
-  def consoleWriter(df: DataFrame): DataStreamWriter[Row] =
+    * (`transaction_processor.py:200-205`, `spark_config.yml:46-47`).
+    * The reference points this at its windowed AGGREGATION, where
+    * complete mode is legal; for a row-level stream pass
+    * `mode = "append"` — Spark rejects complete without an
+    * aggregation at start(). */
+  def consoleWriter(df: DataFrame,
+                    mode: String = "complete"): DataStreamWriter[Row] =
     df.writeStream
       .format("console")
       .option("truncate", "false")
-      .outputMode("complete")
+      .outputMode(mode)
       .trigger(Trigger.ProcessingTime("10 seconds"))
 
   /** S9: the alerts-route predicate for the banking.alerts topic
@@ -66,20 +71,23 @@ object Sources {
   /** S8: one-pass dual-sink via foreachBatch — valid records to the
     * main sink, invalid to the dead-letter sink (parquet dirs standing
     * in for the banking.processed / banking.deadletter topics,
-    * `kafka_config.yml:24,29`). */
+    * `kafka_config.yml:24,29`). Both branch writes go through
+    * [[writeBatchIdempotent]]: a crash between the writes and the
+    * checkpoint's offset commit replays the batch, and a plain append
+    * would land every row twice. */
   def dualSinkQuery(parsed: DataFrame, mainDir: String, deadDir: String,
                     checkpoint: String): StreamingQuery =
     parsed.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // Pin the micro-batch so the two branch writes share one source
         // scan instead of each re-reading and re-parsing the batch.
         batch.persist()
         try {
           val (valid, dead) = StreamPipeline.deadLetterSplit(batch)
-          valid.write.mode("append").parquet(mainDir)
-          dead.write.mode("append").parquet(deadDir)
+          writeBatchIdempotent(valid, mainDir, batchId)
+          writeBatchIdempotent(dead, deadDir, batchId)
         } finally { batch.unpersist(); () }
       }
       .start()
@@ -94,16 +102,18 @@ object Sources {
     parsed.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // One source scan feeds all three branches: persist the batch,
-        // else each .write re-reads and re-parses the source.
+        // else each .write re-reads and re-parses the source. All
+        // three writes are idempotent under crash-replay (see
+        // dualSinkQuery).
         batch.persist()
         try {
           val (valid, dead) = StreamPipeline.deadLetterSplit(batch)
           val enriched = StreamPipeline.enrich(valid)
-          enriched.write.mode("append").parquet(mainDir)
-          dead.write.mode("append").parquet(deadDir)
-          enriched.filter(isAlert).write.mode("append").parquet(alertDir)
+          writeBatchIdempotent(enriched, mainDir, batchId)
+          writeBatchIdempotent(dead, deadDir, batchId)
+          writeBatchIdempotent(enriched.filter(isAlert), alertDir, batchId)
         } finally { batch.unpersist(); () }
       }
       .start()
@@ -125,25 +135,41 @@ object Sources {
                      deadDir: String, checkpoint: String,
                      maxRetries: Int = 3): StreamingQuery = {
     val spark = fresh.sparkSession
-    new java.io.File(retryDir).mkdirs()
+    // Hadoop FileSystem, not java.io.File: the retry dir must be
+    // creatable on WHATEVER filesystem the path names (HDFS/S3/local);
+    // a driver-local mkdirs on an object-store URI creates garbage and
+    // the parquet source then fails at start.
+    val retryPath = new org.apache.hadoop.fs.Path(retryDir)
+    retryPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .mkdirs(retryPath)
     val retrySchema = graft.pipeline.Schemas.transactionSchema
       .add("retry_count", org.apache.spark.sql.types.IntegerType)
-    val retries = spark.readStream.schema(retrySchema).parquet(retryDir)
+    // Glob over per-batch SUBDIRECTORIES: each trigger parks its
+    // retryables under batch_<id>/, written with overwrite, so a
+    // crash-replay of batch N REPLACES its own park instead of
+    // appending a second copy that would re-ingest independently and
+    // amplify duplicates through the feedback loop. main/dead writes
+    // are idempotent the usual way.
+    val retries = spark.readStream.schema(retrySchema)
+      .parquet(s"$retryDir/batch_*")
     fresh.withColumn("retry_count", lit(0))
       .unionByName(retries)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
         try {
           val (valid, retry, dead) = StreamPipeline.retrySplit(batch, maxRetries)
-          valid.write.mode("append").parquet(mainDir)
-          dead.write.mode("append").parquet(deadDir)
+          writeBatchIdempotent(valid, mainDir, batchId)
+          writeBatchIdempotent(dead, deadDir, batchId)
           val parked = retry
             .withColumn("retry_count", (col("retry_count") + 1).cast("int"))
             .drop("is_valid", "validation_result")
-          if (!parked.isEmpty) parked.write.mode("append").parquet(retryDir)
+          // empty-park guard: an empty per-trigger write would make the
+          // file source see "new data" forever and never quiesce
+          if (!parked.isEmpty)
+            parked.write.mode("overwrite").parquet(s"$retryDir/batch_$batchId")
         } finally { batch.unpersist(); () }
       }
       .start()
@@ -162,7 +188,7 @@ object Sources {
     * [[graft.llm.Dedup.minhashLshPairsIncremental]]). Cold start: a
     * missing index means the first batch dedups within itself and its
     * survivors CREATE the index. Exactly-once: both sinks partition by
-    * batch_id with dynamic partition overwrite, so a crash-replay of
+    * micro_batch_id with dynamic partition overwrite, so a crash-replay of
     * batch N replaces its own partitions — clean sink and index can
     * never diverge across a retry. */
   def nearDupDedupQuery(docs: DataFrame, indexPath: String, cleanDir: String,
@@ -193,29 +219,31 @@ object Sources {
           // re-run a lineage that READS indexPath while writing to it
           val clean = batch.join(dupIds, Seq("doc_id"), "left_anti")
             .localCheckpoint()
-          clean.withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(cleanDir)
+          writeBatchIdempotent(clean, cleanDir, batchId)
           graft.llm.Dedup.appendShingleIndexForBatch(clean, indexPath, batchId)
         } finally { batch.unpersist(); () }
       }
       .start()
 
   /** The idempotent-replay write used by every exactly-once file sink
-    * here: each micro-batch lands in its own `batch_id=N` partition
-    * with DYNAMIC partition overwrite, so re-running a batch after a
-    * crash REPLACES its partition instead of appending duplicates.
-    * File sinks are append-only by default; this is the standard
-    * foreachBatch recipe for at-least-once → effectively-once when
-    * the write itself must be the transaction boundary. */
+    * here: each micro-batch lands in its own `micro_batch_id=N`
+    * partition with DYNAMIC partition overwrite, so re-running a batch
+    * after a crash REPLACES its partition instead of appending
+    * duplicates. File sinks are append-only by default; this is the
+    * standard foreachBatch recipe for at-least-once → effectively-once
+    * when the write itself must be the transaction boundary.
+    *
+    * The partition column is `micro_batch_id`, NOT `batch_id`: the
+    * transaction schema declares a DOMAIN `batch_id` string field
+    * (Schemas.scala), and naming the engine column the same would
+    * silently overwrite the source value with the micro-batch number
+    * for every record routed through this sink. */
   def writeBatchIdempotent(batch: DataFrame, outDir: String, batchId: Long,
                            extraPartitions: Seq[String] = Nil): Unit =
-    batch.withColumn("batch_id", lit(batchId))
+    batch.withColumn("micro_batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id" +: extraPartitions: _*)
+      .partitionBy("micro_batch_id" +: extraPartitions: _*)
       .parquet(outDir)
 
   /** Generic exactly-once-style parquet sink: any stream →
@@ -234,7 +262,7 @@ object Sources {
 
   /** Streaming sketch maintenance: each micro-batch aggregates its own
     * Count–Min sketch (one Depth×Width counter row per batch, whatever
-    * the batch size) into a `batch_id`-partitioned layout via
+    * the batch size) into a `micro_batch_id`-partitioned layout via
     * [[writeBatchIdempotent]] — replay-safe like every sink here, and
     * with NO read-modify-write on shared state: CMS is a linear
     * sketch, so the corpus sketch is recovered by element-wise sum at
@@ -258,7 +286,7 @@ object Sources {
   /** Streaming ANN ingestion: each micro-batch of new vectors is
     * assigned to the PERSISTED centroid set (fitted once by
     * [[graft.llm.Similarity.fitCentroids]], broadcast per batch — no
-    * refit) and appended to a `batch_id`/`centroid_id`-partitioned
+    * refit) and appended to a `micro_batch_id`/`centroid_id`-partitioned
     * index layout through [[writeBatchIdempotent]]. Probes prune on
     * the centroid_id partition the same way the bucketed batch index
     * does; replaying a crashed batch replaces exactly its own
@@ -266,16 +294,21 @@ object Sources {
     * offline concern (re-run the fit, rewrite the index), matching how
     * production IVF deployments separate ingest from retrain. */
   def ivfIngestQuery(vectors: DataFrame, centroidsPath: String,
-                     indexDir: String, checkpoint: String): StreamingQuery =
+                     indexDir: String, checkpoint: String): StreamingQuery = {
+    // The centroid set is FIXED for the query's lifetime (refit is an
+    // offline rewrite) — read and cache it once here, not per trigger:
+    // a 10 s trigger would otherwise re-list and re-decode the parquet
+    // footers forever on the hot path.
+    val centroids = vectors.sparkSession.read.parquet(centroidsPath).cache()
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val centroids = batch.sparkSession.read.parquet(centroidsPath)
         val assigned = graft.llm.Similarity.assignToFixedCentroids(batch, centroids)
         writeBatchIdempotent(assigned, indexDir, batchId, Seq("centroid_id"))
       }
       .start()
+  }
 
   /** Element-wise sum of every per-batch sketch → the corpus sketch
     * (single `sk` array row, same shape `cms_query` probes). */
@@ -313,7 +346,11 @@ object Sources {
     df.withColumn("year", year(col("event_time")))
       .withColumn("month", month(col("event_time")))
       .withColumn("day", dayofmonth(col("event_time")))
-      .write.mode("overwrite")
+      // append, like the path variant: a warehouse load ADDS the new
+      // partitions (saveAsTable still creates the table on first call);
+      // overwrite mode would drop the table and wipe every previously
+      // loaded day on each incremental load
+      .write.mode("append")
       .format("parquet")
       .partitionBy("year", "month", "day")
       .saveAsTable(table)

@@ -153,10 +153,21 @@ object StreamPipeline {
     * watermark horizon are dropped, with state bounded by the
     * watermark (dropDuplicatesWithinWatermark evicts keys older than
     * the horizon; an unbounded dropDuplicates would grow state
-    * forever on a 100 TB stream). */
-  def dedupStream(df: DataFrame, watermark: String = "30 minutes"): DataFrame =
-    df.withWatermark("event_time", watermark)
+    * forever on a 100 TB stream).
+    *
+    * NULL-keyed rows BYPASS the dedup: Spark's dedup treats NULL keys
+    * as equal, so without the split every malformed record with a
+    * null transaction_id after the first would be silently discarded —
+    * losing exactly the rows the downstream dead-letter route exists
+    * to preserve. They flow through unchanged (two distinct null-id
+    * records are not "duplicates" of each other in any meaningful
+    * sense) and dead-letter downstream. */
+  def dedupStream(df: DataFrame, watermark: String = "30 minutes"): DataFrame = {
+    val wm = df.withWatermark("event_time", watermark)
+    wm.filter(col("transaction_id").isNotNull)
       .dropDuplicatesWithinWatermark("transaction_id")
+      .unionByName(wm.filter(col("transaction_id").isNull))
+  }
 
   /** Stream-stream interval join (fraud-pattern correlation): every
     * transaction that follows a large transaction on the same account

@@ -142,8 +142,10 @@ class StreamPipelineSpec extends SparkSpec {
         .select("transaction_id", "retry_count")
         .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
       assert(dead === Map("T2" -> 2, "T3" -> 0))
-      // the parked generations are on the retry topic dir
-      val parked = spark.read.parquet(s"$tmp/retry")
+      // the parked generations are on the retry topic dir — one
+      // batch_<id>/ subdir per parking trigger (the crash-replay-safe
+      // layout: a replayed batch overwrites its own subdir)
+      val parked = spark.read.parquet(s"$tmp/retry/batch_*")
         .select("transaction_id", "retry_count")
         .collect().map(r => r.getString(0) -> r.getInt(1)).toSet
       assert(parked === Set("T2" -> 1, "T2" -> 2))
@@ -251,6 +253,32 @@ class StreamPipelineSpec extends SparkSpec {
       val ids = spark.table("dedup_out").select("transaction_id")
         .collect().map(_.getString(0)).toSeq
       assert(ids.sorted === Seq("T1", "T2"))
+    } finally q.stop()
+  }
+
+  test("streaming dedup passes ALL null-id records through (no null-key collapse)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val deduped = StreamPipeline.dedupStream(StreamPipeline.typed(
+      StreamPipeline.parse(mem.toDF().toDF("key", "value"))))
+    val q = deduped.writeStream.format("memory").queryName("dedup_null_out")
+      .outputMode("append").start()
+    try {
+      // two DISTINCT malformed records, both with no transaction_id:
+      // Spark's dedup treats null keys as equal, so keying them through
+      // dropDuplicates would silently discard the second — exactly the
+      // rows the dead-letter route downstream must still see
+      val noId = (amt: Double, ts: String) =>
+        s"""{"account_id":"ACC1","transaction_type":"deposit",""" +
+          s""""amount":$amt,"currency":"USD","timestamp":"$ts","status":"completed"}"""
+      mem.addData(
+        ("A", noId(1.0, "2024-01-01T00:00:00")),
+        ("A", noId(2.0, "2024-01-01T00:01:00")),
+        ("A", txnJson("T1", "ACC1", "deposit", 3.0, "2024-01-01T00:02:00")))
+      q.processAllAvailable()
+      val out = spark.table("dedup_null_out")
+      assert(out.count() === 3L, "a null-id record was collapsed away")
+      assert(out.filter(col("transaction_id").isNull).count() === 2L)
     } finally q.stop()
   }
 
@@ -680,7 +708,7 @@ class StreamPipelineSpec extends SparkSpec {
     try {
       q2.processAllAvailable()
       val rows = spark.read.parquet(out)
-        .select(col("id"), col("batch_id").cast("long"))
+        .select(col("id"), col("micro_batch_id").cast("long"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(rows.keySet === Set(1L, 2L, 3L), s"got $rows")
       assert(rows(1L) === 0L && rows(2L) === 0L)
@@ -701,11 +729,11 @@ class StreamPipelineSpec extends SparkSpec {
       q.processAllAvailable()
       assert(spark.read.parquet(out).count() === 3L)
       // simulate the crash-replay of batch 1 with a partial/altered
-      // payload: the batch_id=1 partition must be REPLACED, batch 0 kept
+      // payload: the micro_batch_id=1 partition must be REPLACED, batch 0 kept
       Sources.writeBatchIdempotent(
         Seq((3L, "c"), (4L, "d")).toDF("id", "v"), out, 1L)
       val rows = spark.read.parquet(out)
-        .select("id", "batch_id").as[(Long, Long)].collect().toSet
+        .select("id", "micro_batch_id").as[(Long, Long)].collect().toSet
       assert(rows === Set((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)))
     } finally q.stop()
   }
