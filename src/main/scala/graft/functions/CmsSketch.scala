@@ -137,6 +137,12 @@ case class CountMinQuery(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def nullSafeEval(sketch: Any, word: Any): Any = {
     val arr = sketch.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    // SQL-exposed: a wrong-shaped sketch array must fail loudly — an
+    // UnsafeArrayData shorter than Depth·Width would otherwise be read
+    // off-buffer and return silent garbage estimates
+    if (arr.numElements() != Depth * Width) throw new IllegalArgumentException(
+      s"cms_query: sketch must have ${Depth * Width} counters " +
+        s"(got ${arr.numElements()}) — pass the cms_build output")
     val cs = cols(word.asInstanceOf[UTF8String])
     var m = Long.MaxValue
     var i = 0

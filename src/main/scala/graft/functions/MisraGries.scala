@@ -102,11 +102,18 @@ case class MisraGriesBuild(
     })
   }
 
+  // length-prefixed UTF-8 bytes, NOT writeUTF: writeUTF throws on
+  // strings over 65535 encoded bytes, and crawl garbage does produce
+  // space-free 64 KB+ "words" — the shuffle serializer must never be
+  // the thing that crashes on them
   override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.forEach { (k, v) => out.writeUTF(k); out.writeLong(v) }
+    buf.forEach { (k, v) =>
+      val b = k.getBytes("UTF-8")
+      out.writeInt(b.length); out.write(b); out.writeLong(v)
+    }
     out.flush(); bos.toByteArray
   }
 
@@ -115,7 +122,13 @@ case class MisraGriesBuild(
     val n = in.readInt()
     val buf = new java.util.HashMap[String, Long]()
     var i = 0
-    while (i < n) { buf.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.put(new String(b, "UTF-8"), in.readLong())
+      i += 1
+    }
     buf
   }
 

@@ -94,6 +94,10 @@ object TopKByScore {
     * is the entry to evict: lowest score, ties broken by HIGHEST id
     * (because the output order is score desc, id asc). */
   final class Heap(k: Int) {
+    // clear message instead of NegativeArraySizeException from the
+    // array allocation: top_k_by is SQL-exposed and k comes from the
+    // user's literal
+    require(k >= 0, s"top_k_by: k must be >= 0 (got $k)")
     val scores = new Array[Double](k)
     val ids = new Array[Long](k)
     var size = 0
