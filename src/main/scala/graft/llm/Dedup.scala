@@ -63,11 +63,13 @@ object Dedup {
     * This exact variant stays UNCAPPED by design — it is the declared
     * ground-truth baseline that `q_minhash_lsh`'s recall is read
     * against, so its semantics must remain exact Jaccard. */
-  def jaccardPairs(documents: DataFrame, threshold: Double): DataFrame =
+  def jaccardPairs(documents: DataFrame, threshold: Double): DataFrame = {
     // cached: the shingle explode feeds both sides of the self-join and
     // Spark does not share subplans (caller-released lifecycle — Bench/
     // Verify clearCache; at scale this is the materialized posting table)
-    jaccardPairsImpl(TextPrep.shingleSets(documents).cache(), documents, threshold)
+    val s = TextPrep.shingleSets(documents).cache()
+    jaccardPairsImpl(s, sizesFrom(s), threshold)
+  }
 
   /** Scale twin: exact Jaccard arithmetic over stop-shingle-filtered
     * sets. `n` (the set size) still counts ALL shingles — only the
@@ -79,16 +81,25 @@ object Dedup {
     * whatever the corpus does. */
   def jaccardPairsCapped(documents: DataFrame, threshold: Double,
                          maxPosting: Int = MaxPostingDocs): DataFrame = {
-    // cached: consumed three times (df count + both join sides)
+    // cached: consumed four times (df count + sizes + both join sides)
     val s = TextPrep.shingleSets(documents).cache()
     val keep = s.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxPosting).select("sh")
-    jaccardPairsImpl(s.join(keep, "sh"), documents, threshold)
+    // sizes from the PRE-filter frame: `n` must count ALL shingles —
+    // only the intersection evidence is capped
+    jaccardPairsImpl(s.join(keep, "sh"), sizesFrom(s), threshold)
   }
 
-  private def jaccardPairsImpl(s: DataFrame, documents: DataFrame,
+  /** (doc_id, n) from the cached exploded-shingle frame — `shs` is
+    * distinct per doc, so the per-doc row count IS the set size; an
+    * aggregate over already-materialized rows instead of a second
+    * full-corpus shingle_hashes pass (zero-shingle docs are absent,
+    * which is fine: they can never appear in a pair). */
+  private def sizesFrom(s: DataFrame): DataFrame =
+    s.groupBy("doc_id").agg(count(lit(1)).as("n"))
+
+  private def jaccardPairsImpl(s: DataFrame, sizes: DataFrame,
                                threshold: Double): DataFrame = {
-    val sizes = TextPrep.docShingles(documents).select("doc_id", "n")
     val inter = s.as("a")
       .join(s.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -176,6 +187,13 @@ object Dedup {
     * dedup pipeline (index build, then pair generation reads compact
     * signatures instead of re-scanning 100 TB of text 4×). */
   def minhashLshPairs(documents: DataFrame): DataFrame =
+    minhashLshPairsUnordered(documents).orderBy("doc_a", "doc_b")
+
+  /** Unordered pair core for consumers that cache/checkpoint the edge
+    * list (dupClusters, triangleStats, dupPageRank): a presentation
+    * sort baked under a cache boundary executes a full range-shuffle
+    * the optimizer can no longer prune — pure waste for an edge SET. */
+  private[llm] def minhashLshPairsUnordered(documents: DataFrame): DataFrame =
     pairsFrom(TextPrep.docShingles(documents))
 
   /** Stage 1 at scale: persist (doc_id, shs, ha, hb, n) PLUS the
@@ -199,12 +217,6 @@ object Dedup {
     // partition subdirs).
     indexFrame(documents).withColumn("batch_id", lit(-1L))
       .write.mode("overwrite").partitionBy("batch_id").parquet(path)
-
-  /** Append a (deduplicated) batch to an existing shingle index —
-    * the write half of the incremental/streaming dedup loop. */
-  def appendShingleIndex(documents: DataFrame, path: String): Unit =
-    indexFrame(documents).withColumn("batch_id", lit(-1L))
-      .write.mode("append").partitionBy("batch_id").parquet(path)
 
   /** Idempotent per-batch index append: rows land in a batch_id=N
     * partition via dynamic partition overwrite, so a crash-replay of
@@ -235,7 +247,7 @@ object Dedup {
                                path: String): DataFrame = {
     val idx = spark.read.parquet(path)
     val cand = candidatesFrom(bandKeys(idx))
-    verifyPairs(cand, idx)
+    verifyPairs(cand, idx).orderBy("doc_a", "doc_b")
   }
 
   private def pairsFrom(docs: DataFrame): DataFrame = {
@@ -267,7 +279,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("i").cast("double") /
           (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
 
   /** Incremental dedup of a new batch against a persisted index: only
     * pairs TOUCHING the batch (new-vs-index and new-vs-new) are
@@ -277,8 +288,11 @@ object Dedup {
     * `sig` column, so per-batch hashing cost scales with |batch|, and
     * the index contributes one compact-column scan for the band-key
     * join — never a corpus re-hash. The batch's band keys are the
-    * small join side (broadcastable when the batch is); doc_ids must
-    * be unique across index and batch. */
+    * small join side (broadcastable when the batch is). A doc_id
+    * present on BOTH sides (the crash-replay state: the batch's
+    * survivors already landed in the index before the checkpoint
+    * committed) is tolerated — the verify frame dedups by doc_id, so
+    * replay emits each pair once, not 2–4×. */
   def minhashLshPairsIncremental(spark: org.apache.spark.sql.SparkSession,
                                  indexPath: String,
                                  newDocs: DataFrame): DataFrame = {
@@ -308,8 +322,15 @@ object Dedup {
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
       .distinct()
     val shingleCols = Seq("doc_id", "shs", "n").map(col)
+    // dropDuplicates on doc_id: a crash-replay of the streaming loop
+    // legitimately re-presents a batch whose survivors are ALREADY in
+    // the index, and a doc present on both sides would match two rows
+    // in each verify join — every qualifying pair emitted 2–4×. The
+    // two copies carry identical shingle sets, so keeping either one
+    // restores the unique-doc_id contract under replay.
     verifyPairs(cand,
-      idx.select(shingleCols: _*).unionByName(newPrep.select(shingleCols: _*)))
+      idx.select(shingleCols: _*).unionByName(newPrep.select(shingleCols: _*))
+        .dropDuplicates("doc_id"))
   }
 
   /** The CTE chain (shingles → signatures → bands → candidates →
@@ -370,7 +391,7 @@ object Dedup {
   def dupClusters(documents: DataFrame,
                   threshold: Double = ClusterThreshold,
                   maxRounds: Int = 20): DataFrame = {
-    val edges = minhashLshPairs(documents)
+    val edges = minhashLshPairsUnordered(documents)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"))
     val sym = edges
@@ -457,13 +478,18 @@ object Dedup {
     * shared fingerprint — the plagiarism/near-dup detection primitive.
     * Row-local native expression (O(n) rolling update), exploded to
     * (doc_id, fp) rows so fingerprint-postings joins are relational. */
-  def winnowFingerprints(documents: DataFrame): DataFrame = {
+  def winnowFingerprints(documents: DataFrame): DataFrame =
+    winnowFingerprintsUnordered(documents).orderBy("doc_id", "fp")
+
+  /** Unordered core: containmentPairs caches this token-scale frame,
+    * and a baked-in presentation sort would range-shuffle the whole
+    * fingerprint table into the cache for nothing. */
+  private def winnowFingerprintsUnordered(documents: DataFrame): DataFrame = {
     graft.functions.TextHashExprs.register(documents.sparkSession)
     documents
       .select(col("doc_id"),
         explode(call_function("winnow_fps", col("text"),
           lit(WinnowK), lit(WinnowW))).as("fp"))
-      .orderBy("doc_id", "fp")
   }
 
   val sqlWinnowFingerprints: String =
@@ -514,7 +540,7 @@ object Dedup {
     // cached: consumed three times (df count + both sides of the
     // posting self-join) — the winnow rolling hash would otherwise
     // re-run per consumer
-    val fps = winnowFingerprints(documents).cache()
+    val fps = winnowFingerprintsUnordered(documents).cache()
     val keep = fps.groupBy("fp")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxPosting)
@@ -1305,7 +1331,8 @@ object Dedup {
                   threshold: Double = ClusterThreshold,
                   iters: Int = PrIters): DataFrame =
     pageRankFromPairs(
-      minhashLshPairs(documents).filter(col("jaccard") >= threshold), iters)
+      minhashLshPairsUnordered(documents)
+        .filter(col("jaccard") >= threshold), iters)
 
   def sqlDupPageRank(threshold: Double = ClusterThreshold,
                      iters: Int = PrIters): String = {
@@ -1430,7 +1457,7 @@ object Dedup {
     */
   def triangleStats(documents: DataFrame,
                     threshold: Double = ClusterThreshold): DataFrame = {
-    val e = minhashLshPairs(documents)
+    val e = minhashLshPairsUnordered(documents)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
       // cache, NOT localCheckpoint: pair generation runs once across

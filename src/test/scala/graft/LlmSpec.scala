@@ -161,6 +161,32 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("incremental minhash dedup: crash-replay batch emits each pair once") {
+    // Replay state: the batch's survivors ALREADY landed in the index
+    // (index write committed, stream checkpoint did not). Doc 1 is on
+    // both sides; without the verify-frame doc_id dedup each (0,1)-ish
+    // pair would match two shingle rows per endpoint → emitted 2–4×.
+    val dir = java.nio.file.Files.createTempDirectory("replay_idx").toFile
+    try {
+      val path = new java.io.File(dir, "idx").getAbsolutePath
+      Dedup.writeShingleIndex(docs, path)
+      val replayed = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog today", "en", "s1", 49L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val out = Dedup.minhashLshPairsIncremental(spark, path, replayed).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      val dupKeys = out.groupBy(_._1).filter(_._2.length > 1).keys
+      assert(dupKeys.isEmpty, s"replayed batch duplicated pairs: $dupKeys")
+      // and the pair itself still verifies exactly once at jaccard 1.0
+      assert(out.toMap.get((0L, 1L)).contains(1.0))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("int8 quantization: error bounded by scale/2, zero vector safe") {
     val e = Seq(
       (0L, Seq.fill(64)(0.5f).updated(0, -1.27f)),
