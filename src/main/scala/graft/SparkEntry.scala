@@ -357,14 +357,14 @@ object SparkEntry {
          count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+         FROM events WHERE ts IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_sliding_window" ->
       """SELECT window_start, user_id, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM (
-           SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS window_start, user_id, value FROM events
+           SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS window_start, user_id, value FROM events WHERE ts IS NOT NULL
            UNION ALL
-           SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, user_id, value FROM events
+           SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, user_id, value FROM events WHERE ts IS NOT NULL
          ) GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_session_agg" -> Aggregate.sqlSessionAgg,
     "q_validity_flags" ->
@@ -497,9 +497,7 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
          FROM events GROUP BY 1 ORDER BY 1""",
     "q_lineage_hash" ->
-      """SELECT event_id, user_id,
-         sha256(concat_ws('|', CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR),
-                event_type, props)) AS record_hash
+      s"""SELECT event_id, user_id, ${Lineage.sqlRecordHash} AS record_hash
          FROM events ORDER BY event_id""",
     "q_lineage_readback" -> Lineage.sqlLineageReadback(42L),
     "q_parse_check" ->

@@ -23,9 +23,16 @@ object Aggregate {
   def moneySum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(c.cast("decimal(18,2)")).cast("double")
 
-  /** A2 flagship: tumbling 1-hour window per user: count / sum / avg. */
+  /** A2 flagship: tumbling 1-hour window per user: count / sum / avg.
+    * NULL-ts rows are excluded BY DEFINITION (a row with no event time
+    * belongs to no window): Spark's window()/session_window() inject an
+    * IsNotNull(ts) filter silently, so the filter is written explicitly
+    * here — and as `ts IS NOT NULL` in every date_trunc/gaps-and-islands
+    * oracle twin, which would otherwise RETAIN a NULL-window group and
+    * diverge on the first NULL-ts record. */
   def hourlyUserAgg(events: DataFrame): DataFrame =
     events
+      .filter(col("ts").isNotNull)
       .groupBy(window(col("ts"), "1 hour"), col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -42,6 +49,7 @@ object Aggregate {
     * `src/config/spark_config.yml:36-38` semantics at hour scale). */
   def slidingWindowAgg(events: DataFrame): DataFrame =
     events
+      .filter(col("ts").isNotNull) // see hourlyUserAgg: no window for no ts
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -60,6 +68,7 @@ object Aggregate {
     * the running count of session starts. */
   def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events
+      .filter(col("ts").isNotNull) // see hourlyUserAgg: no session for no ts
       .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -76,7 +85,8 @@ object Aggregate {
            -- inclusive <=: Spark merges an event landing exactly on the
            -- previous session's end (verified by unit test)
            CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
-         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         FROM events WHERE ts IS NOT NULL
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
        s AS (
          SELECT user_id, ts, value,
            sum(new_session) OVER (PARTITION BY user_id ORDER BY ts

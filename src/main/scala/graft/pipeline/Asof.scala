@@ -31,7 +31,15 @@ object Asof {
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
     val clickDedup = Window.partitionBy("user_id", "ts")
       .orderBy(col("event_id").desc)
-    val clicks = events.filter(col("event_type") === "click")
+    // NULL-key/NULL-ts clicks are excluded from the lookup side: join
+    // semantics (and the DuckDB ASOF LEFT JOIN twin) never match a NULL
+    // key or satisfy ts >= NULL, but Window.partitionBy groups NULLs
+    // together — without this filter a NULL-user purchase would inherit
+    // an unrelated NULL-user click. NULL-key purchases stay (left-join
+    // semantics) and get NULL asof columns: their partition has no
+    // side-0 rows left.
+    val clicks = events.filter(col("event_type") === "click" &&
+        col("user_id").isNotNull && col("ts").isNotNull)
       .withColumn("rn", row_number().over(clickDedup))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("ts"),

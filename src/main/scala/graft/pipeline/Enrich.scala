@@ -26,6 +26,26 @@ import org.apache.spark.sql.functions._
   */
 object Enrich {
 
+  /** Exactness-critical discounted-price product: extprice·(1−disc)
+    * entirely in DECIMAL(18,2) BEFORE any sum, so partial-aggregation
+    * order cannot perturb a bit (see Aggregate.moneySum). Single
+    * definition for every revenue query — a precision change here
+    * cannot silently split the queries. */
+  private[pipeline] def discountedPrice(extPrice: Column, discount: Column): Column =
+    extPrice.cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - discount.cast("decimal(18,2)"))
+
+  /** SQL string-literal escaping for parameterized oracle generators:
+    * a segment like O'BRIEN must not truncate the predicate. */
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Validated DATE literal — fail loudly on a non-date parameter
+    * instead of emitting malformed oracle SQL. */
+  private def sqlDate(s: String): String = {
+    require(s.matches("""\d{4}-\d{2}-\d{2}"""), s"not a yyyy-MM-dd date: $s")
+    s"DATE '$s'"
+  }
+
   /** P6: nested CASE categorization, preserving the reference's
     * structure exactly (`transaction_processor.py:256-265`): per-type
     * threshold branches emit "large_" / "regular_" labels; types
@@ -140,7 +160,7 @@ object Enrich {
     * One partial+final hash aggregate over a pruned 7-column scan. */
   def pricingSummary(lineitem: DataFrame): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(18,2)")
-    val discPrice = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
+    val discPrice = discountedPrice(col("l_extendedprice"), col("l_discount"))
     val charge = discPrice * (lit(1).cast("decimal(18,2)") + dec(col("l_tax")))
     lineitem
       .filter(col("l_shipdate") <= lit("1998-09-02"))
@@ -180,9 +200,7 @@ object Enrich {
     * dimension broadcast — per brand, line count and exact discounted
     * revenue. */
   def brandRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
-    val dec = (c: Column) => c.cast("decimal(18,2)")
-    val discPrice = dec(col("l_extendedprice")) *
-      (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
+    val discPrice = discountedPrice(col("l_extendedprice"), col("l_discount"))
     lineitem
       .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
@@ -250,9 +268,7 @@ object Enrich {
       .groupBy(col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_orderpriority"))
-      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(1).cast("decimal(18,2)") -
-            col("l_discount").cast("decimal(18,2)")))
+      .agg(sum(discountedPrice(col("l_extendedprice"), col("l_discount")))
         .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
       .limit(k)
@@ -269,9 +285,9 @@ object Enrich {
        FROM customer
        JOIN orders ON c_custkey = o_custkey
        JOIN lineitem ON o_orderkey = l_orderkey
-       WHERE c_mktsegment = '$segment'
-         AND o_orderdate < DATE '$date'
-         AND l_shipdate > DATE '$date'
+       WHERE c_mktsegment = ${sqlStr(segment)}
+         AND o_orderdate < ${sqlDate(date)}
+         AND l_shipdate > ${sqlDate(date)}
        GROUP BY 1, 2, 3
        ORDER BY revenue DESC, o_orderkey ASC
        LIMIT $k"""
@@ -314,9 +330,7 @@ object Enrich {
           .select("n_nationkey", "n_name")),
         col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"))
-      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(1).cast("decimal(18,2)") -
-            col("l_discount").cast("decimal(18,2)")))
+      .agg(sum(discountedPrice(col("l_extendedprice"), col("l_discount")))
         .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("nation").asc)
 
@@ -333,8 +347,8 @@ object Enrich {
        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
        JOIN nation ON s_nationkey = n_nationkey
        JOIN region ON n_regionkey = r_regionkey
-       WHERE r_name = '$regionName'
-         AND o_orderdate >= DATE '$from' AND o_orderdate < DATE '$until'
+       WHERE r_name = ${sqlStr(regionName)}
+         AND o_orderdate >= ${sqlDate(from)} AND o_orderdate < ${sqlDate(until)}
        GROUP BY 1 ORDER BY revenue DESC, nation ASC"""
 
   val ReturnedQuarterStart = "1996-10-01"
@@ -367,9 +381,7 @@ object Enrich {
         col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"),
         col("c_acctbal"), col("n_name").as("nation"))
-      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(1).cast("decimal(18,2)") -
-            col("l_discount").cast("decimal(18,2)")))
+      .agg(sum(discountedPrice(col("l_extendedprice"), col("l_discount")))
         .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey").asc)
       .limit(k)
@@ -386,7 +398,7 @@ object Enrich {
        JOIN customer ON o_custkey = c_custkey
        JOIN nation ON c_nationkey = n_nationkey
        WHERE l_returnflag = 'R'
-         AND o_orderdate >= DATE '$from' AND o_orderdate < DATE '$until'
+         AND o_orderdate >= ${sqlDate(from)} AND o_orderdate < ${sqlDate(until)}
        GROUP BY 1, 2, 3, 4
        ORDER BY revenue DESC, c_custkey ASC
        LIMIT $k"""

@@ -20,6 +20,40 @@ import org.apache.spark.sql.functions._
   */
 object Lineage {
 
+  /** Injective field canonicalization for the record hash. concat_ws
+    * alone is NOT injective: it silently skips NULL fields and a '|'
+    * inside a field shifts boundaries, so distinct records could
+    * collide ((1,NULL,'7','p') and (1,7,NULL,'p') both flatten to
+    * '1|7|p'). Escape the escape char first, then the delimiter, and
+    * map NULL to the unescapable sentinel '\N' (a literal "\N" field
+    * escapes to "\\N", so the sentinel cannot be forged). */
+  private def canon(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c.isNull, lit("\\N")).otherwise(
+      call_function("replace",
+        call_function("replace", c, lit("\\"), lit("\\\\")),
+        lit("|"), lit("\\|")))
+
+  /** The canonical record-hash expression — single definition shared by
+    * [[recordHashes]], [[lineageRecords]], and (via [[sqlRecordHash]])
+    * every oracle twin, so the canonicalization can never split. */
+  private[pipeline] def recordHashCol: org.apache.spark.sql.Column =
+    sha2(concat_ws("|",
+      canon(col("event_id").cast("string")),
+      canon(col("user_id").cast("string")),
+      canon(col("event_type")),
+      canon(col("props"))), 256)
+
+  /** DuckDB twin of [[canon]]. */
+  private def sqlCanon(f: String): String =
+    s"""CASE WHEN $f IS NULL THEN '\\N'
+        ELSE replace(replace($f, '\\', '\\\\'), '|', '\\|') END"""
+
+  /** DuckDB twin of [[recordHashCol]]. */
+  val sqlRecordHash: String =
+    s"""sha256(concat_ws('|', ${sqlCanon("CAST(event_id AS VARCHAR)")},
+        ${sqlCanon("CAST(user_id AS VARCHAR)")}, ${sqlCanon("event_type")},
+        ${sqlCanon("props")}))"""
+
   /** Content hash per record — deterministic canonical projection.
     * Only string/int fields go into the hash (float formatting is
     * engine-specific; the reference hashes JSON text, we hash a
@@ -28,11 +62,7 @@ object Lineage {
     events.select(
       col("event_id"),
       col("user_id"),
-      sha2(concat_ws("|",
-        col("event_id").cast("string"),
-        col("user_id").cast("string"),
-        col("event_type"),
-        col("props")), 256).as("record_hash"))
+      recordHashCol.as("record_hash"))
       .orderBy("event_id")
 
   /** Build a lineage step table for a processing stage. */
@@ -62,30 +92,36 @@ object Lineage {
     * that is the property read-back depends on). */
   def lineageRecords(events: DataFrame,
                      sourceSystem: String = "events"): DataFrame = {
-    val h = events.select(
-      col("event_id"), col("ts"),
-      sha2(concat_ws("|",
-        col("event_id").cast("string"),
-        col("user_id").cast("string"),
-        col("event_type"),
-        col("props")), 256).as("input_record_hash"))
-    Stages.map { case (stage, seq, pname) =>
-      h.select(
-        sha2(concat_ws("|", col("event_id").cast("string"), lit(stage)), 256)
+    // Single scan: the record hash is computed ONCE per record (sharing
+    // recordHashCol with recordHashes, so the canonicalization cannot
+    // split), then the row is fanned out over the 3-element stage array
+    // — a map-only explode instead of a 3-way union that re-scans
+    // events and re-hashes per stage. The oracle twin stays the
+    // UNION ALL shape: an independent implementation of the same rows.
+    val stageArr = array(Stages.map { case (stage, seq, pname) =>
+      struct(lit(stage).as("stage"), lit(seq).as("seq"),
+        lit(pname).as("pname"))
+    }: _*)
+    events
+      .select(col("event_id"), col("ts"),
+        recordHashCol.as("input_record_hash"),
+        explode(stageArr).as("st"))
+      .select(
+        sha2(concat_ws("|", col("event_id").cast("string"), col("st.stage")), 256)
           .as("lineage_id"),
         col("event_id").as("transaction_id"),
         lit(sourceSystem).as("source_system"),
         col("ts").as("source_timestamp"),
-        lit(stage).as("processing_stage"),
-        expr(s"ts + INTERVAL $seq MINUTE").as("processing_timestamp"),
-        lit(pname).as("process_name"),
+        col("st.stage").as("processing_stage"),
+        expr("timestampadd(MINUTE, st.seq, ts)").as("processing_timestamp"),
+        col("st.pname").as("process_name"),
         lit("1.0").as("process_version"),
         col("input_record_hash"),
-        sha2(concat(col("input_record_hash"), lit(stage)), 256)
+        sha2(concat(col("input_record_hash"), col("st.stage")), 256)
           .as("output_record_hash"),
         lit("success").as("status"),
-        lit(s"""{"stage":"$stage","seq":$seq}""").as("metadata"))
-    }.reduce(_ unionByName _)
+        concat(lit("{\"stage\":\""), col("st.stage"), lit("\",\"seq\":"),
+          col("st.seq").cast("string"), lit("}")).as("metadata"))
   }
 
   /** Read-back: all lineage steps for one record, ordered by
@@ -119,9 +155,7 @@ object Lineage {
           FROM h"""
     }.mkString(" UNION ALL ")
     s"""WITH h AS (
-          SELECT event_id, ts,
-            sha256(concat_ws('|', CAST(event_id AS VARCHAR),
-              CAST(user_id AS VARCHAR), event_type, props)) AS input_record_hash
+          SELECT event_id, ts, $sqlRecordHash AS input_record_hash
           FROM events WHERE event_id = $transactionId),
         l AS ($stageSelects)
         SELECT * FROM l ORDER BY processing_timestamp, lineage_id"""

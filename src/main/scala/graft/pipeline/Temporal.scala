@@ -25,17 +25,26 @@ object Temporal {
     events
       .select(col("user_id"), col("event_id"), col("value"),
         col("ts").as("valid_from"))
+      // NULLS LAST pinned explicitly: Spark's ASC default is NULLS
+      // FIRST, DuckDB's is NULLS LAST — on a NULL-ts row the two
+      // engines would otherwise build different lead() chains and
+      // disagree on which row is_current. NULLS LAST is the meaningful
+      // pick (an undated version can't be the start of history).
       .withColumn("valid_to", lead(col("valid_from"), 1).over(
-        Window.partitionBy("user_id").orderBy(col("valid_from"), col("event_id"))))
+        Window.partitionBy("user_id")
+          .orderBy(col("valid_from").asc_nulls_last, col("event_id"))))
       .withColumn("is_current", col("valid_to").isNull)
-      .orderBy("user_id", "valid_from", "event_id")
+      .orderBy(col("user_id").asc_nulls_last,
+        col("valid_from").asc_nulls_last, col("event_id"))
 
   val sqlScd2Snapshot: String =
     """SELECT user_id, event_id, value, ts AS valid_from,
-       lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
-       lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-         AS is_current
-       FROM events ORDER BY user_id, valid_from, event_id"""
+       lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
+         AS valid_to,
+       lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
+         IS NULL AS is_current
+       FROM events
+       ORDER BY user_id NULLS LAST, valid_from NULLS LAST, event_id"""
 
   /** Gap-filled per-user daily series: every calendar day between a
     * user's first and last event appears, zero-filled where no events

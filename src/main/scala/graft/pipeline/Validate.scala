@@ -33,8 +33,10 @@ object Validate {
 
   /** P4: conjunctive validity predicate. Null-safe: a null in any
     * operand means "not proven valid" → false (SQL three-valued logic
-    * would otherwise leave is_valid NULL for e.g. a null amount). */
-  def isValid(df: DataFrame): Column =
+    * would otherwise leave is_valid NULL for e.g. a null amount).
+    * Parameterless like [[errorArray]]: built from unresolved col()
+    * refs, resolved against whatever frame it is applied to. */
+  def isValid: Column =
     coalesce(
       col("event_id").isNotNull && col("user_id").isNotNull &&
         col("value") > lit(0) && col("event_type").isin(allowedTypes: _*),
@@ -56,7 +58,7 @@ object Validate {
     * the driver's pandas hash-compare (which cannot sort array cells)
     * stays applicable; n_errors preserves the count. */
   def validityFlags(events: DataFrame): DataFrame = {
-    val valid = isValid(events)
+    val valid = isValid
     events.select(
       col("event_id"), col("user_id"), col("event_type"), col("value"),
       valid.as("is_valid"),
@@ -85,7 +87,7 @@ object Validate {
 
   /** A5: batch validation summary — counts + success rate. */
   def validationSummary(events: DataFrame): DataFrame = {
-    val valid = isValid(events)
+    val valid = isValid
     events.agg(
       count(lit(1)).as("n_total"),
       count(when(valid, 1)).as("n_valid"),
@@ -142,7 +144,7 @@ object Validate {
 
   /** S8: dead-letter branch — the invalid records, routed aside. */
   def deadLetter(events: DataFrame): DataFrame =
-    events.filter(!isValid(events))
+    events.filter(!isValid)
       .select("event_id", "user_id", "event_type", "value")
       .orderBy("event_id")
 

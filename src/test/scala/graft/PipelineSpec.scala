@@ -503,4 +503,73 @@ class CoverageSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(400))
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  // ---- NULL-semantics pins: the pinned testdata has zero NULLs, so the
+  // DuckDB oracle is structurally blind to these divergences — each is
+  // pinned here against hand-built frames instead.
+
+  test("asof join: NULL keys never match (ASOF LEFT JOIN semantics)") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      // NULL-user click + NULL-user purchase: must NOT pair up
+      (1L, Option(ts("2024-01-01 09:00:00")), None: Option[Long], "click", 1.0),
+      (2L, Option(ts("2024-01-01 10:00:00")), None: Option[Long], "purchase", 5.0),
+      // normal pair
+      (3L, Option(ts("2024-01-01 09:30:00")), Option(7L), "click", 1.0),
+      (4L, Option(ts("2024-01-01 10:30:00")), Option(7L), "purchase", 5.0),
+      // NULL-ts click can never satisfy p.ts >= c.ts
+      (5L, None: Option[java.sql.Timestamp], Option(8L), "click", 1.0),
+      (6L, Option(ts("2024-01-01 11:00:00")), Option(8L), "purchase", 5.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.pipeline.Asof.lastClickBeforePurchase(df).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .toMap
+    assert(out(2L) === None, "NULL-user purchase must keep NULL click columns")
+    assert(out(4L) === Some(3L))
+    assert(out(6L) === None, "NULL-ts click must never be matched")
+  }
+
+  test("record hash is injective across NULLs, delimiters, and the sentinel") {
+    val rows = Seq(
+      // null-vs-value swap across adjacent fields (concat_ws alone collides)
+      (1L, None: Option[Long], Option("7"), Option("p")),
+      (1L, Option(7L), None: Option[String], Option("p")),
+      // delimiter shift between fields (boundary forgery)
+      (1L, Option(7L), Option("a|b"), Option("c")),
+      (1L, Option(7L), Option("a"), Option("b|c")),
+      // literal "\N" field vs actual NULL (sentinel forgery)
+      (1L, Option(7L), Option("\\N"), Option("p")),
+      (1L, Option(7L), None: Option[String], Option("p2"))
+    ).toDF("event_id", "user_id", "event_type", "props")
+    val hashes = Lineage.recordHashes(rows).collect().map(_.getString(2))
+    assert(hashes.distinct.length === hashes.length,
+      s"canonicalization collided: ${hashes.mkString(",")}")
+  }
+
+  test("scd2 orders NULL valid_from last in both the lead chain and output") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, Option(ts("2024-01-01 10:00:00")), 7L, 1.0),
+      (2L, None: Option[java.sql.Timestamp], 7L, 2.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val out = Temporal.scd2Snapshot(df).collect()
+    // NULLS LAST (the DuckDB default): the dated row sorts first and its
+    // lead() sees the NULL valid_from — with Spark's NULLS FIRST default
+    // the rows would swap and event 2 would get valid_to = event 1's ts.
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 2L))
+    assert(out.forall(_.isNullAt(4)), "no row may inherit a real valid_to")
+    assert(out.forall(_.getBoolean(5)))
+  }
+
+  test("windowed aggregates exclude NULL-ts rows like their SQL twins") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, Option(ts("2024-01-01 10:05:00")), 7L, 1.0),
+      (2L, None: Option[java.sql.Timestamp], 7L, 2.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val hourly = Aggregate.hourlyUserAgg(df).collect()
+    assert(hourly.length === 1 && hourly.head.getLong(2) === 1L)
+    val sess = Aggregate.sessionAgg(df).collect()
+    assert(sess.length === 1 && sess.head.getLong(2) === 1L)
+  }
 }
