@@ -77,6 +77,9 @@ object PlanAudit {
     "q_nb_classify" -> Set("BNLJ"),
     "q_nb_confusion" -> Set("BNLJ"),
     "q_nb_crossval" -> Set("BNLJ"),        // (K·k)-row fold×class model dim
+    "q_nb_auc" -> Set("BNLJ"),             // same k-class model dim crossJoin
+    "q_nb_margin" -> Set("BNLJ"),          // same k-class model dim crossJoin
+    "q_good_turing" -> Set("BNLJ"),        // single-row token-total frame
     "q_triangles" -> Set("BNLJ"),          // single-row census totals join
     "q_cuped" -> Set("BNLJ"),              // single-row pooled-moments frame
     // waterfilling rank/prefix windows run over the SOURCE-level

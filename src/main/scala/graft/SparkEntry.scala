@@ -291,6 +291,13 @@ object SparkEntry {
     // marker-heuristic language ID (per-doc argmin surprisal bits)
     "q_nb_classify" -> ((s, d) => llm.Classify.nbClassify(Tables.documents(s, d))),
     "q_nb_confusion" -> ((s, d) => llm.Classify.nbConfusion(Tables.documents(s, d))),
+    // one-vs-rest Mann–Whitney AUC of the NB score via integer midranks
+    "q_nb_auc" -> ((s, d) => llm.Classify.nbAuc(Tables.documents(s, d))),
+    // accuracy by decision-margin bucket: calibration for a scorer
+    // with no probability output
+    "q_nb_margin" -> ((s, d) => llm.Classify.nbMargin(Tables.documents(s, d))),
+    // Good–Turing counts-of-counts: smoothed r*, unseen-mass estimate
+    "q_good_turing" -> ((s, d) => llm.TextStats.goodTuring(Tables.documents(s, d))),
     // record linkage with lossless (brand, type, size-window) blocking
     "q_entity_resolution" -> ((s, d) => Linkage.entityResolution(Tables.part(s, d))),
     // degree-ordered triangle census of the near-dup pair graph
@@ -626,6 +633,9 @@ object SparkEntry {
     "q_cluster_text_quality" -> llm.Similarity.sqlClusterTextQuality(),
     "q_nb_classify" -> llm.Classify.sqlNbClassify,
     "q_nb_confusion" -> llm.Classify.sqlNbConfusion,
+    "q_nb_auc" -> llm.Classify.sqlNbAuc,
+    "q_nb_margin" -> llm.Classify.sqlNbMargin,
+    "q_good_turing" -> llm.TextStats.sqlGoodTuring,
     "q_entity_resolution" -> Linkage.sqlEntityResolution(),
     "q_triangles" -> llm.Dedup.sqlTriangleStats(),
     "q_top_unshipped" -> Enrich.sqlTopUnshippedOrders(),

@@ -38,9 +38,17 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // Optional third arg (local iteration only; the driver passes two):
+    // comma-separated query names — dump and compare just those.
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)        => (s, o, None)
+      case Array(s, o, names) => (s, o, Some(names.split(',').toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     new java.io.File(outDir).mkdirs()
+    val selected = SparkEntry.queries.filter {
+      case (name, _) => only.forall(_.contains(name))
+    }
 
     // Drop ALL stale query output up front, BEFORE oracle_sql.json lands:
     // if this run dies at query 10 of ~100, queries 11+ must not retain a
@@ -51,7 +59,7 @@ object Verify {
         Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
           .forEach(p => Files.delete(p))
       }
-    SparkEntry.queries.keys.foreach(name => deleteTree(Paths.get(s"$outDir/$name")))
+    selected.keys.foreach(name => deleteTree(Paths.get(s"$outDir/$name")))
 
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -66,6 +74,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
 
@@ -75,7 +84,7 @@ object Verify {
     val t0 = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - t0) / 1e9
 
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

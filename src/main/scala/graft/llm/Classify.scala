@@ -46,9 +46,11 @@ object Classify {
   private def ilog2(q: Column): Column =
     (length(bin(q)) - 1).cast("long")
 
-  /** Per-document scores for every candidate class plus the argmin
-    * prediction; shared by [[nbClassify]] and [[nbConfusion]]. */
-  private def scored(documents: DataFrame): DataFrame = {
+  /** Per-(document, candidate-class) integer NB score frame — the
+    * surface behind BOTH the argmin prediction ([[scored]]) and the
+    * threshold-free evaluations ([[nbAuc]], [[nbMargin]]) that need
+    * every class's score, not just the winner's. */
+  private def perClassScores(documents: DataFrame): DataFrame = {
     val toks = tokens(documents).cache()
     // model: per-class token totals + doc counts (k rows, bounded)
     val classes = toks.groupBy(col("cls").as("cand"))
@@ -75,9 +77,15 @@ object Classify {
       .agg(sum(col("bits")).as("word_bits"))
       .select(col("doc_id"), col("cand"),
         (col("prior_bits") + col("word_bits")).as("total_bits"))
+    perClass
+  }
+
+  /** Per-document argmin prediction over [[perClassScores]]; shared by
+    * [[nbClassify]] and [[nbConfusion]]. */
+  private def scored(documents: DataFrame): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("total_bits").asc, col("cand").asc)
-    perClass
+    perClassScores(documents)
       .withColumn("rn", row_number().over(byDoc))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("cand").as("cls_pred"),
@@ -105,6 +113,89 @@ object Classify {
         col("n_docs").cast("double") /
           sum(col("n_docs")).over(perActual).cast("double"))
       .orderBy("cls_actual", "cls_pred")
+  }
+
+  /** One-vs-rest AUC of the NB score, per class — the threshold-free
+    * discrimination number behind quality-classifier cutoff choice
+    * (published pipelines keep a document iff classifier score clears
+    * a threshold; AUC says whether ANY threshold can work). Exact
+    * Mann–Whitney via integer midranks, no float accumulation:
+    * with docs ranked by total_bits DESCENDING (fewer bits = more
+    * class-like = higher rank), midrank m = rank + (ties−1)/2, carried
+    * doubled so it stays integral: r2 = 2·rank + ties − 1. Then
+    * U = Σ_pos m − n_pos(n_pos+1)/2 and
+    * AUC = (Σ_pos r2 − n_pos(n_pos+1)) / (2·n_pos·n_neg) — one double
+    * division of exact integers, hash-stable across engines. Long
+    * headroom: Σ r2 ≤ 3n² and n_pos·n_neg ≤ n², safe to n ≈ 10^9 docs.
+    *
+    * Scale shape: the rank window partitions by class, so each class
+    * sorts its own score column — a k-way range sort of n rows, the
+    * price of EXACT AUC. (The approximate scale path would bin scores
+    * by quantile sketch first; at eval-set sizes exact is right.) */
+  def nbAuc(documents: DataFrame): DataFrame = {
+    val byCand = org.apache.spark.sql.expressions.Window
+      .partitionBy("cand").orderBy(col("total_bits").desc)
+    val ties = org.apache.spark.sql.expressions.Window
+      .partitionBy("cand", "total_bits")
+    val ranked = documents.select(col("doc_id"), col(ClassCol).as("cls_actual"))
+      .join(perClassScores(documents), "doc_id")
+      .withColumn("r2",
+        lit(2L) * rank().over(byCand) + count(lit(1)).over(ties) - lit(1L))
+    ranked.groupBy("cand")
+      .agg(
+        sum(when(col("cls_actual") === col("cand"), col("r2"))).as("r2_pos"),
+        sum(when(col("cls_actual") === col("cand"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("cls_actual") =!= col("cand"), 1L).otherwise(0L)).as("n_neg"))
+      .select(col("cand"), col("n_pos"), col("n_neg"),
+        ((col("r2_pos") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
+      .orderBy("cand")
+  }
+
+  /** Width of one decision-margin bucket, in integer surprisal bits. */
+  val MarginBucketBits = 8L
+
+  /** Cap bucket (everything at or above this margin lands here). */
+  val MarginBucketCap = 10L
+
+  /** Confidence calibration by decision margin: bucket documents by
+    * how far the winning class's integer score beats the runner-up's
+    * (margin = bits₂ − bits₁ ≥ 0), then measure accuracy per bucket —
+    * a calibration curve for a scorer with no probability output. A
+    * well-behaved classifier shows accuracy rising monotonically with
+    * margin; a flat curve means the margin carries no signal and
+    * thresholding on it is noise. Integer-exact end to end (margin is
+    * an integer bit difference, buckets are integer division).
+    *
+    * Scale shape: one per-doc window (k rows per key) + one bounded
+    * aggregate (≤ cap+1 buckets) — nbClassify's exact shape. */
+  def nbMargin(documents: DataFrame): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("total_bits").asc, col("cand").asc)
+    val top2 = perClassScores(documents)
+      .withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") <= 2)
+      .groupBy("doc_id")
+      .agg(
+        min(when(col("rn") === 1, col("cand"))).as("cls_pred"),
+        min(when(col("rn") === 1, col("total_bits"))).as("bits1"),
+        min(when(col("rn") === 2, col("total_bits"))).as("bits2"))
+    documents.select(col("doc_id"), col(ClassCol).as("cls_actual"))
+      .join(top2, "doc_id")
+      // single-class corpus ⇒ no runner-up ⇒ unbounded margin: cap bucket
+      .select(col("cls_actual"), col("cls_pred"),
+        when(col("bits2").isNull, lit(MarginBucketCap))
+          .otherwise(least(
+            expr(s"(bits2 - bits1) DIV $MarginBucketBits"),
+            lit(MarginBucketCap))).as("margin_bucket"))
+      .groupBy("margin_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cls_actual") === col("cls_pred"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("margin_bucket"), col("n_docs"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_docs").cast("double"))
+          .as("accuracy"))
+      .orderBy("margin_bucket")
   }
 
   /** Number of cross-validation folds (fold = doc_id mod K). */
@@ -308,4 +399,51 @@ object Classify {
             AS share_of_actual
         FROM documents d JOIN pred p USING (doc_id)
         GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  val sqlNbAuc: String =
+    s"""WITH $sqlScoredCtes,
+        ranked AS (
+          SELECT p.cand, d.lang AS cls_actual,
+            2 * rank() OVER (PARTITION BY p.cand ORDER BY p.total_bits DESC)
+              + count(*) OVER (PARTITION BY p.cand, p.total_bits) - 1 AS r2
+          FROM per_class p JOIN documents d USING (doc_id)),
+        agg AS (
+          SELECT cand,
+            CAST(sum(CASE WHEN cls_actual = cand THEN r2 END) AS BIGINT)
+              AS r2_pos,
+            CAST(sum(CASE WHEN cls_actual = cand THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_pos,
+            CAST(sum(CASE WHEN cls_actual <> cand THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_neg
+          FROM ranked GROUP BY 1)
+        SELECT cand, n_pos, n_neg,
+          CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE) /
+            CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+        FROM agg ORDER BY cand"""
+
+  val sqlNbMargin: String =
+    s"""WITH $sqlScoredCtes,
+        top2 AS (
+          SELECT doc_id,
+            min(CASE WHEN rn = 1 THEN cand END) AS cls_pred,
+            min(CASE WHEN rn = 1 THEN total_bits END) AS bits1,
+            min(CASE WHEN rn = 2 THEN total_bits END) AS bits2
+          FROM (
+            SELECT doc_id, cand, total_bits,
+              row_number() OVER (
+                PARTITION BY doc_id ORDER BY total_bits ASC, cand ASC) AS rn
+            FROM per_class)
+          WHERE rn <= 2 GROUP BY doc_id),
+        bucketed AS (
+          SELECT d.lang AS cls_actual, t.cls_pred,
+            CASE WHEN t.bits2 IS NULL THEN $MarginBucketCap
+                 ELSE least((t.bits2 - t.bits1) // $MarginBucketBits,
+                            $MarginBucketCap) END AS margin_bucket
+          FROM documents d JOIN top2 t USING (doc_id))
+        SELECT margin_bucket, count(*) AS n_docs,
+          CAST(sum(CASE WHEN cls_actual = cls_pred THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+          CAST(sum(CASE WHEN cls_actual = cls_pred THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+        FROM bucketed GROUP BY 1 ORDER BY 1"""
 }

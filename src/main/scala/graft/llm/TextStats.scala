@@ -407,6 +407,75 @@ object TextStats {
         col("word"), col("n_occurrences"), col("n_docs"))
       .orderBy("vocab_rank")
 
+  /** How many of the SMALLEST occurrence counts get a smoothed
+    * Good–Turing row (the estimator is only trusted at small r, where
+    * N_{r+1} is populated; beyond that raw counts win — and "small"
+    * is relative to the corpus, so the cut is rank-based, not a fixed
+    * r ≤ k that can select zero rows on a saturated vocabulary). */
+  val GoodTuringRows = 10
+
+  /** Good–Turing frequency-of-frequencies: for the smallest observed
+    * occurrence counts r, the count of words seen exactly r times
+    * (N_r), the Turing-smoothed count r* = (r+1)·N_{r+1}/N_r, and the
+    * unseen-mass estimate p₀ = N₁/N — the classic LM-smoothing
+    * statistics (Good 1953, Katz backoff) and a direct data-quality
+    * readout: a corpus whose hapax share p₀ is large is mostly unique
+    * noise; one whose N_r curve is flat is template spam.
+    *
+    * Scale shape: the token explode feeds one (word) hash aggregate;
+    * everything after operates on the counts-of-counts frame, whose
+    * size is the number of DISTINCT occurrence counts (Zipf keeps it
+    * ~10⁴ rows even at web-corpus scale — same argument as the vocab
+    * bucket histogram above). The smallest-r cut is a
+    * TakeOrderedAndProject (never a global window); the r+1 self-join
+    * is an equi-join on a derived key (Catalyst extracts a.r+1 = b.r
+    * as hash-join keys); the totals frame is one broadcast row. */
+  def goodTuring(documents: DataFrame): DataFrame = {
+    val cc = wordCounts(documents)
+      .groupBy(col("n_occurrences").as("r"))
+      .agg(count(lit(1)).as("n_r"))
+    val totals = cc.agg(
+      sum(col("r") * col("n_r")).as("n_tokens"),
+      sum(when(col("r") === 1, col("n_r")).otherwise(0L)).as("n_hapax"))
+    val low = graft.util.TopN.rankedTopN(cc, col("r"), GoodTuringRows, "rk")
+      .drop("rk")
+    low.as("a")
+      .join(cc.as("b"), col("a.r") + 1 === col("b.r"), "left")
+      .crossJoin(broadcast(totals))
+      .select(
+        col("a.r").as("r"),
+        col("a.n_r").as("n_r"),
+        coalesce(col("b.n_r"), lit(0L)).as("n_r_next"),
+        (((col("a.r") + lit(1L)) * coalesce(col("b.n_r"), lit(0L)))
+          .cast("double") / col("a.n_r").cast("double")).as("r_star"),
+        (col("n_hapax").cast("double") / col("n_tokens").cast("double"))
+          .as("p_unseen"))
+      .orderBy("r")
+  }
+
+  def sqlGoodTuring: String = {
+    val w = TextPrep.sqlWords
+    s"""WITH toks AS (
+          SELECT unnest($w) AS word FROM documents),
+        counts AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS r FROM toks GROUP BY 1),
+        cc AS (
+          SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM counts GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tokens,
+            CAST(sum(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT)
+              AS n_hapax
+          FROM cc),
+        low AS (SELECT r, n_r FROM cc ORDER BY r LIMIT $GoodTuringRows)
+        SELECT a.r, a.n_r,
+          CAST(coalesce(b.n_r, 0) AS BIGINT) AS n_r_next,
+          CAST((a.r + 1) * coalesce(b.n_r, 0) AS DOUBLE) /
+            CAST(a.n_r AS DOUBLE) AS r_star,
+          CAST(t.n_hapax AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) AS p_unseen
+        FROM low a LEFT JOIN cc b ON a.r + 1 = b.r CROSS JOIN tot t
+        ORDER BY a.r"""
+  }
+
   /** Full (uncapped) frequency ranking: (word, n_occurrences, n_docs,
     * vocab_rank) — rarityScore needs the rank of EVERY word, so the
     * top-N cap can't apply. Instead of one global-window sort (single

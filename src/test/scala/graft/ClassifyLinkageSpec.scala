@@ -43,6 +43,60 @@ class ClassifyLinkageSpec extends SparkSpec {
     assert(sums.nonEmpty && sums.forall(s => math.abs(s - 1.0) < 1e-9))
   }
 
+  test("nbAuc is 1.0 on a separable corpus and 0.5 under total ties") {
+    val separable = Seq(
+      (1L, "apple apple orchard fruit", "a"),
+      (2L, "apple fruit orchard apple", "a"),
+      (3L, "bolt nut wrench bolt", "b"),
+      (4L, "bolt wrench nut nut", "b"))
+      .toDF("doc_id", "text", "lang")
+    val auc1 = llm.Classify.nbAuc(separable)
+      .select("cand", "auc").as[(String, Double)].collect().toMap
+    assert(auc1.keySet == Set("a", "b"))
+    assert(auc1.values.forall(a => math.abs(a - 1.0) < 1e-12),
+      s"separable corpus must score AUC 1.0 per class: $auc1")
+
+    // identical docs ⇒ every score ties ⇒ midrank AUC is exactly 0.5
+    val tied = Seq(
+      (1L, "x y", "a"), (2L, "x y", "b"),
+      (3L, "x y", "a"), (4L, "x y", "b"), (5L, "x y", "b"))
+      .toDF("doc_id", "text", "lang")
+    val auc2 = llm.Classify.nbAuc(tied)
+      .select("auc").as[Double].collect()
+    assert(auc2.length == 2 && auc2.forall(a => math.abs(a - 0.5) < 1e-12),
+      s"all-ties corpus must score AUC 0.5: ${auc2.toSeq}")
+  }
+
+  test("nbAuc counts positives and negatives per class exactly") {
+    val docs = Tables.documents(spark, sf())
+    val byLang = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val n = byLang.values.sum
+    val out = llm.Classify.nbAuc(docs)
+      .select("cand", "n_pos", "n_neg").as[(String, Long, Long)].collect()
+    assert(out.length == byLang.size)
+    out.foreach { case (cand, np, nn) =>
+      assert(np == byLang(cand) && np + nn == n, s"$cand: $np + $nn != $n")
+    }
+  }
+
+  test("nbMargin buckets partition the corpus and cap at the top bucket") {
+    val docs = Tables.documents(spark, sf())
+    val out = llm.Classify.nbMargin(docs)
+      .select("margin_bucket", "n_docs", "n_correct")
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(_._2).sum == docs.count(), "buckets must partition docs")
+    assert(out.forall { case (b, nd, nc) =>
+      b >= 0 && b <= llm.Classify.MarginBucketCap && nc <= nd })
+    // identical docs in one class: no runner-up class distinction ⇒
+    // margin 0 (tie) lands in bucket 0, and accuracy is the tie-break
+    val tied = Seq((1L, "x y", "a"), (2L, "x y", "b"))
+      .toDF("doc_id", "text", "lang")
+    val t = llm.Classify.nbMargin(tied)
+      .select("margin_bucket", "n_docs").as[(Long, Long)].collect()
+    assert(t.toSeq == Seq((0L, 2L)), s"got ${t.toSeq}")
+  }
+
   test("entityResolution window blocking is lossless across the size boundary") {
     val parts = Seq(
       // sizes 5 and 6 land in DIFFERENT width-2 buckets under a naive

@@ -541,6 +541,21 @@ class LlmSpec extends SparkSpec {
     assert(out(1L) === ((1L, 1L, 1.0)))
   }
 
+  test("good-turing counts-of-counts, smoothed r*, and unseen mass are exact") {
+    // word counts: a=3, b=2, c=2, d=1 → N_1=1, N_2=2, N_3=1, N=8 tokens
+    val d = Seq(
+      (0L, "a a a b b c", "en", "s", 11L),
+      (1L, "d c", "en", "s", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextStats.goodTuring(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) === ((1L, 2L, 4.0, 0.125)))   // r*=2·N_2/N_1=4, p₀=1/8
+    assert(out(2L) === ((2L, 1L, 1.5, 0.125)))   // r*=3·N_3/N_2=1.5
+    assert(out(3L) === ((1L, 0L, 0.0, 0.125)))   // N_4=0 → r*=0
+  }
+
   test("length histogram buckets by 64 words and shares sum to 1") {
     val d = Seq(
       (0L, Seq.fill(10)("w").mkString(" "), "en", "s", 10L),
