@@ -1,0 +1,8 @@
+#!/bin/bash
+# Time single queries standalone at a given SF: scripts/time_query.sh sfdir q1 [q2 ...]
+# Uses the Bench noop-write shape (full plan execution) on a fresh session each.
+set -e
+SF="$1"; shift
+for q in "$@"; do
+  SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32 scripts/run.sh graft.TimeOne "$q" 2>/dev/null
+done

@@ -144,6 +144,9 @@ object SparkEntry {
     "q_media_metadata" -> ((s, d) => llm.Multimodal.mediaMetadata(Tables.documents(s, d))),
     "q_media_resize" -> ((s, d) => llm.Multimodal.mediaResize(Tables.documents(s, d))),
     "q_media_summary" -> ((s, d) => llm.Multimodal.mediaSummary(Tables.documents(s, d))),
+    // REAL PNG round-trip: in-engine encode → javax.imageio decode,
+    // oracle predicts the dims from the same doc_id arithmetic
+    "q_media_decode" -> ((s, d) => llm.Multimodal.mediaDecode(Tables.documents(s, d))),
     // corpus curation: PII scrub, reproducible split/sample, quality ranking
     "q_pii_redact" -> ((s, d) => llm.Curate.redactPii(Tables.documents(s, d))),
     "q_split_assign" -> ((s, d) => llm.Curate.splitAssign(Tables.documents(s, d))),
@@ -558,6 +561,7 @@ object SparkEntry {
     "q_media_metadata" -> llm.Multimodal.sqlMediaMetadata,
     "q_media_resize" -> llm.Multimodal.sqlMediaResize(),
     "q_media_summary" -> llm.Multimodal.sqlMediaSummary,
+    "q_media_decode" -> llm.Multimodal.sqlMediaDecode,
     "q_pii_redact" -> llm.Curate.sqlRedactPii,
     "q_split_assign" -> llm.Curate.sqlSplitAssign,
     "q_stratified_sample" -> llm.Curate.sqlStratifiedSample,

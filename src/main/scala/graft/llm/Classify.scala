@@ -49,8 +49,10 @@ object Classify {
   /** Per-(document, candidate-class) integer NB score frame — the
     * surface behind BOTH the argmin prediction ([[scored]]) and the
     * threshold-free evaluations ([[nbAuc]], [[nbMargin]]) that need
-    * every class's score, not just the winner's. */
-  private def perClassScores(documents: DataFrame): DataFrame = {
+    * every class's score, not just the winner's. Package-visible so
+    * the AUC property test can compute its brute-force pairwise
+    * reference from the same scores. */
+  private[graft] def perClassScores(documents: DataFrame): DataFrame = {
     val toks = tokens(documents).cache()
     // model: per-class token totals + doc counts (k rows, bounded)
     val classes = toks.groupBy(col("cls").as("cand"))

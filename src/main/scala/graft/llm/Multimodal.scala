@@ -137,6 +137,62 @@ object Multimodal {
          i -> CAST(i * (strlen(text) // 10) AS BIGINT)), ',') AS frame_offsets
        FROM documents ORDER BY doc_id"""
 
+  /** Deterministic REAL-PNG table: one genuine PNG payload per
+    * document, encoded in-engine with `javax.imageio` — dimensions
+    * derive from doc_id (w = 1 + id mod 13, h = 1 + id mod 7), pixels
+    * from a Knuth-hash of (id, x, y) so the bytes are run-stable.
+    * Map-only: each partition encodes its own rows; nothing shuffles. */
+  def pngTable(documents: DataFrame): Dataset[MediaFile] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      javax.imageio.ImageIO.setUseCache(false)
+      ids.map { id =>
+        val w = 1 + (id % 13).toInt
+        val h = 1 + (id % 7).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y,
+              ((id * 2654435761L + x * 31L + y * 17L) & 0xffffffL).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        val bytes = baos.toByteArray
+        MediaFile(id, "image", bytes, bytes.length.toLong)
+      }
+    }
+  }
+
+  /** REAL image decode, oracle-gated: round-trip [[pngTable]]'s
+    * genuine PNGs through [[decodeFeatures]] and emit the decoded
+    * raster dimensions. The DuckDB twin never decodes — it predicts
+    * the dims from the SAME doc_id arithmetic the encoder used, so a
+    * broken decode (wrong size, wrong band count, stub fallback)
+    * hash-mismatches. This closes the "decode is unit-tested only"
+    * gap: the codec path is now part of the correctness gate.
+    * (n_bytes is excluded: PNG encoder output size is
+    * JDK-implementation-specific; decoded dimensions are not.) */
+  def mediaDecode(documents: DataFrame): DataFrame = {
+    decodeFeatures(pngTable(documents), hashContent = false)
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("channels"), col("decoded"))
+      .orderBy("doc_id")
+  }
+
+  val sqlMediaDecode: String =
+    """SELECT doc_id,
+       CAST(1 + doc_id % 13 AS INTEGER) AS width,
+       CAST(1 + doc_id % 7 AS INTEGER) AS height,
+       3 AS channels, TRUE AS decoded
+       FROM documents ORDER BY doc_id"""
+
   val ResizeW = 128
   val ResizeH = 96
 

@@ -80,6 +80,38 @@ class ClassifyLinkageSpec extends SparkSpec {
     }
   }
 
+  test("nbAuc midrank formula matches brute-force pairwise AUC on random corpora") {
+    // the midrank algebra is the optimized path; the definitional AUC is
+    // P(bits_pos < bits_neg) + ½·P(bits_pos = bits_neg) over all
+    // positive × negative pairs — compare them on corpora engineered
+    // for tie storms (tiny vocab, repeated docs)
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val vocab = Vector("u", "v", "w", "zz")
+      val docs = (1L to 30L).map { i =>
+        val words = Seq.fill(2 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.size)))
+        (i, words.mkString(" "), if (rnd.nextBoolean()) "a" else "b")
+      }.toDF("doc_id", "text", "lang")
+      val actual = docs.select("doc_id", "lang")
+        .as[(Long, String)].collect().toMap
+      val scores = llm.Classify.perClassScores(docs)
+        .select("doc_id", "cand", "total_bits")
+        .as[(Long, String, Long)].collect()
+      val expected = scores.groupBy(_._2).map { case (cand, rows) =>
+        val (pos, neg) = rows.partition { case (id, _, _) => actual(id) == cand }
+        val wins = (for { (_, _, bp) <- pos; (_, _, bn) <- neg } yield
+          if (bp < bn) 1.0 else if (bp == bn) 0.5 else 0.0).sum
+        cand -> wins / (pos.length.toDouble * neg.length.toDouble)
+      }
+      val got = llm.Classify.nbAuc(docs)
+        .select("cand", "auc").as[(String, Double)].collect().toMap
+      expected.foreach { case (cand, e) =>
+        assert(math.abs(got(cand) - e) < 1e-12,
+          s"trial $trial $cand: midrank ${got(cand)} != brute-force $e")
+      }
+    }
+  }
+
   test("nbMargin buckets partition the corpus and cap at the top bucket") {
     val docs = Tables.documents(spark, sf())
     val out = llm.Classify.nbMargin(docs)
