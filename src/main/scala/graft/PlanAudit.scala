@@ -80,6 +80,7 @@ object PlanAudit {
     "q_nb_auc" -> Set("BNLJ"),             // same k-class model dim crossJoin
     "q_nb_margin" -> Set("BNLJ"),          // same k-class model dim crossJoin
     "q_good_turing" -> Set("BNLJ"),        // single-row token-total frame
+    "q_lid_agreement" -> Set("BNLJ"),      // single-row kappa-stats frame
     "q_triangles" -> Set("BNLJ"),          // single-row census totals join
     "q_cuped" -> Set("BNLJ"),              // single-row pooled-moments frame
     // waterfilling rank/prefix windows run over the SOURCE-level

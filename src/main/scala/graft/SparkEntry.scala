@@ -301,6 +301,8 @@ object SparkEntry {
     "q_nb_margin" -> ((s, d) => llm.Classify.nbMargin(Tables.documents(s, d))),
     // Good–Turing counts-of-counts: smoothed r*, unseen-mass estimate
     "q_good_turing" -> ((s, d) => llm.TextStats.goodTuring(Tables.documents(s, d))),
+    // Cohen's kappa between the marker and trained language IDs
+    "q_lid_agreement" -> ((s, d) => llm.TextStats.lidAgreement(Tables.documents(s, d))),
     // record linkage with lossless (brand, type, size-window) blocking
     "q_entity_resolution" -> ((s, d) => Linkage.entityResolution(Tables.part(s, d))),
     // degree-ordered triangle census of the near-dup pair graph
@@ -640,6 +642,7 @@ object SparkEntry {
     "q_nb_auc" -> llm.Classify.sqlNbAuc,
     "q_nb_margin" -> llm.Classify.sqlNbMargin,
     "q_good_turing" -> llm.TextStats.sqlGoodTuring,
+    "q_lid_agreement" -> llm.TextStats.sqlLidAgreement,
     "q_entity_resolution" -> Linkage.sqlEntityResolution(),
     "q_triangles" -> llm.Dedup.sqlTriangleStats(),
     "q_top_unshipped" -> Enrich.sqlTopUnshippedOrders(),

@@ -1016,6 +1016,113 @@ object TextStats {
           plang = lang AS lang_match
         FROM best WHERE rn = 1 ORDER BY doc_id"""
 
+  /** Inter-classifier agreement between the two independent language
+    * identifiers — the marker heuristic ([[languageId]]) and the
+    * profile-trained trigram model ([[charTrigramLid]]): the full
+    * agreement matrix plus Cohen's kappa (chance-corrected agreement).
+    * The standard label-quality diagnostic when two labelers exist:
+    * kappa near 1 = the cheap heuristic can stand in for the model;
+    * kappa near 0 = their agreement is chance and neither should gate
+    * data alone. Docs are compared where BOTH classifiers predict
+    * (the trigram model abstains on texts under 3 chars or with no
+    * profile hits).
+    *
+    * Exactness: po = diag/n and pe = Σ_k row_k·col_k / n² are single
+    * double divisions of exact integer counts (row·col products stay
+    * in BIGINT — bounded by n², safe to n ≈ 10⁹ docs); kappa =
+    * (po − pe)/(1 − pe) with the identical parenthesization on both
+    * engines. Scale shape: two per-doc prediction pipelines (each
+    * documented at its definition), one doc-keyed join, then
+    * everything runs on the #langs²-sized matrix frame; the stats
+    * frame is one broadcast row. */
+  def lidAgreement(documents: DataFrame): DataFrame = {
+    val marker = languageId(documents)
+      .select(col("doc_id"), col("lang_pred").as("lang_marker"))
+    val trained = charTrigramLid(documents)
+      .select(col("doc_id"), col("lang_pred").as("lang_trained"))
+    val cm = marker.join(trained, "doc_id")
+      .groupBy("lang_marker", "lang_trained")
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = cm.agg(
+      sum(col("n_docs")).as("n"),
+      sum(when(col("lang_marker") === col("lang_trained"), col("n_docs"))
+        .otherwise(0L)).as("diag"))
+    val rowMargin = cm.groupBy(col("lang_marker").as("k"))
+      .agg(sum(col("n_docs")).as("row_n"))
+    val colMargin = cm.groupBy(col("lang_trained").as("k"))
+      .agg(sum(col("n_docs")).as("col_n"))
+    val crossSum = rowMargin.join(colMargin, "k")
+      .agg(coalesce(sum(col("row_n") * col("col_n")), lit(0L)).as("cross_sum"))
+    val stats = tot.crossJoin(crossSum)
+      .select(
+        (col("diag").cast("double") / col("n").cast("double")).as("po"),
+        (col("cross_sum").cast("double") /
+          (col("n").cast("double") * col("n").cast("double"))).as("pe"))
+    cm.crossJoin(broadcast(stats))
+      .select(col("lang_marker"), col("lang_trained"), col("n_docs"),
+        col("po"), col("pe"),
+        ((col("po") - col("pe")) / (lit(1.0) - col("pe"))).as("kappa"))
+      .orderBy("lang_marker", "lang_trained")
+  }
+
+  val sqlLidAgreement: String = {
+    val w = TextPrep.sqlWords
+    val scores = LangMarkers.map { case (l, ms) =>
+      s"CAST(len(list_filter($w, x -> x IN ${inList(ms)})) AS INTEGER) AS score_$l"
+    }.mkString(", ")
+    val langs = LangMarkers.map(_._1)
+    val pred = langs.map { l =>
+      val cond = langs.filter(_ != l)
+        .map(o => s"score_$l >= score_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE NULL END")
+    s"""WITH m AS (
+          SELECT doc_id, $pred AS lang_marker
+          FROM (SELECT doc_id, $scores FROM documents)),
+        dt AS (
+          SELECT doc_id, lang,
+            unnest(list_distinct(list_transform(
+              generate_series(1, length(lower(text)) - 2),
+              i -> substr(lower(text), i, 3)))) AS tri
+          FROM documents WHERE length(lower(text)) >= 3),
+        cnt AS (SELECT lang, tri, count(*) AS c FROM dt GROUP BY 1, 2),
+        prof AS (
+          SELECT lang AS plang, tri, CAST(${LidTopTrigrams + 1} - rnk AS BIGINT) AS w
+          FROM (
+            SELECT lang, tri, c,
+              row_number() OVER (PARTITION BY lang ORDER BY c DESC, tri ASC) AS rnk
+            FROM cnt)
+          WHERE rnk <= $LidTopTrigrams),
+        sc AS (
+          SELECT doc_id, plang, CAST(sum(w) AS BIGINT) AS score
+          FROM dt JOIN prof USING (tri) GROUP BY 1, 2),
+        t AS (
+          SELECT doc_id, plang AS lang_trained
+          FROM sc
+          QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, plang ASC) = 1),
+        cm AS (
+          SELECT lang_marker, lang_trained, CAST(count(*) AS BIGINT) AS n_docs
+          FROM m JOIN t USING (doc_id) GROUP BY 1, 2),
+        tot AS (
+          SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN lang_marker = lang_trained
+                     THEN n_docs ELSE 0 END) AS BIGINT) AS diag
+          FROM cm),
+        r AS (SELECT lang_marker AS k, sum(n_docs) AS row_n FROM cm GROUP BY 1),
+        c AS (SELECT lang_trained AS k, sum(n_docs) AS col_n FROM cm GROUP BY 1),
+        x AS (SELECT CAST(coalesce(sum(row_n * col_n), 0) AS BIGINT) AS cross_sum
+              FROM r JOIN c USING (k)),
+        s AS (
+          SELECT CAST(diag AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+            CAST(cross_sum AS DOUBLE) /
+              (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+          FROM tot, x)
+        SELECT cm.lang_marker, cm.lang_trained, cm.n_docs, s.po, s.pe,
+          (s.po - s.pe) / (1 - s.pe) AS kappa
+        FROM cm, s ORDER BY 1, 2"""
+  }
+
   // ---- BPE trainer: the full merge loop ------------------------------
 
   val BpeMerges = 8

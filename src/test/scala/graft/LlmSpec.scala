@@ -556,6 +556,25 @@ class LlmSpec extends SparkSpec {
     assert(out(3L) === ((1L, 0L, 0.0, 0.125)))   // N_4=0 → r*=0
   }
 
+  test("lid agreement: kappa is 1 on perfect agreement, matrix counts partition") {
+    // marker words repeated AND distinct trigram profiles per lang:
+    // both classifiers must predict the label, so agreement is total
+    val docs = Seq(
+      (1L, "the the the and a xqz", "en", "s", 22L),
+      (2L, "the a and the the xqz", "en", "s", 21L),
+      (3L, "query filter join query vbn", "fr", "s", 27L),
+      (4L, "filter query join join vbn", "fr", "s", 26L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = llm.TextStats.lidAgreement(docs)
+      .select("lang_marker", "lang_trained", "n_docs", "kappa")
+      .as[(String, String, Long, Double)].collect()
+    assert(out.map(_._3).sum == 4, "matrix must partition the joined docs")
+    assert(out.forall { case (m, t, _, _) => m == t },
+      s"engineered corpus must agree perfectly: ${out.toSeq}")
+    assert(out.forall(r => math.abs(r._4 - 1.0) < 1e-12),
+      s"perfect agreement must score kappa 1: ${out.toSeq}")
+  }
+
   test("length histogram buckets by 64 words and shares sum to 1") {
     val d = Seq(
       (0L, Seq.fill(10)("w").mkString(" "), "en", "s", 10L),
