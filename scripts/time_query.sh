@@ -4,5 +4,9 @@
 set -e
 SF="$1"; shift
 for q in "$@"; do
-  SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32 scripts/run.sh graft.TimeOne "$q" 2>/dev/null
+  # stderr to a log, not /dev/null: a bad query name or Spark failure
+  # must leave a diagnostic, not exit silently
+  log="/tmp/timeone_$q.log"
+  SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32 scripts/run.sh graft.TimeOne "$q" 2>"$log" \
+    || { echo "FAILED $q — see $log"; exit 1; }
 done

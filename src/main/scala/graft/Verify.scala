@@ -46,6 +46,14 @@ object Verify {
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     new java.io.File(outDir).mkdirs()
+    // Fail loud on a typo'd filter name: a silent empty selection would
+    // run zero queries, overwrite oracle_sql.json with {}, and exit 0 —
+    // a no-op masquerading as a green gate.
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s) in filter: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = SparkEntry.queries.filter {
       case (name, _) => only.forall(_.contains(name))
     }

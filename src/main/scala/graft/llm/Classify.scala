@@ -149,8 +149,14 @@ object Classify {
         sum(when(col("cls_actual") === col("cand"), 1L).otherwise(0L)).as("n_pos"),
         sum(when(col("cls_actual") =!= col("cand"), 1L).otherwise(0L)).as("n_neg"))
       .select(col("cand"), col("n_pos"), col("n_neg"),
-        ((col("r2_pos") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
-          (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
+        // PINNED: AUC is undefined without both positives and negatives
+        // (a single-class corpus has n_neg = 0). Both engines must emit
+        // NULL there — unguarded, Spark's non-ANSI divide gives NULL but
+        // DuckDB gives NaN (0/0 under IEEE float ops), and the driver's
+        // value hash tells them apart.
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          (col("r2_pos") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
       .orderBy("cand")
   }
 
@@ -419,8 +425,9 @@ object Classify {
               AS n_neg
           FROM ranked GROUP BY 1)
         SELECT cand, n_pos, n_neg,
-          CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE) /
-            CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+          CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+            CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE) /
+              CAST(2 * n_pos * n_neg AS DOUBLE) END AS auc
         FROM agg ORDER BY cand"""
 
   val sqlNbMargin: String =

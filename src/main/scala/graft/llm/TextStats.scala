@@ -913,23 +913,32 @@ object TextStats {
         FROM s GROUP BY doc_id ORDER BY doc_id"""
   }
 
-  val sqlLanguageId: String = {
+  /** DuckDB marker-score projection + argmax CASE, shared by
+    * [[sqlLanguageId]] and [[sqlLidAgreement]] so the marker oracle
+    * can never de-sync between the per-classifier and agreement
+    * queries. */
+  private val sqlMarkerScores: String = {
     val w = TextPrep.sqlWords
-    val scores = LangMarkers.map { case (l, ms) =>
+    LangMarkers.map { case (l, ms) =>
       s"CAST(len(list_filter($w, x -> x IN ${inList(ms)})) AS INTEGER) AS score_$l"
     }.mkString(", ")
+  }
+
+  private val sqlMarkerPred: String = {
     val langs = LangMarkers.map(_._1)
-    val pred = langs.map { l =>
+    langs.map { l =>
       val cond = langs.filter(_ != l)
         .map(o => s"score_$l >= score_$o").mkString(" AND ")
       s"WHEN $cond THEN '$l'"
     }.mkString("CASE ", " ", " ELSE NULL END")
-    s"""WITH scored AS (
-          SELECT doc_id, lang AS lang_actual, $scores FROM documents)
-        SELECT *, $pred AS lang_pred,
-          ($pred) = lang_actual AS lang_match
-        FROM scored ORDER BY doc_id"""
   }
+
+  val sqlLanguageId: String =
+    s"""WITH scored AS (
+          SELECT doc_id, lang AS lang_actual, $sqlMarkerScores FROM documents)
+        SELECT *, $sqlMarkerPred AS lang_pred,
+          ($sqlMarkerPred) = lang_actual AS lang_match
+        FROM scored ORDER BY doc_id"""
 
   // ---- profile-based character-trigram language ID -------------------
 
@@ -990,8 +999,12 @@ object TextStats {
       .orderBy("doc_id")
   }
 
-  val sqlCharTrigramLid: String =
-    s"""WITH dt AS (
+  /** DuckDB trigram-LID CTE chain through `sc` (per-doc per-profile
+    * scores, `lang` carried), shared by [[sqlCharTrigramLid]] and
+    * [[sqlLidAgreement]] — one definition of the profile training and
+    * scoring, so the two oracles can never drift. */
+  private val sqlTrigramScoreCtes: String =
+    s"""dt AS (
           SELECT doc_id, lang,
             unnest(list_distinct(list_transform(
               generate_series(1, length(lower(text)) - 2),
@@ -1007,7 +1020,10 @@ object TextStats {
           WHERE rnk <= $LidTopTrigrams),
         sc AS (
           SELECT doc_id, dt.lang, plang, CAST(sum(w) AS BIGINT) AS score
-          FROM dt JOIN prof USING (tri) GROUP BY 1, 2, 3),
+          FROM dt JOIN prof USING (tri) GROUP BY 1, 2, 3)"""
+
+  val sqlCharTrigramLid: String =
+    s"""WITH $sqlTrigramScoreCtes,
         best AS (
           SELECT doc_id, lang, plang, score,
             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang ASC) AS rn
@@ -1061,41 +1077,20 @@ object TextStats {
     cm.crossJoin(broadcast(stats))
       .select(col("lang_marker"), col("lang_trained"), col("n_docs"),
         col("po"), col("pe"),
-        ((col("po") - col("pe")) / (lit(1.0) - col("pe"))).as("kappa"))
+        // PINNED: kappa is undefined at pe = 1 (both classifiers emit
+        // one constant label, e.g. a single-language corpus) — 0/0.
+        // Both engines must emit NULL there: unguarded, Spark's
+        // non-ANSI divide gives NULL but DuckDB gives NaN.
+        when(col("pe") =!= 1.0,
+          (col("po") - col("pe")) / (lit(1.0) - col("pe"))).as("kappa"))
       .orderBy("lang_marker", "lang_trained")
   }
 
   val sqlLidAgreement: String = {
-    val w = TextPrep.sqlWords
-    val scores = LangMarkers.map { case (l, ms) =>
-      s"CAST(len(list_filter($w, x -> x IN ${inList(ms)})) AS INTEGER) AS score_$l"
-    }.mkString(", ")
-    val langs = LangMarkers.map(_._1)
-    val pred = langs.map { l =>
-      val cond = langs.filter(_ != l)
-        .map(o => s"score_$l >= score_$o").mkString(" AND ")
-      s"WHEN $cond THEN '$l'"
-    }.mkString("CASE ", " ", " ELSE NULL END")
     s"""WITH m AS (
-          SELECT doc_id, $pred AS lang_marker
-          FROM (SELECT doc_id, $scores FROM documents)),
-        dt AS (
-          SELECT doc_id, lang,
-            unnest(list_distinct(list_transform(
-              generate_series(1, length(lower(text)) - 2),
-              i -> substr(lower(text), i, 3)))) AS tri
-          FROM documents WHERE length(lower(text)) >= 3),
-        cnt AS (SELECT lang, tri, count(*) AS c FROM dt GROUP BY 1, 2),
-        prof AS (
-          SELECT lang AS plang, tri, CAST(${LidTopTrigrams + 1} - rnk AS BIGINT) AS w
-          FROM (
-            SELECT lang, tri, c,
-              row_number() OVER (PARTITION BY lang ORDER BY c DESC, tri ASC) AS rnk
-            FROM cnt)
-          WHERE rnk <= $LidTopTrigrams),
-        sc AS (
-          SELECT doc_id, plang, CAST(sum(w) AS BIGINT) AS score
-          FROM dt JOIN prof USING (tri) GROUP BY 1, 2),
+          SELECT doc_id, $sqlMarkerPred AS lang_marker
+          FROM (SELECT doc_id, $sqlMarkerScores FROM documents)),
+        $sqlTrigramScoreCtes,
         t AS (
           SELECT doc_id, plang AS lang_trained
           FROM sc
@@ -1119,7 +1114,7 @@ object TextStats {
               (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
           FROM tot, x)
         SELECT cm.lang_marker, cm.lang_trained, cm.n_docs, s.po, s.pe,
-          (s.po - s.pe) / (1 - s.pe) AS kappa
+          CASE WHEN s.pe <> 1 THEN (s.po - s.pe) / (1 - s.pe) END AS kappa
         FROM cm, s ORDER BY 1, 2"""
   }
 
