@@ -575,6 +575,43 @@ class LlmSpec extends SparkSpec {
       s"perfect agreement must score kappa 1: ${out.toSeq}")
   }
 
+  test("good-turing invariants hold on the real corpus") {
+    val d = Tables.documents(spark, sf())
+    val rows = TextStats.goodTuring(d)
+      .select("r", "n_r", "n_r_next", "r_star", "p_unseen")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty && rows.length <= TextStats.GoodTuringRows)
+    // r strictly increasing (the smallest observed counts, in order)
+    assert(rows.map(_._1).sliding(2).forall(p => p.length < 2 || p(0) < p(1)))
+    // r* is exactly (r+1)·N_{r+1}/N_r for each emitted row
+    rows.foreach { case (r, nr, nrn, rstar, _) =>
+      assert(math.abs(rstar - (r + 1).toDouble * nrn / nr) < 1e-12) }
+    // p₀ is constant across rows and within [0, 1] (0 is legitimate:
+    // a saturated word-salad corpus can have no hapax words at all)
+    val p0 = rows.map(_._5).distinct
+    assert(p0.length == 1 && p0.head >= 0.0 && p0.head <= 1.0)
+  }
+
+  test("lid agreement invariants hold on the real corpus") {
+    val d = Tables.documents(spark, sf())
+    val rows = llm.TextStats.lidAgreement(d)
+      .select("n_docs", "po", "pe", "kappa")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    val (po, pe, kappa) = (rows.head._2, rows.head._3, rows.head._4)
+    assert(rows.forall(r => r._2 == po && r._3 == pe && r._4 == kappa),
+      "stats columns must be constant across matrix rows")
+    assert(po >= 0.0 && po <= 1.0 && pe > 0.0 && pe < 1.0)
+    assert(kappa <= 1.0, s"kappa > 1: $kappa")
+    // diagonal share of the matrix must equal po exactly
+    val matrix = llm.TextStats.lidAgreement(d)
+      .select("lang_marker", "lang_trained", "n_docs")
+      .as[(String, String, Long)].collect()
+    val n = matrix.map(_._3).sum
+    val diag = matrix.filter(r => r._1 == r._2).map(_._3).sum
+    assert(math.abs(po - diag.toDouble / n) < 1e-15)
+  }
+
   test("length histogram buckets by 64 words and shares sum to 1") {
     val d = Seq(
       (0L, Seq.fill(10)("w").mkString(" "), "en", "s", 10L),
