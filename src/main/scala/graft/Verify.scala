@@ -53,6 +53,11 @@ object Verify {
       val unknown = names -- SparkEntry.queries.keySet
       require(unknown.isEmpty,
         s"unknown query name(s) in filter: ${unknown.toSeq.sorted.mkString(", ")}")
+      // In iteration mode an oracle-less selection would compare nothing
+      // and still print a green '0/0 passed' downstream — fail loud here.
+      val unoracled = names -- SparkEntry.oracleSql.keySet
+      require(unoracled.isEmpty,
+        s"filtered query(ies) have no oracle SQL: ${unoracled.toSeq.sorted.mkString(", ")}")
     }
     val selected = SparkEntry.queries.filter {
       case (name, _) => only.forall(_.contains(name))
@@ -81,8 +86,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // filter by `selected`, not a re-derived predicate: the dumped-query
+    // set and the compared-query set must be the same set by construction
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
 

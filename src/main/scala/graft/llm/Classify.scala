@@ -82,17 +82,26 @@ object Classify {
     perClass
   }
 
+  /** THE prediction ordering (best class first): total_bits asc, then
+    * lexicographic tie-break — defined once so the argmin prediction
+    * and the margin's runner-up can never rank differently. */
+  private def predictionOrder =
+    org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("total_bits").asc, col("cand").asc)
+
+  /** [[perClassScores]] ranked by [[predictionOrder]], cut to the best
+    * `k` classes per document (rn = 1 is the prediction). */
+  private def scoredTopK(documents: DataFrame, k: Int): DataFrame =
+    perClassScores(documents)
+      .withColumn("rn", row_number().over(predictionOrder))
+      .filter(col("rn") <= k)
+
   /** Per-document argmin prediction over [[perClassScores]]; shared by
     * [[nbClassify]] and [[nbConfusion]]. */
-  private def scored(documents: DataFrame): DataFrame = {
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("total_bits").asc, col("cand").asc)
-    perClassScores(documents)
-      .withColumn("rn", row_number().over(byDoc))
-      .filter(col("rn") === 1)
+  private def scored(documents: DataFrame): DataFrame =
+    scoredTopK(documents, 1)
       .select(col("doc_id"), col("cand").as("cls_pred"),
         col("total_bits").as("bits_pred"))
-  }
 
   /** Per-document prediction vs actual label. */
   def nbClassify(documents: DataFrame): DataFrame =
@@ -178,11 +187,7 @@ object Classify {
     * Scale shape: one per-doc window (k rows per key) + one bounded
     * aggregate (≤ cap+1 buckets) — nbClassify's exact shape. */
   def nbMargin(documents: DataFrame): DataFrame = {
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("total_bits").asc, col("cand").asc)
-    val top2 = perClassScores(documents)
-      .withColumn("rn", row_number().over(byDoc))
-      .filter(col("rn") <= 2)
+    val top2 = scoredTopK(documents, 2)
       .groupBy("doc_id")
       .agg(
         min(when(col("rn") === 1, col("cand"))).as("cls_pred"),
@@ -385,11 +390,14 @@ object Classify {
           FROM toks t CROSS JOIN class_dim d
           LEFT JOIN counts c ON c.cand = d.cand AND c.word = t.word
           GROUP BY t.doc_id, d.cand, d.prior_bits),
+        scored_rank AS (
+          SELECT doc_id, cand, total_bits,
+            row_number() OVER (
+              PARTITION BY doc_id ORDER BY total_bits ASC, cand ASC) AS rn
+          FROM per_class),
         pred AS (
           SELECT doc_id, cand AS cls_pred, total_bits AS bits_pred
-          FROM per_class
-          QUALIFY row_number() OVER (
-            PARTITION BY doc_id ORDER BY total_bits ASC, cand ASC) = 1)"""
+          FROM scored_rank WHERE rn = 1)"""
   }
 
   val sqlNbClassify: String =
@@ -437,11 +445,7 @@ object Classify {
             min(CASE WHEN rn = 1 THEN cand END) AS cls_pred,
             min(CASE WHEN rn = 1 THEN total_bits END) AS bits1,
             min(CASE WHEN rn = 2 THEN total_bits END) AS bits2
-          FROM (
-            SELECT doc_id, cand, total_bits,
-              row_number() OVER (
-                PARTITION BY doc_id ORDER BY total_bits ASC, cand ASC) AS rn
-            FROM per_class)
+          FROM scored_rank
           WHERE rn <= 2 GROUP BY doc_id),
         bucketed AS (
           SELECT d.lang AS cls_actual, t.cls_pred,

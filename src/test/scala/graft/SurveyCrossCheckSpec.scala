@@ -37,4 +37,22 @@ class SurveyCrossCheckSpec extends AnyFunSuite {
     assert(orphaned.isEmpty,
       s"oracleSql entries with no query: ${orphaned.toSeq.sorted.mkString(", ")}")
   }
+
+  /** Queries deliberately shipped WITHOUT an oracle twin (the driver
+    * contract allows omission for non-SQL-expressible ops, recording a
+    * weaker rows-only check). Currently empty: every registered query
+    * has a DuckDB twin. A new oracle-less query must be listed here
+    * EXPLICITLY, or this gate treats it as a forgotten twin. */
+  private val oracleExempt: Set[String] = Set.empty
+
+  test("every query has an oracle twin unless explicitly exempted") {
+    val missing = SparkEntry.queries.keySet --
+      SparkEntry.oracleSql.keySet -- oracleExempt
+    assert(missing.isEmpty,
+      s"queries with no oracleSql and no exemption (a forgotten twin " +
+        s"silently shrinks the verified surface): " +
+        missing.toSeq.sorted.mkString(", "))
+    val stale = oracleExempt & SparkEntry.oracleSql.keySet
+    assert(stale.isEmpty, s"stale exemptions (twin exists): ${stale.toSeq.sorted}")
+  }
 }
