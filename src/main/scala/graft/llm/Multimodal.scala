@@ -137,16 +137,26 @@ object Multimodal {
          i -> CAST(i * (strlen(text) // 10) AS BIGINT)), ',') AS frame_offsets
        FROM documents ORDER BY doc_id"""
 
-  /** Deterministic REAL-PNG table: one genuine PNG payload per
-    * document, encoded in-engine with `javax.imageio` — dimensions
-    * derive from doc_id (w = 1 + id mod 13, h = 1 + id mod 7), pixels
-    * from a Knuth-hash of (id, x, y) so the bytes are run-stable.
-    * Map-only: each partition encodes its own rows; nothing shuffles. */
-  def pngTable(documents: DataFrame): Dataset[MediaFile] = {
+  /** Image formats exercised by the decode gate, chosen by
+    * doc_id mod 3. All three ship JDK codecs; GIF is palette-indexed
+    * so its decoded raster has ONE band — the per-format channel
+    * prediction below proves the format-specific codec path actually
+    * ran, not just "some reader accepted the bytes". */
+  val DecodeFormats: IndexedSeq[(String, Int)] =
+    IndexedSeq("png" -> 3, "bmp" -> 3, "gif" -> 1)
+
+  /** Deterministic REAL-image table: one genuine PNG/BMP/GIF payload
+    * per document, encoded in-engine with `javax.imageio` — format
+    * from doc_id mod 3, dimensions from doc_id (w = 1 + id mod 13,
+    * h = 1 + id mod 7), pixels from a Knuth-hash of (id, x, y) so the
+    * bytes are run-stable. Map-only: each partition encodes its own
+    * rows; nothing shuffles. */
+  def imageTable(documents: DataFrame): Dataset[MediaFile] = {
     import documents.sparkSession.implicits._
     documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
       javax.imageio.ImageIO.setUseCache(false)
       ids.map { id =>
+        val fmt = DecodeFormats((id % 3).toInt)._1
         val w = 1 + (id % 13).toInt
         val h = 1 + (id % 7).toInt
         val img = new java.awt.image.BufferedImage(
@@ -162,36 +172,43 @@ object Multimodal {
           y += 1
         }
         val baos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", baos)
+        val ok = javax.imageio.ImageIO.write(img, fmt, baos)
+        require(ok, s"no JDK writer for $fmt") // all three ship with the JDK
         val bytes = baos.toByteArray
-        MediaFile(id, "image", bytes, bytes.length.toLong)
+        MediaFile(id, fmt, bytes, bytes.length.toLong)
       }
     }
   }
 
-  /** REAL image decode, oracle-gated: round-trip [[pngTable]]'s
-    * genuine PNGs through [[decodeFeatures]] and emit the decoded
-    * raster dimensions. The DuckDB twin never decodes — it predicts
-    * the dims from the SAME doc_id arithmetic the encoder used, so a
-    * broken decode (wrong size, wrong band count, stub fallback)
-    * hash-mismatches. This closes the "decode is unit-tested only"
-    * gap: the codec path is now part of the correctness gate.
-    * (n_bytes is excluded: PNG encoder output size is
+  /** REAL image decode, oracle-gated: round-trip [[imageTable]]'s
+    * genuine PNG/BMP/GIF payloads through [[decodeFeatures]] and emit
+    * the decoded raster dimensions. The DuckDB twin never decodes —
+    * it predicts dims AND per-format band count from the SAME doc_id
+    * arithmetic the encoder used, so a broken decode (wrong size,
+    * wrong band count, stub fallback, or a format falling back to
+    * another codec) hash-mismatches. This closes the "decode is
+    * unit-tested only" gap: three codec paths are part of the
+    * correctness gate. (n_bytes is excluded: encoder output size is
     * JDK-implementation-specific; decoded dimensions are not.) */
   def mediaDecode(documents: DataFrame): DataFrame = {
-    decodeFeatures(pngTable(documents), hashContent = false)
+    decodeFeatures(imageTable(documents), hashContent = false)
       .toDF()
-      .select(col("doc_id"), col("width"), col("height"),
-        col("channels"), col("decoded"))
+      .select(col("doc_id"), col("media_type").as("format"),
+        col("width"), col("height"), col("channels"), col("decoded"))
       .orderBy("doc_id")
   }
 
-  val sqlMediaDecode: String =
-    """SELECT doc_id,
+  val sqlMediaDecode: String = {
+    val fmts = DecodeFormats.map(_._1).map(f => s"'$f'").mkString(", ")
+    val chans = DecodeFormats.map(_._2).mkString(", ")
+    s"""SELECT doc_id,
+       [$fmts][CAST(doc_id % 3 + 1 AS INTEGER)] AS format,
        CAST(1 + doc_id % 13 AS INTEGER) AS width,
        CAST(1 + doc_id % 7 AS INTEGER) AS height,
-       3 AS channels, TRUE AS decoded
+       [$chans][CAST(doc_id % 3 + 1 AS INTEGER)] AS channels,
+       TRUE AS decoded
        FROM documents ORDER BY doc_id"""
+  }
 
   val ResizeW = 128
   val ResizeH = 96
