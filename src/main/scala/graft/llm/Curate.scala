@@ -52,16 +52,25 @@ object Curate {
       lit(" ssn 123-45-"),
       lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
 
-  def redactPii(documents: DataFrame): DataFrame =
+  def redactPii(documents: DataFrame): DataFrame = {
+    // Counts follow the REPLACEMENT order (emails, then SSNs, then
+    // phones): each pattern is counted on the text with the
+    // higher-precedence patterns already replaced, so a digit run
+    // nested inside an email is counted (and emitted) exactly once as
+    // <EMAIL> — counted on the raw text it would inflate n_ssns/
+    // n_phones with matches the redaction never emits.
+    val afterEmail = regexp_replace(col("t"), lit(EmailRe), lit("<EMAIL>"))
+    val afterSsn = regexp_replace(afterEmail, lit(SsnRe), lit("<SSN>"))
     documents
       .select(col("doc_id"), planted.as("t"))
       .select(
         col("doc_id"),
         regexp_count(col("t"), lit(EmailRe)).as("n_emails"),
-        regexp_count(col("t"), lit(SsnRe)).as("n_ssns"),
-        regexp_count(col("t"), lit(PhoneRe)).as("n_phones"),
+        regexp_count(afterEmail, lit(SsnRe)).as("n_ssns"),
+        regexp_count(afterSsn, lit(PhoneRe)).as("n_phones"),
         redactCol(col("t")).as("redacted"))
       .orderBy("doc_id")
+  }
 
   val sqlRedactPii: String = {
     val planted = "text || ' contact user' || CAST(doc_id AS VARCHAR) " +
@@ -74,8 +83,14 @@ object Curate {
     s"""WITH p AS (SELECT doc_id, $planted AS t FROM documents)
         SELECT doc_id,
           CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
-          CAST(len(regexp_extract_all(t, '$SsnRe')) AS BIGINT) AS n_ssns,
-          CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phones,
+          CAST(len(regexp_extract_all(
+            regexp_replace(t, '$email', '<EMAIL>', 'g'),
+            '$SsnRe')) AS BIGINT) AS n_ssns,
+          CAST(len(regexp_extract_all(
+            regexp_replace(
+              regexp_replace(t, '$email', '<EMAIL>', 'g'),
+              '$SsnRe', '<SSN>', 'g'),
+            '$PhoneRe')) AS BIGINT) AS n_phones,
           regexp_replace(
             regexp_replace(
               regexp_replace(t, '$email', '<EMAIL>', 'g'),
@@ -107,12 +122,15 @@ object Curate {
   private def splitCase(bucket: Column): Column =
     when(bucket < TrainPct, "train")
       .when(bucket < TrainPct + ValPct, "validation")
-      .otherwise("test")
+      // isNotNull, not otherwise: an unhashable row (NULL doc_id) must
+      // get a NULL split, never be silently assigned to the
+      // eval-critical test split. Same pin in the SQL twin.
+      .when(bucket.isNotNull, "test")
 
   private def sqlSplitCase(bucketExpr: String): String =
     s"""CASE WHEN $bucketExpr < $TrainPct THEN 'train'
         WHEN $bucketExpr < ${TrainPct + ValPct} THEN 'validation'
-        ELSE 'test' END"""
+        WHEN $bucketExpr IS NOT NULL THEN 'test' END"""
 
   /** Assign every document to train/validation/test by hash bucket.
     * Adding documents never reassigns existing ones, and the split
@@ -299,9 +317,37 @@ object Curate {
     * shuffled. Output: per training document, its shingle count, how
     * many shingles collide with the eval set, the collision fraction,
     * and the drop flag. */
+  /** Per-TRAINING-DOCUMENT output base: every training doc gets a row,
+    * INCLUDING docs too short to shingle (under ShingleWords words) —
+    * docShingles drops those, so building the output from the shingle
+    * frame alone would silently omit them and a consumer treating
+    * absence as "clean" could not tell "checked, no shingles" from
+    * "never checked". Pinned semantics for shingle-less docs:
+    * n_shingles = 0, n_matched = 0, contamination_frac = NULL (0/0 is
+    * undefined), contaminated = false (nothing to collide). */
+  private def contaminationReport(documents: DataFrame, train: DataFrame,
+                                  matched: DataFrame, evalMod: Long,
+                                  threshold: Double): DataFrame =
+    documents.select(col("doc_id")).filter(col("doc_id") % evalMod =!= 0)
+      .join(train.select("doc_id", "n"), Seq("doc_id"), "left")
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_shingles"),
+        coalesce(col("matched"), lit(0L)).as("n_matched"))
+      .withColumn("contamination_frac",
+        when(col("n_shingles") > 0,
+          col("n_matched").cast("double") / col("n_shingles").cast("double")))
+      .withColumn("contaminated",
+        coalesce(col("contamination_frac") >= threshold, lit(false)))
+      .orderBy("doc_id")
+
   def decontaminate(documents: DataFrame, evalMod: Long = EvalMod,
                     threshold: Double = ContamThreshold): DataFrame = {
-    val prep = TextPrep.docShingles(documents).select("doc_id", "shs", "n")
+    // cached: the shingle prep feeds the train side twice (size join +
+    // match explode) and the eval side once — same multi-consumer
+    // shape decontaminateBloom already caches for
+    val prep = TextPrep.docShingles(documents)
+      .select("doc_id", "shs", "n").cache()
     val train = prep.filter(col("doc_id") % evalMod =!= 0)
     val evalSh = prep.filter(col("doc_id") % evalMod === 0)
       .select(explode(col("shs")).as("sh")).distinct()
@@ -309,18 +355,13 @@ object Curate {
       .select(col("doc_id"), explode(col("shs")).as("sh"))
       .join(broadcast(evalSh), "sh")
       .groupBy("doc_id").agg(count(lit(1)).as("matched"))
-    train.join(matched, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n").as("n_shingles"),
-        coalesce(col("matched"), lit(0L)).as("n_matched"))
-      .withColumn("contamination_frac",
-        col("n_matched").cast("double") / col("n_shingles").cast("double"))
-      .withColumn("contaminated", col("contamination_frac") >= threshold)
-      .orderBy("doc_id")
+    contaminationReport(documents, train, matched, evalMod, threshold)
   }
 
   def sqlDecontaminate(evalMod: Long = EvalMod,
                        threshold: Double = ContamThreshold): String =
     s"""WITH ${TextPrep.sqlShingleCtes},
+        tr_all AS (SELECT doc_id FROM documents WHERE doc_id % $evalMod <> 0),
         train AS (SELECT doc_id, shs, n FROM docs WHERE doc_id % $evalMod <> 0),
         evs AS (
           SELECT DISTINCT unnest(shs) AS sh FROM docs
@@ -329,14 +370,20 @@ object Curate {
           SELECT t.doc_id, count(*) AS matched
           FROM (SELECT doc_id, unnest(shs) AS sh FROM train) t
           JOIN evs USING (sh) GROUP BY 1)
-        SELECT train.doc_id, train.n AS n_shingles,
+        SELECT tr_all.doc_id,
+          CAST(coalesce(train.n, 0) AS BIGINT) AS n_shingles,
           CAST(coalesce(m.matched, 0) AS BIGINT) AS n_matched,
-          CAST(coalesce(m.matched, 0) AS DOUBLE) / CAST(train.n AS DOUBLE)
-            AS contamination_frac,
-          CAST(coalesce(m.matched, 0) AS DOUBLE) / CAST(train.n AS DOUBLE)
-            >= $threshold AS contaminated
-        FROM train LEFT JOIN m ON train.doc_id = m.doc_id
-        ORDER BY train.doc_id"""
+          CASE WHEN coalesce(train.n, 0) > 0 THEN
+            CAST(coalesce(m.matched, 0) AS DOUBLE) / CAST(train.n AS DOUBLE)
+          END AS contamination_frac,
+          coalesce(
+            CASE WHEN coalesce(train.n, 0) > 0 THEN
+              CAST(coalesce(m.matched, 0) AS DOUBLE) / CAST(train.n AS DOUBLE)
+            END >= $threshold, FALSE) AS contaminated
+        FROM tr_all
+        LEFT JOIN train ON tr_all.doc_id = train.doc_id
+        LEFT JOIN m ON tr_all.doc_id = m.doc_id
+        ORDER BY tr_all.doc_id"""
 
   /** Unicode NFC normalization report: the canonical pre-dedup pass.
     * Composed vs decomposed accents (é as U+00E9 vs e + combining
@@ -383,12 +430,19 @@ object Curate {
     * NOT hinted broadcast: locally AQE broadcasts it anyway, at scale
     * it becomes a shuffle join whose probe side the bloom already cut.
     */
+  /** Default bloom sizing for THIS corpus's eval slice. At the 10⁹-
+    * shingle eval battery the docstring above cites, this default
+    * would saturate the filter (fpp → 1) and the prefilter would stop
+    * pruning — callers at that scale MUST pass their real eval-side
+    * estimate (correctness is unaffected either way: the verify join
+    * kills false positives; only the pruning power is at stake). */
   val BloomEstEvalShingles = 1L << 20
 
   def decontaminateBloom(documents: DataFrame, evalMod: Long = EvalMod,
-                         threshold: Double = ContamThreshold): DataFrame = {
+                         threshold: Double = ContamThreshold,
+                         expectedEvalShingles: Long = BloomEstEvalShingles): DataFrame = {
     graft.functions.GraftFunctions.registerAll(documents.sparkSession)
-    // cached: the shingle prep feeds the train side once and the eval
+    // cached: the shingle prep feeds the train side twice and the eval
     // side twice (bloom build + verify join)
     val prep = TextPrep.docShingles(documents)
       .select("doc_id", "shs", "n").cache()
@@ -396,19 +450,13 @@ object Curate {
     val evalSh = prep.filter(col("doc_id") % evalMod === 0)
       .select(explode(col("shs")).as("sh")).distinct()
     val bf = evalSh.agg(call_function("bloom_build",
-      xxhash64(col("sh")), lit(BloomEstEvalShingles)).as("bf"))
+      xxhash64(col("sh")), lit(expectedEvalShingles)).as("bf"))
     val cand = train
       .select(col("doc_id"), explode(col("shs")).as("sh"))
       .filter(call_function("bloom_might_contain", bf.scalar(), xxhash64(col("sh"))))
     val matched = cand.join(evalSh, "sh")
       .groupBy("doc_id").agg(count(lit(1)).as("matched"))
-    train.join(matched, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n").as("n_shingles"),
-        coalesce(col("matched"), lit(0L)).as("n_matched"))
-      .withColumn("contamination_frac",
-        col("n_matched").cast("double") / col("n_shingles").cast("double"))
-      .withColumn("contaminated", col("contamination_frac") >= threshold)
-      .orderBy("doc_id")
+    contaminationReport(documents, train, matched, evalMod, threshold)
   }
 
   // ---- grouped quality top-k ----------------------------------------
@@ -783,10 +831,14 @@ object Curate {
     * that aggregate. */
   def curationFunnel(documents: DataFrame): DataFrame = {
     // fingerprint = md5(text), already computed by the stats pass —
-    // the exact-dedup stage reuses it instead of re-hashing the corpus
+    // the exact-dedup stage reuses it instead of re-hashing the corpus.
+    // Cached: stats feeds THREE subtrees (keepExact's probe side, the
+    // fingerprint groupBy, and the flags join) and Spark shares no
+    // subplans — uncached, the tokenization + md5 pass runs 3x.
     val stats = TextStats.textStatsUnordered(documents)
       .select(col("doc_id"), col("n_tokens"), col("quality_score"),
         col("fingerprint"))
+      .cache()
     val keepExact = stats
       .join(stats.groupBy("fingerprint").agg(min(col("doc_id")).as("m")),
         "fingerprint")

@@ -115,12 +115,18 @@ class LlmSpec extends SparkSpec {
 
   test("decontaminate flags train docs overlapping the eval slice") {
     // doc 0 (doc_id % 50 == 0) is the eval side; doc 4 is unshingleable
-    val out = Curate.decontaminate(docs).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(4)))).toMap
-    assert(out.keySet === Set(1L, 2L, 3L))
+    val rows = Curate.decontaminate(docs).collect()
+    val out = rows.map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(4)))).toMap
+    // EVERY training doc gets a row — including the unshingleable doc 4
+    // (absence must never be confusable with "checked, clean")
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
     assert(out(1L) === ((8L, true))) // exact dup of the eval doc: all 8 shingles
     assert(out(2L)._1 === 6L && out(2L)._2) // near dup: 6 of 8 shingles collide
     assert(out(3L) === ((0L, false))) // disjoint text
+    assert(out(4L) === ((0L, false))) // too short to shingle: pinned clean
+    // pinned: shingle-less doc has n_shingles 0 and a NULL fraction
+    val short = rows.find(_.getLong(0) == 4L).get
+    assert(short.getLong(1) === 0L && short.isNullAt(3))
   }
 
   test("dup clusters: exact+near dups share a component, rest singletons") {
