@@ -102,6 +102,11 @@ object Windows {
     * day. First days (trailing window empty) carry sentinel -1.0. */
   def volumeAnomaly(events: DataFrame): DataFrame = {
     val daily = events
+      // NULL-ts rows would form a NULL day group whose final sort
+      // placement differs across engines (Spark NULLS FIRST vs DuckDB
+      // NULLS LAST) and whose NULL day_num has unpinned RANGE-frame
+      // semantics — exclude them, as Aggregate's windowed aggs do
+      .filter(col("ts").isNotNull)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n_events"),
         Aggregate.moneySum(col("value")).as("sum_value"))
@@ -131,7 +136,7 @@ object Windows {
     s"""WITH daily AS (
           SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events,
             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-          FROM events GROUP BY 1),
+          FROM events WHERE ts IS NOT NULL GROUP BY 1),
         t AS (
           SELECT day, n_events, sum_value,
             CAST(COALESCE(sum(n_events) OVER w, 0) AS BIGINT) AS trail_n,
@@ -207,7 +212,7 @@ object Windows {
   val sqlApproxDistinctUsers: String =
     """SELECT event_type, count(DISTINCT user_id) AS n_users,
        count(*) AS n_events, TRUE AS approx_within_5pct
-       FROM events GROUP BY 1 ORDER BY 1"""
+       FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST"""
 
   /** approx_percentile next to the exact interpolated percentile, with
     * a tolerance boolean the oracle can check (same pattern as
@@ -226,10 +231,16 @@ object Windows {
       .select(col("event_type"),
         col("pct").getItem(0).as("p50"),
         col("pct").getItem(1).as("p95"),
-        ((abs(col("apct").getItem(0) - col("pct").getItem(0)) <=
-          lit(0.05) * (col("max_v") - col("min_v"))) &&
-          (abs(col("apct").getItem(1) - col("pct").getItem(1)) <=
-            lit(0.05) * (col("max_v") - col("min_v")))).as("approx_within_tol"))
+        // coalesce TRUE: an all-NULL-value group makes every sketch and
+        // percentile NULL, so the conjunction is NULL — the oracle emits
+        // literal TRUE, and "within tolerance" is vacuously true when
+        // there is nothing to compare
+        coalesce(
+          (abs(col("apct").getItem(0) - col("pct").getItem(0)) <=
+            lit(0.05) * (col("max_v") - col("min_v"))) &&
+            (abs(col("apct").getItem(1) - col("pct").getItem(1)) <=
+              lit(0.05) * (col("max_v") - col("min_v"))),
+          lit(true)).as("approx_within_tol"))
       .orderBy("event_type")
 
   val sqlApproxQuantiles: String =
@@ -237,7 +248,7 @@ object Windows {
        quantile_cont(value, 0.5) AS p50,
        quantile_cont(value, 0.95) AS p95,
        TRUE AS approx_within_tol
-       FROM events GROUP BY 1 ORDER BY 1"""
+       FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST"""
 
   /** Pivot: monthly event counts spread into one column per event
     * type. Explicit pivot values — no extra distinct-values job, and
@@ -249,6 +260,7 @@ object Windows {
 
   def monthlyTypePivot(events: DataFrame): DataFrame = {
     val pivoted = events
+      .filter(col("ts").isNotNull) // NULL month group sorts differently per engine
       .select(year(col("ts")).as("y"), month(col("ts")).as("m"), col("event_type"))
       .groupBy("y", "m")
       .pivot("event_type", PivotTypes)
@@ -263,7 +275,7 @@ object Windows {
     val cols = PivotTypes.map(t =>
       s"count(CASE WHEN event_type = '$t' THEN 1 END) AS n_$t").mkString(", ")
     s"""SELECT CAST(year(ts) AS INTEGER) AS y, CAST(month(ts) AS INTEGER) AS m, $cols
-       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+       FROM events WHERE ts IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"""
   }
 
   /** GE-style column profile per group: counts, bounds, stabilized
@@ -291,7 +303,7 @@ object Windows {
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_v,
        quantile_cont(value, 0.5) AS p50,
        quantile_cont(value, 0.95) AS p95
-       FROM events GROUP BY 1 ORDER BY 1"""
+       FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST"""
 
   /** Distinct + approximate distinct side by side (scale path:
     * approx_count_distinct is a fixed-size HLL sketch, no shuffle of
@@ -404,8 +416,14 @@ object Windows {
       .filter(col("value").isNotNull && col("event_type").isNotNull)
       .select(col("event_type"), floor(col("value") * 100).cast("long").as("x"))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-        sum(col("x") * col("x")).as("sxx"))
+      // power sums in DECIMAL(38): the per-row product x² (≤ ~1e10 at
+      // cents scale) fits a long, but the SUM wraps silently past ~3e9
+      // rows in non-ANSI Spark while DuckDB promotes to HUGEINT — the
+      // Linkage n·(n−1) defect class. Decimal keeps both engines exact;
+      // the formula below casts the exact integer to double identically.
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
     events
       .filter(col("value").isNotNull && col("event_type").isNotNull)
       .join(broadcast(stats), "event_type")
@@ -423,8 +441,8 @@ object Windows {
   val sqlZscoreByType: String =
     """WITH s AS (
          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sx,
-           CAST(sum(CAST(floor(value * 100) AS BIGINT) * CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sxx
+           sum(CAST(floor(value * 100) AS BIGINT)) AS sx,
+           sum(CAST(floor(value * 100) AS BIGINT) * CAST(floor(value * 100) AS BIGINT)) AS sxx
          FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
          GROUP BY 1)
        SELECT event_id, event_type, value,
@@ -530,8 +548,10 @@ object Windows {
     * on partition merge order), and only the final closed form runs in
     * double — one fixed expression tree, bit-identical in both
     * engines. One partial+final aggregate, counters-only shuffle.
-    * At 100 TB the Σx² sum needs decimal(38) headroom — the bigint
-    * bound here holds to ~10^18 (≈4·10^8 rows at max cents²). */
+    * Power sums accumulate in DECIMAL(38) (the per-row products fit a
+    * long, the corpus-scale SUM does not — non-ANSI Spark would wrap
+    * silently past ~4·10^8 rows at max cents² while DuckDB promotes to
+    * HUGEINT); both engines cast the same exact integer to double. */
   def corrValueHour(events: DataFrame): DataFrame =
     events
       .filter(col("value").isNotNull && col("ts").isNotNull &&
@@ -541,9 +561,11 @@ object Windows {
         hour(col("ts")).cast("long").as("y"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
-        sum(col("x") * col("y")).as("sxy"))
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
       .select(col("event_type"), col("n"), {
         // NULLIF(denom, 0): a zero-variance group yields NULL in both
         // engines instead of an ANSI divide-by-zero error.
@@ -567,9 +589,9 @@ object Windows {
          WHERE value IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
        g AS (
          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-           CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
-           CAST(sum(x * y) AS BIGINT) AS sxy
+           sum(x) AS sx, sum(y) AS sy,
+           sum(x * x) AS sxx, sum(y * y) AS syy,
+           sum(x * y) AS sxy
          FROM s GROUP BY 1)
        SELECT event_type, n,
          (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
@@ -590,11 +612,17 @@ object Windows {
     * sit within 10 % of exact (default lgConfigK=12 ⇒ ~1.6 % stderr,
     * so the margin is generous and the gate deterministic). */
   def hllDailyDistinct(events: DataFrame): DataFrame = {
-    val e = events.filter(col("user_id").isNotNull)
+    // NULL-ts rows would make a NULL day scope whose sort placement
+    // differs across engines — exclude, as volumeAnomaly does
+    val e = events.filter(col("user_id").isNotNull && col("ts").isNotNull)
     val daily = e.groupBy(to_date(col("ts")).as("day"))
       .agg(expr("hll_sketch_agg(user_id)").as("sk"),
         countDistinct(col("user_id")).as("n_exact"))
-      .cache() // one row per day; feeds both the day rows and the union
+      // one row per day; feeds both the day rows and the union.
+      // Caller-released lifecycle (same as the ANN builders): the
+      // returned plan reads the cache lazily; Bench/Verify clearCache()
+      // after each query releases it.
+      .cache()
     val dayRows = daily.select(
       concat(lit("day:"), col("day").cast("string")).as("scope"),
       col("n_exact"),
@@ -613,7 +641,7 @@ object Windows {
   val sqlHllDailyDistinct: String =
     """WITH e AS (
          SELECT CAST(ts AS DATE) AS day, user_id FROM events
-         WHERE user_id IS NOT NULL),
+         WHERE user_id IS NOT NULL AND ts IS NOT NULL),
        d AS (
          SELECT 'day:' || CAST(day AS VARCHAR) AS scope,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
@@ -651,7 +679,11 @@ object Windows {
           .as("n_outliers"))
       .select(col("event_type"), col("n"), col("med"), col("mad"),
         col("n_outliers"),
-        (col("n_outliers").cast("double") / col("n").cast("double"))
+        // guard n = 0 (a group whose values are ALL NULL still has a
+        // row here, with count(value) = 0): 0/0 is NaN in Spark but
+        // NULL in DuckDB — pin NULL on both engines
+        when(col("n") > 0,
+          col("n_outliers").cast("double") / col("n").cast("double"))
           .as("outlier_rate"))
       .orderBy("event_type")
   }
@@ -674,7 +706,8 @@ object Windows {
              AS n_outliers
          FROM dev JOIN m USING (event_type) GROUP BY 1)
        SELECT event_type, n, med, mad, n_outliers,
-         CAST(n_outliers AS DOUBLE) / CAST(n AS DOUBLE) AS outlier_rate
+         CASE WHEN n > 0 THEN
+           CAST(n_outliers AS DOUBLE) / CAST(n AS DOUBLE) END AS outlier_rate
        FROM g ORDER BY event_type"""
 
   /** Winsorization: clamp values to the exact [p05, p95] band per
@@ -854,12 +887,17 @@ object Windows {
     * error at default k, so the boolean is stable across runs. Oracle
     * pattern as q_hll_union: exact row counts + TRUE booleans. */
   def kllValueQuantiles(events: DataFrame): DataFrame = {
-    val e = events.filter(col("value").isNotNull)
+    // ts filtered too: a NULL day would make a NULL scope that the
+    // equi-join below drops on the Spark side while DuckDB's
+    // NULL-skipping concat() would emit a phantom 'day:' scope row
+    val e = events.filter(col("value").isNotNull && col("ts").isNotNull)
       .select(to_date(col("ts")).as("day"), col("value"))
     val daily = e.groupBy("day")
       .agg(expr("kll_sketch_agg_double(value)").as("sk"),
         count(lit(1)).as("n_rows"))
-      .cache() // one row per day; feeds the day rows and the merge
+      // one row per day; feeds the day rows and the merge.
+      // Caller-released lifecycle: Bench/Verify clearCache() releases it.
+      .cache()
     val est = daily.select(
         concat(lit("day:"), col("day").cast("string")).as("scope"),
         col("n_rows"),
@@ -899,9 +937,9 @@ object Windows {
   val sqlKllValueQuantiles: String =
     """WITH e AS (
          SELECT CAST(ts AS DATE) AS day, value FROM events
-         WHERE value IS NOT NULL),
+         WHERE value IS NOT NULL AND ts IS NOT NULL),
        d AS (
-         SELECT concat('day:', CAST(day AS VARCHAR)) AS scope,
+         SELECT 'day:' || CAST(day AS VARCHAR) AS scope,
            CAST(count(*) AS BIGINT) AS n_rows
          FROM e GROUP BY 1),
        t AS (SELECT 'total' AS scope, CAST(count(*) AS BIGINT) AS n_rows FROM e)
@@ -922,22 +960,36 @@ object Windows {
     * on the days-per-type frame (rows = #days), a partitioned
     * aggregate, no window, no broadcast. Degenerate one-day segments
     * yield NULL slope (zero x-variance), pinned identically. */
-  def trendSlopes(events: DataFrame): DataFrame = {
+  /** (event_type, day, x, y): per-type daily decimal totals with the
+    * day index x relative to the segment's own first day — the ONE
+    * shared base of [[trendSlopes]] and [[trendResiduals]] (a filter
+    * or cast fixed in one must reach the other; they previously
+    * carried four hand-synced copies of this construction). */
+  private def indexedDaily(events: DataFrame): DataFrame = {
     val daily = events
       .filter(col("value").isNotNull && col("event_type").isNotNull)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("y"))
-    val indexed = daily
+    daily
       .withColumn("x0", min(col("day")).over(
         org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
-      .select(col("event_type"),
+      .select(col("event_type"), col("day"),
         datediff(col("day"), col("x0")).cast("long").as("x"), col("y"))
+  }
+
+  /** The six exact power sums per event type over [[indexedDaily]];
+    * shared by the fit and the residual audit. */
+  private def trendPowerSums(indexed: DataFrame): DataFrame =
     indexed.groupBy("event_type")
       .agg(count(lit(1)).cast("double").as("n"),
         sum(col("x")).cast("double").as("sx"),
         sum(col("y")).cast("double").as("sy"),
         sum(col("x") * col("x")).cast("double").as("sxx"),
-        sum(col("x").cast("decimal(18,0)") * col("y")).cast("double").as("sxy"))
+        sum(col("x").cast("decimal(18,0)") * col("y")).cast("double").as("sxy"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+
+  def trendSlopes(events: DataFrame): DataFrame = {
+    trendPowerSums(indexedDaily(events))
       .select(col("event_type"), col("n").cast("long").as("n_days"),
         when(col("n") * col("sxx") - col("sx") * col("sx") === 0.0, lit(null))
           .otherwise((col("n") * col("sxy") - col("sx") * col("sy")) /
@@ -950,15 +1002,17 @@ object Windows {
       .orderBy("event_type")
   }
 
-  val sqlTrendSlopes: String =
-    """WITH daily AS (
+  /** DuckDB twin of [[indexedDaily]] + [[trendPowerSums]]: CTEs
+    * `daily`, `idx`, `s` — one definition for both trend oracles. */
+  private val sqlTrendBaseCtes: String =
+    """daily AS (
          SELECT event_type, CAST(ts AS DATE) AS day,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
          FROM events
          WHERE value IS NOT NULL AND event_type IS NOT NULL
          GROUP BY 1, 2),
        idx AS (
-         SELECT event_type,
+         SELECT event_type, day,
            CAST(date_diff('day', min(day) OVER (PARTITION BY event_type), day)
              AS BIGINT) AS x,
            y
@@ -967,8 +1021,12 @@ object Windows {
          SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
            CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
            CAST(sum(x * x) AS DOUBLE) AS sxx,
-           CAST(sum(CAST(x AS DECIMAL(18,0)) * y) AS DOUBLE) AS sxy
-         FROM idx GROUP BY 1)
+           CAST(sum(CAST(x AS DECIMAL(18,0)) * y) AS DOUBLE) AS sxy,
+           CAST(sum(y * y) AS DOUBLE) AS syy
+         FROM idx GROUP BY 1)"""
+
+  val sqlTrendSlopes: String =
+    s"""WITH $sqlTrendBaseCtes
        SELECT event_type, CAST(n AS BIGINT) AS n_days,
          CASE WHEN n * sxx - sx * sx = 0.0 THEN NULL
            ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope_per_day,
@@ -989,22 +1047,8 @@ object Windows {
     * Scale shape: identical to trendSlopes plus one broadcast of the
     * per-type model row back onto the day frame. */
   def trendResiduals(events: DataFrame): DataFrame = {
-    val daily = events
-      .filter(col("value").isNotNull && col("event_type").isNotNull)
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("y"))
-    val indexed = daily
-      .withColumn("x0", min(col("day")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
-      .select(col("event_type"), col("day"),
-        datediff(col("day"), col("x0")).cast("long").as("x"), col("y"))
-    val model = indexed.groupBy("event_type")
-      .agg(count(lit(1)).cast("double").as("n"),
-        sum(col("x")).cast("double").as("sx"),
-        sum(col("y")).cast("double").as("sy"),
-        sum(col("x") * col("x")).cast("double").as("sxx"),
-        sum(col("x").cast("decimal(18,0)") * col("y")).cast("double").as("sxy"),
-        sum(col("y") * col("y")).cast("double").as("syy"))
+    val indexed = indexedDaily(events)
+    val model = trendPowerSums(indexed)
       .filter(col("n") * col("sxx") - col("sx") * col("sx") =!= 0.0 &&
         col("n") > 2.0)
       .withColumn("slope",
@@ -1030,25 +1074,7 @@ object Windows {
   }
 
   val sqlTrendResiduals: String =
-    """WITH daily AS (
-         SELECT event_type, CAST(ts AS DATE) AS day,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
-         FROM events
-         WHERE value IS NOT NULL AND event_type IS NOT NULL
-         GROUP BY 1, 2),
-       idx AS (
-         SELECT event_type, day,
-           CAST(date_diff('day', min(day) OVER (PARTITION BY event_type), day)
-             AS BIGINT) AS x,
-           y
-         FROM daily),
-       s AS (
-         SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
-           CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-           CAST(sum(x * x) AS DOUBLE) AS sxx,
-           CAST(sum(CAST(x AS DECIMAL(18,0)) * y) AS DOUBLE) AS sxy,
-           CAST(sum(y * y) AS DOUBLE) AS syy
-         FROM idx GROUP BY 1),
+    s"""WITH $sqlTrendBaseCtes,
        m AS (
          SELECT event_type, n, sx, sy, sxy, syy,
            (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
