@@ -26,9 +26,6 @@ object TextStats {
   private def inList(vals: Seq[String]): String =
     vals.map(v => s"'$v'").mkString("(", ",", ")")
 
-  private def sqlArray(vals: Seq[String]): String =
-    vals.map(v => s"'$v'").mkString("[", ",", "]")
-
   /** Per-document statistics + quality score + fingerprint. */
   /** textStats without the presentation ORDER BY: internal consumers
     * (decile bucketing, cluster representatives, top-k) aggregate or
@@ -36,7 +33,11 @@ object TextStats {
     * aggregate is a pure waste of an exchange at 100 TB. */
   def textStatsUnordered(documents: DataFrame): DataFrame = {
     val nWords = size(col("words")).cast("long")
-    val sumLen = expr("aggregate(words, 0, (acc, w) -> acc + length(w))").cast("long")
+    // LONG accumulators (0L), not Int: a multi-GiB crawl-artifact doc
+    // overflows an Int character sum at 2^31 and the cast-after-fold
+    // applies only after the wrap; DuckDB's list_sum never wraps
+    val sumLen =
+      expr("aggregate(words, 0L, (acc, w) -> acc + CAST(length(w) AS LONG))")
     val nStop = expr(
       s"size(filter(words, w -> w IN ${inList(Stopwords)}))")
     documents
@@ -46,8 +47,8 @@ object TextStats {
         nWords.as("n_words"),
         size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
           .cast("long").as("n_tokens"),
-        expr("aggregate(words, 0, (acc, w) -> acc + CAST(ceil(length(w) / 4.0) AS INT))")
-          .cast("long").as("n_tokens_bpeish"),
+        expr("aggregate(words, 0L, (acc, w) -> acc + CAST(ceil(length(w) / 4.0) AS LONG))")
+          .as("n_tokens_bpeish"),
         (sumLen.cast("double") / nWords.cast("double")).as("avg_word_len"),
         (nStop.cast("double") / nWords.cast("double")).as("stopword_ratio"),
         md5(col("text")).as("fingerprint"))
@@ -174,7 +175,13 @@ object TextStats {
       .partitionBy("doc_id").orderBy(col("salience").desc, col("w").asc)
     tf.join(dfreq, "w")
       .crossJoin(broadcast(n))
-      .withColumn("salience", col("tf") * col("n") / col("df"))
+      // double arithmetic end-to-end, same shape as the twin: the
+      // tf·n product in LONG wraps silently past 2^63 at web-corpus
+      // scale (Spark non-ANSI) while DuckDB's BIGINT product errors —
+      // doubles lose precision gracefully and identically on both
+      .withColumn("salience",
+        col("tf").cast("double") * col("n").cast("double") /
+          col("df").cast("double"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("rnk"), col("w"), col("tf"), col("df"), col("salience"))
@@ -191,7 +198,8 @@ object TextStats {
         n AS (SELECT count(*) AS n FROM documents),
         scored AS (
           SELECT tf.doc_id, tf.w, tf.tf, dfreq.df,
-            tf.tf * n.n / dfreq.df AS salience
+            CAST(tf.tf AS DOUBLE) * CAST(n.n AS DOUBLE)
+              / CAST(dfreq.df AS DOUBLE) AS salience
           FROM tf JOIN dfreq USING (w) CROSS JOIN n),
         ranked AS (
           SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -498,9 +506,24 @@ object TextStats {
       .agg(count(lit(1)).as("n_words")).collect()
     require(hist.length <= 2000000,
       s"vocab rank-bucket histogram blew the driver bound: ${hist.length} buckets")
+    // Prefix order must be CODE-POINT (UTF-8 binary) order — what the
+    // in-bucket window (Spark UTF8String binary compare) and the
+    // DuckDB oracle (VARCHAR binary collation) both use. Scala's
+    // default String ordering compares UTF-16 units, which disagrees
+    // for non-BMP prefixes (surrogates 0xD800+ sort below U+E000+).
+    val utf8Ord: Ordering[String] = (a: String, b: String) => {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      var i = 0
+      var r = 0
+      while (r == 0 && i < x.length && i < y.length) {
+        r = (x(i) & 0xff) - (y(i) & 0xff); i += 1
+      }
+      if (r != 0) r else x.length - y.length
+    }
     var acc = 0L
     val offsets = hist.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-      .sortBy { case (occ, pfx, _) => (-occ, pfx) }
+      .sortBy { case (occ, pfx, _) => (occ, pfx) }(
+        Ordering.Tuple2(Ordering.Long.reverse, utf8Ord))
       .map { case (occ, pfx, cnt) => val o = (occ, pfx, acc); acc += cnt; o }
     val offDf = offsets.toSeq.toDF("n_occurrences", "pfx", "rank_offset")
     val w = org.apache.spark.sql.expressions.Window
@@ -785,15 +808,18 @@ object TextStats {
   def cmsTopWords(documents: DataFrame, k: Int = CmsTopK): DataFrame = {
     graft.functions.GraftFunctions.registerAll(documents.sparkSession)
     val words = documents.select(explode(TextPrep.wordsCol).as("word"))
-    val sketch = words.agg(call_function("cms_build", col("word")).as("sk"))
-    val tot = words.agg(count(lit(1)).as("n_total"))
+    // sketch + corpus total in ONE aggregate: as separate .agg() calls
+    // they are different subplans ReuseExchange cannot merge, so each
+    // would pay its own full corpus explode+scan
+    val sketch = words.agg(call_function("cms_build", col("word")).as("sk"),
+      count(lit(1)).as("n_total"))
     val eps = 2.0 / graft.functions.Cms.Width
     // rank via bounded top-k (TakeOrderedAndProject), never a global
     // single-partition window over the vocabulary
     graft.util.TopN.rankedTopN(
         words.groupBy("word").agg(count(lit(1)).as("n_exact")),
         struct((-col("n_exact")).as("nk"), col("word").as("wk")), k, "rnk")
-      .crossJoin(broadcast(sketch)).crossJoin(broadcast(tot))
+      .crossJoin(broadcast(sketch))
       .select(col("rnk"), col("word"), col("n_exact"),
         (call_function("cms_query", col("sk"), col("word")) >= col("n_exact"))
           .as("est_ge_exact"),
@@ -828,15 +854,17 @@ object TextStats {
     graft.functions.GraftFunctions.registerAll(documents.sparkSession)
     val mgK = graft.functions.MisraGries.K
     val words = documents.select(explode(TextPrep.wordsCol).as("word"))
-    val mg = words.agg(call_function("mg_build", col("word")).as("summary"))
-    val tot = words.agg(count(lit(1)).as("n_total"))
+    // summary + corpus total in ONE aggregate (same one-scan reasoning
+    // as cmsTopWords)
+    val mg = words.agg(call_function("mg_build", col("word")).as("summary"),
+      count(lit(1)).as("n_total"))
     val est = coalesce(
       element_at(expr("transform(filter(summary, e -> e.word = word), e -> e.cnt)"), 1),
       lit(0L))
     graft.util.TopN.rankedTopN(
         words.groupBy("word").agg(count(lit(1)).as("n_exact")),
         struct((-col("n_exact")).as("nk"), col("word").as("wk")), k, "rnk")
-      .crossJoin(broadcast(mg)).crossJoin(broadcast(tot))
+      .crossJoin(broadcast(mg))
       .withColumn("est", est)
       .select(col("rnk"), col("word"), col("n_exact"),
         (col("n_exact") * (mgK + 1) <= col("n_total") || col("est") > 0L)
@@ -1151,6 +1179,9 @@ object TextStats {
     * ([[bpeEncode]]) are views over this one computation. */
   private def bpeLoop(documents: DataFrame,
                       merges: Int): (Seq[DataFrame], DataFrame) = {
+    // fail loud, not 'empty.reduceLeft' three frames later (and the
+    // SQL builders would emit a syntactically-broken empty UNION)
+    require(merges >= 1, s"BPE needs at least one merge round, got $merges")
     import org.apache.spark.sql.expressions.Window
     val dict = documents
       .select(explode(TextPrep.wordsCol).as("word"))
@@ -1356,6 +1387,10 @@ object TextStats {
   /** The shared WITH-body: w0/s0 (dict + char split) plus per-round
     * CTEs pc/best/ex/wa..wf/ff/s for each merge round. */
   private def sqlBpeCtes(merges: Int): String = {
+    // mirror bpeLoop's guard: merges = 0 would emit a dangling comma
+    // after s0 and an empty UNION body — a syntax error that only
+    // surfaces when the oracle executes the string
+    require(merges >= 1, s"BPE needs at least one merge round, got $merges")
     val iterCtes = (1 to merges).map { t =>
       s"""pc$t AS (
             SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pcnt FROM (
