@@ -43,6 +43,10 @@ object Verify {
     val (sfDir, outDir, only) = args match {
       case Array(s, o)        => (s, o, None)
       case Array(s, o, names) => (s, o, Some(names.split(',').toSet))
+      case _ =>
+        System.err.println(
+          "usage: graft.Verify <sfDir> <outDir> [q_name1,q_name2,...]")
+        sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     new java.io.File(outDir).mkdirs()
@@ -66,13 +70,16 @@ object Verify {
     // Drop ALL stale query output up front, BEFORE oracle_sql.json lands:
     // if this run dies at query 10 of ~100, queries 11+ must not retain a
     // previous round's parquet to be compared against the fresh oracle
-    // file as if current.
+    // file as if current. EVERY known query dir is dropped — not just the
+    // selected ones — so a filtered iteration run never leaves an outDir
+    // in a mixed state (stale full-run parquet beside a shrunk
+    // oracle_sql.json, mistakable for a full run).
     def deleteTree(dir: java.nio.file.Path): Unit =
       if (Files.exists(dir)) {
         Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
           .forEach(p => Files.delete(p))
       }
-    selected.keys.foreach(name => deleteTree(Paths.get(s"$outDir/$name")))
+    SparkEntry.queries.keys.foreach(name => deleteTree(Paths.get(s"$outDir/$name")))
 
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -138,16 +138,18 @@ object Multimodal {
        FROM documents ORDER BY doc_id"""
 
   /** Image formats exercised by the decode gate, chosen by
-    * doc_id mod 3. All three ship JDK codecs; GIF is palette-indexed
+    * doc_id mod 4. All four ship JDK codecs; GIF is palette-indexed
     * so its decoded raster has ONE band — the per-format channel
     * prediction below proves the format-specific codec path actually
-    * ran, not just "some reader accepted the bytes". */
+    * ran, not just "some reader accepted the bytes". JPEG is lossy,
+    * but only pixel VALUES are lossy — decoded dimensions and band
+    * count survive the codec exactly, which is all the gate predicts. */
   val DecodeFormats: IndexedSeq[(String, Int)] =
-    IndexedSeq("png" -> 3, "bmp" -> 3, "gif" -> 1)
+    IndexedSeq("png" -> 3, "bmp" -> 3, "gif" -> 1, "jpg" -> 3)
 
   /** Deterministic REAL-image table: one genuine PNG/BMP/GIF payload
     * per document, encoded in-engine with `javax.imageio` — format
-    * from doc_id mod 3, dimensions from doc_id (w = 1 + id mod 13,
+    * from doc_id mod 4, dimensions from doc_id (w = 1 + id mod 13,
     * h = 1 + id mod 7), pixels from a Knuth-hash of (id, x, y) so the
     * bytes are run-stable. Map-only: each partition encodes its own
     * rows; nothing shuffles. */
@@ -156,9 +158,13 @@ object Multimodal {
     documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
       javax.imageio.ImageIO.setUseCache(false)
       ids.map { id =>
-        val fmt = DecodeFormats((id % 3).toInt)._1
-        val w = 1 + (id % 13).toInt
-        val h = 1 + (id % 7).toInt
+        // floorMod, not %: a negative doc_id must select a valid format
+        // (JVM % is sign-preserving → negative index → throw), mirrored
+        // by the pmod-style arithmetic in the DuckDB twin.
+        def pmod(m: Int) = java.lang.Math.floorMod(id, m.toLong).toInt
+        val fmt = DecodeFormats(pmod(DecodeFormats.size))._1
+        val w = 1 + pmod(13)
+        val h = 1 + pmod(7)
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
         var y = 0
@@ -201,11 +207,14 @@ object Multimodal {
   val sqlMediaDecode: String = {
     val fmts = DecodeFormats.map(_._1).map(f => s"'$f'").mkString(", ")
     val chans = DecodeFormats.map(_._2).mkString(", ")
+    val n = DecodeFormats.size
+    // ((x % m) + m) % m ≡ floorMod: DuckDB's % is sign-preserving like
+    // the JVM's, so the twin pins the same nonneg index for negative ids.
     s"""SELECT doc_id,
-       [$fmts][CAST(doc_id % 3 + 1 AS INTEGER)] AS format,
-       CAST(1 + doc_id % 13 AS INTEGER) AS width,
-       CAST(1 + doc_id % 7 AS INTEGER) AS height,
-       [$chans][CAST(doc_id % 3 + 1 AS INTEGER)] AS channels,
+       [$fmts][CAST(((doc_id % $n) + $n) % $n + 1 AS INTEGER)] AS format,
+       CAST(1 + ((doc_id % 13) + 13) % 13 AS INTEGER) AS width,
+       CAST(1 + ((doc_id % 7) + 7) % 7 AS INTEGER) AS height,
+       [$chans][CAST(((doc_id % $n) + $n) % $n + 1 AS INTEGER)] AS channels,
        TRUE AS decoded
        FROM documents ORDER BY doc_id"""
   }

@@ -113,7 +113,13 @@ object Linkage {
     *    avoid.
     *
     * Exact integers throughout; pair math in DECIMAL(38) so n² cannot
-    * overflow at corpus scale. */
+    * overflow at corpus scale. `reduction_ratio` is quantized to 1e-12
+    * via exact integer division (`cand*10^12 DIV totalPairs`) BEFORE
+    * the one double conversion: the emitted double is then an exact
+    * small integer divided by 10^12 — two correctly-rounded IEEE ops
+    * that are bit-identical in every engine/version, immune to the
+    * decimal→double serialization drift that a raw double division of
+    * wide DECIMALs is exposed to across oracle environments. */
   def blockingQuality(part: DataFrame,
                       maxSizeDiff: Int = MaxSizeDiff): DataFrame = {
     val w = maxSizeDiff + 1
@@ -131,6 +137,15 @@ object Linkage {
             THEN CAST($n DIV 2 AS DECIMAL(38,0)) * ($n - 1)
             ELSE CAST($n AS DECIMAL(38,0)) * (($n - 1) DIV 2)
           END AS DECIMAL(38,0))"""
+    // 1 - cand/tot with the division done as exact integers at 1e-12
+    // quantum: q = cand*10^12 DIV tot is positive-integer truncation in
+    // both engines; (10^12 - q) is an exact LONG well under 2^53, so
+    // its double is exact, and /1e12 is one correctly-rounded IEEE op.
+    def ratioQuant(cand: String, tot: String) =
+      s"""CASE WHEN ($tot) = 0 THEN CAST(NULL AS DOUBLE)
+          ELSE CAST(1000000000000 -
+            CAST(($cand) AS DECIMAL(38,0)) * 1000000000000 DIV ($tot)
+            AS DOUBLE) / 1e12 END"""
     val perBlock = blk.groupBy("p_brand", "p_type", "bkt")
       .agg(count(lit(1)).as("n_records"))
       .withColumn("n_pairs", expr(pairsDec("n_records")))
@@ -141,8 +156,7 @@ object Linkage {
       .crossJoin(nPart)
       .select(lit("TOTAL").as("block_key"),
         col("n_entries").as("n_records"), col("n_cand").as("n_pairs"),
-        (lit(1.0) - col("n_cand").cast("double") /
-          expr(pairsDec("n")).cast("double"))
+        expr(ratioQuant("n_cand", pairsDec("n")))
           .as("reduction_ratio"))
     // the distinct candidate set (same blocked equi-join shape as the
     // match query — bounded by block sizes, never a corpus pair join)
@@ -159,8 +173,7 @@ object Linkage {
       .select(lit("TOTAL_DISTINCT").as("block_key"),
         col("n").as("n_records"),
         col("n_distinct").cast("decimal(38,0)").as("n_pairs"),
-        (lit(1.0) - col("n_distinct").cast("double") /
-          expr(pairsDec("n")).cast("double"))
+        expr(ratioQuant("n_distinct", pairsDec("n")))
           .as("reduction_ratio"))
     perBlock
       .select(concat_ws("|", col("p_brand"), col("p_type"),
@@ -184,13 +197,18 @@ object Linkage {
             CAST(CAST(count(*) AS HUGEINT) * (count(*) - 1) // 2
               AS DECIMAL(38,0)) AS n_pairs
           FROM blk GROUP BY 1, 2, 3),
+        tp AS (
+          SELECT CAST(count(*) AS HUGEINT) * (count(*) - 1) // 2 AS tot
+          FROM part),
         tot AS (
           SELECT 'TOTAL' AS block_key,
             CAST(sum(n_records) AS BIGINT) AS n_records,
             CAST(sum(n_pairs) AS DECIMAL(38,0)) AS n_pairs,
-            1.0 - CAST(sum(n_pairs) AS DOUBLE)
-              / CAST(CAST((SELECT CAST(count(*) AS HUGEINT) * (count(*) - 1) // 2
-                FROM part) AS DECIMAL(38,0)) AS DOUBLE) AS reduction_ratio
+            CASE WHEN (SELECT tot FROM tp) = 0 THEN CAST(NULL AS DOUBLE)
+              ELSE CAST(1000000000000 -
+                CAST(sum(n_pairs) AS HUGEINT) * 1000000000000
+                  // (SELECT tot FROM tp)
+                AS DOUBLE) / 1e12 END AS reduction_ratio
           FROM pb),
         dc AS (
           SELECT CAST(count(*) AS BIGINT) AS n_distinct FROM (
@@ -202,9 +220,11 @@ object Linkage {
           SELECT 'TOTAL_DISTINCT' AS block_key,
             CAST((SELECT count(*) FROM part) AS BIGINT) AS n_records,
             CAST(n_distinct AS DECIMAL(38,0)) AS n_pairs,
-            1.0 - CAST(n_distinct AS DOUBLE)
-              / CAST(CAST((SELECT CAST(count(*) AS HUGEINT) * (count(*) - 1) // 2
-                FROM part) AS DECIMAL(38,0)) AS DOUBLE) AS reduction_ratio
+            CASE WHEN (SELECT tot FROM tp) = 0 THEN CAST(NULL AS DOUBLE)
+              ELSE CAST(1000000000000 -
+                CAST(n_distinct AS HUGEINT) * 1000000000000
+                  // (SELECT tot FROM tp)
+                AS DOUBLE) / 1e12 END AS reduction_ratio
           FROM dc)
         SELECT concat_ws('|', p_brand, p_type, CAST(bkt AS VARCHAR))
             AS block_key,
