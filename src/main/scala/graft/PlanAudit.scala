@@ -96,7 +96,9 @@ object PlanAudit {
     // pairwise crossJoin of the #sources-row KB-sketch frame — the
     // broadcast-sized postprocess that REPLACES the corpus pair join
     "q_theta_overlap" -> Set("BNLJ"),
-    "q_blocking_quality" -> Set("BNLJ")    // single-row corpus-count frame
+    "q_blocking_quality" -> Set("BNLJ"),   // single-row corpus-count frame
+    // single-row dropped-block stats frame broadcast onto the pairs
+    "q_entity_resolution_capped" -> Set("BNLJ")
   )
 
   /** Audit one query's executed plan string → flags found. */

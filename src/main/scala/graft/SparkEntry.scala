@@ -305,6 +305,7 @@ object SparkEntry {
     "q_lid_agreement" -> ((s, d) => llm.TextStats.lidAgreement(Tables.documents(s, d))),
     // record linkage with lossless (brand, type, size-window) blocking
     "q_entity_resolution" -> ((s, d) => Linkage.entityResolution(Tables.part(s, d))),
+    "q_entity_resolution_capped" -> ((s, d) => Linkage.entityResolutionCapped(Tables.part(s, d))),
     // degree-ordered triangle census of the near-dup pair graph
     "q_triangles" -> ((s, d) => llm.Dedup.triangleStats(Tables.documents(s, d))),
     // TPC-H Q3 shape: segment x date-filtered 3-table join, decimal top-K
@@ -644,6 +645,7 @@ object SparkEntry {
     "q_good_turing" -> llm.TextStats.sqlGoodTuring,
     "q_lid_agreement" -> llm.TextStats.sqlLidAgreement,
     "q_entity_resolution" -> Linkage.sqlEntityResolution(),
+    "q_entity_resolution_capped" -> Linkage.sqlEntityResolutionCapped(),
     "q_triangles" -> llm.Dedup.sqlTriangleStats(),
     "q_top_unshipped" -> Enrich.sqlTopUnshippedOrders(),
     "q_nb_crossval" -> llm.Classify.sqlNbCrossval(),

