@@ -147,6 +147,7 @@ object SparkEntry {
     // REAL PNG round-trip: in-engine encode → javax.imageio decode,
     // oracle predicts the dims from the same doc_id arithmetic
     "q_media_decode" -> ((s, d) => llm.Multimodal.mediaDecode(Tables.documents(s, d))),
+    "q_audio_decode" -> ((s, d) => llm.Multimodal.audioDecode(Tables.documents(s, d))),
     // corpus curation: PII scrub, reproducible split/sample, quality ranking
     "q_pii_redact" -> ((s, d) => llm.Curate.redactPii(Tables.documents(s, d))),
     "q_split_assign" -> ((s, d) => llm.Curate.splitAssign(Tables.documents(s, d))),
@@ -565,6 +566,7 @@ object SparkEntry {
     "q_media_resize" -> llm.Multimodal.sqlMediaResize(),
     "q_media_summary" -> llm.Multimodal.sqlMediaSummary,
     "q_media_decode" -> llm.Multimodal.sqlMediaDecode,
+    "q_audio_decode" -> llm.Multimodal.sqlAudioDecode,
     "q_pii_redact" -> llm.Curate.sqlRedactPii,
     "q_split_assign" -> llm.Curate.sqlSplitAssign,
     "q_stratified_sample" -> llm.Curate.sqlStratifiedSample,

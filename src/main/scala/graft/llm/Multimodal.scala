@@ -219,6 +219,120 @@ object Multimodal {
        FROM documents ORDER BY doc_id"""
   }
 
+  case class AudioFeatures(
+      doc_id: Long,
+      container: String,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      n_frames: Long,
+      duration_us: Long,
+      decoded: Boolean)
+
+  /** Audio containers exercised by the audio decode gate — all three
+    * ship REAL JDK codecs (`javax.sound.sampled.AudioSystem`; no
+    * ffmpeg needed for container-level PCM): WAV is little-endian
+    * PCM, AIFF and AU are big-endian, so the three paths exercise
+    * both byte orders of the encoder AND the parser. */
+  val AudioFormats: IndexedSeq[String] = IndexedSeq("wav", "aiff", "au")
+
+  /** Sample rates cycled by doc_id — common telephony/speech/music
+    * rates, all exactly representable through the codec's float
+    * sample-rate field. */
+  val AudioRates: IndexedSeq[Int] = IndexedSeq(8000, 16000, 22050, 44100)
+
+  /** Deterministic REAL-audio table: one genuine WAV/AIFF/AU payload
+    * per document, encoded in-engine — container from doc_id mod 3,
+    * sample rate mod 4, channels mod 2, frame count mod 900, 16-bit
+    * PCM samples from a Knuth hash so the bytes are run-stable.
+    * Map-only, same shape as [[imageTable]]. */
+  def audioTable(documents: DataFrame): Dataset[MediaFile] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        def pmod(m: Int) = java.lang.Math.floorMod(id, m.toLong).toInt
+        val container = AudioFormats(pmod(AudioFormats.size))
+        val rate = AudioRates(pmod(AudioRates.size))
+        val channels = 1 + pmod(2)
+        val nFrames = 100 + pmod(900)
+        val bigEndian = container != "wav" // AIFF/AU are big-endian PCM
+        val pcm = new Array[Byte](nFrames * channels * 2)
+        var i = 0
+        while (i < nFrames * channels) {
+          val s = ((id * 2654435761L + i * 40503L) & 0xffffL).toShort
+          if (bigEndian) {
+            pcm(2 * i) = (s >> 8).toByte; pcm(2 * i + 1) = s.toByte
+          } else {
+            pcm(2 * i) = s.toByte; pcm(2 * i + 1) = (s >> 8).toByte
+          }
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          rate.toFloat, 16, channels, /*signed=*/ true, bigEndian)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+        val tpe = container match {
+          case "wav"  => javax.sound.sampled.AudioFileFormat.Type.WAVE
+          case "aiff" => javax.sound.sampled.AudioFileFormat.Type.AIFF
+          case _      => javax.sound.sampled.AudioFileFormat.Type.AU
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais, tpe, baos)
+        val bytes = baos.toByteArray
+        MediaFile(id, container, bytes, bytes.length.toLong)
+      }
+    }
+  }
+
+  /** REAL audio decode, oracle-gated (the audio sibling of
+    * [[mediaDecode]]): round-trip [[audioTable]]'s genuine WAV/AIFF/AU
+    * payloads through `AudioSystem.getAudioInputStream` and emit the
+    * PARSED header facts — sample rate, channel count, bit depth,
+    * frame count, and the integer-exact duration derived from them.
+    * The DuckDB twin predicts every column from the same doc_id
+    * arithmetic the encoder used WITHOUT decoding, so a broken
+    * container writer, a parser that misreads either byte order, or a
+    * stub fallback (decoded=false vs the predicted TRUE)
+    * hash-mismatches. Decode failures are caught and flagged, never
+    * thrown — same policy as the image path. */
+  def audioDecode(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    audioTable(documents).mapPartitions { batch =>
+      batch.map { m =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.content))
+          val f = ais.getFormat
+          val rate = f.getSampleRate.toInt
+          val frames = ais.getFrameLength
+          AudioFeatures(m.doc_id, m.media_type, rate, f.getChannels,
+            f.getSampleSizeInBits, frames,
+            frames * 1000000L / rate, decoded = true)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            AudioFeatures(m.doc_id, m.media_type, 0, 0, 0, 0L, 0L,
+              decoded = false)
+        }
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  val sqlAudioDecode: String = {
+    val fmts = AudioFormats.map(f => s"'$f'").mkString(", ")
+    val rates = AudioRates.mkString(", ")
+    s"""SELECT doc_id,
+       [$fmts][CAST(((doc_id % 3) + 3) % 3 + 1 AS INTEGER)] AS container,
+       [$rates][CAST(((doc_id % 4) + 4) % 4 + 1 AS INTEGER)] AS sample_rate,
+       CAST(1 + ((doc_id % 2) + 2) % 2 AS INTEGER) AS channels,
+       CAST(16 AS INTEGER) AS bits,
+       CAST(100 + ((doc_id % 900) + 900) % 900 AS BIGINT) AS n_frames,
+       CAST((100 + ((doc_id % 900) + 900) % 900) * 1000000
+         // [$rates][CAST(((doc_id % 4) + 4) % 4 + 1 AS INTEGER)]
+         AS BIGINT) AS duration_us,
+       TRUE AS decoded
+       FROM documents ORDER BY doc_id"""
+  }
+
   val ResizeW = 128
   val ResizeH = 96
 

@@ -154,11 +154,45 @@ object Similarity {
   /** Deterministic random hyperplanes for sign-projection LSH: weight
     * (t,p,d) = (md5("t:p:d") mod 2001 - 1000)/1000 ∈ [-1,1]. Computed
     * once here and embedded as literals in BOTH the Spark plan and the
-    * oracle SQL — no in-engine randomness, perfectly portable. */
-  lazy val planes: Seq[Seq[Seq[Double]]] = {
+    * oracle SQL — no in-engine randomness, perfectly portable.
+    *
+    * `numPlanes` is THE density knob (round-8 10× measurement,
+    * SCALE.md "Measured 10× scale step"): expected bucket occupancy
+    * is n / 2^numPlanes and in-bucket candidate pairs grow with its
+    * SQUARE, so signature width must grow with log₂(corpus) —
+    * +1 plane per doubling — to hold per-bucket work constant. The
+    * suite default 6 is tuned for the 2k-vector test table (occupancy
+    * ~31); at 20k vectors the same width measured 25× (single-probe)
+    * and ~150× (multi-probe) cost for 10× data, while numPlanes=10
+    * restores ~linear scaling. Weight (t,p,d) depends only on its own
+    * coordinates, so widening the signature SUBDIVIDES the existing
+    * buckets (planesFor(k) is a prefix of planesFor(k+1)) — recall
+    * lost to the extra bits is the standard trade, bought back with
+    * tables or probes. */
+  /** Target mean bucket occupancy the suite default was tuned to:
+    * 2048 vectors / 2⁶ buckets ≈ 32/bucket keeps the in-bucket pair
+    * join (~16·n·occ/2 comparisons) a small multiple of n. */
+  val TargetOccupancy = 32
+
+  /** The log₂ sizing rule made executable: the signature width that
+    * holds mean bucket occupancy at [[TargetOccupancy]] for an
+    * n-vector corpus — +1 plane per corpus doubling, floored at the
+    * suite default so tiny corpora keep the verified setting and
+    * capped at 62 (bucket codes are packed into one Long). At the
+    * 100 TB design point (10⁹ vectors) this gives 25 planes — still
+    * one Long, and per-bucket work identical to the 2k-vector suite. */
+  def adaptivePlanes(n: Long): Int = {
+    require(n > 0, s"adaptivePlanes needs a positive corpus size, got $n")
+    // ceil-divide without the +31 overflow at n near Long.MaxValue
+    val buckets = n / TargetOccupancy + (if (n % TargetOccupancy == 0) 0 else 1)
+    val needed = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, buckets) - 1)
+    math.min(62, math.max(NumPlanes, needed))
+  }
+
+  def planesFor(numPlanes: Int): Seq[Seq[Seq[Double]]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     (0 until NumTables).map { t =>
-      (0 until NumPlanes).map { p =>
+      (0 until numPlanes).map { p =>
         (0 until Dim).map { d =>
           val hex = md.digest(s"$t:$p:$d".getBytes("UTF-8"))
             .map("%02x".format(_)).mkString.take(15)
@@ -168,9 +202,11 @@ object Similarity {
     }
   }
 
-  private def bucketCol(t: Int): Column =
-    (0 until NumPlanes).map { p =>
-      when(dot(col("v"), array(planes(t)(p).map(lit): _*)) >= 0, lit(1L << p))
+  lazy val planes: Seq[Seq[Seq[Double]]] = planesFor(NumPlanes)
+
+  private def bucketCol(t: Int, pl: Seq[Seq[Seq[Double]]]): Column =
+    pl(t).indices.map { p =>
+      when(dot(col("v"), array(pl(t)(p).map(lit): _*)) >= 0, lit(1L << p))
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -182,9 +218,11 @@ object Similarity {
     * subplans — uncached, the 96 codegen'd dot products per row run
     * twice. Caller-released lifecycle (Bench/Verify clearCache); at
     * cluster scale this is the materialized LSH index table. */
-  private def bucketFrame(n: DataFrame): DataFrame = {
+  private def bucketFrame(n: DataFrame,
+                          numPlanes: Int = NumPlanes): DataFrame = {
+    val pl = if (numPlanes == NumPlanes) planes else planesFor(numPlanes)
     val tableBuckets = (0 until NumTables).map { t =>
-      struct(lit(t).as("tbl"), bucketCol(t).as("bucket"))
+      struct(lit(t).as("tbl"), bucketCol(t, pl).as("bucket"))
     }
     n.select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
@@ -193,15 +231,17 @@ object Similarity {
 
   /** The SQL twin of [[bucketFrame]]: per-table bucket codes as a
     * UNION ALL — one definition for both probe variants. */
-  private def sqlBucketSelects: String =
+  private def sqlBucketSelects(numPlanes: Int = NumPlanes): String = {
+    val pl = if (numPlanes == NumPlanes) planes else planesFor(numPlanes)
     (0 until NumTables).map { t =>
-      val bucketExpr = (0 until NumPlanes).map { p =>
-        val w = planes(t)(p).mkString("[", ", ", "]")
+      val bucketExpr = (0 until numPlanes).map { p =>
+        val w = pl(t)(p).mkString("[", ", ", "]")
         s"CASE WHEN list_reduce(list_transform(generate_series(1, $Dim), " +
           s"i -> v[i] * ($w)[i]), (x, y) -> x + y) >= 0 THEN ${1L << p} ELSE 0 END"
       }.mkString(" + ")
       s"SELECT vec_id, $t AS tbl, $bucketExpr AS bucket FROM n"
     }.mkString(" UNION ALL ")
+  }
 
   /** Multi-table sign-projection LSH near-dup: NumTables independent
     * hash tables, each bucketing on the sign bits of NumPlanes random
@@ -219,12 +259,13 @@ object Similarity {
     * row); the single candidate join shuffles on (table, bucket);
     * verification joins fetch vectors only for deduplicated candidate
     * pairs. */
-  def lshNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+  def lshNearDupPairs(embeddings: DataFrame, threshold: Double,
+                      numPlanes: Int = NumPlanes): DataFrame = {
     // cached like every other multi-reference prepared() in the file:
     // it feeds the bucket build AND both verification-join sides, and
     // Spark shares no subplans (caller-released via clearCache)
     val n = prepared(embeddings).cache()
-    val b = bucketFrame(n)
+    val b = bucketFrame(n, numPlanes)
     val cand = b.as("x").join(b.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -238,9 +279,10 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  def sqlLshNearDupPairs(threshold: Double): String =
+  def sqlLshNearDupPairs(threshold: Double,
+                         numPlanes: Int = NumPlanes): String =
     s"""WITH $sqlPrepared,
-        bkt AS ($sqlBucketSelects),
+        bkt AS (${sqlBucketSelects(numPlanes)}),
         cand AS (
           SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
           FROM bkt x JOIN bkt y
@@ -268,11 +310,12 @@ object Similarity {
     * such pair exactly once before the dedup. Scale shape unchanged:
     * the join key is still (table, bucket); the probe explode is
     * map-side. */
-  def multiProbeLshPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+  def multiProbeLshPairs(embeddings: DataFrame, threshold: Double,
+                         numPlanes: Int = NumPlanes): DataFrame = {
     val n = prepared(embeddings).cache() // same multi-use shape as lshNearDupPairs
-    val b = bucketFrame(n)
+    val b = bucketFrame(n, numPlanes)
     val probeCols = col("bucket") +:
-      (0 until NumPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))
+      (0 until numPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))
     val probes = b.select(col("vec_id"), col("tbl"),
       explode(array(probeCols: _*)).as("probe"))
     val cand = probes.as("x").join(b.as("y"),
@@ -288,11 +331,12 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  def sqlMultiProbeLshPairs(threshold: Double): String = {
+  def sqlMultiProbeLshPairs(threshold: Double,
+                            numPlanes: Int = NumPlanes): String = {
     val probeList = ("bucket" +:
-      (0 until NumPlanes).map(p => s"xor(bucket, ${1L << p})")).mkString("[", ", ", "]")
+      (0 until numPlanes).map(p => s"xor(bucket, ${1L << p})")).mkString("[", ", ", "]")
     s"""WITH $sqlPrepared,
-        bkt AS ($sqlBucketSelects),
+        bkt AS (${sqlBucketSelects(numPlanes)}),
         probes AS (
           SELECT vec_id, tbl, unnest($probeList) AS probe FROM bkt),
         cand AS (

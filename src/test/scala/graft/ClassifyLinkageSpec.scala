@@ -373,6 +373,40 @@ class ClassifyLinkageSpec extends SparkSpec {
     assert(cos.forall(_ >= 0.3))
   }
 
+  test("adaptivePlanes follows the +1-per-doubling rule and planesFor widens by prefix") {
+    // tuned point: the 2k suite table keeps the verified default
+    assert(llm.Similarity.adaptivePlanes(2048) == llm.Similarity.NumPlanes)
+    // 10x data -> +~3.3 bits: the measured sf1 setting
+    assert(llm.Similarity.adaptivePlanes(20000) == 10)
+    // floor: tiny corpora never go below the suite default
+    assert(llm.Similarity.adaptivePlanes(1) == llm.Similarity.NumPlanes)
+    // monotone, +1 per doubling above the floor
+    val at = (10 to 30).map(b => llm.Similarity.adaptivePlanes(1L << b))
+    assert(at.zip(at.tail).forall { case (a, b) => b == a + 1 || (a == b && a == llm.Similarity.NumPlanes) },
+      s"not +1/doubling: $at")
+    // 100 TB design point: 1e9 vectors still packs into one Long
+    assert(llm.Similarity.adaptivePlanes(1000000000L) == 25)
+    assert(llm.Similarity.adaptivePlanes(Long.MaxValue) == 58) // ceil(2^63/32) = 2^58 buckets
+    // widening SUBDIVIDES: planesFor(k) is a prefix of planesFor(k+1),
+    // so every k-bucket is a union of (k+1)-buckets and no candidate
+    // pair gained at width k+1 was outside its width-k bucket
+    val p6 = llm.Similarity.planesFor(6)
+    val p7 = llm.Similarity.planesFor(7)
+    assert(p6.indices.forall(t => p7(t).take(6) == p6(t)))
+  }
+
+  test("wider signatures produce a candidate subset with identical verified semantics") {
+    val emb = Tables.embeddings(spark, sf())
+    val narrow = llm.Similarity.lshNearDupPairs(emb, 0.3)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val wide = llm.Similarity.lshNearDupPairs(emb, 0.3, numPlanes = 8)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // exact verification means wide results are a subset (bucket
+    // subdivision can only REMOVE candidates), never wrong pairs
+    assert(wide.subsetOf(narrow),
+      s"pairs appeared from nowhere: ${(wide -- narrow).take(5)}")
+  }
+
   test("prioritySample keeps k docs with tau-corrected estimates") {
     val out = llm.Curate.prioritySample(Tables.documents(spark, sf("sf0.01")))
       .select("n_tokens", "priority", "est_tokens")
