@@ -119,6 +119,9 @@ object SparkEntry {
     "q_cosine_topk" -> ((s, d) => llm.Similarity.bruteForceTopK(Tables.embeddings(s, d), 10)),
     "q_embed_neardup" -> ((s, d) => llm.Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.4)),
     "q_embed_lsh" -> ((s, d) => llm.Similarity.lshNearDupPairs(Tables.embeddings(s, d), 0.3)),
+    // bounded-output ANN: top-k per query over LSH candidates (linear
+    // output at any corpus density — the round-8 measured scale shape)
+    "q_embed_lsh_topk" -> ((s, d) => llm.Similarity.lshTopKNeighbors(Tables.embeddings(s, d), 5)),
     "q_ann_ivf" -> ((s, d) => llm.Similarity.ivfTopK(Tables.embeddings(s, d), 10)),
     // int8 symmetric quantization — the ANN memory-reduction path
     "q_embed_quantize" -> ((s, d) => llm.Similarity.quantizeInt8(Tables.embeddings(s, d))),
@@ -148,6 +151,7 @@ object SparkEntry {
     // oracle predicts the dims from the same doc_id arithmetic
     "q_media_decode" -> ((s, d) => llm.Multimodal.mediaDecode(Tables.documents(s, d))),
     "q_audio_decode" -> ((s, d) => llm.Multimodal.audioDecode(Tables.documents(s, d))),
+    "q_audio_stats" -> ((s, d) => llm.Multimodal.audioStats(Tables.documents(s, d))),
     // corpus curation: PII scrub, reproducible split/sample, quality ranking
     "q_pii_redact" -> ((s, d) => llm.Curate.redactPii(Tables.documents(s, d))),
     "q_split_assign" -> ((s, d) => llm.Curate.splitAssign(Tables.documents(s, d))),
@@ -548,6 +552,7 @@ object SparkEntry {
     "q_cosine_topk" -> llm.Similarity.sqlBruteForceTopK(10),
     "q_embed_neardup" -> llm.Similarity.sqlCosineNearDupPairs(0.4),
     "q_embed_lsh" -> llm.Similarity.sqlLshNearDupPairs(0.3),
+    "q_embed_lsh_topk" -> llm.Similarity.sqlLshTopKNeighbors(5),
     "q_ann_ivf" -> llm.Similarity.sqlIvfTopK(10),
     "q_embed_quantize" -> llm.Similarity.sqlQuantizeInt8,
     "q_pq_codes" -> llm.Similarity.sqlPqCodes,
@@ -567,6 +572,7 @@ object SparkEntry {
     "q_media_summary" -> llm.Multimodal.sqlMediaSummary,
     "q_media_decode" -> llm.Multimodal.sqlMediaDecode,
     "q_audio_decode" -> llm.Multimodal.sqlAudioDecode,
+    "q_audio_stats" -> llm.Multimodal.sqlAudioStats,
     "q_pii_redact" -> llm.Curate.sqlRedactPii,
     "q_split_assign" -> llm.Curate.sqlSplitAssign,
     "q_stratified_sample" -> llm.Curate.sqlStratifiedSample,

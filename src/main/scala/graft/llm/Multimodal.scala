@@ -333,6 +333,87 @@ object Multimodal {
        FROM documents ORDER BY doc_id"""
   }
 
+  case class AudioStats(
+      doc_id: Long,
+      n_samples: Long,
+      sum_abs: Long,
+      sum_sq: Long,
+      peak: Int,
+      first_sample: Int,
+      last_sample: Int,
+      decoded: Boolean)
+
+  /** Sample-level audio gate — one step deeper than [[audioDecode]]'s
+    * header facts: decode the PCM PAYLOAD of every WAV/AIFF/AU blob
+    * and emit integer-exact signal statistics (Σ|s|, Σs², peak, the
+    * first and last sample). The shorts are reassembled from the raw
+    * stream using the PARSED format's endianness, so a writer that
+    * emits the wrong byte order, a parser that reports it wrong, or
+    * any off-by-one in frame framing shifts every statistic and
+    * hash-mismatches. The DuckDB twin regenerates the identical
+    * sample sequence from the [[audioTable]] arithmetic
+    * (s_i = low 16 bits of id·2654435761 + i·40503, sign-extended)
+    * without touching a codec. All columns are exact BIGINT/INT math
+    * — nothing for an oracle environment to drift on. Map-only: blobs
+    * are created, decoded, and reduced to one stats row inside their
+    * partition. */
+  def audioStats(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    audioTable(documents).mapPartitions { batch =>
+      batch.map { m =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.content))
+          val big = ais.getFormat.isBigEndian
+          val bytes = ais.readAllBytes()
+          val nS = bytes.length / 2
+          var i = 0
+          var sumAbs = 0L; var sumSq = 0L; var peak = 0
+          var first = 0; var last = 0
+          while (i < nS) {
+            val hi = if (big) bytes(2 * i) else bytes(2 * i + 1)
+            val lo = if (big) bytes(2 * i + 1) else bytes(2 * i)
+            val s = ((hi << 8) | (lo & 0xff)).toShort.toInt
+            if (i == 0) first = s
+            last = s
+            val a = math.abs(s)
+            sumAbs += a; sumSq += s.toLong * s
+            if (a > peak) peak = a
+            i += 1
+          }
+          AudioStats(m.doc_id, nS.toLong, sumAbs, sumSq, peak, first, last,
+            decoded = true)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            AudioStats(m.doc_id, 0L, 0L, 0L, 0, 0, 0, decoded = false)
+        }
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  val sqlAudioStats: String =
+    """WITH f AS (
+         SELECT doc_id,
+           CAST((100 + ((doc_id % 900) + 900) % 900)
+             * (1 + ((doc_id % 2) + 2) % 2) AS BIGINT) AS ns
+         FROM documents),
+       e AS (SELECT doc_id, ns, unnest(generate_series(0, ns - 1)) AS i FROM f),
+       s AS (
+         SELECT doc_id, ns, i,
+           CASE WHEN m >= 32768 THEN m - 65536 ELSE m END AS s
+         FROM (SELECT doc_id, ns, i,
+                 ((doc_id * 2654435761 + i * 40503) % 65536 + 65536) % 65536 AS m
+               FROM e))
+       SELECT doc_id,
+         CAST(max(ns) AS BIGINT) AS n_samples,
+         CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+         CAST(sum(s * s) AS BIGINT) AS sum_sq,
+         CAST(max(abs(s)) AS INTEGER) AS peak,
+         CAST(max(CASE WHEN i = 0 THEN s END) AS INTEGER) AS first_sample,
+         CAST(max(CASE WHEN i = ns - 1 THEN s END) AS INTEGER) AS last_sample,
+         TRUE AS decoded
+       FROM s GROUP BY doc_id ORDER BY doc_id"""
+
   val ResizeW = 128
   val ResizeH = 96
 

@@ -294,6 +294,63 @@ object Similarity {
         SELECT vec_a, vec_b, cosine FROM p
         WHERE cosine >= $threshold ORDER BY vec_a, vec_b"""
 
+  /** Per-query top-k over LSH candidates — the bounded-output ANN
+    * shape the round-8 10× measurement recommends (SCALE.md "Measured
+    * 10× scale step"): a GLOBAL cosine threshold emits output that
+    * grows faster than the corpus (the n² tail of near-threshold
+    * pairs), while top-k per query is linear in n BY CONSTRUCTION no
+    * matter how dense the corpus gets. Candidate generation is the
+    * same 16-table sign-LSH bucket join as [[lshNearDupPairs]]
+    * (directed: each vector queries its own buckets); selection uses
+    * the bounded-heap `top_k_by` aggregate (map-side partials, ≤ k
+    * rows per query per partition reach the shuffle) instead of a
+    * window — the same scale argument as [[bruteForceTopK]], with the
+    * all-pairs scoring replaced by bucket-restricted scoring.
+    * Vectors whose buckets yield no candidates are absent from the
+    * result (LSH recall, not an error) — the declared trade measured
+    * by `q_lsh_recall`. */
+  def lshTopKNeighbors(embeddings: DataFrame, k: Int,
+                       numPlanes: Int = NumPlanes): DataFrame = {
+    graft.functions.TopKByScore.register(embeddings.sparkSession)
+    val n = prepared(embeddings).cache() // same multi-use shape as lshNearDupPairs
+    val b = bucketFrame(n, numPlanes)
+    val cand = b.as("x").join(b.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("neighbor_id"))
+      .distinct()
+    cand
+      .join(n.as("a"), col("query_id") === col("a.vec_id"))
+      .join(n.as("b"), col("neighbor_id") === col("b.vec_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine("a", "b"))
+      .groupBy("query_id")
+      .agg(call_function("top_k_by", col("cosine"), col("neighbor_id"), lit(k)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        col("entry.id").as("neighbor_id"),
+        col("entry.score").as("cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
+  def sqlLshTopKNeighbors(k: Int, numPlanes: Int = NumPlanes): String =
+    s"""WITH $sqlPrepared,
+        bkt AS (${sqlBucketSelects(numPlanes)}),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
+          FROM bkt x JOIN bkt y
+            ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+        p AS (
+          SELECT query_id, neighbor_id, $sqlCosine AS cosine
+          FROM cand JOIN n a ON query_id = a.vec_id
+                    JOIN n b ON neighbor_id = b.vec_id),
+        r AS (SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+              AS INTEGER) AS rnk FROM p)
+        SELECT query_id, rnk, neighbor_id, cosine FROM r
+        WHERE rnk <= $k ORDER BY query_id, rnk"""
+
   /** Multi-probe sign-LSH near-dup (Lv et al., VLDB'07): each vector
     * probes its own bucket AND the NumPlanes buckets at Hamming
     * distance 1 in every table, so a pair collides if their codes

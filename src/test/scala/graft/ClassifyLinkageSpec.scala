@@ -407,6 +407,24 @@ class ClassifyLinkageSpec extends SparkSpec {
       s"pairs appeared from nowhere: ${(wide -- narrow).take(5)}")
   }
 
+  test("lshTopKNeighbors equals per-query top-k over the verified LSH candidate pairs") {
+    val emb = Tables.embeddings(spark, sf())
+    // threshold -1 returns EVERY verified candidate pair with its cosine
+    val pairs = llm.Similarity.lshNearDupPairs(emb, -1.0)
+      .select("vec_a", "vec_b", "cosine").as[(Long, Long, Double)].collect()
+    val directed = pairs.flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+    val expected = directed.groupBy(_._1).toSeq.flatMap { case (q, cs) =>
+      cs.sortBy(x => (-x._3, x._2)).take(5).zipWithIndex.map {
+        case ((_, nb, c), i) => (q, i + 1, nb, c)
+      }
+    }.toSet
+    val got = llm.Similarity.lshTopKNeighbors(emb, 5)
+      .select("query_id", "rnk", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got === expected,
+      s"diff: extra=${(got -- expected).take(3)} missing=${(expected -- got).take(3)}")
+  }
+
   test("prioritySample keeps k docs with tau-corrected estimates") {
     val out = llm.Curate.prioritySample(Tables.documents(spark, sf("sf0.01")))
       .select("n_tokens", "priority", "est_tokens")

@@ -988,6 +988,36 @@ class LlmSpec extends SparkSpec {
     assert(ex.isInstanceOf[javax.sound.sampled.UnsupportedAudioFileException])
   }
 
+  test("audio stats: decoded PCM samples reproduce the generator arithmetic exactly") {
+    val stats = Multimodal.audioStats(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(stats.size === 5)
+    stats.foreach { case (id, r) =>
+      assert(r.getAs[Boolean]("decoded"), s"doc $id fell to the stub")
+      val nS = (100 + id % 900) * (1 + id % 2)
+      assert(r.getAs[Long]("n_samples") === nS)
+      // recompute the expected statistics from the generator formula —
+      // independent of any codec, so a byte-order or framing slip in
+      // EITHER the writer or the parser breaks the equality
+      var sumAbs = 0L; var sumSq = 0L; var peak = 0
+      var first = 0; var last = 0
+      var i = 0L
+      while (i < nS) {
+        val s = ((id * 2654435761L + i * 40503L) & 0xffffL).toShort.toInt
+        if (i == 0) first = s
+        last = s
+        sumAbs += math.abs(s); sumSq += s.toLong * s
+        peak = math.max(peak, math.abs(s))
+        i += 1
+      }
+      assert(r.getAs[Long]("sum_abs") === sumAbs, s"doc $id sum_abs")
+      assert(r.getAs[Long]("sum_sq") === sumSq, s"doc $id sum_sq")
+      assert(r.getAs[Int]("peak") === peak, s"doc $id peak")
+      assert(r.getAs[Int]("first_sample") === first, s"doc $id first")
+      assert(r.getAs[Int]("last_sample") === last, s"doc $id last")
+    }
+  }
+
   test("media metadata frame offsets evenly spaced") {
     val m = Multimodal.mediaMetadata(docs).filter(col("doc_id") === 0).collect().head
     val n = m.getAs[Long]("n_bytes")
