@@ -122,6 +122,11 @@ object SparkEntry {
     // bounded-output ANN: top-k per query over LSH candidates (linear
     // output at any corpus density — the round-8 measured scale shape)
     "q_embed_lsh_topk" -> ((s, d) => llm.Similarity.lshTopKNeighbors(Tables.embeddings(s, d), 5)),
+    // embedding-column health: per-dim quantized-exact stats + dead-dim flag
+    "q_embed_dimstats" -> ((s, d) => llm.Similarity.embedDimStats(Tables.embeddings(s, d))),
+    // semantic eval leakage: test docs with a near train doc in embedding space
+    "q_semantic_decontam" -> ((s, d) =>
+      llm.Similarity.semanticDecontam(Tables.documents(s, d), Tables.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => llm.Similarity.ivfTopK(Tables.embeddings(s, d), 10)),
     // int8 symmetric quantization — the ANN memory-reduction path
     "q_embed_quantize" -> ((s, d) => llm.Similarity.quantizeInt8(Tables.embeddings(s, d))),
@@ -553,6 +558,8 @@ object SparkEntry {
     "q_embed_neardup" -> llm.Similarity.sqlCosineNearDupPairs(0.4),
     "q_embed_lsh" -> llm.Similarity.sqlLshNearDupPairs(0.3),
     "q_embed_lsh_topk" -> llm.Similarity.sqlLshTopKNeighbors(5),
+    "q_embed_dimstats" -> llm.Similarity.sqlEmbedDimStats,
+    "q_semantic_decontam" -> llm.Similarity.sqlSemanticDecontam(),
     "q_ann_ivf" -> llm.Similarity.sqlIvfTopK(10),
     "q_embed_quantize" -> llm.Similarity.sqlQuantizeInt8,
     "q_pq_codes" -> llm.Similarity.sqlPqCodes,

@@ -499,6 +499,117 @@ object Similarity {
             i -> abs(v[i] - CAST(q[i] AS DOUBLE) * scale))) AS max_abs_err
         FROM qd ORDER BY vec_id"""
 
+  /** Per-dimension embedding health report — the "is this embedding
+    * column still alive" monitor a production vector pipeline runs
+    * before anything consumes the corpus: per dimension, the count,
+    * mean/energy (as exact quantized sums), range, and a dead-dim
+    * flag (constant value ⇒ the encoder's unit died or a pipeline
+    * wrote zeros). Values are quantized to 1e-4 with the same
+    * explicit floor(x·10⁴ + 0.5) both engines use in [[quantizeInt8]]
+    * (library round() conventions differ), so every output column is
+    * exact integer math; Σq² goes through decimal(38,0) (the moneySum
+    * trade) because a web-scale corpus overflows BIGINT on power
+    * sums. Scale shape: one map-only explode to (dim, q) — Dim rows
+    * per vector — into a Dim-group hash aggregate with map-side
+    * partials; no joins, no windows, output is always Dim rows. */
+  def embedDimStats(embeddings: DataFrame): DataFrame =
+    embeddings
+      .filter(col("embedding").isNotNull)
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .select(col("pos").cast("int").as("dim"),
+        expr("CAST(floor(x * 10000.0D + 0.5D) AS BIGINT)").as("q"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("q")).as("sum_q"),
+        sum((col("q") * col("q")).cast("decimal(38,0)")).as("sum_q2"),
+        min(col("q")).as("min_q"),
+        max(col("q")).as("max_q"))
+      .withColumn("dead_dim", col("min_q") === col("max_q"))
+      .orderBy("dim")
+
+  val sqlEmbedDimStats: String =
+    s"""WITH x AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE embedding IS NOT NULL),
+        e AS (SELECT unnest(generate_series(1, $Dim)) AS i, v FROM x),
+        q AS (SELECT CAST(i - 1 AS INTEGER) AS dim,
+                CAST(floor(v[i] * 10000.0 + 0.5) AS BIGINT) AS q FROM e)
+        SELECT dim, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(q) AS BIGINT) AS sum_q,
+          CAST(sum(q * q) AS DECIMAL(38,0)) AS sum_q2,
+          CAST(min(q) AS BIGINT) AS min_q,
+          CAST(max(q) AS BIGINT) AS max_q,
+          min(q) = max(q) AS dead_dim
+        FROM q GROUP BY dim ORDER BY dim"""
+
+  /** Semantic eval-set decontamination: test-split documents whose
+    * EMBEDDING is near a train-split document — the leakage class
+    * lexical decontamination (`Curate.decontaminate`'s n-gram match)
+    * structurally misses: paraphrases, translations, re-renders of
+    * the same content. Split assignment is the shared
+    * [[Curate.splitAssign]] hash (the audit and the assignment can
+    * never disagree); candidates come from the same 16-table sign-LSH
+    * bucket join as [[lshNearDupPairs]] restricted to test×train
+    * sides; each flagged test doc reports its STRONGEST train
+    * neighbor (bounded-heap top-1, deterministic id tie-break), so
+    * output is ≤ |test| rows regardless of corpus density — the
+    * round-8 bounded-output rule. Scale shape: bucket build is
+    * map-only, the one candidate join shuffles on (table, bucket),
+    * verification fetches vectors only for candidate pairs. */
+  def semanticDecontam(documents: DataFrame, embeddings: DataFrame,
+                       threshold: Double = 0.3): DataFrame = {
+    graft.functions.TopKByScore.register(embeddings.sparkSession)
+    val split = graft.llm.Curate.splitAssign(documents)
+      .select(col("doc_id"), col("split"))
+    // cached like the other multi-reference prepared() frames: feeds
+    // the bucket build and both verification-join sides
+    val n = prepared(embeddings)
+      .join(split, col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("split"))
+      .cache()
+    val bs = bucketFrame(n)
+      .join(n.select(col("vec_id"), col("split")), "vec_id")
+    val cand = bs.as("x").join(bs.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.split") === "test" && col("y.split") === "train")
+      .select(col("x.vec_id").as("test_id"), col("y.vec_id").as("train_id"))
+      .distinct()
+    cand
+      .join(n.as("a"), col("test_id") === col("a.vec_id"))
+      .join(n.as("b"), col("train_id") === col("b.vec_id"))
+      .select(col("test_id"), col("train_id"), cosine("a", "b"))
+      .filter(col("cosine") >= threshold)
+      .groupBy("test_id")
+      .agg(call_function("top_k_by", col("cosine"), col("train_id"), lit(1)).as("top"))
+      .select(col("test_id"),
+        col("top").getItem(0).getField("id").as("train_id"),
+        col("top").getItem(0).getField("score").as("cosine"))
+      .orderBy("test_id")
+  }
+
+  def sqlSemanticDecontam(threshold: Double = 0.3): String =
+    s"""WITH $sqlPrepared,
+        sp AS (SELECT doc_id, split FROM (${graft.llm.Curate.sqlSplitAssign})),
+        bkt AS (${sqlBucketSelects()}),
+        bs AS (SELECT b.vec_id, b.tbl, b.bucket, s.split
+               FROM bkt b JOIN sp s ON b.vec_id = s.doc_id),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS test_id, y.vec_id AS train_id
+          FROM bs x JOIN bs y
+            ON x.tbl = y.tbl AND x.bucket = y.bucket
+           AND x.split = 'test' AND y.split = 'train'),
+        p AS (
+          SELECT test_id, train_id, $sqlCosine AS cosine
+          FROM cand JOIN n a ON test_id = a.vec_id
+                    JOIN n b ON train_id = b.vec_id),
+        f AS (SELECT * FROM p WHERE cosine >= $threshold),
+        r AS (SELECT *, row_number() OVER (
+                PARTITION BY test_id ORDER BY cosine DESC, train_id) AS rk
+              FROM f)
+        SELECT test_id, train_id, cosine FROM r
+        WHERE rk = 1 ORDER BY test_id"""
+
   // ---- Johnson–Lindenstrauss sign projection ------------------------
 
   val JlK = 8                   // projected dimensionality

@@ -425,6 +425,54 @@ class ClassifyLinkageSpec extends SparkSpec {
       s"diff: extra=${(got -- expected).take(3)} missing=${(expected -- got).take(3)}")
   }
 
+  test("embedDimStats: 128 rows, exact quantized sums, dead-dim flag on a constant dim") {
+    val emb = Tables.embeddings(spark, sf())
+    val out = llm.Similarity.embedDimStats(emb).collect()
+    assert(out.length === llm.Similarity.Dim)
+    val nVecs = emb.filter(col("embedding").isNotNull).count()
+    assert(out.forall(_.getAs[Long]("n") === nVecs))
+    // dim 0 recomputed by hand with the same floor(x*1e4+0.5) rule
+    val d0 = emb.filter(col("embedding").isNotNull)
+      .select(col("embedding").getItem(0).cast("double")).as[Double].collect()
+      .map(x => math.floor(x * 10000.0 + 0.5).toLong)
+    val r0 = out.find(_.getAs[Int]("dim") == 0).get
+    assert(r0.getAs[Long]("sum_q") === d0.sum)
+    assert(r0.getAs[java.math.BigDecimal]("sum_q2").longValueExact() ===
+      d0.map(q => q * q).sum)
+    assert(r0.getAs[Long]("min_q") === d0.min && r0.getAs[Long]("max_q") === d0.max)
+    // a handcrafted frame with one constant dim trips the dead flag
+    val tiny = Seq((1L, Seq(1.0, 0.5)), (2L, Seq(1.0, -0.5)))
+      .toDF("vec_id", "embedding")
+    val flags = llm.Similarity.embedDimStats(tiny).collect()
+      .map(r => r.getAs[Int]("dim") -> r.getAs[Boolean]("dead_dim")).toMap
+    assert(flags(0) === true && flags(1) === false)
+  }
+
+  test("semanticDecontam flags each test doc's strongest train neighbor exactly once") {
+    val docs = Tables.documents(spark, sf())
+    val emb = Tables.embeddings(spark, sf())
+    val splits = llm.Curate.splitAssign(docs)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val out = llm.Similarity.semanticDecontam(docs, emb)
+      .select("test_id", "train_id", "cosine").as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty, "no semantic leakage found — fixture too sparse?")
+    assert(out.map(_._1).distinct.length === out.length, "a test doc repeated")
+    assert(out.forall(r => splits(r._1) == "test"), "a non-test doc was flagged")
+    assert(out.forall(r => splits(r._2) == "train"), "a non-train neighbor reported")
+    assert(out.forall(_._3 >= 0.3))
+    // cross-check the argmax against the full verified LSH pair set
+    val pairs = llm.Similarity.lshNearDupPairs(emb, -1.0)
+      .select("vec_a", "vec_b", "cosine").as[(Long, Long, Double)].collect()
+    val best = pairs.flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+      .filter { case (t, tr, c) =>
+        splits(t) == "test" && splits(tr) == "train" && c >= 0.3 }
+      .groupBy(_._1).map { case (t, cs) =>
+        val top = cs.minBy(x => (-x._3, x._2)); (t, top._2, top._3) }
+      .toSet
+    assert(out.toSet === best,
+      s"extra=${(out.toSet -- best).take(3)} missing=${(best -- out.toSet).take(3)}")
+  }
+
   test("prioritySample keeps k docs with tau-corrected estimates") {
     val out = llm.Curate.prioritySample(Tables.documents(spark, sf("sf0.01")))
       .select("n_tokens", "priority", "est_tokens")
