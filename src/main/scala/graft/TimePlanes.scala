@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   * n / 2^numPlanes, so the width must grow with log₂(corpus) to hold
   * in-bucket pair work constant. Not part of the driver contract.
   *
-  * Usage: scripts/run.sh graft.TimePlanes <sfDir> <numPlanes> [mp]
+  * Usage: scripts/run.sh graft.TimePlanes <sfDir> <numPlanes> [mp|topk]
   */
 object TimePlanes {
   def main(args: Array[String]): Unit = {
@@ -28,13 +28,20 @@ object TimePlanes {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftFunctions.registerAll(spark)
-    val which = if (multiProbe) "multiProbeLshPairs" else "lshNearDupPairs"
+    val which =
+      if (multiProbe) "multiProbeLshPairs"
+      else if (args.length > 2 && args(2) == "topk") "lshTopKNeighbors"
+      else "lshNearDupPairs"
     (1 to 3).foreach { i =>
       val t0 = System.nanoTime()
       val emb = Tables.embeddings(spark, sfDir)
-      val df =
-        if (multiProbe) llm.Similarity.multiProbeLshPairs(emb, 0.3, numPlanes)
-        else llm.Similarity.lshNearDupPairs(emb, 0.3, numPlanes)
+      val df = which match {
+        case "multiProbeLshPairs" =>
+          llm.Similarity.multiProbeLshPairs(emb, 0.3, numPlanes)
+        case "lshTopKNeighbors" =>
+          llm.Similarity.lshTopKNeighbors(emb, 5, numPlanes)
+        case _ => llm.Similarity.lshNearDupPairs(emb, 0.3, numPlanes)
+      }
       val rows = df.count()
       val s = (System.nanoTime() - t0) / 1e9
       println(f"$which planes=$numPlanes run$i: $s%.2f s ($rows pairs)")
