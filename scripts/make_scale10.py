@@ -60,9 +60,6 @@ def docs_select(r):
             f"n_chars FROM '{SRC}/documents.parquet'")
 
 
-rng = random.Random(42)
-
-
 def emb_select(r):
     perm = list(range(64))
     signs = [1] * 64

@@ -5,9 +5,12 @@ import org.apache.spark.sql.SparkSession
   * with the Bench session config and the same full-plan noop write,
   * print cold and warm timings. Not part of the driver contract. */
 object TimeOne {
-  def main(args: Array[String]): Unit = {
-    val name = args(0)
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  /** The shared perf-harness session: ONE definition of the
+    * local[cpus]/shuffle-partitions/local-dir/cleaner config, so a
+    * tuning change can never silently diverge [[TimeOne]] and
+    * [[TimePlanes]] measurements. */
+  def perfSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val localDir = new java.io.File("target/spark-local-timeone").getAbsolutePath
     new java.io.File(localDir).mkdirs()
@@ -20,6 +23,13 @@ object TimeOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftFunctions.registerAll(spark)
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = perfSession()
     val fn = SparkEntry.queries(name)
     (1 to 3).foreach { i =>
       val t0 = System.nanoTime()

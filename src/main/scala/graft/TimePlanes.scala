@@ -16,18 +16,7 @@ object TimePlanes {
     val sfDir = args(0)
     val numPlanes = args(1).toInt
     val multiProbe = args.length > 2 && args(2) == "mp"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val localDir = new java.io.File("target/spark-local-timeone").getAbsolutePath
-    new java.io.File(localDir).mkdirs()
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.local.dir", localDir)
-      .config("spark.cleaner.referenceTracking.blocking", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    graft.functions.GraftFunctions.registerAll(spark)
+    val spark = TimeOne.perfSession()
     val which =
       if (multiProbe) "multiProbeLshPairs"
       else if (args.length > 2 && args(2) == "topk") "lshTopKNeighbors"
@@ -44,7 +33,7 @@ object TimePlanes {
       }
       val rows = df.count()
       val s = (System.nanoTime() - t0) / 1e9
-      println(f"$which planes=$numPlanes run$i: $s%.2f s ($rows pairs)")
+      println(f"$which planes=$numPlanes run$i: $s%.2f s ($rows rows)")
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }

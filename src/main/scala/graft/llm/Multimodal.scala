@@ -241,6 +241,12 @@ object Multimodal {
     * sample-rate field. */
   val AudioRates: IndexedSeq[Int] = IndexedSeq(8000, 16000, 22050, 44100)
 
+  /** Frame-count parameters shared by the encoder and BOTH audio
+    * twins: nFrames = AudioFrameBase + doc_id mod AudioFrameMod. */
+  val AudioFrameBase = 100
+  val AudioFrameMod = 900
+  val AudioChannelMod = 2
+
   /** Deterministic REAL-audio table: one genuine WAV/AIFF/AU payload
     * per document, encoded in-engine — container from doc_id mod 3,
     * sample rate mod 4, channels mod 2, frame count mod 900, 16-bit
@@ -253,8 +259,8 @@ object Multimodal {
         def pmod(m: Int) = java.lang.Math.floorMod(id, m.toLong).toInt
         val container = AudioFormats(pmod(AudioFormats.size))
         val rate = AudioRates(pmod(AudioRates.size))
-        val channels = 1 + pmod(2)
-        val nFrames = 100 + pmod(900)
+        val channels = 1 + pmod(AudioChannelMod)
+        val nFrames = AudioFrameBase + pmod(AudioFrameMod)
         val bigEndian = container != "wav" // AIFF/AU are big-endian PCM
         val pcm = new Array[Byte](nFrames * channels * 2)
         var i = 0
@@ -317,17 +323,25 @@ object Multimodal {
     }.toDF().orderBy("doc_id")
   }
 
+  /** pmod of doc_id in DuckDB, with every modulus derived from the
+    * same constants the encoder reads — a new container/rate/frame
+    * setting can never desynchronize twin and encoder. */
+  private def sqlPmod(m: Int): String = s"((doc_id % $m) + $m) % $m"
+
   val sqlAudioDecode: String = {
     val fmts = AudioFormats.map(f => s"'$f'").mkString(", ")
     val rates = AudioRates.mkString(", ")
+    val fmtIdx = s"[$fmts][CAST(${sqlPmod(AudioFormats.size)} + 1 AS INTEGER)]"
+    val rateIdx = s"[$rates][CAST(${sqlPmod(AudioRates.size)} + 1 AS INTEGER)]"
+    val frames = s"$AudioFrameBase + ${sqlPmod(AudioFrameMod)}"
     s"""SELECT doc_id,
-       [$fmts][CAST(((doc_id % 3) + 3) % 3 + 1 AS INTEGER)] AS container,
-       [$rates][CAST(((doc_id % 4) + 4) % 4 + 1 AS INTEGER)] AS sample_rate,
-       CAST(1 + ((doc_id % 2) + 2) % 2 AS INTEGER) AS channels,
+       $fmtIdx AS container,
+       $rateIdx AS sample_rate,
+       CAST(1 + ${sqlPmod(AudioChannelMod)} AS INTEGER) AS channels,
        CAST(16 AS INTEGER) AS bits,
-       CAST(100 + ((doc_id % 900) + 900) % 900 AS BIGINT) AS n_frames,
-       CAST((100 + ((doc_id % 900) + 900) % 900) * 1000000
-         // [$rates][CAST(((doc_id % 4) + 4) % 4 + 1 AS INTEGER)]
+       CAST($frames AS BIGINT) AS n_frames,
+       CAST(($frames) * 1000000
+         // $rateIdx
          AS BIGINT) AS duration_us,
        TRUE AS decoded
        FROM documents ORDER BY doc_id"""
@@ -391,18 +405,25 @@ object Multimodal {
     }.toDF().orderBy("doc_id")
   }
 
-  val sqlAudioStats: String =
-    """WITH f AS (
-         SELECT doc_id,
-           CAST((100 + ((doc_id % 900) + 900) % 900)
-             * (1 + ((doc_id % 2) + 2) % 2) AS BIGINT) AS ns
+  /** The twin's sample expression works mod 2¹⁶ throughout:
+    * (id·2654435761 + i·40503) mod 2¹⁶ ≡ ((id mod 2¹⁶)·31153 +
+    * i·40503) mod 2¹⁶ (31153 = 2654435761 mod 2¹⁶), which is also
+    * what the Scala side's Long wraparound preserves — and unlike the
+    * full product it cannot overflow DuckDB's checked BIGINT multiply
+    * on 64-bit id domains (doc_id ≥ ~3.5e9 would otherwise throw). */
+  val sqlAudioStats: String = {
+    val ns = s"($AudioFrameBase + ${sqlPmod(AudioFrameMod)})" +
+      s" * (1 + ${sqlPmod(AudioChannelMod)})"
+    s"""WITH f AS (
+         SELECT doc_id, CAST($ns AS BIGINT) AS ns
          FROM documents),
        e AS (SELECT doc_id, ns, unnest(generate_series(0, ns - 1)) AS i FROM f),
        s AS (
          SELECT doc_id, ns, i,
            CASE WHEN m >= 32768 THEN m - 65536 ELSE m END AS s
          FROM (SELECT doc_id, ns, i,
-                 ((doc_id * 2654435761 + i * 40503) % 65536 + 65536) % 65536 AS m
+                 ((((doc_id % 65536) + 65536) % 65536) * 31153 + i * 40503)
+                   % 65536 AS m
                FROM e))
        SELECT doc_id,
          CAST(max(ns) AS BIGINT) AS n_samples,
@@ -413,6 +434,7 @@ object Multimodal {
          CAST(max(CASE WHEN i = ns - 1 THEN s END) AS INTEGER) AS last_sample,
          TRUE AS decoded
        FROM s GROUP BY doc_id ORDER BY doc_id"""
+  }
 
   val ResizeW = 128
   val ResizeH = 96

@@ -314,15 +314,25 @@ object Similarity {
     graft.functions.TopKByScore.register(embeddings.sparkSession)
     val n = prepared(embeddings).cache() // same multi-use shape as lshNearDupPairs
     val b = bucketFrame(n, numPlanes)
+    // dedup/join/score each UNORDERED pair once (cosine is symmetric),
+    // then mirror the scored rows — half the distinct() shuffle, half
+    // the vector fetches, half the dot products of the naive directed
+    // form. `scored` is cached because the union reads it twice and
+    // Spark shares no subplans (caller-released via clearCache).
     val cand = b.as("x").join(b.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") =!= col("y.vec_id"))
-      .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("neighbor_id"))
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
-    cand
-      .join(n.as("a"), col("query_id") === col("a.vec_id"))
-      .join(n.as("b"), col("neighbor_id") === col("b.vec_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine("a", "b"))
+    val scored = cand
+      .join(n.as("a"), col("vec_a") === col("a.vec_id"))
+      .join(n.as("b"), col("vec_b") === col("b.vec_id"))
+      .select(col("vec_a"), col("vec_b"), cosine("a", "b"))
+      .cache()
+    scored.select(col("vec_a").as("query_id"),
+        col("vec_b").as("neighbor_id"), col("cosine"))
+      .union(scored.select(col("vec_b").as("query_id"),
+        col("vec_a").as("neighbor_id"), col("cosine")))
       .groupBy("query_id")
       .agg(call_function("top_k_by", col("cosine"), col("neighbor_id"), lit(k)).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "entry")))
@@ -566,6 +576,10 @@ object Similarity {
     // the bucket build and both verification-join sides
     val n = prepared(embeddings)
       .join(split, col("vec_id") === col("doc_id"))
+      // the validation split can never appear on either side of the
+      // test×train join — drop it BEFORE the cache and the 16-table
+      // bucket explode, not inside the join condition
+      .filter(col("split").isin("test", "train"))
       .select(col("vec_id"), col("v"), col("nrm"), col("split"))
       .cache()
     val bs = bucketFrame(n)

@@ -41,19 +41,25 @@ object Linkage {
                        maxSizeDiff: Int = MaxSizeDiff): DataFrame =
     matchPairs(part, maxLev, maxSizeDiff).orderBy("k1", "k2")
 
-  /** The unsorted match core: [[entityResolution]] publishes it with a
-    * total order; [[entityClusters]] consumes it as an edge set, where
-    * a global sort would be a wasted range-shuffle exchange baked into
-    * the edge checkpoint. */
-  private def matchPairs(part: DataFrame, maxLev: Int,
-                         maxSizeDiff: Int): DataFrame = {
+  /** The (record, window-bucket) frame every blocking consumer builds
+    * from — ONE definition, so a change to the window shape can never
+    * silently diverge [[matchPairs]], [[entityResolutionCapped]], and
+    * [[blockingQuality]]. */
+  private def blockedFrame(part: DataFrame, maxSizeDiff: Int): DataFrame = {
     val w = maxSizeDiff + 1
-    val blk = part
+    part
       .select(col("p_partkey"), col("p_name"), col("p_brand"),
         col("p_type"), col("p_size"))
       .withColumn("bkt", explode(array(
         expr(s"p_size DIV $w"), expr(s"p_size DIV $w + 1"))))
-    val cand = blk.as("a")
+  }
+
+  /** Candidate join + levenshtein scoring over a blocked frame —
+    * shared by the lossless and the capped resolution (which differ
+    * only in WHICH blocked frame they score). */
+  private def scoreBlocked(blk: DataFrame, maxLev: Int,
+                           maxSizeDiff: Int): DataFrame =
+    blk.as("a")
       .join(blk.as("b"),
         col("a.p_brand") === col("b.p_brand") &&
           col("a.p_type") === col("b.p_type") &&
@@ -65,10 +71,16 @@ object Linkage {
         col("a.p_brand").as("brand"),
         abs(col("a.p_size") - col("b.p_size")).as("d_size"))
       .distinct() // close pairs can share both window buckets
-    cand
       .withColumn("name_lev", levenshtein(col("name_a"), col("name_b")))
       .filter(col("name_lev") <= maxLev && col("d_size") <= maxSizeDiff)
-  }
+
+  /** The unsorted match core: [[entityResolution]] publishes it with a
+    * total order; [[entityClusters]] consumes it as an edge set, where
+    * a global sort would be a wasted range-shuffle exchange baked into
+    * the edge checkpoint. */
+  private def matchPairs(part: DataFrame, maxLev: Int,
+                         maxSizeDiff: Int): DataFrame =
+    scoreBlocked(blockedFrame(part, maxSizeDiff), maxLev, maxSizeDiff)
 
   def sqlEntityResolution(maxLev: Int = MaxNameLev,
                           maxSizeDiff: Int = MaxSizeDiff): String = {
@@ -122,11 +134,8 @@ object Linkage {
     * wide DECIMALs is exposed to across oracle environments. */
   def blockingQuality(part: DataFrame,
                       maxSizeDiff: Int = MaxSizeDiff): DataFrame = {
-    val w = maxSizeDiff + 1
-    val blk = part.select(col("p_partkey"), col("p_brand"), col("p_type"),
-        col("p_size"))
-      .withColumn("bkt", explode(array(
-        expr(s"p_size DIV $w"), expr(s"p_size DIV $w + 1"))))
+    // the shared frame's p_name is unused here; Catalyst prunes it
+    val blk = blockedFrame(part, maxSizeDiff)
     // n(n-1)/2 with the multiplication in DECIMAL(38,0), never BIGINT:
     // at n ≥ ~3.04e9 records per block, n*(n-1) wraps silently in
     // non-ANSI BIGINT before the DIV 2 lands. The parity CASE keeps the
@@ -268,12 +277,7 @@ object Linkage {
                              maxLev: Int = MaxNameLev,
                              maxSizeDiff: Int = MaxSizeDiff,
                              maxBlock: Int = MaxBlockRecords): DataFrame = {
-    val w = maxSizeDiff + 1
-    val blk = part
-      .select(col("p_partkey"), col("p_name"), col("p_brand"),
-        col("p_type"), col("p_size"))
-      .withColumn("bkt", explode(array(
-        expr(s"p_size DIV $w"), expr(s"p_size DIV $w + 1"))))
+    val blk = blockedFrame(part, maxSizeDiff)
     val hot = blk.groupBy("p_brand", "p_type", "bkt")
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBlock)
@@ -282,20 +286,7 @@ object Linkage {
       coalesce(sum(col("n")), lit(0L)).cast("bigint").as("dropped_entries")))
     val kept = blk.join(broadcast(hot),
       Seq("p_brand", "p_type", "bkt"), "left_anti")
-    kept.as("a")
-      .join(kept.as("b"),
-        col("a.p_brand") === col("b.p_brand") &&
-          col("a.p_type") === col("b.p_type") &&
-          col("a.bkt") === col("b.bkt") &&
-          col("a.p_partkey") < col("b.p_partkey"))
-      .select(
-        col("a.p_partkey").as("k1"), col("b.p_partkey").as("k2"),
-        col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
-        col("a.p_brand").as("brand"),
-        abs(col("a.p_size") - col("b.p_size")).as("d_size"))
-      .distinct() // close pairs can share both window buckets
-      .withColumn("name_lev", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("name_lev") <= maxLev && col("d_size") <= maxSizeDiff)
+    scoreBlocked(kept, maxLev, maxSizeDiff)
       .crossJoin(dropStats)
       .orderBy("k1", "k2")
   }

@@ -425,7 +425,7 @@ class ClassifyLinkageSpec extends SparkSpec {
       s"diff: extra=${(got -- expected).take(3)} missing=${(expected -- got).take(3)}")
   }
 
-  test("embedDimStats: 128 rows, exact quantized sums, dead-dim flag on a constant dim") {
+  test("embedDimStats: Dim rows, exact quantized sums, dead-dim flag on a constant dim") {
     val emb = Tables.embeddings(spark, sf())
     val out = llm.Similarity.embedDimStats(emb).collect()
     assert(out.length === llm.Similarity.Dim)
