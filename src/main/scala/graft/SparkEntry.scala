@@ -157,6 +157,7 @@ object SparkEntry {
     "q_media_decode" -> ((s, d) => llm.Multimodal.mediaDecode(Tables.documents(s, d))),
     "q_audio_decode" -> ((s, d) => llm.Multimodal.audioDecode(Tables.documents(s, d))),
     "q_audio_stats" -> ((s, d) => llm.Multimodal.audioStats(Tables.documents(s, d))),
+    "q_video_frames" -> ((s, d) => llm.Multimodal.videoFrames(Tables.documents(s, d))),
     // corpus curation: PII scrub, reproducible split/sample, quality ranking
     "q_pii_redact" -> ((s, d) => llm.Curate.redactPii(Tables.documents(s, d))),
     "q_split_assign" -> ((s, d) => llm.Curate.splitAssign(Tables.documents(s, d))),
@@ -580,6 +581,7 @@ object SparkEntry {
     "q_media_decode" -> llm.Multimodal.sqlMediaDecode,
     "q_audio_decode" -> llm.Multimodal.sqlAudioDecode,
     "q_audio_stats" -> llm.Multimodal.sqlAudioStats,
+    "q_video_frames" -> llm.Multimodal.sqlVideoFrames,
     "q_pii_redact" -> llm.Curate.sqlRedactPii,
     "q_split_assign" -> llm.Curate.sqlSplitAssign,
     "q_stratified_sample" -> llm.Curate.sqlStratifiedSample,

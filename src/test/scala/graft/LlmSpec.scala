@@ -1018,6 +1018,35 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("video decode: RIFF walk recovers header facts and every MJPEG frame decodes") {
+    val out = Multimodal.videoFrames(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size === 5)
+    out.foreach { case (id, r) =>
+      assert(r.getAs[Boolean]("decoded"), s"doc $id fell to the stub")
+      val w = Multimodal.VideoWidthBase +
+        (id % Multimodal.VideoWidthMod).toInt * Multimodal.VideoWidthStep
+      val h = Multimodal.VideoHeightBase +
+        (id % Multimodal.VideoHeightMod).toInt * Multimodal.VideoHeightStep
+      val nf = Multimodal.VideoFrameBase + (id % Multimodal.VideoFrameMod).toInt
+      assert(r.getAs[Int]("width") === w && r.getAs[Int]("height") === h)
+      assert(r.getAs[Long]("n_frames") === nf)
+      // EVERY frame chunk decoded through the real JPEG codec, and the
+      // decoded rasters carry the header dims (JPEG preserves dims)
+      assert(r.getAs[Long]("frames_decoded") === nf, s"doc $id lost frames")
+      assert(r.getAs[Int]("frame_w") === w && r.getAs[Int]("frame_h") === h)
+    }
+    // corrupt containers FLAG, never throw (same policy as the
+    // image/audio paths): junk bytes, and a real AVI truncated
+    // mid-chunk, both take the decoded=false path
+    val junk = Multimodal.parseAvi(
+      Multimodal.MediaFile(9L, "avi", "not a riff".getBytes("UTF-8"), 10L))
+    assert(!junk.decoded)
+    val truncated = Multimodal.parseAvi(
+      Multimodal.MediaFile(9L, "avi", Multimodal.aviBytes(9L).take(40), 40L))
+    assert(!truncated.decoded)
+  }
+
   test("media metadata frame offsets evenly spaced") {
     val m = Multimodal.mediaMetadata(docs).filter(col("doc_id") === 0).collect().head
     val n = m.getAs[Long]("n_bytes")
