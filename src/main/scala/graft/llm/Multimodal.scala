@@ -508,6 +508,83 @@ object Multimodal {
       .toDF().orderBy("doc_id")
   }
 
+  case class SampledFrame(
+      doc_id: Long,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      decoded: Boolean)
+
+  /** Frame SAMPLING over the real AVI corpus — the vision-encoder prep
+    * stage: walk the container, decode only every `stride`-th '00dc'
+    * frame through the real JPEG codec, skip the rest at container
+    * level (at 100 TB the skipped frames are never even inflated —
+    * the walker advances by chunk size, so sampling cost is O(sampled
+    * frames), not O(all frames)). One row per SAMPLED frame; the twin
+    * predicts exactly which indices survive from the same doc_id
+    * arithmetic. Dims are gated (JPEG-exact); pixel values are not
+    * (lossy codec). */
+  def videoFrameSample(documents: DataFrame, stride: Int = 2): DataFrame = {
+    import documents.sparkSession.implicits._
+    require(stride > 0, s"stride must be positive, got $stride")
+    videoTable(documents).mapPartitions { batch =>
+      batch.flatMap { m =>
+        try {
+          val buf = java.nio.ByteBuffer.wrap(m.content)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          def cc() = {
+            val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+          }
+          require(cc() == "RIFF", "not RIFF"); buf.getInt()
+          require(cc() == "AVI ", "not AVI")
+          val out = scala.collection.mutable.ArrayBuffer.empty[SampledFrame]
+          var frameIdx = 0
+          def walk(end: Int): Unit = while (buf.position() < end) {
+            val id = cc(); val size = buf.getInt()
+            val next = buf.position() + size + (size & 1)
+            id match {
+              case "LIST" => cc(); walk(next)
+              case "00dc" =>
+                if (frameIdx % stride == 0) {
+                  val jpeg = new Array[Byte](size); buf.get(jpeg)
+                  val img = javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(jpeg))
+                  out += SampledFrame(m.doc_id, frameIdx,
+                    if (img == null) 0 else img.getWidth,
+                    if (img == null) 0 else img.getHeight,
+                    decoded = img != null)
+                }
+                frameIdx += 1
+                buf.position(next)
+              case _ => buf.position(next)
+            }
+          }
+          walk(m.content.length)
+          out
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            Seq(SampledFrame(m.doc_id, -1, 0, 0, decoded = false))
+        }
+      }
+    }.toDF().orderBy("doc_id", "frame_idx")
+  }
+
+  def sqlVideoFrameSample(stride: Int = 2): String = {
+    val w = s"$VideoWidthBase + ${sqlPmod(VideoWidthMod)} * $VideoWidthStep"
+    val h = s"$VideoHeightBase + ${sqlPmod(VideoHeightMod)} * $VideoHeightStep"
+    val nf = s"$VideoFrameBase + ${sqlPmod(VideoFrameMod)}"
+    s"""WITH f AS (
+          SELECT doc_id, CAST($nf AS BIGINT) AS nf,
+            CAST($w AS INTEGER) AS w, CAST($h AS INTEGER) AS h
+          FROM documents),
+        e AS (SELECT doc_id, w, h,
+                unnest(generate_series(0, nf - 1)) AS i FROM f)
+        SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+          w AS width, h AS height, TRUE AS decoded
+        FROM e WHERE i % $stride = 0
+        ORDER BY doc_id, frame_idx"""
+  }
+
   val sqlVideoFrames: String = {
     val us = VideoFrameUs.mkString(", ")
     val w = s"$VideoWidthBase + ${sqlPmod(VideoWidthMod)} * $VideoWidthStep"

@@ -1047,6 +1047,21 @@ class LlmSpec extends SparkSpec {
     assert(!truncated.decoded)
   }
 
+  test("video frame sampling decodes exactly the stride-surviving indices") {
+    val out = Multimodal.videoFrameSample(docs, stride = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("frame_idx"),
+        r.getAs[Int]("width"), r.getAs[Boolean]("decoded")))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (id, rows) =>
+      val nf = Multimodal.VideoFrameBase + (id % Multimodal.VideoFrameMod).toInt
+      val expectIdx = (0 until nf).filter(_ % 2 == 0)
+      assert(rows.map(_._2).sorted === expectIdx, s"doc $id sampled wrong frames")
+      val w = Multimodal.VideoWidthBase +
+        (id % Multimodal.VideoWidthMod).toInt * Multimodal.VideoWidthStep
+      assert(rows.forall(r => r._3 == w && r._4), s"doc $id frame decode")
+    }
+  }
+
   test("media metadata frame offsets evenly spaced") {
     val m = Multimodal.mediaMetadata(docs).filter(col("doc_id") === 0).collect().head
     val n = m.getAs[Long]("n_bytes")
