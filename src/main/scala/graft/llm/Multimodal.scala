@@ -338,6 +338,10 @@ object Multimodal {
   val VideoFrameBase = 2; val VideoFrameMod = 4
   /** dwMicroSecPerFrame for 30/24/15/10 fps. */
   val VideoFrameUs: IndexedSeq[Int] = IndexedSeq(33333, 41667, 66667, 100000)
+  /** ONE stride shared by [[videoFrameSample]] and its twin — per the
+    * file's twin-sync convention, a setting change can never
+    * desynchronize engine and oracle. */
+  val VideoSampleStride = 2
 
   private def le32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
     out.write(v & 0xff); out.write((v >> 8) & 0xff)
@@ -372,7 +376,8 @@ object Multimodal {
       val g = img.createGraphics()
       g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
       val b = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpeg", b)
+      val ok = javax.imageio.ImageIO.write(img, "jpeg", b)
+      require(ok, "no JDK JPEG writer") // ships with every JDK
       b.toByteArray
     }
     val avih = new java.io.ByteArrayOutputStream()
@@ -434,11 +439,40 @@ object Multimodal {
   def videoTable(documents: DataFrame): Dataset[MediaFile] = {
     import documents.sparkSession.implicits._
     documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      javax.imageio.ImageIO.setUseCache(false) // in-memory JPEG encode
       ids.map { id =>
         val bytes = aviBytes(id)
         MediaFile(id, "avi", bytes, bytes.length.toLong)
       }
     }
+  }
+
+  /** The shared RIFF chunk walker behind [[parseAvi]] and
+    * [[videoFrameSample]]: verifies the RIFF/'AVI ' magic, then calls
+    * `onChunk(id, size, buf)` with the buffer at each data chunk's
+    * payload start (LISTs are descended into, not surfaced) and
+    * repositions to the next chunk itself. Forward progress is
+    * GUARDED: a corrupt negative chunk size would otherwise make
+    * `next` ≤ the current position and spin the loop forever at 100%
+    * CPU instead of taking the callers' flag-don't-throw path. */
+  private def walkRiff(content: Array[Byte])(
+      onChunk: (String, Int, java.nio.ByteBuffer) => Unit): Unit = {
+    val buf = java.nio.ByteBuffer.wrap(content)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc() = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(cc() == "RIFF", "not RIFF"); buf.getInt()
+    require(cc() == "AVI ", "not AVI")
+    def walk(end: Int): Unit = while (buf.position() < end) {
+      val id = cc(); val size = buf.getInt()
+      require(size >= 0, s"corrupt chunk size $size") // forward progress
+      val next = buf.position() + size + (size & 1)
+      if (id == "LIST") { cc(); walk(next) }
+      else onChunk(id, size, buf)
+      buf.position(next)
+    }
+    walk(content.length)
   }
 
   /** REAL video decode, oracle-gated — the last modality VERDICT r7
@@ -459,40 +493,24 @@ object Multimodal {
     * directly testable: decode failures flag, never throw. */
   private[graft] def parseAvi(m: MediaFile): VideoFeatures =
     try {
-      val buf = java.nio.ByteBuffer.wrap(m.content)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      def cc() = {
-        val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
-      }
-      require(cc() == "RIFF", "not RIFF"); buf.getInt()
-      require(cc() == "AVI ", "not AVI")
       var width = 0; var height = 0; var nFrames = 0L; var frameUs = 0
       var framesDecoded = 0L; var fw = 0; var fh = 0
-      // real chunk walk: recurse into LISTs, read sizes from bytes
-      def walk(end: Int): Unit = while (buf.position() < end) {
-        val id = cc(); val size = buf.getInt()
-        val next = buf.position() + size + (size & 1)
-        id match {
-          case "LIST" => cc(); walk(next) // consume list type, descend
-          case "avih" =>
-            frameUs = buf.getInt(); buf.getInt(); buf.getInt(); buf.getInt()
-            nFrames = buf.getInt().toLong
-            buf.getInt(); buf.getInt(); buf.getInt()
-            width = buf.getInt(); height = buf.getInt()
-            buf.position(next)
-          case "00dc" =>
-            val jpeg = new Array[Byte](size); buf.get(jpeg)
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(jpeg))
-            if (img != null) {
-              framesDecoded += 1
-              fw = math.max(fw, img.getWidth); fh = math.max(fh, img.getHeight)
-            }
-            buf.position(next)
-          case _ => buf.position(next)
-        }
+      walkRiff(m.content) {
+        case ("avih", _, buf) =>
+          frameUs = buf.getInt(); buf.getInt(); buf.getInt(); buf.getInt()
+          nFrames = buf.getInt().toLong
+          buf.getInt(); buf.getInt(); buf.getInt()
+          width = buf.getInt(); height = buf.getInt()
+        case ("00dc", size, buf) =>
+          val jpeg = new Array[Byte](size); buf.get(jpeg)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(jpeg))
+          if (img != null) {
+            framesDecoded += 1
+            fw = math.max(fw, img.getWidth); fh = math.max(fh, img.getHeight)
+          }
+        case _ => ()
       }
-      walk(m.content.length)
       VideoFeatures(m.doc_id, m.media_type, width, height, nFrames,
         frameUs, nFrames * frameUs.toLong, framesDecoded, fw, fh,
         decoded = true)
@@ -504,8 +522,10 @@ object Multimodal {
 
   def videoFrames(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
-    videoTable(documents).mapPartitions(_.map(parseAvi))
-      .toDF().orderBy("doc_id")
+    videoTable(documents).mapPartitions { batch =>
+      javax.imageio.ImageIO.setUseCache(false) // in-memory JPEG decode
+      batch.map(parseAvi)
+    }.toDF().orderBy("doc_id")
   }
 
   case class SampledFrame(
@@ -524,42 +544,30 @@ object Multimodal {
     * predicts exactly which indices survive from the same doc_id
     * arithmetic. Dims are gated (JPEG-exact); pixel values are not
     * (lossy codec). */
-  def videoFrameSample(documents: DataFrame, stride: Int = 2): DataFrame = {
+  def videoFrameSample(documents: DataFrame,
+                       stride: Int = VideoSampleStride): DataFrame = {
     import documents.sparkSession.implicits._
     require(stride > 0, s"stride must be positive, got $stride")
     videoTable(documents).mapPartitions { batch =>
+      javax.imageio.ImageIO.setUseCache(false) // in-memory JPEG decode
       batch.flatMap { m =>
         try {
-          val buf = java.nio.ByteBuffer.wrap(m.content)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          def cc() = {
-            val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
-          }
-          require(cc() == "RIFF", "not RIFF"); buf.getInt()
-          require(cc() == "AVI ", "not AVI")
           val out = scala.collection.mutable.ArrayBuffer.empty[SampledFrame]
           var frameIdx = 0
-          def walk(end: Int): Unit = while (buf.position() < end) {
-            val id = cc(); val size = buf.getInt()
-            val next = buf.position() + size + (size & 1)
-            id match {
-              case "LIST" => cc(); walk(next)
-              case "00dc" =>
-                if (frameIdx % stride == 0) {
-                  val jpeg = new Array[Byte](size); buf.get(jpeg)
-                  val img = javax.imageio.ImageIO.read(
-                    new java.io.ByteArrayInputStream(jpeg))
-                  out += SampledFrame(m.doc_id, frameIdx,
-                    if (img == null) 0 else img.getWidth,
-                    if (img == null) 0 else img.getHeight,
-                    decoded = img != null)
-                }
-                frameIdx += 1
-                buf.position(next)
-              case _ => buf.position(next)
-            }
+          walkRiff(m.content) {
+            case ("00dc", size, buf) =>
+              if (frameIdx % stride == 0) {
+                val jpeg = new Array[Byte](size); buf.get(jpeg)
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(jpeg))
+                out += SampledFrame(m.doc_id, frameIdx,
+                  if (img == null) 0 else img.getWidth,
+                  if (img == null) 0 else img.getHeight,
+                  decoded = img != null)
+              }
+              frameIdx += 1
+            case _ => ()
           }
-          walk(m.content.length)
           out
         } catch {
           case scala.util.control.NonFatal(_) =>
@@ -569,7 +577,7 @@ object Multimodal {
     }.toDF().orderBy("doc_id", "frame_idx")
   }
 
-  def sqlVideoFrameSample(stride: Int = 2): String = {
+  def sqlVideoFrameSample(stride: Int = VideoSampleStride): String = {
     val w = s"$VideoWidthBase + ${sqlPmod(VideoWidthMod)} * $VideoWidthStep"
     val h = s"$VideoHeightBase + ${sqlPmod(VideoHeightMod)} * $VideoHeightStep"
     val nf = s"$VideoFrameBase + ${sqlPmod(VideoFrameMod)}"

@@ -1045,6 +1045,18 @@ class LlmSpec extends SparkSpec {
     val truncated = Multimodal.parseAvi(
       Multimodal.MediaFile(9L, "avi", Multimodal.aviBytes(9L).take(40), 40L))
     assert(!truncated.decoded)
+    // a NEGATIVE chunk size must flag too — without the walker's
+    // forward-progress guard it computes next <= position and spins
+    // the walk loop forever instead of ever reaching the catch
+    val evil = new java.io.ByteArrayOutputStream()
+    evil.write("RIFF".getBytes("US-ASCII"))
+    evil.write(Array[Byte](16, 0, 0, 0))
+    evil.write("AVI JUNK".getBytes("US-ASCII"))
+    evil.write(Array[Byte](-8, -1, -1, -1)) // size = -8 little-endian
+    evil.write(new Array[Byte](8))
+    val spin = Multimodal.parseAvi(
+      Multimodal.MediaFile(9L, "avi", evil.toByteArray, 28L))
+    assert(!spin.decoded)
   }
 
   test("video frame sampling decodes exactly the stride-surviving indices") {
