@@ -159,6 +159,9 @@ object SparkEntry {
     "q_audio_stats" -> ((s, d) => llm.Multimodal.audioStats(Tables.documents(s, d))),
     "q_video_frames" -> ((s, d) => llm.Multimodal.videoFrames(Tables.documents(s, d))),
     "q_video_sample" -> ((s, d) => llm.Multimodal.videoFrameSample(Tables.documents(s, d))),
+    // cross-modal assembly: per-example modality presence + split manifest
+    "q_sample_manifest" -> ((s, d) =>
+      llm.Curate.sampleManifest(Tables.documents(s, d), Tables.embeddings(s, d))),
     // corpus curation: PII scrub, reproducible split/sample, quality ranking
     "q_pii_redact" -> ((s, d) => llm.Curate.redactPii(Tables.documents(s, d))),
     "q_split_assign" -> ((s, d) => llm.Curate.splitAssign(Tables.documents(s, d))),
@@ -584,6 +587,7 @@ object SparkEntry {
     "q_audio_stats" -> llm.Multimodal.sqlAudioStats,
     "q_video_frames" -> llm.Multimodal.sqlVideoFrames,
     "q_video_sample" -> llm.Multimodal.sqlVideoFrameSample(),
+    "q_sample_manifest" -> llm.Curate.sqlSampleManifest,
     "q_pii_redact" -> llm.Curate.sqlRedactPii,
     "q_split_assign" -> llm.Curate.sqlSplitAssign,
     "q_stratified_sample" -> llm.Curate.sqlStratifiedSample,

@@ -352,6 +352,34 @@ class ClassifyLinkageSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("sampleManifest records modality presence, split, and NULL-pinned completeness") {
+    val docs = Tables.documents(spark, sf())
+    val emb = Tables.embeddings(spark, sf())
+    val out = llm.Curate.sampleManifest(docs, emb).collect()
+    assert(out.length === docs.count())
+    val splits = llm.Curate.splitAssign(docs)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val embIds = emb.filter(col("embedding").isNotNull)
+      .select("vec_id").as[Long].collect().toSet
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("split") === splits(id))
+      assert(r.getAs[Boolean]("has_embedding") === embIds.contains(id))
+      assert(r.getAs[Boolean]("complete") ===
+        (r.getAs[Boolean]("has_text") && r.getAs[Boolean]("has_embedding")))
+    }
+    // NULL text pins has_text (and complete) to false, never NULL
+    val withNull = Seq((1L, null: String, "en", "web"), (2L, "a b", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val embTiny = Seq((1L, Seq.fill(4)(0.5)), (2L, Seq.fill(4)(0.5)))
+      .toDF("vec_id", "embedding")
+    val pinned = llm.Curate.sampleManifest(withNull, embTiny).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("has_text"), r.getAs[Boolean]("complete"))).toMap
+    assert(pinned(1L) === ((false, false)))
+    assert(pinned(2L) === ((true, true)))
+  }
+
   test("unimaxMix never exceeds the budget or any source's epoch cap") {
     val out = llm.Curate.unimaxMix(Tables.documents(spark, sf()))
       .select("alloc", "cap", "budget").as[(Long, Long, Long)].collect()
