@@ -162,6 +162,8 @@ object SparkEntry {
     // cross-modal assembly: per-example modality presence + split manifest
     "q_sample_manifest" -> ((s, d) =>
       llm.Curate.sampleManifest(Tables.documents(s, d), Tables.embeddings(s, d))),
+    // tokenizer invertibility: every dict word's segmentation rejoins exactly
+    "q_bpe_roundtrip" -> ((s, d) => llm.TextStats.bpeRoundtrip(Tables.documents(s, d))),
     // corpus curation: PII scrub, reproducible split/sample, quality ranking
     "q_pii_redact" -> ((s, d) => llm.Curate.redactPii(Tables.documents(s, d))),
     "q_split_assign" -> ((s, d) => llm.Curate.splitAssign(Tables.documents(s, d))),
@@ -588,6 +590,7 @@ object SparkEntry {
     "q_video_frames" -> llm.Multimodal.sqlVideoFrames,
     "q_video_sample" -> llm.Multimodal.sqlVideoFrameSample(),
     "q_sample_manifest" -> llm.Curate.sqlSampleManifest,
+    "q_bpe_roundtrip" -> llm.TextStats.sqlBpeRoundtrip(),
     "q_pii_redact" -> llm.Curate.sqlRedactPii,
     "q_split_assign" -> llm.Curate.sqlSplitAssign,
     "q_stratified_sample" -> llm.Curate.sqlStratifiedSample,

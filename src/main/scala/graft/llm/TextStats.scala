@@ -1357,6 +1357,28 @@ object TextStats {
             AS chars_per_token
         FROM enc GROUP BY 1 ORDER BY 1"""
 
+  /** Tokenizer INVERTIBILITY gate: for every dict word, concatenating
+    * its BPE segmentation must reproduce the word exactly — the
+    * lossless-segmentation property a trainer bug (dropped char,
+    * doubled merge, off-by-one in the pair rewrite) breaks first.
+    * One row per dict word with its subtoken count and the roundtrip
+    * verdict; BOTH engines run their own trainer, so a divergence in
+    * either segmenter surfaces as a row-level hash mismatch, not just
+    * a count drift. Dict-sized output (vocabulary, not corpus). */
+  def bpeRoundtrip(documents: DataFrame, merges: Int = BpeMerges): DataFrame = {
+    val seqs = bpeLoop(documents, merges)._2
+    seqs.select(col("word"),
+        size(col("syms")).cast("int").as("n_sub"),
+        (expr("concat_ws('', syms)") === col("word")).as("roundtrip_ok"))
+      .orderBy("word")
+  }
+
+  def sqlBpeRoundtrip(merges: Int = BpeMerges): String =
+    s"""WITH ${sqlBpeCtes(merges)}
+        SELECT word, CAST(len(syms) AS INTEGER) AS n_sub,
+          array_to_string(syms, '') = word AS roundtrip_ok
+        FROM s$merges ORDER BY word"""
+
   def sqlBpeTrain(merges: Int = BpeMerges): String = {
     val unions = (1 to merges).map { t =>
       s"SELECT CAST($t AS INTEGER) AS step, ba AS a, bb AS b, bm AS merged, pcnt AS pair_count FROM best$t"

@@ -1383,6 +1383,20 @@ class LlmSpec extends SparkSpec {
     assert(out(1L) === ((2L, 2L, 6L, 3.0)))
   }
 
+  test("bpe roundtrip: every dict word's segmentation rejoins exactly") {
+    val d = Seq(
+      (0L, "aaab aaab aaab ab", "en", "s", 17L),
+      (1L, "aaab ab ba", "en", "s", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextStats.bpeRoundtrip(d, merges = 4).collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Int]("n_sub"),
+        r.getAs[Boolean]("roundtrip_ok")))
+    assert(out.map(_._1).toSeq === Seq("aaab", "ab", "ba")) // dict, sorted
+    assert(out.forall(_._3), s"segmentation lost characters: $out")
+    // merged words segment to fewer subtokens than their length
+    assert(out.find(_._1 == "aaab").get._2 < 4)
+  }
+
   test("dsir weights: target-language docs outweigh off-target docs") {
     val d = ((0L until 10L).map(i =>
         (i, "solar panels store bright energy cleanly", "en", "s", 40L)) ++
