@@ -1276,43 +1276,47 @@ object Curate {
     * text's token count is NULL in BOTH engines; the flag coalesces
     * to false identically).
     *
-    * Scale shape: documents⋈embeddings is a key–key equi-join — at
-    * 100 TB both sides co-partition on doc_id at the warehouse layout
-    * and the join is shuffle-free; split assignment is the map-only
-    * [[splitAssign]] hash. No windows, no broadcast of anything
-    * corpus-sized; output is one row per document. */
+    * Scale shape: documents⋈embeddings is the one key–key equi-join —
+    * at 100 TB both sides co-partition on doc_id at the warehouse
+    * layout and the join is shuffle-free; split assignment is the
+    * INLINED map-only [[splitCase]]([[hashBucket]]) expression — the
+    * same shared definition [[splitAssign]] publishes, without its
+    * second documents scan or a join, and so a NULL-doc_id example
+    * keeps its NULL-split row in the manifest (an inner join against
+    * splitAssign would silently drop it — the exact outcome the
+    * NULL-split pin exists to prevent). No windows, no broadcast of
+    * anything corpus-sized; output is one row per document, NULL ids
+    * pinned first in BOTH engines. */
   def sampleManifest(documents: DataFrame, embeddings: DataFrame): DataFrame = {
     val toks = documents.select(col("doc_id"), col("lang"), col("source"),
-      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
-        .cast("long").as("n_tokens"))
+      size(regexp_extract_all(col("text"), lit(TextPrep.TokenRe), lit(0)))
+        .cast("long").as("n_tokens"),
+      splitCase(hashBucket("split", 100)).as("split"))
     val emb = embeddings.filter(col("embedding").isNotNull)
       .select(col("vec_id"), lit(true).as("has_emb"))
-    val split = splitAssign(documents).select(col("doc_id").as("sid"), col("split"))
     toks
       .join(emb, col("doc_id") === col("vec_id"), "left")
-      .join(split, col("doc_id") === col("sid"))
       .select(col("doc_id"), col("lang"), col("source"), col("split"),
         col("n_tokens"),
         coalesce(col("n_tokens") > lit(0L), lit(false)).as("has_text"),
         coalesce(col("has_emb"), lit(false)).as("has_embedding"))
       .withColumn("complete", col("has_text") && col("has_embedding"))
-      .orderBy("doc_id")
+      .orderBy(col("doc_id").asc_nulls_first)
   }
 
   val sqlSampleManifest: String =
     s"""WITH e AS (
           SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL),
-        sp AS (SELECT doc_id, split FROM ($sqlSplitAssign)),
         t AS (
           SELECT doc_id, lang, source,
-            CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+', 0)) AS BIGINT)
-              AS n_tokens
+            CAST(len(regexp_extract_all(text, '${TextPrep.TokenRe}', 0)) AS BIGINT)
+              AS n_tokens,
+            ${sqlSplitCase(sqlHashBucket("split", 100))} AS split
           FROM documents)
         SELECT t.doc_id, lang, source, split, n_tokens,
           coalesce(n_tokens > 0, FALSE) AS has_text,
           e.vec_id IS NOT NULL AS has_embedding,
           coalesce(n_tokens > 0, FALSE) AND e.vec_id IS NOT NULL AS complete
         FROM t LEFT JOIN e ON t.doc_id = e.vec_id
-             JOIN sp ON t.doc_id = sp.doc_id
-        ORDER BY t.doc_id"""
+        ORDER BY t.doc_id NULLS FIRST"""
 }

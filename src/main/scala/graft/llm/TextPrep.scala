@@ -30,6 +30,12 @@ object TextPrep {
 
   val sqlWords = "string_split(lower(text), ' ')"
 
+  /** The token regex shared by every n_tokens producer
+    * ([[TextStats.textStats]], [[Curate.sampleManifest]]) and their
+    * twins — ONE definition so a tokenization tweak can never diverge
+    * the queries that report token counts. */
+  val TokenRe = "[a-z]+|[0-9]+"
+
   /** documents → (doc_id, lang, shs, ha, hb, n).
     *
     * shs = distinct word-3-gram shingles; ha/hb = the two 60-bit halves

@@ -45,7 +45,7 @@ object TextStats {
       .select(
         col("doc_id"), col("lang"),
         nWords.as("n_words"),
-        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+        size(regexp_extract_all(col("text"), lit(TextPrep.TokenRe), lit(0)))
           .cast("long").as("n_tokens"),
         expr("aggregate(words, 0L, (acc, w) -> acc + CAST(ceil(length(w) / 4.0) AS LONG))")
           .as("n_tokens_bpeish"),
@@ -65,7 +65,7 @@ object TextStats {
     val w = TextPrep.sqlWords
     s"""SELECT doc_id, lang,
         CAST(len($w) AS BIGINT) AS n_words,
-        CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+', 0)) AS BIGINT) AS n_tokens,
+        CAST(len(regexp_extract_all(text, '${TextPrep.TokenRe}', 0)) AS BIGINT) AS n_tokens,
         CAST(list_sum(list_transform($w, w -> CAST(ceil(length(w) / 4.0) AS INTEGER))) AS BIGINT) AS n_tokens_bpeish,
         CAST(list_sum(list_transform($w, w -> length(w))) AS DOUBLE)
           / CAST(len($w) AS DOUBLE) AS avg_word_len,

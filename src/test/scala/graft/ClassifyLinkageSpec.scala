@@ -368,16 +368,26 @@ class ClassifyLinkageSpec extends SparkSpec {
       assert(r.getAs[Boolean]("complete") ===
         (r.getAs[Boolean]("has_text") && r.getAs[Boolean]("has_embedding")))
     }
-    // NULL text pins has_text (and complete) to false, never NULL
-    val withNull = Seq((1L, null: String, "en", "web"), (2L, "a b", "en", "web"))
+    // NULL text pins has_text (and complete) to false, never NULL;
+    // a NULL doc_id keeps its row (split NULL), never silently drops
+    val withNull = Seq(
+      (java.lang.Long.valueOf(1L), null: String, "en", "web"),
+      (java.lang.Long.valueOf(2L), "a b", "en", "web"),
+      (null: java.lang.Long, "orphan text", "en", "web"))
       .toDF("doc_id", "text", "lang", "source")
     val embTiny = Seq((1L, Seq.fill(4)(0.5)), (2L, Seq.fill(4)(0.5)))
       .toDF("vec_id", "embedding")
-    val pinned = llm.Curate.sampleManifest(withNull, embTiny).collect()
+    val rows = llm.Curate.sampleManifest(withNull, embTiny).collect()
+    assert(rows.length === 3, "a NULL-doc_id example vanished from the manifest")
+    val pinned = rows.filter(!_.isNullAt(0))
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Boolean]("has_text"), r.getAs[Boolean]("complete"))).toMap
     assert(pinned(1L) === ((false, false)))
     assert(pinned(2L) === ((true, true)))
+    val orphan = rows.find(_.isNullAt(0)).get
+    assert(orphan.isNullAt(orphan.fieldIndex("split")), "NULL id must get NULL split")
+    assert(!orphan.getAs[Boolean]("has_embedding") &&
+      !orphan.getAs[Boolean]("complete"))
   }
 
   test("unimaxMix never exceeds the budget or any source's epoch cap") {
