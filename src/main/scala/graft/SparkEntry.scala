@@ -99,6 +99,8 @@ object SparkEntry {
     "q_pivot" -> ((s, d) => Windows.monthlyTypePivot(ev(s, d))),
     // ---- LLM-data-pipeline operators (north star, BASELINE.json) ----
     "q_exact_dedup" -> ((s, d) => llm.Dedup.exactDedup(Tables.documents(s, d))),
+    // per-doc keep/drop verdict + canonical id — the materialized artifact
+    "q_dedup_decision" -> ((s, d) => llm.Dedup.dedupDecision(Tables.documents(s, d))),
     // NFC normalization: the canonical pre-dedup pass (native expr)
     "q_normalize_text" -> ((s, d) => llm.Curate.normalizeText(Tables.documents(s, d))),
     "q_jaccard_pairs" -> ((s, d) => llm.Dedup.jaccardPairs(Tables.documents(s, d), 0.5)),
@@ -550,6 +552,7 @@ object SparkEntry {
     "q_range_join" -> Asof.sqlEventsWithinHourAfterPurchase,
     "q_pivot" -> Windows.sqlMonthlyTypePivot,
     "q_exact_dedup" -> llm.Dedup.sqlExactDedup,
+    "q_dedup_decision" -> llm.Dedup.sqlDedupDecision,
     "q_jaccard_pairs" -> llm.Dedup.sqlJaccardPairs(0.5),
     "q_jaccard_capped" -> llm.Dedup.sqlJaccardPairsCapped(0.5),
     "q_minhash_lsh" -> llm.Dedup.sqlMinhashLshPairs,

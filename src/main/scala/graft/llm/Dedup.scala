@@ -43,6 +43,34 @@ object Dedup {
        count(*) AS n_copies
        FROM documents GROUP BY md5(text) ORDER BY doc_id"""
 
+  /** The dedup DECISION RECORD — the per-document artifact a pipeline
+    * actually materializes and filters by ([[exactDedup]] emits one
+    * representative per distinct text; this emits EVERY document with
+    * its verdict): canonical_id = min doc_id of the content-hash
+    * group, is_canonical = the keep/drop flag, n_copies for loss
+    * accounting. One hash-partitioned window (NULL texts group
+    * together identically in both engines — no join, so no NULL-key
+    * row drop); at 100 TB this is a single shuffle on the fingerprint
+    * and the output co-partitions with any downstream per-doc filter. */
+  def dedupDecision(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col("text")))
+    documents
+      .select(col("doc_id"),
+        min(col("doc_id")).over(w).as("canonical_id"),
+        count(lit(1)).over(w).as("n_copies"))
+      .withColumn("is_canonical",
+        col("doc_id") === col("canonical_id"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  val sqlDedupDecision: String =
+    """SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_copies,
+       doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+       FROM documents ORDER BY doc_id NULLS FIRST"""
+
   /** N-gram Jaccard near-dup pairs above a threshold, via the
     * set-similarity join (intersection counts from a co-group on the
     * shingle, sizes joined back).

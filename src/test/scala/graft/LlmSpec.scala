@@ -1397,6 +1397,28 @@ class LlmSpec extends SparkSpec {
     assert(out.find(_._1 == "aaab").get._2 < 4)
   }
 
+  test("dedupDecision: every doc gets a verdict, duplicates share one canonical") {
+    val d = Seq(
+      (1L, "same text", "en", "s", 9L),
+      (2L, "same text", "en", "s", 9L),
+      (3L, "unique", "en", "s", 6L),
+      (4L, null: String, "en", "s", 0L),
+      (5L, null: String, "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.dedupDecision(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("canonical_id"), r.getAs[Long]("n_copies"),
+          r.getAs[Boolean]("is_canonical"))).toMap
+    assert(out.size === 5, "a document vanished from the decision record")
+    assert(out(1L) === ((1L, 2L, true)) && out(2L) === ((1L, 2L, false)))
+    assert(out(3L) === ((3L, 1L, true)))
+    // NULL texts form ONE group (no join, so no NULL-key drop)
+    assert(out(4L) === ((4L, 2L, true)) && out(5L) === ((4L, 2L, false)))
+    // the kept set reconciles with exactDedup's representatives
+    val reps = Dedup.exactDedup(d).select("doc_id").as[Long].collect().toSet
+    assert(out.filter(_._2._3).keySet === reps)
+  }
+
   test("dsir weights: target-language docs outweigh off-target docs") {
     val d = ((0L until 10L).map(i =>
         (i, "solar panels store bright energy cleanly", "en", "s", 40L)) ++
