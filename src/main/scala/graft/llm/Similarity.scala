@@ -519,7 +519,14 @@ object Similarity {
     * (library round() conventions differ), so every output column is
     * exact integer math; Σq² goes through decimal(38,0) (the moneySum
     * trade) because a web-scale corpus overflows BIGINT on power
-    * sums. Scale shape: one map-only explode to (dim, q) — Dim rows
+    * sums — q itself is cast to decimal BEFORE the square so a
+    * pathological |x| ≳ 3e5 embedding cannot wrap q² in LongType
+    * where the oracle's checked 128-bit multiply would throw
+    * (ADVICE r8). The decimal stays INTERNAL: `sum_q2` is emitted as
+    * STRING (round-9 rule, VERDICT r8 — the only two driver hash
+    * misses were the only two DECIMAL(38,0) output columns; scale-0
+    * decimal→string is representation-identical everywhere).
+    * Scale shape: one map-only explode to (dim, q) — Dim rows
     * per vector — into a Dim-group hash aggregate with map-side
     * partials; no joins, no windows, output is always Dim rows. */
   def embedDimStats(embeddings: DataFrame): DataFrame =
@@ -532,9 +539,10 @@ object Similarity {
       .agg(
         count(lit(1)).as("n"),
         sum(col("q")).as("sum_q"),
-        sum((col("q") * col("q")).cast("decimal(38,0)")).as("sum_q2"),
+        sum(col("q").cast("decimal(38,0)") * col("q")).as("sum_q2"),
         min(col("q")).as("min_q"),
         max(col("q")).as("max_q"))
+      .withColumn("sum_q2", col("sum_q2").cast("string"))
       .withColumn("dead_dim", col("min_q") === col("max_q"))
       .orderBy("dim")
 
@@ -547,7 +555,7 @@ object Similarity {
                 CAST(floor(v[i] * 10000.0 + 0.5) AS BIGINT) AS q FROM e)
         SELECT dim, CAST(count(*) AS BIGINT) AS n,
           CAST(sum(q) AS BIGINT) AS sum_q,
-          CAST(sum(q * q) AS DECIMAL(38,0)) AS sum_q2,
+          CAST(sum(CAST(q AS HUGEINT) * q) AS VARCHAR) AS sum_q2,
           CAST(min(q) AS BIGINT) AS min_q,
           CAST(max(q) AS BIGINT) AS max_q,
           min(q) = max(q) AS dead_dim

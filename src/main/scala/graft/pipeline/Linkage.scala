@@ -82,13 +82,23 @@ object Linkage {
                          maxSizeDiff: Int): DataFrame =
     scoreBlocked(blockedFrame(part, maxSizeDiff), maxLev, maxSizeDiff)
 
-  def sqlEntityResolution(maxLev: Int = MaxNameLev,
-                          maxSizeDiff: Int = MaxSizeDiff): String = {
+  /** SQL twin of [[blockedFrame]] — ONE definition shared by all three
+    * twin queries (resolution, capped resolution, blocking quality),
+    * mirroring the Scala-side sharing: a window-shape change cannot
+    * diverge one SQL consumer from another (ADVICE r8). Unused columns
+    * are pruned by the engine, so quality's narrower need costs
+    * nothing. */
+  private def sqlBlockedFrame(maxSizeDiff: Int): String = {
     val w = maxSizeDiff + 1
-    s"""WITH blk AS (
+    s"""blk AS (
           SELECT p_partkey, p_name, p_brand, p_type, p_size,
             unnest([p_size // $w, p_size // $w + 1]) AS bkt
-          FROM part),
+          FROM part)"""
+  }
+
+  def sqlEntityResolution(maxLev: Int = MaxNameLev,
+                          maxSizeDiff: Int = MaxSizeDiff): String = {
+    s"""WITH ${sqlBlockedFrame(maxSizeDiff)},
         cand AS (
           SELECT DISTINCT
             a.p_partkey AS k1, b.p_partkey AS k2,
@@ -131,7 +141,14 @@ object Linkage {
     * small integer divided by 10^12 — two correctly-rounded IEEE ops
     * that are bit-identical in every engine/version, immune to the
     * decimal→double serialization drift that a raw double division of
-    * wide DECIMALs is exposed to across oracle environments. */
+    * wide DECIMALs is exposed to across oracle environments.
+    *
+    * `n_pairs` is emitted as STRING (round-9 rule, VERDICT r8): wide
+    * DECIMAL stays INTERNAL — the two driver hash misses across rounds
+    * 7–8 were exactly the two queries with a DECIMAL(38,0) column in
+    * the hashed output, and a scale-0 decimal stringifies identically
+    * in every engine/version with no trailing-zero ambiguity. The
+    * schema gate (`NoDecimalOutputSpec`) enforces the rule suite-wide. */
   def blockingQuality(part: DataFrame,
                       maxSizeDiff: Int = MaxSizeDiff): DataFrame = {
     // the shared frame's p_name is unused here; Catalyst prunes it
@@ -191,15 +208,14 @@ object Linkage {
         lit(null).cast("double").as("reduction_ratio"))
       .union(totals)
       .union(distinctCand)
+      // hashed surface: scale-0 decimal → string (exact digits, no
+      // engine-specific wide-decimal serialization in the output)
+      .withColumn("n_pairs", col("n_pairs").cast("string"))
       .orderBy("block_key")
   }
 
   def sqlBlockingQuality(maxSizeDiff: Int = MaxSizeDiff): String = {
-    val w = maxSizeDiff + 1
-    s"""WITH blk AS (
-          SELECT p_partkey, p_brand, p_type,
-            unnest([p_size // $w, p_size // $w + 1]) AS bkt
-          FROM part),
+    s"""WITH ${sqlBlockedFrame(maxSizeDiff)},
         pb AS (
           SELECT p_brand, p_type, bkt,
             CAST(count(*) AS BIGINT) AS n_records,
@@ -237,10 +253,13 @@ object Linkage {
           FROM dc)
         SELECT concat_ws('|', p_brand, p_type, CAST(bkt AS VARCHAR))
             AS block_key,
-          n_records, n_pairs, CAST(NULL AS DOUBLE) AS reduction_ratio
+          n_records, CAST(n_pairs AS VARCHAR) AS n_pairs,
+          CAST(NULL AS DOUBLE) AS reduction_ratio
         FROM pb
-        UNION ALL SELECT * FROM tot
-        UNION ALL SELECT * FROM td
+        UNION ALL SELECT block_key, n_records,
+          CAST(n_pairs AS VARCHAR) AS n_pairs, reduction_ratio FROM tot
+        UNION ALL SELECT block_key, n_records,
+          CAST(n_pairs AS VARCHAR) AS n_pairs, reduction_ratio FROM td
         ORDER BY block_key"""
   }
 
@@ -294,11 +313,7 @@ object Linkage {
   def sqlEntityResolutionCapped(maxLev: Int = MaxNameLev,
                                 maxSizeDiff: Int = MaxSizeDiff,
                                 maxBlock: Int = MaxBlockRecords): String = {
-    val w = maxSizeDiff + 1
-    s"""WITH blk AS (
-          SELECT p_partkey, p_name, p_brand, p_type, p_size,
-            unnest([p_size // $w, p_size // $w + 1]) AS bkt
-          FROM part),
+    s"""WITH ${sqlBlockedFrame(maxSizeDiff)},
         hot AS (
           SELECT p_brand, p_type, bkt, count(*) AS n
           FROM blk GROUP BY 1, 2, 3 HAVING count(*) > $maxBlock),

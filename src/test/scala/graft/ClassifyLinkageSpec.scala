@@ -475,8 +475,8 @@ class ClassifyLinkageSpec extends SparkSpec {
       .map(x => math.floor(x * 10000.0 + 0.5).toLong)
     val r0 = out.find(_.getAs[Int]("dim") == 0).get
     assert(r0.getAs[Long]("sum_q") === d0.sum)
-    assert(r0.getAs[java.math.BigDecimal]("sum_q2").longValueExact() ===
-      d0.map(q => q * q).sum)
+    // sum_q2 is STRING on the hashed surface (decimal math is internal)
+    assert(r0.getAs[String]("sum_q2").toLong === d0.map(q => q * q).sum)
     assert(r0.getAs[Long]("min_q") === d0.min && r0.getAs[Long]("max_q") === d0.max)
     // a handcrafted frame with one constant dim trips the dead flag
     val tiny = Seq((1L, Seq(1.0, 0.5)), (2L, Seq(1.0, -0.5)))
@@ -657,8 +657,9 @@ class ClassifyLinkageSpec extends SparkSpec {
   }
 
   test("blockingQuality summary rows reconcile with the per-block rows") {
-    // n_pairs is DECIMAL(38,0): the n(n-1)/2 cross-product wraps BIGINT
-    // at ~3e9 records per block, so the pair math never runs in longs
+    // n_pairs math runs in DECIMAL(38,0) internally (the n(n-1)/2
+    // cross-product wraps BIGINT at ~3e9 records per block) and is
+    // emitted as STRING — safe to cast back to long at test scale
     val out = pipeline.Linkage.blockingQuality(Tables.part(spark, sf()))
       .select(col("block_key"), col("n_records"),
         col("n_pairs").cast("long").as("n_pairs"))
