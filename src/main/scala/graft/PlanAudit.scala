@@ -98,7 +98,10 @@ object PlanAudit {
     "q_theta_overlap" -> Set("BNLJ"),
     "q_blocking_quality" -> Set("BNLJ"),   // single-row corpus-count frame
     // single-row dropped-block stats frame broadcast onto the pairs
-    "q_entity_resolution_capped" -> Set("BNLJ")
+    "q_entity_resolution_capped" -> Set("BNLJ"),
+    // same trade: single-row dropped-bucket stats broadcast onto the
+    // phash near-dup pairs (see SCALE.md, capped hot-band guardrail)
+    "q_phash_pairs" -> Set("BNLJ")
   )
 
   /** Audit one query's executed plan string → flags found. */

@@ -120,6 +120,9 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, d) => llm.Dedup.simhashPairs(Tables.documents(s, d), 3)),
     "q_cosine_topk" -> ((s, d) => llm.Similarity.bruteForceTopK(Tables.embeddings(s, d), 10)),
     "q_embed_neardup" -> ((s, d) => llm.Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.4)),
+    // LSH family runs the ADAPTIVE signature width by default (round
+    // 9): +1 plane per corpus doubling, derived identically by the
+    // Spark side and the oracle twin from the same corpus count
     "q_embed_lsh" -> ((s, d) => llm.Similarity.lshNearDupPairs(Tables.embeddings(s, d), 0.3)),
     // bounded-output ANN: top-k per query over LSH candidates (linear
     // output at any corpus density — the round-8 measured scale shape)
@@ -161,6 +164,10 @@ object SparkEntry {
     "q_audio_stats" -> ((s, d) => llm.Multimodal.audioStats(Tables.documents(s, d))),
     "q_video_frames" -> ((s, d) => llm.Multimodal.videoFrames(Tables.documents(s, d))),
     "q_video_sample" -> ((s, d) => llm.Multimodal.videoFrameSample(Tables.documents(s, d))),
+    // perceptual hash over REAL decoded rasters: every bit oracle-gated
+    "q_image_phash" -> ((s, d) => llm.Multimodal.imagePhash(Tables.documents(s, d))),
+    // the multimodal dedup composition: decode feeds Hamming-band LSH
+    "q_phash_pairs" -> ((s, d) => llm.Multimodal.phashPairs(Tables.documents(s, d))),
     // cross-modal assembly: per-example modality presence + split manifest
     "q_sample_manifest" -> ((s, d) =>
       llm.Curate.sampleManifest(Tables.documents(s, d), Tables.embeddings(s, d))),
@@ -592,6 +599,8 @@ object SparkEntry {
     "q_audio_stats" -> llm.Multimodal.sqlAudioStats,
     "q_video_frames" -> llm.Multimodal.sqlVideoFrames,
     "q_video_sample" -> llm.Multimodal.sqlVideoFrameSample(),
+    "q_image_phash" -> llm.Multimodal.sqlImagePhash,
+    "q_phash_pairs" -> llm.Multimodal.sqlPhashPairs(),
     "q_sample_manifest" -> llm.Curate.sqlSampleManifest,
     "q_bpe_roundtrip" -> llm.TextStats.sqlBpeRoundtrip(),
     "q_pii_redact" -> llm.Curate.sqlRedactPii,

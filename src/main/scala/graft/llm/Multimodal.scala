@@ -219,6 +219,246 @@ object Multimodal {
        FROM documents ORDER BY doc_id"""
   }
 
+  // ---- image perceptual hash (aHash) + Hamming-band near-dup --------
+
+  /** Replica factor of the phash fixture: cid = floorDiv(doc_id, 3)
+    * — three consecutive doc_ids carry the SAME image content
+    * delivered as different files (the "same photo saved twice"
+    * reality a multimodal dedup pass exists for). */
+  val PhashReplica = 3
+  /** Pixel seed = floorMod(cid, 65536): keeps the twin's seed·2⁶⁴
+    * Knuth multiply inside DuckDB's CHECKED 64-bit range at the 9e9-id
+    * corpus domain (the q_audio_stats lesson), and models cross-corpus
+    * content recurrence at scale. */
+  val PhashSeedMod = 65536
+  /** Rasters below this edge length hash degenerately (an aHash over
+    * near-constant samples is all zeros — EVERY tiny image pairs with
+    * every other). Production perceptual dedup skips tiny images; the
+    * gate does the same, in both engines. */
+  val PhashMinDim = 4
+  /** 64-bit aHash split into 4×16-bit bands (Hamming-band LSH: a pair
+    * within Hamming distance d collides on ≥1 band whenever d < 4 by
+    * pigeonhole — the [[Dedup.simhashPairs]] banding argument). */
+  val PhashBands = 4
+  val PhashMaxHamming = 2
+  /** Hot-band guardrail, same production shape as the capped entity
+    * resolution: a band bucket larger than this is dropped from
+    * candidate generation and counted — at corpus scale a degenerate
+    * shared-hash cluster must cap the join, not quadratically blow it. */
+  val PhashMaxBucket = 256
+
+  case class ImageHash(doc_id: Long, w: Int, h: Int,
+                       b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** Per-image 64-bit average hash (aHash) computed over the REAL
+    * decoded raster: encode a deterministic image (content from cid,
+    * delivery format png/bmp by doc_id parity), round-trip it through
+    * the genuine `javax.imageio` codec, then 8×8 nearest-neighbor
+    * downsample → integer luma (299/587/114 ×1000, no division) →
+    * mean-threshold bits. The oracle twin predicts every bit from the
+    * same cid arithmetic WITHOUT running a codec — possible only
+    * because png/bmp are lossless; palette (GIF) and lossy (JPEG)
+    * delivery formats are deliberately outside this gate (their decode
+    * paths are gated by q_media_decode; their pixel values cannot be
+    * oracle-predicted without running the codec in the oracle).
+    * Map-only: each partition encodes, decodes and hashes its own
+    * rows; only (doc_id, dims, 4 band ints) ever moves. */
+  def imageHashes(documents: DataFrame): Dataset[ImageHash] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      javax.imageio.ImageIO.setUseCache(false)
+      ids.flatMap { id =>
+        val cid = java.lang.Math.floorDiv(id, PhashReplica.toLong)
+        def pmod(m: Int) = java.lang.Math.floorMod(cid, m.toLong).toInt
+        val w = 1 + pmod(13)
+        val h = 1 + pmod(7)
+        if (w < PhashMinDim || h < PhashMinDim) None
+        else {
+          val fmt =
+            if (java.lang.Math.floorMod(id, 2L) == 0L) "png" else "bmp"
+          val seed = pmod(PhashSeedMod).toLong
+          val img0 = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img0.setRGB(x, y,
+                ((seed * 2654435761L + x * 31L + y * 17L) & 0xffffffL).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(img0, fmt, baos),
+            s"no JDK writer for $fmt")
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(baos.toByteArray))
+          require(img != null, s"lossless $fmt round-trip failed for doc $id")
+          // aHash over the DECODED raster — a codec fault lands here
+          val g = new Array[Long](64)
+          var tot = 0L
+          var j = 0
+          while (j < 8) {
+            var i = 0
+            while (i < 8) {
+              val rgb = img.getRGB(i * w / 8, j * h / 8) & 0xffffff
+              val v = (((rgb >> 16) & 0xff) * 299 +
+                ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114).toLong
+              g(j * 8 + i) = v; tot += v; i += 1
+            }
+            j += 1
+          }
+          val bands = new Array[Int](PhashBands)
+          var b = 0
+          while (b < 64) {
+            if (g(b) * 64L > tot) bands(b / 16) |= 1 << (b % 16)
+            b += 1
+          }
+          Some(ImageHash(id, w, h, bands(0), bands(1), bands(2), bands(3)))
+        }
+      }
+    }
+  }
+
+  /** Per-document perceptual-hash record — every hash bit of every
+    * eligible image is oracle-gated (the pair query alone would only
+    * gate the bits of images that happen to pair). */
+  def imagePhash(documents: DataFrame): DataFrame =
+    imageHashes(documents).toDF()
+      .select(col("doc_id"), col("w"), col("h"),
+        format_string("%04x%04x%04x%04x",
+          col("b3"), col("b2"), col("b1"), col("b0")).as("phash"))
+      .orderBy("doc_id")
+
+  /** Exact floor-division SQL (DuckDB's `//` truncates toward zero;
+    * the JVM's floorDiv floors): subtract the positive remainder so
+    * truncation of an exact multiple IS the floor. */
+  private def sqlFloorDiv(x: String, d: Int): String =
+    s"(($x) - ((($x) % $d) + $d) % $d) // $d"
+
+  /** The shared "predict the aHash bands from cid arithmetic" CTE
+    * chain, spliced into both phash twins. Ends with
+    * `hb(doc_id, w, h, b0..b3)`. */
+  private def sqlImageHashCtes: String = {
+    val cid = sqlFloorDiv("doc_id", PhashReplica)
+    s"""d AS (
+          SELECT doc_id, $cid AS cid FROM documents),
+        sz AS (
+          SELECT doc_id,
+            CAST(1 + ((cid % 13) + 13) % 13 AS INTEGER) AS w,
+            CAST(1 + ((cid % 7) + 7) % 7 AS INTEGER) AS h,
+            ((cid % $PhashSeedMod) + $PhashSeedMod) % $PhashSeedMod AS seed
+          FROM d
+          WHERE 1 + ((cid % 13) + 13) % 13 >= $PhashMinDim
+            AND 1 + ((cid % 7) + 7) % 7 >= $PhashMinDim),
+        gr AS (
+          SELECT doc_id, w, h, i, j,
+            (((rgb >> 16) & 255) * 299 + ((rgb >> 8) & 255) * 587
+              + (rgb & 255) * 114) AS g1000
+          FROM (
+            SELECT doc_id, w, h, i, j,
+              ((seed * 2654435761 + ((i * w) // 8) * 31
+                + ((j * h) // 8) * 17) & 16777215) AS rgb
+            FROM sz, generate_series(0, 7) gi(i), generate_series(0, 7) gj(j))),
+        tot AS (SELECT doc_id, sum(g1000) AS tg FROM gr GROUP BY doc_id),
+        bits AS (
+          SELECT gr.doc_id, gr.w, gr.h, (j * 8 + i) AS b,
+            CASE WHEN 64 * g1000 > tg THEN 1 ELSE 0 END AS bit
+          FROM gr JOIN tot ON gr.doc_id = tot.doc_id),
+        hb AS (
+          SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+            CAST(sum(CASE WHEN b // 16 = 0 THEN bit * (1 << (b % 16)) ELSE 0 END) AS INTEGER) AS b0,
+            CAST(sum(CASE WHEN b // 16 = 1 THEN bit * (1 << (b % 16)) ELSE 0 END) AS INTEGER) AS b1,
+            CAST(sum(CASE WHEN b // 16 = 2 THEN bit * (1 << (b % 16)) ELSE 0 END) AS INTEGER) AS b2,
+            CAST(sum(CASE WHEN b // 16 = 3 THEN bit * (1 << (b % 16)) ELSE 0 END) AS INTEGER) AS b3
+          FROM bits GROUP BY doc_id)"""
+  }
+
+  val sqlImagePhash: String =
+    s"""WITH $sqlImageHashCtes
+        SELECT doc_id, w, h,
+          printf('%04x%04x%04x%04x', b3, b2, b1, b0) AS phash
+        FROM hb ORDER BY doc_id"""
+
+  /** Image NEAR-DUP pairs via Hamming-band LSH over [[imageHashes]] —
+    * the multimodal dedup composition: the decode path FEEDS the
+    * similarity path. Each hash splits into [[PhashBands]] 16-bit
+    * bands; images sharing any band value are candidates (pigeonhole:
+    * no pair within [[PhashMaxHamming]] < 4 bits can miss all 4
+    * bands); candidates verify by exact Hamming distance. Hot band
+    * buckets (> [[PhashMaxBucket]] members — a degenerate shared-hash
+    * cluster) are DROPPED from candidate generation and accounted in
+    * every output row, the same bounded-join trade as
+    * [[graft.pipeline.Linkage.entityResolutionCapped]]. Scale shape:
+    * hashing is map-only; one candidate join shuffles on (band,
+    * value) with bucket size capped; verification touches only 8
+    * small ints per pair. */
+  def phashPairs(documents: DataFrame,
+                 maxHamming: Int = PhashMaxHamming,
+                 maxBucket: Int = PhashMaxBucket): DataFrame = {
+    val hs = imageHashes(documents).toDF().cache()
+    val bandCols = (0 until PhashBands).map { k =>
+      struct(lit(k).as("bk"), col(s"b$k").as("bv"))
+    }
+    val bands = hs.select(col("doc_id"),
+        explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.bk").as("bk"), col("band.bv").as("bv"))
+    val hot = bands.groupBy("bk", "bv").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+    val dropStats = broadcast(hot.agg(
+      count(lit(1)).as("dropped_buckets"),
+      coalesce(sum(col("n")), lit(0L)).as("dropped_entries")))
+    val kept = bands.join(broadcast(hot), Seq("bk", "bv"), "left_anti")
+    val cand = kept.as("x").join(kept.as("y"),
+        col("x.bk") === col("y.bk") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val ham = (0 until PhashBands)
+      .map(k => bit_count(col(s"a.b$k").bitwiseXOR(col(s"b.b$k"))))
+      .reduce(_ + _)
+    cand
+      .join(hs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(hs.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"), ham.cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .crossJoin(dropStats)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def sqlPhashPairs(maxHamming: Int = PhashMaxHamming,
+                    maxBucket: Int = PhashMaxBucket): String =
+    s"""WITH $sqlImageHashCtes,
+        bands AS (
+          SELECT doc_id, k AS bk,
+            CASE k WHEN 0 THEN b0 WHEN 1 THEN b1
+                   WHEN 2 THEN b2 ELSE b3 END AS bv
+          FROM hb, generate_series(0, ${PhashBands - 1}) g(k)),
+        hot AS (
+          SELECT bk, bv, count(*) AS n
+          FROM bands GROUP BY 1, 2 HAVING count(*) > $maxBucket),
+        ds AS (
+          SELECT CAST(count(*) AS BIGINT) AS dropped_buckets,
+            CAST(coalesce(sum(n), 0) AS BIGINT) AS dropped_entries
+          FROM hot),
+        kept AS (
+          SELECT bands.* FROM bands ANTI JOIN hot USING (bk, bv)),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM kept x JOIN kept y
+            ON x.bk = y.bk AND x.bv = y.bv AND x.doc_id < y.doc_id),
+        pr AS (
+          SELECT doc_a, doc_b,
+            CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+              AS INTEGER) AS hamming
+          FROM cand JOIN hb a ON doc_a = a.doc_id
+                    JOIN hb b ON doc_b = b.doc_id)
+        SELECT doc_a, doc_b, hamming, dropped_buckets, dropped_entries
+        FROM pr, ds WHERE hamming <= $maxHamming
+        ORDER BY doc_a, doc_b"""
+
   case class AudioFeatures(
       doc_id: Long,
       container: String,

@@ -189,6 +189,30 @@ object Similarity {
     math.min(62, math.max(NumPlanes, needed))
   }
 
+  /** Sentinel width: "size the signature from the corpus". Round 9
+    * makes this the PRODUCTION DEFAULT of the LSH entry points — the
+    * round-8 10× measurement showed the fixed suite width going
+    * 26×/156× on 10× data, and the structural fix is worthless if
+    * callers must remember to opt in. A caller passing an explicit
+    * width (the recall/timing harnesses, width-sensitivity tests)
+    * still gets exactly that width. */
+  val AdaptiveWidth: Int = -1
+
+  /** Widest signature the SQL twin materializes as gated literal
+    * plane terms (the twin cannot size a string at runtime, so it
+    * embeds [[MaxTwinPlanes]] terms each switched by the np scalar —
+    * planesFor(k) is a prefix of planesFor(k+1), so gating IS
+    * narrowing). 14 planes cover corpora to 32·2¹⁴ ≈ 524k vectors —
+    * every test SF plus the 10× derived corpus — and the npw CTE
+    * error()s loudly beyond instead of silently diverging. */
+  val MaxTwinPlanes: Int = 14
+
+  /** Resolve a width argument against the (cached) prepared corpus:
+    * the count both materializes the cache the callers need anyway
+    * and is the one corpus statistic the adaptive rule reads. */
+  private def resolveWidth(n: DataFrame, numPlanes: Int): Int =
+    if (numPlanes == AdaptiveWidth) adaptivePlanes(n.count()) else numPlanes
+
   def planesFor(numPlanes: Int): Seq[Seq[Seq[Double]]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     (0 until NumTables).map { t =>
@@ -243,6 +267,51 @@ object Similarity {
     }.mkString(" UNION ALL ")
   }
 
+  /** The SQL twin of [[adaptivePlanes]], as a one-row CTE over the
+    * prepared corpus `n`: the same exact integer math — ceil-divide
+    * by [[TargetOccupancy]], smallest k with 2^k ≥ buckets, clamp to
+    * [NumPlanes, 62] — so Spark and the oracle derive the SAME width
+    * from the SAME count at every SF. Fails loudly (error()) past
+    * [[MaxTwinPlanes]] rather than silently truncating the width. */
+  private val sqlNpw: String =
+    s"""npw AS (
+          SELECT CASE WHEN needed > $MaxTwinPlanes
+              THEN CAST(error('adaptive LSH width ' || needed ||
+                ' exceeds the twin literal table (MaxTwinPlanes=$MaxTwinPlanes)')
+                AS INTEGER)
+            ELSE least(62, greatest($NumPlanes, needed)) END AS np
+          FROM (SELECT (SELECT min(k) FROM generate_series(0, 62) g(k)
+                  WHERE (CAST(1 AS BIGINT) << k) >=
+                    (SELECT (count(*) + ${TargetOccupancy - 1}) // $TargetOccupancy
+                     FROM n)) AS needed))"""
+
+  /** Adaptive-width twin of [[sqlBucketSelects]]: [[MaxTwinPlanes]]
+    * literal plane terms per table, each gated by `p < np` — because
+    * planesFor(k) is a prefix of planesFor(k+1), zeroing the planes
+    * at index ≥ np yields bit-identical buckets to a twin built at
+    * width np. Requires [[sqlNpw]] in the same WITH clause. */
+  private lazy val sqlBucketSelectsAdaptive: String = {
+    val pl = planesFor(MaxTwinPlanes)
+    (0 until NumTables).map { t =>
+      val bucketExpr = (0 until MaxTwinPlanes).map { p =>
+        val w = pl(t)(p).mkString("[", ", ", "]")
+        s"CASE WHEN $p >= np THEN 0 " +
+          s"WHEN list_reduce(list_transform(generate_series(1, $Dim), " +
+          s"i -> v[i] * ($w)[i]), (x, y) -> x + y) >= 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bucketExpr AS bucket FROM n, npw"
+    }.mkString(" UNION ALL ")
+  }
+
+  /** The `bkt` CTE fragment each LSH twin splices after
+    * `$sqlPrepared`: fixed-width or the [[sqlNpw]]-gated adaptive
+    * form, matching what [[resolveWidth]] does on the Spark side. */
+  private def sqlBktCtes(numPlanes: Int): String =
+    if (numPlanes == AdaptiveWidth)
+      s"""$sqlNpw,
+        bkt AS ($sqlBucketSelectsAdaptive)"""
+    else s"bkt AS (${sqlBucketSelects(numPlanes)})"
+
   /** Multi-table sign-projection LSH near-dup: NumTables independent
     * hash tables, each bucketing on the sign bits of NumPlanes random
     * projections; pairs sharing a bucket in ANY table are candidates
@@ -258,14 +327,20 @@ object Similarity {
     * Scale shape: bucketing is map-only (96 codegen'd dot products per
     * row); the single candidate join shuffles on (table, bucket);
     * verification joins fetch vectors only for deduplicated candidate
-    * pairs. */
+    * pairs.
+    *
+    * Width defaults to [[AdaptiveWidth]] (round 9): production runs
+    * the log₂-sized signature — the fix for the measured 26× cliff at
+    * 10× data — without opting in; the oracle twin derives the same
+    * width from the same count ([[sqlNpw]]), so correctness stays
+    * gated at every SF. */
   def lshNearDupPairs(embeddings: DataFrame, threshold: Double,
-                      numPlanes: Int = NumPlanes): DataFrame = {
+                      numPlanes: Int = AdaptiveWidth): DataFrame = {
     // cached like every other multi-reference prepared() in the file:
     // it feeds the bucket build AND both verification-join sides, and
     // Spark shares no subplans (caller-released via clearCache)
     val n = prepared(embeddings).cache()
-    val b = bucketFrame(n, numPlanes)
+    val b = bucketFrame(n, resolveWidth(n, numPlanes))
     val cand = b.as("x").join(b.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -280,9 +355,9 @@ object Similarity {
   }
 
   def sqlLshNearDupPairs(threshold: Double,
-                         numPlanes: Int = NumPlanes): String =
+                         numPlanes: Int = AdaptiveWidth): String =
     s"""WITH $sqlPrepared,
-        bkt AS (${sqlBucketSelects(numPlanes)}),
+        ${sqlBktCtes(numPlanes)},
         cand AS (
           SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
           FROM bkt x JOIN bkt y
@@ -310,10 +385,10 @@ object Similarity {
     * result (LSH recall, not an error) — the declared trade measured
     * by `q_lsh_recall`. */
   def lshTopKNeighbors(embeddings: DataFrame, k: Int,
-                       numPlanes: Int = NumPlanes): DataFrame = {
+                       numPlanes: Int = AdaptiveWidth): DataFrame = {
     graft.functions.TopKByScore.register(embeddings.sparkSession)
     val n = prepared(embeddings).cache() // same multi-use shape as lshNearDupPairs
-    val b = bucketFrame(n, numPlanes)
+    val b = bucketFrame(n, resolveWidth(n, numPlanes))
     // dedup/join/score each UNORDERED pair once (cosine is symmetric),
     // then mirror the scored rows — half the distinct() shuffle, half
     // the vector fetches, half the dot products of the naive directed
@@ -344,9 +419,9 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
-  def sqlLshTopKNeighbors(k: Int, numPlanes: Int = NumPlanes): String =
+  def sqlLshTopKNeighbors(k: Int, numPlanes: Int = AdaptiveWidth): String =
     s"""WITH $sqlPrepared,
-        bkt AS (${sqlBucketSelects(numPlanes)}),
+        ${sqlBktCtes(numPlanes)},
         cand AS (
           SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
           FROM bkt x JOIN bkt y
@@ -378,11 +453,12 @@ object Similarity {
     * the join key is still (table, bucket); the probe explode is
     * map-side. */
   def multiProbeLshPairs(embeddings: DataFrame, threshold: Double,
-                         numPlanes: Int = NumPlanes): DataFrame = {
+                         numPlanes: Int = AdaptiveWidth): DataFrame = {
     val n = prepared(embeddings).cache() // same multi-use shape as lshNearDupPairs
-    val b = bucketFrame(n, numPlanes)
+    val np = resolveWidth(n, numPlanes)
+    val b = bucketFrame(n, np)
     val probeCols = col("bucket") +:
-      (0 until numPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))
+      (0 until np).map(p => col("bucket").bitwiseXOR(lit(1L << p)))
     val probes = b.select(col("vec_id"), col("tbl"),
       explode(array(probeCols: _*)).as("probe"))
     val cand = probes.as("x").join(b.as("y"),
@@ -399,13 +475,22 @@ object Similarity {
   }
 
   def sqlMultiProbeLshPairs(threshold: Double,
-                            numPlanes: Int = NumPlanes): String = {
-    val probeList = ("bucket" +:
-      (0 until numPlanes).map(p => s"xor(bucket, ${1L << p})")).mkString("[", ", ", "]")
+                            numPlanes: Int = AdaptiveWidth): String = {
+    // the probe ring is width-sized too: adaptive mode embeds the full
+    // MaxTwinPlanes ring and slices the first np+1 entries at runtime
+    val probesSelect =
+      if (numPlanes == AdaptiveWidth) {
+        val full = ("bucket" +: (0 until MaxTwinPlanes)
+          .map(p => s"xor(bucket, ${1L << p})")).mkString("[", ", ", "]")
+        s"SELECT vec_id, tbl, unnest(list_slice($full, 1, np + 1)) AS probe FROM bkt, npw"
+      } else {
+        val probeList = ("bucket" +: (0 until numPlanes)
+          .map(p => s"xor(bucket, ${1L << p})")).mkString("[", ", ", "]")
+        s"SELECT vec_id, tbl, unnest($probeList) AS probe FROM bkt"
+      }
     s"""WITH $sqlPrepared,
-        bkt AS (${sqlBucketSelects(numPlanes)}),
-        probes AS (
-          SELECT vec_id, tbl, unnest($probeList) AS probe FROM bkt),
+        ${sqlBktCtes(numPlanes)},
+        probes AS ($probesSelect),
         cand AS (
           SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
           FROM probes x JOIN bkt y

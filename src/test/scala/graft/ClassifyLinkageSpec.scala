@@ -433,6 +433,27 @@ class ClassifyLinkageSpec extends SparkSpec {
     assert(p6.indices.forall(t => p7(t).take(6) == p6(t)))
   }
 
+  test("LSH default width is ADAPTIVE: past 2048 vectors the default equals the +1-plane width") {
+    val emb = Tables.embeddings(spark, sf())
+    // 5 shifted copies -> 2500 vectors -> adaptivePlanes = 7, one past
+    // the suite floor, so a fixed-6 default would bucket differently
+    val big = (0 until 5).map(i => emb.select(
+        (col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding")))
+      .reduce(_ union _)
+    val n = big.filter(col("embedding").isNotNull).count()
+    assert(llm.Similarity.adaptivePlanes(n) == 7)
+    val byDefault = llm.Similarity.lshNearDupPairs(big, 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val explicit7 = llm.Similarity.lshNearDupPairs(big, 0.9, numPlanes = 7)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(byDefault == explicit7, "default did not resolve to adaptivePlanes(n)")
+    // and the adaptive twin carries the same rule: a width-derivation
+    // CTE plus gated plane terms wide enough for the 10x corpus
+    val twin = llm.Similarity.sqlLshNearDupPairs(0.9)
+    assert(twin.contains("npw AS") && twin.contains(">= np"))
+    spark.catalog.clearCache()
+  }
+
   test("wider signatures produce a candidate subset with identical verified semantics") {
     val emb = Tables.embeddings(spark, sf())
     val narrow = llm.Similarity.lshNearDupPairs(emb, 0.3)

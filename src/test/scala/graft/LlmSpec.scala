@@ -1074,6 +1074,43 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("image phash: replicas share every bit; banded pairs equal the brute-force Hamming set") {
+    // a real id RANGE (the shared 5-doc fixture's cids are all tiny and
+    // min-dim-filtered): 200 ids -> 67 cids, ~30 eligible image groups
+    val phDocs = (0L until 200L).toDF("doc_id")
+    val hs = Multimodal.imageHashes(phDocs).collect().map(h => h.doc_id -> h).toMap
+    assert(hs.nonEmpty)
+    // eligibility is exactly the min-dim rule over cid-derived dims
+    hs.keys.foreach { id =>
+      val cid = java.lang.Math.floorDiv(id, Multimodal.PhashReplica.toLong)
+      assert(1 + java.lang.Math.floorMod(cid, 13L) >= Multimodal.PhashMinDim)
+      assert(1 + java.lang.Math.floorMod(cid, 7L) >= Multimodal.PhashMinDim)
+    }
+    // replica groups: same cid -> identical hash even across png/bmp delivery
+    hs.values.groupBy(h => java.lang.Math.floorDiv(h.doc_id, Multimodal.PhashReplica.toLong))
+      .foreach { case (cid, g) =>
+        assert(g.map(x => (x.b0, x.b1, x.b2, x.b3)).toSet.size == 1,
+          s"cid $cid replica hashes diverge")
+      }
+    // banding is COMPLETE at Hamming <= PhashMaxHamming (< bands), and
+    // with no bucket over the cap at this SF the output IS the exact set
+    def ham(a: Multimodal.ImageHash, b: Multimodal.ImageHash) =
+      Integer.bitCount(a.b0 ^ b.b0) + Integer.bitCount(a.b1 ^ b.b1) +
+        Integer.bitCount(a.b2 ^ b.b2) + Integer.bitCount(a.b3 ^ b.b3)
+    val ids = hs.keys.toArray.sorted
+    val brute = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+      d = ham(hs(ids(i)), hs(ids(j))) if d <= Multimodal.PhashMaxHamming
+    } yield (ids(i), ids(j)) -> d).toMap
+    val rows = Multimodal.phashPairs(phDocs).collect()
+    assert(rows.forall(_.getAs[Long]("dropped_buckets") == 0L), "cap bound at test SF?")
+    val got = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      -> r.getAs[Int]("hamming")).toMap
+    assert(got == brute,
+      s"extra=${(got.keySet -- brute.keySet).take(3)} missing=${(brute.keySet -- got.keySet).take(3)}")
+    spark.catalog.clearCache()
+  }
+
   test("media metadata frame offsets evenly spaced") {
     val m = Multimodal.mediaMetadata(docs).filter(col("doc_id") === 0).collect().head
     val n = m.getAs[Long]("n_bytes")
