@@ -13,6 +13,13 @@ cross-replica duplicates:
     cross-replica shingle/levenshtein overlap collapses, so dup and
     match density per corpus stays what sf0.1 had (10 identical copies
     of every doc would instead add 45 bogus near-dup pairs each).
+    CAVEAT (ADVICE r8): the rotation touches [a-z] only — digit-only
+    or otherwise non-alphabetic documents stay byte-identical across
+    replicas and add exact cross-replica duplicates, so measured dedup
+    pair counts on this corpus are a mild OVER-estimate of the
+    density-preserved ideal. Bench-only input, so no correctness
+    impact; kept as-is so recorded round-8 measurements in SCALE.md /
+    BASELINE.md stay reproducible against the same bytes.
   * embeddings: per-replica SIGNED PERMUTATION of dimensions — an
     orthogonal transform, so all pairwise cosines WITHIN a replica are
     bit-preserved (per-shard workload identical to sf0.1) while

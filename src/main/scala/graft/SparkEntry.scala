@@ -164,6 +164,9 @@ object SparkEntry {
     "q_audio_stats" -> ((s, d) => llm.Multimodal.audioStats(Tables.documents(s, d))),
     "q_video_frames" -> ((s, d) => llm.Multimodal.videoFrames(Tables.documents(s, d))),
     "q_video_sample" -> ((s, d) => llm.Multimodal.videoFrameSample(Tables.documents(s, d))),
+    // slideshow detection: per-video duplicate/static frame stats over
+    // the stride-sampled real MJPEG corpus (content-hash fingerprints)
+    "q_frame_dedup" -> ((s, d) => llm.Multimodal.frameDedup(Tables.documents(s, d))),
     // perceptual hash over REAL decoded rasters: every bit oracle-gated
     "q_image_phash" -> ((s, d) => llm.Multimodal.imagePhash(Tables.documents(s, d))),
     // the multimodal dedup composition: decode feeds Hamming-band LSH
@@ -599,6 +602,7 @@ object SparkEntry {
     "q_audio_stats" -> llm.Multimodal.sqlAudioStats,
     "q_video_frames" -> llm.Multimodal.sqlVideoFrames,
     "q_video_sample" -> llm.Multimodal.sqlVideoFrameSample(),
+    "q_frame_dedup" -> llm.Multimodal.sqlFrameDedup(),
     "q_image_phash" -> llm.Multimodal.sqlImagePhash,
     "q_phash_pairs" -> llm.Multimodal.sqlPhashPairs(),
     "q_sample_manifest" -> llm.Curate.sqlSampleManifest,

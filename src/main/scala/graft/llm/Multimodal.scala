@@ -610,16 +610,28 @@ object Multimodal {
     val nFrames = VideoFrameBase + pmod(VideoFrameMod)
     val frameUs = VideoFrameUs(pmod(VideoFrameUs.size))
     val frames = (0 until nFrames).map { f =>
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
       val rgb = (((id * 2654435761L + f * 97L) & 0xffffffL)).toInt
-      val g = img.createGraphics()
-      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
-      val b = new java.io.ByteArrayOutputStream()
-      val ok = javax.imageio.ImageIO.write(img, "jpeg", b)
-      require(ok, "no JDK JPEG writer") // ships with every JDK
-      b.toByteArray
+      jpegSolid(w, h, rgb)
     }
+    buildAvi(w, h, nFrames, frameUs, frames)
+  }
+
+  /** One solid-color REAL JPEG frame (the MJPEG building block). */
+  private def jpegSolid(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
+    val b = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, "jpeg", b)
+    require(ok, "no JDK JPEG writer") // ships with every JDK
+    b.toByteArray
+  }
+
+  /** Container assembly shared by [[aviBytes]] and [[slideAviBytes]]
+    * (pure refactor of the round-8 writer: byte-identical output). */
+  private def buildAvi(w: Int, h: Int, nFrames: Int, frameUs: Int,
+                       frames: Seq[Array[Byte]]): Array[Byte] = {
     val avih = new java.io.ByteArrayOutputStream()
     le32(avih, frameUs); le32(avih, 0); le32(avih, 0); le32(avih, 0)
     le32(avih, nFrames); le32(avih, 0); le32(avih, 1); le32(avih, 0)
@@ -767,6 +779,133 @@ object Multimodal {
       batch.map(parseAvi)
     }.toDF().orderBy("doc_id")
   }
+
+  // ---- video frame dedup (slideshow / static-content detection) -----
+
+  /** Frame-count parameters of the slideshow fixture — larger than the
+    * decode-gate videos so stride sampling still sees repeated frames:
+    * nFrames = 8 + doc_id mod 8 (8..15). */
+  val SlideFrameBase = 8; val SlideFrameMod = 8
+  /** Frames change content every `1 + doc_id mod 3` frames (1 = normal
+    * video, 3 = slideshow-like static runs). */
+  val SlideChangeMod = 3
+  /** Luma step between CONSECUTIVE content changes: 17 per step keeps
+    * every pairwise circular luma distance ≥ 17 across a video's ≤ 15
+    * distinct gray levels (17k mod 256, k ≤ 14 → min(17·1, 256−17·14)
+    * = 17), far above the JPEG DC quantization step, so distinct
+    * content indices can never encode to byte-identical JPEGs and the
+    * hash-based distinct count always equals the twin's arithmetic.
+    * (Equal content indices are byte-identical by encoder
+    * determinism.) Verified empirically at every SF by the oracle. */
+  val SlideLumaStep = 17
+
+  /** Slideshow-fixture AVI: same spec-valid container as [[aviBytes]],
+    * but frame CONTENT repeats — color changes only every
+    * `changeEvery` frames, each change a solid GRAY step (constant
+    * chroma: only the luma DC moves between contents). */
+  def slideAviBytes(id: Long, changeEvery: Int): Array[Byte] = {
+    require(changeEvery > 0, s"changeEvery must be positive, got $changeEvery")
+    def pmod(m: Int) = java.lang.Math.floorMod(id, m.toLong).toInt
+    val w = VideoWidthBase + pmod(VideoWidthMod) * VideoWidthStep
+    val h = VideoHeightBase + pmod(VideoHeightMod) * VideoHeightStep
+    val nFrames = SlideFrameBase + pmod(SlideFrameMod)
+    val frameUs = VideoFrameUs(pmod(VideoFrameUs.size))
+    val frames = (0 until nFrames).map { f =>
+      val g = (pmod(256) + SlideLumaStep * (f / changeEvery)) % 256
+      jpegSolid(w, h, (g << 16) | (g << 8) | g)
+    }
+    buildAvi(w, h, nFrames, frameUs, frames)
+  }
+
+  case class FrameDedupRow(
+      doc_id: Long,
+      n_frames: Long,
+      change_every: Int,
+      n_sampled: Int,
+      n_distinct: Int,
+      max_static_run: Int,
+      is_slideshow: Boolean,
+      all_decoded: Boolean)
+
+  /** Video FRAME dedup — the slideshow/static-content signal a video
+    * curation pipeline filters by: per video, how many of the sampled
+    * frames are duplicates of another, and the longest static run.
+    * Composition of the round-8 pieces: the real RIFF walker skips
+    * unsampled frames at container level (O(sampled) cost, the
+    * [[videoFrameSample]] shape), each sampled frame is fingerprinted
+    * by content hash of its encoded bytes — byte-level dedup is how
+    * production systems detect static frames WITHOUT paying a decode
+    * per frame — and additionally decoded through the real JPEG codec
+    * for the `all_decoded` evidence column. The twin predicts every
+    * count from the fixture arithmetic: a walker misparse, a hash
+    * collision/split, or an encoder nondeterminism all hash-mismatch.
+    * Map-only: one video in, one stats row out, nothing shuffles but
+    * the final sort. */
+  def frameDedup(documents: DataFrame,
+                 stride: Int = VideoSampleStride): DataFrame = {
+    import documents.sparkSession.implicits._
+    require(stride > 0, s"stride must be positive, got $stride")
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+      ids.map { id =>
+        def pmod(m: Int) = java.lang.Math.floorMod(id, m.toLong).toInt
+        val ce = 1 + pmod(SlideChangeMod)
+        val bytes = slideAviBytes(id, ce)
+        val hashes = scala.collection.mutable.ArrayBuffer.empty[String]
+        var frameIdx = 0
+        var allDecoded = true
+        walkRiff(bytes) {
+          case ("00dc", size, buf) =>
+            if (frameIdx % stride == 0) {
+              val jpeg = new Array[Byte](size); buf.get(jpeg)
+              sha.reset()
+              hashes += sha.digest(jpeg).map("%02x".format(_)).mkString
+              if (javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(jpeg)) == null)
+                allDecoded = false
+            }
+            frameIdx += 1
+          case _ => ()
+        }
+        var maxRun = 0; var run = 0; var prev: String = null
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        hashes.foreach { hsh =>
+          seen.add(hsh)
+          if (hsh == prev) run += 1 else { run = 1; prev = hsh }
+          if (run > maxRun) maxRun = run
+        }
+        FrameDedupRow(id, SlideFrameBase + pmod(SlideFrameMod), ce,
+          hashes.length, seen.size, maxRun,
+          is_slideshow = seen.size < hashes.length,
+          all_decoded = allDecoded)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  def sqlFrameDedup(stride: Int = VideoSampleStride): String =
+    s"""WITH f AS (
+          SELECT doc_id,
+            CAST($SlideFrameBase + ${sqlPmod(SlideFrameMod)} AS BIGINT) AS nf,
+            CAST(1 + ${sqlPmod(SlideChangeMod)} AS INTEGER) AS ce
+          FROM documents),
+        e AS (SELECT doc_id, nf, ce,
+                unnest(generate_series(0, nf - 1)) AS i FROM f),
+        s AS (SELECT doc_id, nf, ce, i // ce AS c
+              FROM e WHERE i % $stride = 0),
+        r AS (SELECT doc_id, any_value(nf) AS nf, any_value(ce) AS ce,
+                c, count(*) AS len
+              FROM s GROUP BY doc_id, c),
+        a AS (SELECT doc_id, any_value(nf) AS n_frames,
+                any_value(ce) AS change_every,
+                CAST(sum(len) AS INTEGER) AS n_sampled,
+                CAST(count(*) AS INTEGER) AS n_distinct,
+                CAST(max(len) AS INTEGER) AS max_static_run
+              FROM r GROUP BY doc_id)
+        SELECT doc_id, n_frames, change_every, n_sampled, n_distinct,
+          max_static_run, n_distinct < n_sampled AS is_slideshow,
+          TRUE AS all_decoded
+        FROM a ORDER BY doc_id"""
 
   case class SampledFrame(
       doc_id: Long,

@@ -1074,6 +1074,35 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("frame dedup: hash-based counts equal the change-every arithmetic; decode evidence holds") {
+    val vids = (0L until 48L).toDF("doc_id") // covers all (nf, ce, dims) residues
+    val out = Multimodal.frameDedup(vids).collect()
+    assert(out.length == 48)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val nf = (Multimodal.SlideFrameBase + id % Multimodal.SlideFrameMod).toInt
+      val ce = (1 + id % Multimodal.SlideChangeMod).toInt
+      val sampled = (0 until nf).filter(_ % Multimodal.VideoSampleStride == 0)
+      val contents = sampled.map(_ / ce)
+      assert(r.getAs[Long]("n_frames") == nf && r.getAs[Int]("change_every") == ce)
+      assert(r.getAs[Int]("n_sampled") == sampled.length, s"doc $id n_sampled")
+      // the load-bearing claim: JPEG-byte hashing distinguishes exactly
+      // the designed content indices (the >= 17-luma-step argument)
+      assert(r.getAs[Int]("n_distinct") == contents.distinct.length, s"doc $id n_distinct")
+      val maxRun = contents.foldLeft((0, -1, 0)) { case ((best, prev, run), c) =>
+        val nr = if (c == prev) run + 1 else 1
+        (math.max(best, nr), c, nr)
+      }._1
+      assert(r.getAs[Int]("max_static_run") == maxRun, s"doc $id max_static_run")
+      assert(r.getAs[Boolean]("is_slideshow") == (contents.distinct.length < contents.length))
+      assert(r.getAs[Boolean]("all_decoded"), s"doc $id frame failed the JPEG codec")
+    }
+    // the fixture exercises both regimes at stride 2: ce=3 videos show
+    // static runs, ce=1 (every frame fresh) never does
+    assert(out.exists(_.getAs[Boolean]("is_slideshow")))
+    assert(out.exists(r => !r.getAs[Boolean]("is_slideshow")))
+  }
+
   test("image phash: replicas share every bit; banded pairs equal the brute-force Hamming set") {
     // a real id RANGE (the shared 5-doc fixture's cids are all tiny and
     // min-dim-filtered): 200 ids -> 67 cids, ~30 eligible image groups
