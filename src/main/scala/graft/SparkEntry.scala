@@ -378,6 +378,8 @@ object SparkEntry {
     "q_trend_slopes" -> ((s, d) => Windows.trendSlopes(ev(s, d))),
     // ER endgame: connected components over the match graph
     "q_entity_clusters" -> ((s, d) => Linkage.entityClusters(Tables.part(s, d))),
+    // the production pairing at scale: capped candidates -> clustering
+    "q_entity_clusters_capped" -> ((s, d) => Linkage.entityClustersCapped(Tables.part(s, d))),
     // trend-adjusted anomaly days: algebraic SSE from the fit's own sums
     "q_trend_residuals" -> ((s, d) => Windows.trendResiduals(ev(s, d))),
     // per-source token-mass Gini: concentration diagnostics
@@ -706,6 +708,7 @@ object SparkEntry {
     "q_unpivot" -> Windows.sqlUnpivotMetrics,
     "q_trend_slopes" -> Windows.sqlTrendSlopes,
     "q_entity_clusters" -> Linkage.sqlEntityClusters(),
+    "q_entity_clusters_capped" -> Linkage.sqlEntityClustersCapped(),
     "q_trend_residuals" -> Windows.sqlTrendResiduals,
     "q_gini_sources" -> llm.TextStats.sqlGiniBySource,
     "q_blocking_quality" -> Linkage.sqlBlockingQuality()

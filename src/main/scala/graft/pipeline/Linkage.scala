@@ -292,10 +292,12 @@ object Linkage {
     * corpus does. The hot-block list is block-count-sized (small by
     * definition), so the exclusion is a broadcast anti-join, not a
     * shuffle. */
-  def entityResolutionCapped(part: DataFrame,
-                             maxLev: Int = MaxNameLev,
-                             maxSizeDiff: Int = MaxSizeDiff,
-                             maxBlock: Int = MaxBlockRecords): DataFrame = {
+  /** The capped blocked frame + its drop accounting — ONE definition
+    * for both capped consumers ([[entityResolutionCapped]] publishes
+    * the scored pairs with the accounting; [[entityClustersCapped]]
+    * consumes the pairs as a bounded edge set). */
+  private def cappedBlocked(part: DataFrame, maxSizeDiff: Int,
+                            maxBlock: Int): (DataFrame, DataFrame) = {
     val blk = blockedFrame(part, maxSizeDiff)
     val hot = blk.groupBy("p_brand", "p_type", "bkt")
       .agg(count(lit(1)).as("n"))
@@ -305,6 +307,14 @@ object Linkage {
       coalesce(sum(col("n")), lit(0L)).cast("bigint").as("dropped_entries")))
     val kept = blk.join(broadcast(hot),
       Seq("p_brand", "p_type", "bkt"), "left_anti")
+    (kept, dropStats)
+  }
+
+  def entityResolutionCapped(part: DataFrame,
+                             maxLev: Int = MaxNameLev,
+                             maxSizeDiff: Int = MaxSizeDiff,
+                             maxBlock: Int = MaxBlockRecords): DataFrame = {
+    val (kept, dropStats) = cappedBlocked(part, maxSizeDiff, maxBlock)
     scoreBlocked(kept, maxLev, maxSizeDiff)
       .crossJoin(dropStats)
       .orderBy("k1", "k2")
@@ -373,8 +383,50 @@ object Linkage {
 
   def sqlEntityClusters(maxLev: Int = MaxNameLev,
                         maxSizeDiff: Int = MaxSizeDiff): String =
+    sqlClustersOver(sqlEntityResolution(maxLev, maxSizeDiff))
+
+  /** PRODUCTION pairing at corpus scale (round 9, VERDICT r8 task 6):
+    * bounded candidate generation → clustering. The uncapped
+    * [[entityClusters]] fail-louds on a corpus whose densest
+    * (brand, type, ≈size) blocks degenerate (the derived 10× corpus
+    * does exactly that — see SCALE.md); this variant propagates labels
+    * over the CAPPED candidate pairs, whose per-block work is bounded
+    * by construction, so the edge set — and every propagation round —
+    * stays linear in records. Entities split across a dropped hot
+    * block stay unmerged (the declared trade; the drop accounting on
+    * [[entityResolutionCapped]] is the audit trail). Output schema
+    * matches [[entityClusters]]: every record labeled, singletons
+    * keeping their own key. */
+  def entityClustersCapped(part: DataFrame,
+                           maxBlock: Int = MaxBlockRecords,
+                           maxRounds: Int = 20): DataFrame = {
+    val (kept, _) = cappedBlocked(part, MaxSizeDiff, maxBlock)
+    val edges = scoreBlocked(kept, MaxNameLev, MaxSizeDiff)
+      .select(col("k1"), col("k2"))
+    val sym = edges
+      .union(edges.select(col("k2"), col("k1")))
+      .toDF("src", "dst")
+      .localCheckpoint() // pair generation runs once, not once per round
+    val seed = part.select(col("p_partkey"))
+      .withColumn("label", col("p_partkey"))
+      .localCheckpoint()
+    val labeled = graft.util.Graphs.minLabelPropagate(
+      seed, sym, maxRounds, "p_partkey", "entityClustersCapped")
+    graft.util.Graphs.dropCheckpoint(sym)
+    labeled.select(col("p_partkey"), col("label").as("entity_id"))
+      .orderBy("p_partkey")
+  }
+
+  def sqlEntityClustersCapped(maxBlock: Int = MaxBlockRecords): String =
+    sqlClustersOver(
+      sqlEntityResolutionCapped(MaxNameLev, MaxSizeDiff, maxBlock))
+
+  /** The shared min-label connected-components twin over any pair
+    * query exposing (k1, k2) — one recursive-CTE definition for the
+    * uncapped and capped cluster twins. */
+  private def sqlClustersOver(pairsSql: String): String =
     s"""WITH RECURSIVE m AS (
-          SELECT k1, k2 FROM (${sqlEntityResolution(maxLev, maxSizeDiff)})),
+          SELECT k1, k2 FROM ($pairsSql)),
         sym AS (
           SELECT k1 AS src, k2 AS dst FROM m
           UNION ALL SELECT k2, k1 FROM m),

@@ -699,6 +699,25 @@ class ClassifyLinkageSpec extends SparkSpec {
       pipeline.Linkage.entityResolution(Tables.part(spark, sf())).count())
   }
 
+  test("entityClustersCapped: generous cap equals the uncapped clustering; tight cap only refines") {
+    val part = Tables.part(spark, sf())
+    val full = pipeline.Linkage.entityClusters(part)
+      .as[(Long, Long)].collect().toMap
+    // generous cap: identical labeling (no block dropped)
+    val loose = pipeline.Linkage.entityClustersCapped(part, maxBlock = 1 << 20)
+      .as[(Long, Long)].collect().toMap
+    assert(loose == full)
+    // tight cap: a REFINEMENT — records the capped run merges were
+    // also merged uncapped (dropping edges can only split clusters)
+    val tight = pipeline.Linkage.entityClustersCapped(part, maxBlock = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(tight.keySet == full.keySet, "every record must stay labeled")
+    tight.groupBy(_._2).values.foreach { members =>
+      assert(members.keys.map(full).toSet.size == 1,
+        "capped clustering merged records the uncapped one separates")
+    }
+  }
+
   test("entityResolutionCapped: generous cap is identity, tight cap drops monotonically") {
     val part = Tables.part(spark, sf())
     val uncapped = pipeline.Linkage.entityResolution(part)
