@@ -171,6 +171,8 @@ object SparkEntry {
     "q_image_phash" -> ((s, d) => llm.Multimodal.imagePhash(Tables.documents(s, d))),
     // the multimodal dedup composition: decode feeds Hamming-band LSH
     "q_phash_pairs" -> ((s, d) => llm.Multimodal.phashPairs(Tables.documents(s, d))),
+    // bounded image-dedup artifact: per-image keep/drop by full hash
+    "q_phash_dedup" -> ((s, d) => llm.Multimodal.phashDedup(Tables.documents(s, d))),
     // cross-modal assembly: per-example modality presence + split manifest
     "q_sample_manifest" -> ((s, d) =>
       llm.Curate.sampleManifest(Tables.documents(s, d), Tables.embeddings(s, d))),
@@ -607,6 +609,7 @@ object SparkEntry {
     "q_frame_dedup" -> llm.Multimodal.sqlFrameDedup(),
     "q_image_phash" -> llm.Multimodal.sqlImagePhash,
     "q_phash_pairs" -> llm.Multimodal.sqlPhashPairs(),
+    "q_phash_dedup" -> llm.Multimodal.sqlPhashDedup,
     "q_sample_manifest" -> llm.Curate.sqlSampleManifest,
     "q_bpe_roundtrip" -> llm.TextStats.sqlBpeRoundtrip(),
     "q_pii_redact" -> llm.Curate.sqlRedactPii,

@@ -427,6 +427,42 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Image dedup DECISION record by perceptual hash — the BOUNDED
+    * production artifact (cf. [[graft.llm.Dedup.dedupDecision]] for
+    * text): one row per eligible image with its canonical id (min
+    * doc_id sharing the full 64-bit hash), copy count, and keep/drop
+    * verdict. No pair expansion anywhere — a hash shared by a million
+    * images costs one group, not 10¹² pairs — which is exactly the
+    * upstream step that keeps [[phashPairs]]' candidate join sane at
+    * corpus scale (SCALE.md, round 9). One hash-partitioned
+    * aggregation + one window-free min-join; output linear in images
+    * at ANY duplicate density. */
+  def phashDedup(documents: DataFrame): DataFrame = {
+    val hs = imageHashes(documents).toDF()
+    val groups = hs.groupBy("b0", "b1", "b2", "b3")
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+    hs.join(groups, Seq("b0", "b1", "b2", "b3"))
+      .select(col("doc_id"),
+        format_string("%04x%04x%04x%04x",
+          col("b3"), col("b2"), col("b1"), col("b0")).as("phash"),
+        col("canonical_id"), col("n_copies"),
+        (col("doc_id") === col("canonical_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val sqlPhashDedup: String =
+    s"""WITH $sqlImageHashCtes,
+        grp AS (
+          SELECT b0, b1, b2, b3, min(doc_id) AS canonical_id,
+            CAST(count(*) AS BIGINT) AS n_copies
+          FROM hb GROUP BY 1, 2, 3, 4)
+        SELECT doc_id,
+          printf('%04x%04x%04x%04x', hb.b3, hb.b2, hb.b1, hb.b0) AS phash,
+          canonical_id, n_copies, doc_id = canonical_id AS keep
+        FROM hb JOIN grp USING (b0, b1, b2, b3)
+        ORDER BY doc_id"""
+
   def sqlPhashPairs(maxHamming: Int = PhashMaxHamming,
                     maxBucket: Int = PhashMaxBucket): String =
     s"""WITH $sqlImageHashCtes,

@@ -1137,6 +1137,21 @@ class LlmSpec extends SparkSpec {
       -> r.getAs[Int]("hamming")).toMap
     assert(got == brute,
       s"extra=${(got.keySet -- brute.keySet).take(3)} missing=${(brute.keySet -- got.keySet).take(3)}")
+    // the bounded dedup artifact: keep iff min doc_id of the full-hash
+    // group; copy count is the group size; replicas share one group
+    val ded = Multimodal.phashDedup(phDocs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("canonical_id"), r.getAs[Long]("n_copies"),
+          r.getAs[Boolean]("keep"))).toMap
+    assert(ded.keySet == hs.keySet)
+    val byHash = hs.values.groupBy(x => (x.b0, x.b1, x.b2, x.b3))
+    byHash.values.foreach { g =>
+      val idsG = g.map(_.doc_id)
+      idsG.foreach { id =>
+        val (canon, n, keep) = ded(id)
+        assert(canon == idsG.min && n == idsG.size && keep == (id == idsG.min))
+      }
+    }
     spark.catalog.clearCache()
   }
 
