@@ -659,10 +659,17 @@ object Similarity {
     * output is ≤ |test| rows regardless of corpus density — the
     * round-8 bounded-output rule. Scale shape: bucket build is
     * map-only, the one candidate join shuffles on (table, bucket),
-    * verification fetches vectors only for candidate pairs. */
+    * verification fetches vectors only for candidate pairs.
+    *
+    * Signature width is ADAPTIVE like the rest of the LSH family
+    * (round 9), sized from the FULL prepared corpus count — the same
+    * basis the twin's width CTE reads — not the test+train subset, so
+    * the index width matches what a shared materialized index would
+    * use. */
   def semanticDecontam(documents: DataFrame, embeddings: DataFrame,
                        threshold: Double = 0.3): DataFrame = {
     graft.functions.TopKByScore.register(embeddings.sparkSession)
+    val np = adaptivePlanes(prepared(embeddings).count())
     val split = graft.llm.Curate.splitAssign(documents)
       .select(col("doc_id"), col("split"))
     // cached like the other multi-reference prepared() frames: feeds
@@ -675,7 +682,7 @@ object Similarity {
       .filter(col("split").isin("test", "train"))
       .select(col("vec_id"), col("v"), col("nrm"), col("split"))
       .cache()
-    val bs = bucketFrame(n)
+    val bs = bucketFrame(n, np)
       .join(n.select(col("vec_id"), col("split")), "vec_id")
     val cand = bs.as("x").join(bs.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
@@ -698,7 +705,8 @@ object Similarity {
   def sqlSemanticDecontam(threshold: Double = 0.3): String =
     s"""WITH $sqlPrepared,
         sp AS (SELECT doc_id, split FROM (${graft.llm.Curate.sqlSplitAssign})),
-        bkt AS (${sqlBucketSelects()}),
+        $sqlNpw,
+        bkt AS ($sqlBucketSelectsAdaptive),
         bs AS (SELECT b.vec_id, b.tbl, b.bucket, s.split
                FROM bkt b JOIN sp s ON b.vec_id = s.doc_id),
         cand AS (
