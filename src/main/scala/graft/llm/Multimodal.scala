@@ -846,9 +846,16 @@ object Multimodal {
     val h = VideoHeightBase + pmod(VideoHeightMod) * VideoHeightStep
     val nFrames = SlideFrameBase + pmod(SlideFrameMod)
     val frameUs = VideoFrameUs(pmod(VideoFrameUs.size))
+    // encode each DISTINCT content once and reuse its bytes for every
+    // repeat (what a real writer does; repeated frames are the point
+    // of this fixture) — cuts the encode work from nFrames to
+    // ceil(nFrames / changeEvery) JPEGs with byte-identical output
+    val contents = scala.collection.mutable.HashMap.empty[Int, Array[Byte]]
     val frames = (0 until nFrames).map { f =>
-      val g = (pmod(256) + SlideLumaStep * (f / changeEvery)) % 256
-      jpegSolid(w, h, (g << 16) | (g << 8) | g)
+      contents.getOrElseUpdate(f / changeEvery, {
+        val g = (pmod(256) + SlideLumaStep * (f / changeEvery)) % 256
+        jpegSolid(w, h, (g << 16) | (g << 8) | g)
+      })
     }
     buildAvi(w, h, nFrames, frameUs, frames)
   }
@@ -861,7 +868,7 @@ object Multimodal {
       n_distinct: Int,
       max_static_run: Int,
       is_slideshow: Boolean,
-      all_decoded: Boolean)
+      probe_decoded: Boolean)
 
   /** Video FRAME dedup — the slideshow/static-content signal a video
     * curation pipeline filters by: per video, how many of the sampled
@@ -871,12 +878,15 @@ object Multimodal {
     * [[videoFrameSample]] shape), each sampled frame is fingerprinted
     * by content hash of its encoded bytes — byte-level dedup is how
     * production systems detect static frames WITHOUT paying a decode
-    * per frame — and additionally decoded through the real JPEG codec
-    * for the `all_decoded` evidence column. The twin predicts every
-    * count from the fixture arithmetic: a walker misparse, a hash
-    * collision/split, or an encoder nondeterminism all hash-mismatch.
-    * Map-only: one video in, one stats row out, nothing shuffles but
-    * the final sort. */
+    * per frame. ONE probe frame per video (the first sampled) is
+    * additionally decoded through the real JPEG codec as the
+    * `probe_decoded` evidence column: full per-frame decode is
+    * [[videoFrameSample]]'s gate, and paying it again here tripled
+    * this operator's cost for no new information (measured round 9).
+    * The twin predicts every count from the fixture arithmetic: a
+    * walker misparse, a hash collision/split, or an encoder
+    * nondeterminism all hash-mismatch. Map-only: one video in, one
+    * stats row out, nothing shuffles but the final sort. */
   def frameDedup(documents: DataFrame,
                  stride: Int = VideoSampleStride): DataFrame = {
     import documents.sparkSession.implicits._
@@ -890,16 +900,16 @@ object Multimodal {
         val bytes = slideAviBytes(id, ce)
         val hashes = scala.collection.mutable.ArrayBuffer.empty[String]
         var frameIdx = 0
-        var allDecoded = true
+        var probeDecoded = false
         walkRiff(bytes) {
           case ("00dc", size, buf) =>
             if (frameIdx % stride == 0) {
               val jpeg = new Array[Byte](size); buf.get(jpeg)
               sha.reset()
               hashes += sha.digest(jpeg).map("%02x".format(_)).mkString
-              if (javax.imageio.ImageIO.read(
-                  new java.io.ByteArrayInputStream(jpeg)) == null)
-                allDecoded = false
+              if (hashes.length == 1) // one codec probe per video
+                probeDecoded = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(jpeg)) != null
             }
             frameIdx += 1
           case _ => ()
@@ -914,7 +924,7 @@ object Multimodal {
         FrameDedupRow(id, SlideFrameBase + pmod(SlideFrameMod), ce,
           hashes.length, seen.size, maxRun,
           is_slideshow = seen.size < hashes.length,
-          all_decoded = allDecoded)
+          probe_decoded = probeDecoded)
       }
     }.toDF().orderBy("doc_id")
   }
@@ -940,7 +950,7 @@ object Multimodal {
               FROM r GROUP BY doc_id)
         SELECT doc_id, n_frames, change_every, n_sampled, n_distinct,
           max_static_run, n_distinct < n_sampled AS is_slideshow,
-          TRUE AS all_decoded
+          TRUE AS probe_decoded
         FROM a ORDER BY doc_id"""
 
   case class SampledFrame(

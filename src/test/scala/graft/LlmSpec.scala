@@ -1095,7 +1095,7 @@ class LlmSpec extends SparkSpec {
       }._1
       assert(r.getAs[Int]("max_static_run") == maxRun, s"doc $id max_static_run")
       assert(r.getAs[Boolean]("is_slideshow") == (contents.distinct.length < contents.length))
-      assert(r.getAs[Boolean]("all_decoded"), s"doc $id frame failed the JPEG codec")
+      assert(r.getAs[Boolean]("probe_decoded"), s"doc $id probe frame failed the JPEG codec")
     }
     // the fixture exercises both regimes at stride 2: ce=3 videos show
     // static runs, ce=1 (every frame fresh) never does
