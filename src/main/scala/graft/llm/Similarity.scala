@@ -369,6 +369,88 @@ object Similarity {
         SELECT vec_a, vec_b, cosine FROM p
         WHERE cosine >= $threshold ORDER BY vec_a, vec_b"""
 
+  // ---- materialized LSH index (the warehouse form) -------------------
+
+  /** Materialize the LSH index ONCE — the cluster-scale form the
+    * [[bucketFrame]] cache stands in for locally (its own doc note):
+    * at 100 TB the 96-dot-product bucketing pass runs once at ingest,
+    * and every downstream consumer (pair generation, point lookups,
+    * decontamination) reads the STORED (tbl, bucket, vec_id) rows
+    * instead of re-hashing the corpus. Layout mirrors
+    * [[graft.llm.Dedup.writeShingleIndex]]: `buckets/` partitioned by
+    * table (a query probes exactly the tables it needs; within a
+    * table the bucket column is a parquet min/max-indexed scan
+    * predicate), `vectors/` beside it for verification fetches. The
+    * resolved signature width is stored as a column — an index built
+    * at one width can never be silently probed at another.
+    * @return the resolved width, for the caller's audit trail. */
+  def writeLshIndex(embeddings: DataFrame, path: String,
+                    numPlanes: Int = AdaptiveWidth): Int = {
+    val n = prepared(embeddings).cache()
+    val np = resolveWidth(n, numPlanes)
+    bucketFrame(n, np).withColumn("np", lit(np))
+      .write.mode("overwrite").partitionBy("tbl").parquet(s"$path/buckets")
+    n.write.mode("overwrite").parquet(s"$path/vectors")
+    n.unpersist()
+    np
+  }
+
+  /** Near-dup pair generation over a persisted index: the same
+    * candidate join + exact-cosine verify as [[lshNearDupPairs]], but
+    * candidates come from STORED buckets — no re-hashing, the
+    * ingest-once/query-many split a production corpus runs. */
+  def lshNearDupPairsFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                               threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val b = spark.read.parquet(s"$path/buckets")
+    val n = spark.read.parquet(s"$path/vectors")
+    val cand = b.as("x").join(b.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(n.as("a"), col("vec_a") === col("a.vec_id"))
+      .join(n.as("b"), col("vec_b") === col("b.vec_id"))
+      .select(col("vec_a"), col("vec_b"), cosine("a", "b"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Point ANN lookup against the persisted index — the online-serving
+    * shape: fetch the query vector's ≤ NumTables stored bucket rows
+    * (a broadcast-sized frame), broadcast-join them into the index
+    * scan to surface candidates, verify by exact cosine against the
+    * one broadcast query vector, keep top-k. Index bytes touched are
+    * the probed (tbl, bucket) rows plus candidate vectors — never the
+    * corpus. */
+  def lshNeighborsFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                            vecId: Long, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    graft.functions.TopKByScore.register(spark)
+    val b = spark.read.parquet(s"$path/buckets")
+    val n = spark.read.parquet(s"$path/vectors")
+    val qb = b.filter(col("vec_id") === vecId)
+      .select(col("tbl"), col("bucket"))
+    val qv = n.filter(col("vec_id") === vecId)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    val cand = b.join(broadcast(qb), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= vecId)
+      .select(col("vec_id")).distinct()
+    cand.join(n, "vec_id")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("neighbor_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qnrm"))).as("cosine"))
+      .groupBy()
+      .agg(call_function("top_k_by", col("cosine"), col("neighbor_id"), lit(k)).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(
+        (col("pos") + 1).cast("int").as("rnk"),
+        col("entry.id").as("neighbor_id"),
+        col("entry.score").as("cosine"))
+      .orderBy("rnk")
+  }
+
   /** Per-query top-k over LSH candidates — the bounded-output ANN
     * shape the round-8 10× measurement recommends (SCALE.md "Measured
     * 10× scale step"): a GLOBAL cosine threshold emits output that

@@ -1074,6 +1074,39 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("materialized LSH index: stored-bucket consumers equal the in-memory operators") {
+    val emb = Tables.embeddings(spark, sf())
+    val path = "target/lsh_idx_test"
+    val np = llm.Similarity.writeLshIndex(emb, path)
+    val nVec = emb.filter(col("embedding").isNotNull).count()
+    assert(np == llm.Similarity.adaptivePlanes(nVec), "stored width must be the adaptive width")
+    // the index records its width so probes can't silently mismatch
+    val stored = spark.read.parquet(s"$path/buckets")
+    assert(stored.select("np").distinct().as[Int].collect().toSeq == Seq(np))
+    assert(stored.count() == nVec * llm.Similarity.NumTables)
+    // pair generation from storage == the in-memory operator
+    val fromIdx = llm.Similarity.lshNearDupPairsFromIndex(spark, path, 0.3)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val direct = llm.Similarity.lshNearDupPairs(emb, 0.3)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(fromIdx == direct,
+      s"extra=${(fromIdx -- direct).take(3)} missing=${(direct -- fromIdx).take(3)}")
+    // point lookup: top-k over exactly the query's stored-bucket mates
+    val someId = direct.head._1
+    val got = llm.Similarity.lshNeighborsFromIndex(spark, path, someId, 5)
+      .select("rnk", "neighbor_id", "cosine").as[(Int, Long, Double)].collect()
+    assert(got.nonEmpty && got.map(_._1).toSeq == (1 to got.length))
+    // every returned neighbor truly shares a bucket with the query
+    val mates = stored.as("x").join(stored.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket"))
+      .filter(col("x.vec_id") === someId && col("y.vec_id") =!= someId)
+      .select(col("y.vec_id")).as[Long].collect().toSet
+    assert(got.map(_._2).forall(mates), "a neighbor came from outside the probed buckets")
+    // scores descend (ties broken deterministically upstream)
+    assert(got.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    spark.catalog.clearCache()
+  }
+
   test("frame dedup: hash-based counts equal the change-every arithmetic; decode evidence holds") {
     val vids = (0L until 48L).toDF("doc_id") // covers all (nf, ce, dims) residues
     val out = Multimodal.frameDedup(vids).collect()
