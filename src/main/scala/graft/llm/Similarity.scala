@@ -243,14 +243,17 @@ object Similarity {
     * twice. Caller-released lifecycle (Bench/Verify clearCache); at
     * cluster scale this is the materialized LSH index table. */
   private def bucketFrame(n: DataFrame,
-                          numPlanes: Int = NumPlanes): DataFrame = {
+                          numPlanes: Int = NumPlanes,
+                          cache: Boolean = true): DataFrame = {
     val pl = if (numPlanes == NumPlanes) planes else planesFor(numPlanes)
     val tableBuckets = (0 until NumTables).map { t =>
       struct(lit(t).as("tbl"), bucketCol(t, pl).as("bucket"))
     }
-    n.select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
+    val b = n.select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-      .cache()
+    // per-MICRO-BATCH callers skip the cache: a long-running stream
+    // would otherwise accumulate one orphaned cached frame per trigger
+    if (cache) b.cache() else b
   }
 
   /** The SQL twin of [[bucketFrame]]: per-table bucket codes as a
@@ -388,11 +391,96 @@ object Similarity {
                     numPlanes: Int = AdaptiveWidth): Int = {
     val n = prepared(embeddings).cache()
     val np = resolveWidth(n, numPlanes)
-    bucketFrame(n, np).withColumn("np", lit(np))
-      .write.mode("overwrite").partitionBy("tbl").parquet(s"$path/buckets")
-    n.write.mode("overwrite").parquet(s"$path/vectors")
-    n.unpersist()
+    // batch_id = -1 marks the bulk build; streaming appends land in
+    // batch_id = N partitions beside it (the writeShingleIndex layout),
+    // with tbl as the secondary partition so per-table probes prune
+    val b = bucketFrame(n, np)
+    b.withColumn("np", lit(np)).withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id", "tbl")
+      .parquet(s"$path/buckets")
+    n.withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .parquet(s"$path/vectors")
+    b.unpersist(); n.unpersist()
     np
+  }
+
+  /** The width a persisted index was built at, or None before cold
+    * start — every consumer MUST probe at this width (buckets from
+    * different widths never match). */
+  def storedIndexWidth(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Option[Int] =
+    try {
+      spark.read.parquet(s"$path/buckets").select(col("np"))
+        .head(1).headOption.map(_.getInt(0))
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
+
+  /** Idempotent per-batch index append (the
+    * [[graft.llm.Dedup.appendShingleIndexForBatch]] recipe): bucket
+    * the batch at the INDEX'S stored width — cold start falls back to
+    * the batch-adaptive width, which the created index then pins —
+    * and land rows in batch_id = N partitions via dynamic partition
+    * overwrite, so a crash-replay of micro-batch N replaces its own
+    * partitions instead of duplicating them. */
+  def appendLshIndexForBatch(embeddings: DataFrame, path: String,
+                             batchId: Long): Unit = {
+    val spark = embeddings.sparkSession
+    val n = prepared(embeddings)
+    val np = storedIndexWidth(spark, path)
+      .getOrElse(adaptivePlanes(math.max(1L, n.count())))
+    bucketFrame(n, np, cache = false)
+      .withColumn("np", lit(np)).withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "tbl")
+      .parquet(s"$path/buckets")
+    n.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(s"$path/vectors")
+  }
+
+  /** Incremental near-dup pairs of a micro-BATCH against (index ∪
+    * batch): candidates pair each batch vector (vec_a) with any index
+    * or batch vector sharing a stored bucket; exact-cosine verified.
+    * Per-trigger cost is |batch| hashing + a band join against STORED
+    * buckets — the corpus is never re-hashed
+    * ([[graft.llm.Dedup.minhashLshPairsIncremental]]'s argument, in
+    * vector space). Cold start (no index): within-batch only. */
+  def lshPairsIncremental(spark: org.apache.spark.sql.SparkSession,
+                          path: String, batch: DataFrame,
+                          threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    // no .cache() anywhere in the per-trigger path: the caller persists
+    // the raw batch; everything here is cheap projection over it
+    val nb = prepared(batch)
+    val np = storedIndexWidth(spark, path)
+      .getOrElse(adaptivePlanes(math.max(1L, nb.count())))
+    val bb = bucketFrame(nb, np, cache = false)
+    val idx = try {
+      val ib = spark.read.parquet(s"$path/buckets")
+        .select(col("vec_id"), col("tbl"), col("bucket"))
+      val iv = spark.read.parquet(s"$path/vectors")
+        .select(col("vec_id"), col("v"), col("nrm"))
+      Some((ib, iv))
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val allB = idx.map(_._1.union(bb.select(col("vec_id"), col("tbl"), col("bucket"))))
+      .getOrElse(bb)
+    val allV = idx.map(_._2.union(nb.select(col("vec_id"), col("v"), col("nrm"))))
+      .getOrElse(nb)
+    val cand = bb.as("x").join(allB.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(allV.as("a"), col("vec_a") === col("a.vec_id"))
+      .join(allV.as("b"), col("vec_b") === col("b.vec_id"))
+      .select(col("vec_a"), col("vec_b"), cosine("a", "b"))
+      .filter(col("cosine") >= threshold)
   }
 
   /** Near-dup pair generation over a persisted index: the same

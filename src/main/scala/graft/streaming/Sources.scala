@@ -225,6 +225,54 @@ object Sources {
       }
       .start()
 
+  /** Streaming SEMANTIC dedup — [[nearDupDedupQuery]]'s shape in
+    * embedding space: each micro-batch of (vec_id, embedding) rows is
+    * sign-LSH-checked against the persisted vector index
+    * ([[graft.llm.Similarity.writeLshIndex]] layout), near-dups
+    * (cosine ≥ threshold) are dropped, and survivors append to BOTH
+    * the clean sink and the index so every later batch dedups against
+    * them. Within a batch the lower vec_id survives; against the
+    * index the indexed vector always survives. NULL embeddings have
+    * no geometry, can never be dups, and pass through.
+    *
+    * Per-trigger cost: |batch| hashing (at the index's STORED width)
+    * + one band join against stored buckets — the corpus is never
+    * re-hashed. Cold start: the first batch dedups within itself and
+    * its survivors create the index at the batch-adaptive width,
+    * which the index then pins for every later batch. Exactly-once:
+    * both sinks partition by micro-batch with dynamic partition
+    * overwrite ([[writeBatchIdempotent]] / batch_id partitions), so a
+    * crash-replay of batch N replaces its own partitions. */
+  def semanticDedupQuery(emb: DataFrame, indexPath: String, cleanDir: String,
+                         checkpoint: String,
+                         threshold: Double = 0.9): StreamingQuery =
+    emb.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        batch.persist()
+        try {
+          // directed pairs: vec_a is always a batch member
+          val pairs = graft.llm.Similarity
+            .lshPairsIncremental(spark, indexPath, batch, threshold)
+          val dupIds = pairs
+            .join(batch.select(col("vec_id").as("vec_b"))
+                .withColumn("in_batch", lit(true)),
+              Seq("vec_b"), "left")
+            .filter(!coalesce(col("in_batch"), lit(false)) ||
+              col("vec_b") < col("vec_a"))
+            .select(col("vec_a").as("vec_id")).distinct()
+          // eager localCheckpoint: the index append below must not
+          // re-run a lineage that READS indexPath while writing to it
+          val clean = batch.join(dupIds, Seq("vec_id"), "left_anti")
+            .localCheckpoint()
+          writeBatchIdempotent(clean, cleanDir, batchId)
+          graft.llm.Similarity.appendLshIndexForBatch(clean, indexPath, batchId)
+        } finally { batch.unpersist(); () }
+      }
+      .start()
+
   /** The idempotent-replay write used by every exactly-once file sink
     * here: each micro-batch lands in its own `micro_batch_id=N`
     * partition with DYNAMIC partition overwrite, so re-running a batch

@@ -191,6 +191,48 @@ class StreamPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming semantic dedup: index, within-batch, cross-batch, null pass-through") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_semdedup").toString
+    val vecs = Tables.embeddings(spark, sf())
+      .filter(col("embedding").isNotNull).orderBy("vec_id").limit(4)
+      .select(col("embedding").cast("array<double>"))
+      .as[Seq[Double]].collect()
+    val (v0, v1, v2, v3) = (vecs(0), vecs(1), vecs(2), vecs(3))
+    // bulk-seed the index with vector 0; its width pins every append
+    val np = graft.llm.Similarity.writeLshIndex(
+      Seq((0L, v0)).toDF("vec_id", "embedding"), s"$tmp/idx")
+    val mem = MemoryStream[(Long, Option[Seq[Double]])]
+    val emb = mem.toDF().toDF("vec_id", "embedding")
+    // threshold 0.9999: only exact vector copies count as dups, so the
+    // assertions don't depend on the fixture's pairwise cosines
+    val q = Sources.semanticDedupQuery(emb, s"$tmp/idx", s"$tmp/clean",
+      s"$tmp/ckpt", threshold = 0.9999)
+    try {
+      // 10 dups the indexed v0; 11/12 are copies (lower id survives);
+      // 13 novel; 14 has no embedding and must pass through untouched
+      mem.addData(
+        (10L, Some(v0)), (11L, Some(v1)), (12L, Some(v1)),
+        (13L, Some(v2)), (14L, None))
+      q.processAllAvailable()
+      val clean1 = spark.read.parquet(s"$tmp/clean")
+        .select("vec_id").as[Long].collect().toSet
+      assert(clean1 === Set(11L, 13L, 14L))
+      // batch 2: 20 dups batch-1 survivor 11 (now indexed), 21 novel
+      mem.addData((20L, Some(v1)), (21L, Some(v3)))
+      q.processAllAvailable()
+      val clean2 = spark.read.parquet(s"$tmp/clean")
+        .select("vec_id").as[Long].collect().toSet
+      assert(clean2 === Set(11L, 13L, 14L, 21L))
+      // width pinned by the seed build; vectors grew to seed +
+      // non-null survivors (14 is in the clean sink, not the index)
+      assert(graft.llm.Similarity.storedIndexWidth(spark, s"$tmp/idx")
+        === Some(np))
+      assert(spark.read.parquet(s"$tmp/idx/vectors").select("vec_id")
+        .as[Long].collect().toSet === Set(0L, 11L, 13L, 21L))
+    } finally q.stop()
+  }
+
   test("streaming near-dup dedup cold start: first batch creates the index") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = Files.createTempDirectory("graft_neardup_cold").toString
