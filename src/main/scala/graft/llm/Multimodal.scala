@@ -604,6 +604,208 @@ object Multimodal {
     * setting can never desynchronize twin and encoder. */
   private def sqlPmod(m: Int): String = s"((doc_id % $m) + $m) % $m"
 
+  // ---- audio dedup + silence detection -------------------------------
+
+  /** Samples per silence-detection segment. */
+  val AudioSegFrames = 50
+  /** Segments per clip: 4 + cid mod 9 (4..12). */
+  val AudioSegBase = 4; val AudioSegMod = 9
+  /** Silence layout: segment s of content cid is silent iff
+    * pmod₈(cid + s) < pmod₄(cid) — every 8 segments a silent RUN of
+    * length cid mod 4 (0..3), so the fixture exercises no-silence
+    * clips, isolated silent segments, and multi-segment runs. */
+  val AudioSilentPeriod = 8; val AudioSilentRunMod = 4
+  /** Same replica/seed scheme as the phash fixture: three consecutive
+    * doc_ids carry identical PCM delivered in DIFFERENT containers
+    * (wav/aiff/au by doc_id mod 3 — cross-container dedup), and the
+    * sample seed works mod 2¹⁶ so the twin's multiply stays inside
+    * checked BIGINT at the 9e9-id domain. */
+  val AudioDedupReplica = 3
+  val AudioSeedMod = 65536
+  /** Rolling-fingerprint modulus (2³¹): h = (h·31 + v) mod 2³¹ over
+    * the unsigned 16-bit sample stream — exact integer math in both
+    * engines, no overflow anywhere (h·31 + v < 2³⁶). */
+  val AudioFpMod = 2147483648L
+
+  /** Dedup-fixture audio: mono PCM whose CONTENT derives from
+    * cid = floorDiv(doc_id, 3) with designed silent segments; encoded
+    * through the same real `javax.sound.sampled` writers as
+    * [[audioTable]]. */
+  def speechAudioTable(documents: DataFrame): Dataset[MediaFile] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val cid = java.lang.Math.floorDiv(id, AudioDedupReplica.toLong)
+        def pc(m: Int) = java.lang.Math.floorMod(cid, m.toLong).toInt
+        val container = AudioFormats(
+          java.lang.Math.floorMod(id, AudioFormats.size.toLong).toInt)
+        val rate = AudioRates(pc(AudioRates.size))
+        val nSeg = AudioSegBase + pc(AudioSegMod)
+        val nFrames = AudioSegFrames * nSeg
+        val runLen = pc(AudioSilentRunMod)
+        val seed = pc(AudioSeedMod).toLong
+        val bigEndian = container != "wav"
+        val pcm = new Array[Byte](nFrames * 2)
+        var i = 0
+        while (i < nFrames) {
+          val silent = java.lang.Math.floorMod(
+            cid + i / AudioSegFrames, AudioSilentPeriod.toLong) < runLen
+          val s: Short =
+            if (silent) 0
+            else ((seed * 2654435761L + i * 40503L) & 0xffffL).toShort
+          if (bigEndian) {
+            pcm(2 * i) = (s >> 8).toByte; pcm(2 * i + 1) = s.toByte
+          } else {
+            pcm(2 * i) = s.toByte; pcm(2 * i + 1) = (s >> 8).toByte
+          }
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          rate.toFloat, 16, 1, /*signed=*/ true, bigEndian)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+        val tpe = container match {
+          case "wav"  => javax.sound.sampled.AudioFileFormat.Type.WAVE
+          case "aiff" => javax.sound.sampled.AudioFileFormat.Type.AIFF
+          case _      => javax.sound.sampled.AudioFileFormat.Type.AU
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais, tpe, baos)
+        val bytes = baos.toByteArray
+        MediaFile(id, container, bytes, bytes.length.toLong)
+      }
+    }
+  }
+
+  case class AudioDedupRow(
+      doc_id: Long,
+      container: String,
+      n_samples: Long,
+      n_segments: Int,
+      n_silent: Int,
+      max_silence_run: Int,
+      audio_fp: String)
+
+  /** Audio dedup + silence detection — the third modality's dedup
+    * composition (text: [[graft.llm.Dedup.dedupDecision]], image:
+    * [[phashDedup]], video: [[frameDedup]]): decode the REAL
+    * WAV/AIFF/AU payloads, reassemble the unsigned sample stream by
+    * the PARSED endianness, detect silent segments (all-zero
+    * [[AudioSegFrames]]-sample windows — the dead-air signal an audio
+    * curation pipeline trims or drops by), and fingerprint the whole
+    * clip with an exact rolling hash. Because PCM is LOSSLESS, the
+    * twin regenerates the identical sample stream arithmetically and
+    * predicts every output cell including the fingerprint — one step
+    * beyond the image path, where only lossless delivery formats
+    * allow this. Dedup is hash-group only (the bounded [[phashDedup]]
+    * shape, no pair expansion); replicas deliver the SAME PCM in
+    * DIFFERENT containers, so the dedup demonstrably sees through the
+    * container. Map-only + one hash-group aggregation. */
+  def audioDedup(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val rows = speechAudioTable(documents).mapPartitions { batch =>
+      batch.map { m =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.content))
+        val big = ais.getFormat.isBigEndian
+        val bytes = ais.readAllBytes()
+        val nS = bytes.length / 2
+        var i = 0
+        var h = 0L
+        var nSilent = 0; var maxRun = 0; var run = 0
+        var segAllZero = true
+        while (i < nS) {
+          val hi = if (big) bytes(2 * i) else bytes(2 * i + 1)
+          val lo = if (big) bytes(2 * i + 1) else bytes(2 * i)
+          val v = ((hi << 8) | (lo & 0xff)) & 0xffff
+          h = (h * 31L + v) % AudioFpMod
+          if (v != 0) segAllZero = false
+          if ((i + 1) % AudioSegFrames == 0) { // segment boundary
+            if (segAllZero) {
+              nSilent += 1; run += 1
+              if (run > maxRun) maxRun = run
+            } else run = 0
+            segAllZero = true
+          }
+          i += 1
+        }
+        AudioDedupRow(m.doc_id, m.media_type, nS.toLong,
+          nS / AudioSegFrames, nSilent, maxRun, f"$h%08x")
+      }
+    }.toDF()
+    val groups = rows.groupBy("audio_fp")
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+    rows.join(groups, Seq("audio_fp"))
+      .select(col("doc_id"), col("container"), col("n_samples"),
+        col("n_segments"), col("n_silent"), col("max_silence_run"),
+        col("audio_fp"), col("canonical_id"), col("n_copies"),
+        (col("doc_id") === col("canonical_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val sqlAudioDedup: String = {
+    val fmts = AudioFormats.map(f => s"'$f'").mkString(", ")
+    def pc(m: Int) = s"(((cid % $m) + $m) % $m)"
+    // mod-2¹⁶ sample identity (the sqlAudioStats lesson): seed < 2¹⁶,
+    // so (seed·2654435761 + i·40503) mod 2¹⁶ = (seed·31153 + i·40503)
+    // mod 2¹⁶ — no checked-BIGINT overflow at any id domain
+    val sample = s"(seed * 31153 + i * 40503) % $AudioSeedMod"
+    val silent = s"(((cid + {S}) % $AudioSilentPeriod) + " +
+      s"$AudioSilentPeriod) % $AudioSilentPeriod < runlen"
+    s"""WITH d AS (
+          SELECT doc_id, ${sqlFloorDiv("doc_id", AudioDedupReplica)} AS cid
+          FROM documents),
+        p AS (
+          SELECT doc_id, cid,
+            ${pc(AudioSeedMod)} AS seed,
+            ($AudioSegBase + ${pc(AudioSegMod)}) AS nseg,
+            CAST($AudioSegFrames * ($AudioSegBase + ${pc(AudioSegMod)})
+              AS BIGINT) AS ns,
+            ${pc(AudioSilentRunMod)} AS runlen
+          FROM d),
+        e AS (SELECT doc_id, cid, runlen,
+                unnest(generate_series(0, nseg - 1)) AS s FROM p),
+        sg AS (SELECT doc_id, s, ${silent.replace("{S}", "s")} AS silent
+               FROM e),
+        sc AS (SELECT doc_id,
+                 CAST(count(*) FILTER (WHERE silent) AS INTEGER) AS n_silent
+               FROM sg GROUP BY doc_id),
+        isl AS (SELECT doc_id, s,
+                  s - row_number() OVER (PARTITION BY doc_id ORDER BY s) AS g
+                FROM sg WHERE silent),
+        runs AS (SELECT doc_id, count(*) AS len FROM isl GROUP BY doc_id, g),
+        mr AS (SELECT doc_id, CAST(max(len) AS INTEGER) AS max_silence_run
+               FROM runs GROUP BY doc_id),
+        fp AS (SELECT doc_id,
+                 printf('%08x', list_reduce(list_prepend(0,
+                   list_transform(generate_series(0, ns - 1),
+                     i -> CASE WHEN ${silent.replace("{S}", s"i // $AudioSegFrames")}
+                               THEN 0 ELSE $sample END)),
+                   (h, v) -> (h * 31 + v) % $AudioFpMod)) AS audio_fp
+               FROM p),
+        hb AS (
+          SELECT p.doc_id,
+            [$fmts][CAST(${sqlPmod(AudioFormats.size)} + 1 AS INTEGER)]
+              AS container,
+            ns AS n_samples,
+            CAST(nseg AS INTEGER) AS n_segments,
+            sc.n_silent,
+            coalesce(mr.max_silence_run, 0) AS max_silence_run,
+            fp.audio_fp
+          FROM p JOIN sc USING (doc_id) JOIN fp USING (doc_id)
+                 LEFT JOIN mr USING (doc_id)),
+        grp AS (
+          SELECT audio_fp, min(doc_id) AS canonical_id,
+            CAST(count(*) AS BIGINT) AS n_copies
+          FROM hb GROUP BY 1)
+        SELECT doc_id, container, n_samples, n_segments, n_silent,
+          max_silence_run, hb.audio_fp, canonical_id, n_copies,
+          doc_id = canonical_id AS keep
+        FROM hb JOIN grp USING (audio_fp)
+        ORDER BY doc_id"""
+  }
+
   // ---- video: REAL MJPEG-in-AVI ------------------------------------
 
   /** Video parameters shared by the AVI writer and the DuckDB twin:

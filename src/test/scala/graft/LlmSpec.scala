@@ -1074,6 +1074,44 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("audio dedup: cross-container replicas share one fingerprint; silence stats match the layout") {
+    val aDocs = (0L until 96L).toDF("doc_id") // 32 cid groups, all rules exercised
+    val out = Multimodal.audioDedup(aDocs).collect()
+    assert(out.length == 96)
+    val byCid = out.groupBy(r =>
+      java.lang.Math.floorDiv(r.getAs[Long]("doc_id"), Multimodal.AudioDedupReplica.toLong))
+    byCid.foreach { case (cid, g) =>
+      // identical PCM delivered as wav/aiff/au -> ONE fingerprint group
+      assert(g.map(_.getAs[String]("audio_fp")).toSet.size == 1, s"cid $cid fp diverged")
+      assert(g.map(_.getAs[String]("container")).toSet.size == g.length,
+        s"cid $cid replicas should span containers")
+      // silence stats against the layout rule, recomputed independently
+      val nSeg = (Multimodal.AudioSegBase +
+        java.lang.Math.floorMod(cid, Multimodal.AudioSegMod.toLong)).toInt
+      val runLen = java.lang.Math.floorMod(cid, Multimodal.AudioSilentRunMod.toLong).toInt
+      val silentFlags = (0 until nSeg).map(s =>
+        java.lang.Math.floorMod(cid + s, Multimodal.AudioSilentPeriod.toLong) < runLen)
+      val maxRun = silentFlags.foldLeft((0, 0)) { case ((best, run), f) =>
+        val nr = if (f) run + 1 else 0; (math.max(best, nr), nr)
+      }._1
+      g.foreach { r =>
+        assert(r.getAs[Long]("n_samples") == nSeg.toLong * Multimodal.AudioSegFrames)
+        assert(r.getAs[Int]("n_segments") == nSeg)
+        assert(r.getAs[Int]("n_silent") == silentFlags.count(identity), s"cid $cid n_silent")
+        assert(r.getAs[Int]("max_silence_run") == maxRun, s"cid $cid max run")
+      }
+    }
+    // global keep rule: exactly the min doc_id of each fingerprint group
+    out.groupBy(_.getAs[String]("audio_fp")).values.foreach { g =>
+      val ids = g.map(_.getAs[Long]("doc_id"))
+      g.foreach { r =>
+        assert(r.getAs[Long]("canonical_id") == ids.min)
+        assert(r.getAs[Boolean]("keep") == (r.getAs[Long]("doc_id") == ids.min))
+        assert(r.getAs[Long]("n_copies") == ids.length)
+      }
+    }
+  }
+
   test("materialized LSH index: stored-bucket consumers equal the in-memory operators") {
     val emb = Tables.embeddings(spark, sf())
     val path = "target/lsh_idx_test"
