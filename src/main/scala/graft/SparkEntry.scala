@@ -164,6 +164,9 @@ object SparkEntry {
     "q_audio_stats" -> ((s, d) => llm.Multimodal.audioStats(Tables.documents(s, d))),
     "q_video_frames" -> ((s, d) => llm.Multimodal.videoFrames(Tables.documents(s, d))),
     "q_video_sample" -> ((s, d) => llm.Multimodal.videoFrameSample(Tables.documents(s, d))),
+    // THE cross-modal artifact: one keep/drop ledger row per document
+    // composing the text/image/audio/video verdicts
+    "q_curation_ledger" -> ((s, d) => llm.Multimodal.curationLedger(Tables.documents(s, d))),
     // audio dedup + dead-air detection: PCM-exact fingerprint groups
     // (cross-container replicas) + silent-segment runs, twin-predicted
     "q_audio_dedup" -> ((s, d) => llm.Multimodal.audioDedup(Tables.documents(s, d))),
@@ -610,6 +613,7 @@ object SparkEntry {
     "q_video_frames" -> llm.Multimodal.sqlVideoFrames,
     "q_video_sample" -> llm.Multimodal.sqlVideoFrameSample(),
     "q_audio_dedup" -> llm.Multimodal.sqlAudioDedup,
+    "q_curation_ledger" -> llm.Multimodal.sqlCurationLedger,
     "q_frame_dedup" -> llm.Multimodal.sqlFrameDedup(),
     "q_image_phash" -> llm.Multimodal.sqlImagePhash,
     "q_phash_pairs" -> llm.Multimodal.sqlPhashPairs(),

@@ -1155,6 +1155,78 @@ object Multimodal {
           TRUE AS probe_decoded
         FROM a ORDER BY doc_id"""
 
+  // ---- cross-modal curation ledger -----------------------------------
+
+  /** The per-document CURATION LEDGER — the one artifact a multimodal
+    * training-data pipeline actually filters by, composing every
+    * modality's verdict into a single keyed row: text dedup
+    * ([[graft.llm.Dedup.dedupDecision]]), image dedup ([[phashDedup]],
+    * NULL for images below the hash-eligibility size — pinned
+    * semantics: an absent verdict never blocks the keep), audio dedup
+    * + dead-air ([[audioDedup]]), video slideshow flag
+    * ([[frameDedup]]). `keep` = canonical text AND canonical audio AND
+    * (canonical image OR no image verdict) AND not a slideshow.
+    * Id-less rows are excluded BY DESIGN: a ledger row is keyed by
+    * doc_id, and rows without one belong to the validation quarantine
+    * path, not the ledger. Scale shape: four independent map-heavy
+    * passes joined on the one key the warehouse is partitioned by —
+    * each join co-partitionable, output exactly one row per document. */
+  def curationLedger(documents: DataFrame): DataFrame = {
+    val base = documents.filter(col("doc_id").isNotNull)
+    val text = graft.llm.Dedup.dedupDecision(base)
+      .select(col("doc_id"), col("is_canonical").as("text_keep"),
+        col("n_copies").as("text_copies"))
+    val image = phashDedup(base)
+      .select(col("doc_id"), col("keep").as("image_keep"))
+    val audio = audioDedup(base)
+      .select(col("doc_id"), col("keep").as("audio_keep"),
+        col("max_silence_run"))
+    val video = frameDedup(base)
+      .select(col("doc_id"), col("is_slideshow"))
+    text
+      .join(audio, "doc_id")
+      .join(video, "doc_id")
+      .join(image, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text_keep"), col("text_copies"),
+        col("image_keep"), col("audio_keep"), col("max_silence_run"),
+        col("is_slideshow"),
+        (col("text_keep") && coalesce(col("image_keep"), lit(true)) &&
+          col("audio_keep") && !col("is_slideshow")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Rewrite a component twin to read the ledger's id-filtered source
+    * instead of the raw table — the SQL mirror of passing `base` to
+    * every Spark-side component, so both engines filter BEFORE any
+    * window/group. Guarded: a component gaining a second table
+    * reference must be rewired consciously, not silently half-renamed. */
+  private def overKeyedDocs(twinSql: String): String = {
+    val n = "FROM documents".r.findAllIn(twinSql).length
+    require(n == 1, s"expected exactly one documents source in the twin, got $n")
+    twinSql.replace("FROM documents", "FROM docs_keyed")
+  }
+
+  val sqlCurationLedger: String =
+    s"""WITH docs_keyed AS (
+          SELECT * FROM documents WHERE doc_id IS NOT NULL),
+        t AS (
+          SELECT doc_id, is_canonical AS text_keep,
+            n_copies AS text_copies
+          FROM (${overKeyedDocs(graft.llm.Dedup.sqlDedupDecision)})),
+        im AS (SELECT doc_id, keep AS image_keep
+               FROM (${overKeyedDocs(sqlPhashDedup)})),
+        au AS (SELECT doc_id, keep AS audio_keep, max_silence_run
+               FROM (${overKeyedDocs(sqlAudioDedup)})),
+        vd AS (SELECT doc_id, is_slideshow
+               FROM (${overKeyedDocs(sqlFrameDedup())}))
+        SELECT t.doc_id, text_keep, text_copies, image_keep, audio_keep,
+          max_silence_run, is_slideshow,
+          text_keep AND coalesce(image_keep, TRUE) AND audio_keep
+            AND NOT is_slideshow AS keep
+        FROM t JOIN au USING (doc_id) JOIN vd USING (doc_id)
+               LEFT JOIN im USING (doc_id)
+        ORDER BY doc_id"""
+
   case class SampledFrame(
       doc_id: Long,
       frame_idx: Int,

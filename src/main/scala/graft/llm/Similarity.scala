@@ -443,6 +443,38 @@ object Similarity {
       .parquet(s"$path/vectors")
   }
 
+  /** Index maintenance: fold the accumulated per-batch partitions
+    * back into one bulk partition (batch_id = -1). A long-running
+    * [[graft.streaming.Sources.semanticDedupQuery]] stream creates one
+    * batch_id partition per trigger; listing cost at read time grows
+    * with trigger count until a compaction pass rewrites the index —
+    * the standard warehouse small-files remedy. The rewrite stages
+    * into `<path>/.compact` first and swaps directories LAST, so a
+    * crash mid-compaction leaves the original index readable; the
+    * stored width column is preserved (compaction must never change
+    * probe semantics). NOT safe to run concurrently with an active
+    * appender — quiesce the stream first, as any small-files
+    * compactor requires. */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit = {
+    val staged = new org.apache.hadoop.fs.Path(s"$path/.compact")
+    val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(s"$path/buckets")
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id", "tbl")
+      .parquet(s"$path/.compact/buckets")
+    spark.read.parquet(s"$path/vectors")
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .parquet(s"$path/.compact/vectors")
+    for (sub <- Seq("buckets", "vectors")) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$path/.compact/$sub"),
+        new org.apache.hadoop.fs.Path(s"$path/$sub"))
+    }
+    fs.delete(staged, true)
+  }
+
   /** Incremental near-dup pairs of a micro-BATCH against (index ∪
     * batch): candidates pair each batch vector (vec_a) with any index
     * or batch vector sharing a stored bucket; exact-cosine verified.

@@ -1112,6 +1112,35 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("curation ledger: one row per keyed doc, keep composes the component verdicts") {
+    val lDocs = (0L until 60L).map(i => (i, s"text ${i % 7}")).toDF("doc_id", "text")
+    val out = Multimodal.curationLedger(lDocs).collect()
+    assert(out.length == 60)
+    val text = graft.llm.Dedup.dedupDecision(lDocs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_canonical")).toMap
+    val image = Multimodal.phashDedup(lDocs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    val audio = Multimodal.audioDedup(lDocs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    val video = Multimodal.frameDedup(lDocs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_slideshow")).toMap
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Boolean]("text_keep") == text(id))
+      // image verdict NULL exactly for hash-ineligible (tiny) images
+      assert(Option(r.getAs[java.lang.Boolean]("image_keep"))
+        .map(_.booleanValue) == image.get(id))
+      assert(r.getAs[Boolean]("audio_keep") == audio(id))
+      assert(r.getAs[Boolean]("is_slideshow") == video(id))
+      val expect = text(id) && image.getOrElse(id, true) &&
+        audio(id) && !video(id)
+      assert(r.getAs[Boolean]("keep") == expect, s"doc $id keep")
+    }
+    // the fixture exercises both outcomes
+    assert(out.exists(_.getAs[Boolean]("keep")))
+    assert(out.exists(r => !r.getAs[Boolean]("keep")))
+  }
+
   test("materialized LSH index: stored-bucket consumers equal the in-memory operators") {
     val emb = Tables.embeddings(spark, sf())
     val path = "target/lsh_idx_test"

@@ -230,6 +230,19 @@ class StreamPipelineSpec extends SparkSpec {
         === Some(np))
       assert(spark.read.parquet(s"$tmp/idx/vectors").select("vec_id")
         .as[Long].collect().toSet === Set(0L, 11L, 13L, 21L))
+      // maintenance: compaction folds the per-trigger partitions into
+      // the bulk partition without changing ANY read result
+      val before = spark.read.parquet(s"$tmp/idx/buckets")
+        .select("vec_id", "tbl", "bucket", "np")
+        .as[(Long, Int, Long, Int)].collect().toSet
+      graft.llm.Similarity.compactLshIndex(spark, s"$tmp/idx")
+      val after = spark.read.parquet(s"$tmp/idx/buckets")
+      assert(after.select("vec_id", "tbl", "bucket", "np")
+        .as[(Long, Int, Long, Int)].collect().toSet === before)
+      assert(after.select("batch_id").distinct().as[Long].collect().toSeq
+        === Seq(-1L), "compaction must leave only the bulk partition")
+      assert(graft.llm.Similarity.storedIndexWidth(spark, s"$tmp/idx")
+        === Some(np))
     } finally q.stop()
   }
 
