@@ -52,16 +52,19 @@ object Dedup {
     * together identically in both engines — no join, so no NULL-key
     * row drop); at 100 TB this is a single shuffle on the fingerprint
     * and the output co-partitions with any downstream per-doc filter. */
-  def dedupDecision(documents: DataFrame): DataFrame = {
+  def dedupDecision(documents: DataFrame,
+                    ordered: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(md5(col("text")))
-    documents
+    val core = documents
       .select(col("doc_id"),
         min(col("doc_id")).over(w).as("canonical_id"),
         count(lit(1)).over(w).as("n_copies"))
       .withColumn("is_canonical",
         col("doc_id") === col("canonical_id"))
-      .orderBy(col("doc_id").asc_nulls_first)
+    // composite consumers (curationLedger) skip the publication sort:
+    // a join input's range exchange is pure waste
+    if (ordered) core.orderBy(col("doc_id").asc_nulls_first) else core
   }
 
   val sqlDedupDecision: String =

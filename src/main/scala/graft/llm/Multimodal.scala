@@ -437,18 +437,19 @@ object Multimodal {
     * corpus scale (SCALE.md, round 9). One hash-partitioned
     * aggregation + one window-free min-join; output linear in images
     * at ANY duplicate density. */
-  def phashDedup(documents: DataFrame): DataFrame = {
+  def phashDedup(documents: DataFrame,
+                 ordered: Boolean = true): DataFrame = {
     val hs = imageHashes(documents).toDF()
     val groups = hs.groupBy("b0", "b1", "b2", "b3")
       .agg(min(col("doc_id")).as("canonical_id"),
         count(lit(1)).as("n_copies"))
-    hs.join(groups, Seq("b0", "b1", "b2", "b3"))
+    val core = hs.join(groups, Seq("b0", "b1", "b2", "b3"))
       .select(col("doc_id"),
         format_string("%04x%04x%04x%04x",
           col("b3"), col("b2"), col("b1"), col("b0")).as("phash"),
         col("canonical_id"), col("n_copies"),
         (col("doc_id") === col("canonical_id")).as("keep"))
-      .orderBy("doc_id")
+    if (ordered) core.orderBy("doc_id") else core
   }
 
   val sqlPhashDedup: String =
@@ -701,7 +702,8 @@ object Multimodal {
     * shape, no pair expansion); replicas deliver the SAME PCM in
     * DIFFERENT containers, so the dedup demonstrably sees through the
     * container. Map-only + one hash-group aggregation. */
-  def audioDedup(documents: DataFrame): DataFrame = {
+  def audioDedup(documents: DataFrame,
+                 ordered: Boolean = true): DataFrame = {
     import documents.sparkSession.implicits._
     val rows = speechAudioTable(documents).mapPartitions { batch =>
       batch.map { m =>
@@ -736,12 +738,12 @@ object Multimodal {
     val groups = rows.groupBy("audio_fp")
       .agg(min(col("doc_id")).as("canonical_id"),
         count(lit(1)).as("n_copies"))
-    rows.join(groups, Seq("audio_fp"))
+    val core = rows.join(groups, Seq("audio_fp"))
       .select(col("doc_id"), col("container"), col("n_samples"),
         col("n_segments"), col("n_silent"), col("max_silence_run"),
         col("audio_fp"), col("canonical_id"), col("n_copies"),
         (col("doc_id") === col("canonical_id")).as("keep"))
-      .orderBy("doc_id")
+    if (ordered) core.orderBy("doc_id") else core
   }
 
   val sqlAudioDedup: String = {
@@ -1090,10 +1092,11 @@ object Multimodal {
     * nondeterminism all hash-mismatch. Map-only: one video in, one
     * stats row out, nothing shuffles but the final sort. */
   def frameDedup(documents: DataFrame,
-                 stride: Int = VideoSampleStride): DataFrame = {
+                 stride: Int = VideoSampleStride,
+                 ordered: Boolean = true): DataFrame = {
     import documents.sparkSession.implicits._
     require(stride > 0, s"stride must be positive, got $stride")
-    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    val rows = documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
       javax.imageio.ImageIO.setUseCache(false)
       val sha = java.security.MessageDigest.getInstance("SHA-256")
       ids.map { id =>
@@ -1128,7 +1131,8 @@ object Multimodal {
           is_slideshow = seen.size < hashes.length,
           probe_decoded = probeDecoded)
       }
-    }.toDF().orderBy("doc_id")
+    }.toDF()
+    if (ordered) rows.orderBy("doc_id") else rows
   }
 
   def sqlFrameDedup(stride: Int = VideoSampleStride): String =
@@ -1173,15 +1177,17 @@ object Multimodal {
     * each join co-partitionable, output exactly one row per document. */
   def curationLedger(documents: DataFrame): DataFrame = {
     val base = documents.filter(col("doc_id").isNotNull)
-    val text = graft.llm.Dedup.dedupDecision(base)
+    // ordered = false everywhere: these are JOIN inputs, and each
+    // component's publication sort would be a wasted range exchange
+    val text = graft.llm.Dedup.dedupDecision(base, ordered = false)
       .select(col("doc_id"), col("is_canonical").as("text_keep"),
         col("n_copies").as("text_copies"))
-    val image = phashDedup(base)
+    val image = phashDedup(base, ordered = false)
       .select(col("doc_id"), col("keep").as("image_keep"))
-    val audio = audioDedup(base)
+    val audio = audioDedup(base, ordered = false)
       .select(col("doc_id"), col("keep").as("audio_keep"),
         col("max_silence_run"))
-    val video = frameDedup(base)
+    val video = frameDedup(base, ordered = false)
       .select(col("doc_id"), col("is_slideshow"))
     text
       .join(audio, "doc_id")

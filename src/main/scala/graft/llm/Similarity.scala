@@ -209,9 +209,14 @@ object Similarity {
 
   /** Resolve a width argument against the (cached) prepared corpus:
     * the count both materializes the cache the callers need anyway
-    * and is the one corpus statistic the adaptive rule reads. */
+    * and is the one corpus statistic the adaptive rule reads. An
+    * EMPTY corpus resolves to the floor width instead of throwing —
+    * the twin's width CTE computes needed = 0 → clamp 6 on zero rows
+    * and returns an empty result, and the Spark side must do the
+    * same (both emit nothing; the width is then irrelevant). */
   private def resolveWidth(n: DataFrame, numPlanes: Int): Int =
-    if (numPlanes == AdaptiveWidth) adaptivePlanes(n.count()) else numPlanes
+    if (numPlanes == AdaptiveWidth) adaptivePlanes(math.max(1L, n.count()))
+    else numPlanes
 
   def planesFor(numPlanes: Int): Seq[Seq[Seq[Double]]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -417,19 +422,35 @@ object Similarity {
       case _: org.apache.spark.sql.AnalysisException => None
     }
 
+  /** ONE width per trigger: the index's stored width, or on cold
+    * start the width adaptive to THIS batch — resolved once and passed
+    * to both the dedup probe and the append, so the first batch can
+    * never be deduped at one width and indexed at another (the
+    * survivors' count is smaller than the batch's, so recomputing
+    * after the dedup could pin a narrower width than the one the
+    * dedup actually ran at). */
+  def resolveIndexWidth(spark: org.apache.spark.sql.SparkSession,
+                        path: String, batch: DataFrame): Int =
+    storedIndexWidth(spark, path)
+      .getOrElse(adaptivePlanes(math.max(1L, prepared(batch).count())))
+
   /** Idempotent per-batch index append (the
     * [[graft.llm.Dedup.appendShingleIndexForBatch]] recipe): bucket
-    * the batch at the INDEX'S stored width — cold start falls back to
-    * the batch-adaptive width, which the created index then pins —
-    * and land rows in batch_id = N partitions via dynamic partition
+    * the batch at the given width — streaming callers resolve it ONCE
+    * per trigger via [[resolveIndexWidth]]; the default re-resolves
+    * from the index (cold start: this frame's adaptive width) — and
+    * land rows in batch_id = N partitions via dynamic partition
     * overwrite, so a crash-replay of micro-batch N replaces its own
     * partitions instead of duplicating them. */
   def appendLshIndexForBatch(embeddings: DataFrame, path: String,
-                             batchId: Long): Unit = {
+                             batchId: Long,
+                             numPlanes: Int = AdaptiveWidth): Unit = {
     val spark = embeddings.sparkSession
     val n = prepared(embeddings)
-    val np = storedIndexWidth(spark, path)
-      .getOrElse(adaptivePlanes(math.max(1L, n.count())))
+    val np =
+      if (numPlanes == AdaptiveWidth)
+        resolveIndexWidth(spark, path, embeddings)
+      else numPlanes
     bucketFrame(n, np, cache = false)
       .withColumn("np", lit(np)).withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
@@ -449,16 +470,32 @@ object Similarity {
     * batch_id partition per trigger; listing cost at read time grows
     * with trigger count until a compaction pass rewrites the index —
     * the standard warehouse small-files remedy. The rewrite stages
-    * into `<path>/.compact` first and swaps directories LAST, so a
-    * crash mid-compaction leaves the original index readable; the
-    * stored width column is preserved (compaction must never change
-    * probe semantics). NOT safe to run concurrently with an active
-    * appender — quiesce the stream first, as any small-files
-    * compactor requires. */
+    * into `<path>/.compact` first; the swap NEVER deletes before the
+    * replacement is in place — old dirs are renamed ASIDE (`.old`),
+    * the staged dirs renamed in, and only then is anything deleted,
+    * every rename checked — so a crash at any step leaves either the
+    * original or the compacted index fully readable (worst case the
+    * original survives under `.old/<sub>`, restorable by hand; it is
+    * never gone). The stored width column is preserved (compaction
+    * must never change probe semantics). NOT safe to run concurrently
+    * with an active appender — quiesce the stream first, as any
+    * small-files compactor requires. */
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String): Unit = {
-    val staged = new org.apache.hadoop.fs.Path(s"$path/.compact")
+    import org.apache.hadoop.fs.{Path => HPath}
+    val staged = new HPath(s"$path/.compact")
+    val aside = new HPath(s"$path/.old")
     val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recover a crashed previous swap FIRST: if a live dir is missing
+    // and its .old copy exists, the .old copy IS the index — restore
+    // it; only then is it safe to clear leftovers
+    for (sub <- Seq("buckets", "vectors")) {
+      val live = new HPath(s"$path/$sub")
+      val old = new HPath(s"$path/.old/$sub")
+      if (!fs.exists(live) && fs.exists(old))
+        require(fs.rename(old, live), s"crash recovery rename failed: $old")
+    }
+    fs.delete(staged, true); fs.delete(aside, true)
     spark.read.parquet(s"$path/buckets")
       .withColumn("batch_id", lit(-1L))
       .write.mode("overwrite").partitionBy("batch_id", "tbl")
@@ -467,11 +504,14 @@ object Similarity {
       .withColumn("batch_id", lit(-1L))
       .write.mode("overwrite").partitionBy("batch_id")
       .parquet(s"$path/.compact/vectors")
+    fs.mkdirs(aside)
+    def mv(src: HPath, dst: HPath): Unit =
+      require(fs.rename(src, dst), s"compaction rename failed: $src -> $dst")
     for (sub <- Seq("buckets", "vectors")) {
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$path/.compact/$sub"),
-        new org.apache.hadoop.fs.Path(s"$path/$sub"))
+      mv(new HPath(s"$path/$sub"), new HPath(s"$path/.old/$sub"))
+      mv(new HPath(s"$path/.compact/$sub"), new HPath(s"$path/$sub"))
     }
+    fs.delete(aside, true)
     fs.delete(staged, true)
   }
 
@@ -484,13 +524,15 @@ object Similarity {
     * vector space). Cold start (no index): within-batch only. */
   def lshPairsIncremental(spark: org.apache.spark.sql.SparkSession,
                           path: String, batch: DataFrame,
-                          threshold: Double): DataFrame = {
+                          threshold: Double,
+                          numPlanes: Int = AdaptiveWidth): DataFrame = {
     graft.functions.GraftFunctions.registerAll(spark)
     // no .cache() anywhere in the per-trigger path: the caller persists
     // the raw batch; everything here is cheap projection over it
     val nb = prepared(batch)
-    val np = storedIndexWidth(spark, path)
-      .getOrElse(adaptivePlanes(math.max(1L, nb.count())))
+    val np =
+      if (numPlanes == AdaptiveWidth) resolveIndexWidth(spark, path, batch)
+      else numPlanes
     val bb = bucketFrame(nb, np, cache = false)
     val idx = try {
       val ib = spark.read.parquet(s"$path/buckets")
@@ -871,7 +913,11 @@ object Similarity {
   def semanticDecontam(documents: DataFrame, embeddings: DataFrame,
                        threshold: Double = 0.3): DataFrame = {
     graft.functions.TopKByScore.register(embeddings.sparkSession)
-    val np = adaptivePlanes(prepared(embeddings).count())
+    // width basis = non-null embedding count (the twin's COUNT(*) FROM
+    // n): counted on the RAW column so the scan is a pruned columnar
+    // count, not a second prepared() pass computing norms for nothing
+    val np = adaptivePlanes(math.max(1L,
+      embeddings.filter(col("embedding").isNotNull).count()))
     val split = graft.llm.Curate.splitAssign(documents)
       .select(col("doc_id"), col("split"))
     // cached like the other multi-reference prepared() frames: feeds

@@ -253,9 +253,15 @@ object Sources {
         val spark = batch.sparkSession
         batch.persist()
         try {
+          // ONE width per trigger, resolved before the dedup and passed
+          // to the append too: recomputing after the dedup would size
+          // from the survivor count and could pin a cold-start index
+          // narrower than the width the dedup actually probed at
+          val np = graft.llm.Similarity
+            .resolveIndexWidth(spark, indexPath, batch)
           // directed pairs: vec_a is always a batch member
           val pairs = graft.llm.Similarity
-            .lshPairsIncremental(spark, indexPath, batch, threshold)
+            .lshPairsIncremental(spark, indexPath, batch, threshold, np)
           val dupIds = pairs
             .join(batch.select(col("vec_id").as("vec_b"))
                 .withColumn("in_batch", lit(true)),
@@ -268,7 +274,8 @@ object Sources {
           val clean = batch.join(dupIds, Seq("vec_id"), "left_anti")
             .localCheckpoint()
           writeBatchIdempotent(clean, cleanDir, batchId)
-          graft.llm.Similarity.appendLshIndexForBatch(clean, indexPath, batchId)
+          graft.llm.Similarity.appendLshIndexForBatch(
+            clean, indexPath, batchId, np)
         } finally { batch.unpersist(); () }
       }
       .start()

@@ -32,8 +32,10 @@ class NoDecimalOutputSpec extends SparkSpec {
   test("no query emits a DecimalType on the hashed output surface") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        // .schema is analysis-only: no job runs, so walking all ~180
-        // queries costs plan construction, same as PlanAuditSpec
+        // .schema itself is analysis-only, but CONSTRUCTING some
+        // queries runs bounded driver-side jobs (the adaptive-LSH
+        // width count, k-means fits) — the sweep costs a few corpus
+        // scans at sf0.001, same as PlanAuditSpec's
         val hits = decimalPaths(fn(spark, sf()).schema, name)
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
