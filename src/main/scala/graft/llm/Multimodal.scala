@@ -397,6 +397,9 @@ object Multimodal {
   def phashPairs(documents: DataFrame,
                  maxHamming: Int = PhashMaxHamming,
                  maxBucket: Int = PhashMaxBucket): DataFrame = {
+    require(maxHamming < PhashBands,
+      s"banding is pigeonhole-complete only for hamming < $PhashBands " +
+        s"bands; maxHamming=$maxHamming would silently miss pairs")
     val hs = imageHashes(documents).toDF().cache()
     val bandCols = (0 until PhashBands).map { k =>
       struct(lit(k).as("bk"), col(s"b$k").as("bv"))
@@ -409,7 +412,11 @@ object Multimodal {
     val dropStats = broadcast(hot.agg(
       count(lit(1)).as("dropped_buckets"),
       coalesce(sum(col("n")), lit(0L)).as("dropped_entries")))
-    val kept = bands.join(broadcast(hot), Seq("bk", "bv"), "left_anti")
+    // no broadcast hint on the anti-join: the hot-bucket list is
+    // ≤ n/maxBucket rows, which GROWS with the corpus under a near-dup
+    // flood — let AQE pick the strategy (round 10, VERDICT r9 task 4);
+    // the 1-row dropStats broadcast above is the only pinned one
+    val kept = bands.join(hot, Seq("bk", "bv"), "left_anti")
     val cand = kept.as("x").join(kept.as("y"),
         col("x.bk") === col("y.bk") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -465,7 +472,10 @@ object Multimodal {
         ORDER BY doc_id"""
 
   def sqlPhashPairs(maxHamming: Int = PhashMaxHamming,
-                    maxBucket: Int = PhashMaxBucket): String =
+                    maxBucket: Int = PhashMaxBucket): String = {
+    require(maxHamming < PhashBands,
+      s"banding is pigeonhole-complete only for hamming < $PhashBands " +
+        s"bands; maxHamming=$maxHamming would silently miss pairs")
     s"""WITH $sqlImageHashCtes,
         bands AS (
           SELECT doc_id, k AS bk,
@@ -495,6 +505,7 @@ object Multimodal {
         SELECT doc_a, doc_b, hamming, dropped_buckets, dropped_entries
         FROM pr, ds WHERE hamming <= $maxHamming
         ORDER BY doc_a, doc_b"""
+  }
 
   case class AudioFeatures(
       doc_id: Long,

@@ -393,14 +393,19 @@ object Linkage {
     * over the CAPPED candidate pairs, whose per-block work is bounded
     * by construction, so the edge set — and every propagation round —
     * stays linear in records. Entities split across a dropped hot
-    * block stay unmerged (the declared trade; the drop accounting on
-    * [[entityResolutionCapped]] is the audit trail). Output schema
-    * matches [[entityClusters]]: every record labeled, singletons
-    * keeping their own key. */
+    * block stay unmerged — the declared trade, and (round 10, VERDICT
+    * r9 task 3) the AUDIT TRAIL rides the output itself: every row
+    * carries `dropped_blocks` / `dropped_entries` from the same
+    * broadcast single-row stats frame [[entityResolutionCapped]]
+    * publishes, so a consumer of the clustering can see how much of
+    * the graph the cap removed without running the pair query. Output
+    * schema extends [[entityClusters]]: every record labeled,
+    * singletons keeping their own key, plus the two accounting
+    * columns. */
   def entityClustersCapped(part: DataFrame,
                            maxBlock: Int = MaxBlockRecords,
                            maxRounds: Int = 20): DataFrame = {
-    val (kept, _) = cappedBlocked(part, MaxSizeDiff, maxBlock)
+    val (kept, dropStats) = cappedBlocked(part, MaxSizeDiff, maxBlock)
     val edges = scoreBlocked(kept, MaxNameLev, MaxSizeDiff)
       .select(col("k1"), col("k2"))
     val sym = edges
@@ -414,12 +419,51 @@ object Linkage {
       seed, sym, maxRounds, "p_partkey", "entityClustersCapped")
     graft.util.Graphs.dropCheckpoint(sym)
     labeled.select(col("p_partkey"), col("label").as("entity_id"))
+      .crossJoin(dropStats) // broadcast 1-row accounting, not a shuffle
       .orderBy("p_partkey")
   }
 
+  /** Twin computes the SAME drop accounting from blk/hot directly
+    * (never from the surviving pair rows — a cap tight enough to kill
+    * every pair must still report what it dropped). */
   def sqlEntityClustersCapped(maxBlock: Int = MaxBlockRecords): String =
-    sqlClustersOver(
-      sqlEntityResolutionCapped(MaxNameLev, MaxSizeDiff, maxBlock))
+    s"""WITH RECURSIVE ${sqlBlockedFrame(MaxSizeDiff)},
+        hot AS (
+          SELECT p_brand, p_type, bkt, count(*) AS n
+          FROM blk GROUP BY 1, 2, 3 HAVING count(*) > $maxBlock),
+        ds AS (
+          SELECT CAST(count(*) AS BIGINT) AS dropped_blocks,
+            CAST(coalesce(sum(n), 0) AS BIGINT) AS dropped_entries
+          FROM hot),
+        kept AS (
+          SELECT blk.* FROM blk
+          ANTI JOIN hot USING (p_brand, p_type, bkt)),
+        cand AS (
+          SELECT DISTINCT
+            a.p_partkey AS k1, b.p_partkey AS k2,
+            a.p_name AS name_a, b.p_name AS name_b,
+            abs(a.p_size - b.p_size) AS d_size
+          FROM kept a JOIN kept b
+            ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+              AND a.bkt = b.bkt AND a.p_partkey < b.p_partkey),
+        m AS (
+          SELECT k1, k2 FROM cand
+          WHERE levenshtein(name_a, name_b) <= $MaxNameLev
+            AND d_size <= $MaxSizeDiff),
+        sym AS (
+          SELECT k1 AS src, k2 AS dst FROM m
+          UNION ALL SELECT k2, k1 FROM m),
+        reach(src, dst) AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        minr AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src)
+        SELECT p.p_partkey,
+          least(p.p_partkey, coalesce(minr.mn, p.p_partkey)) AS entity_id,
+          ds.dropped_blocks, ds.dropped_entries
+        FROM part p LEFT JOIN minr ON p.p_partkey = minr.src
+        CROSS JOIN ds
+        ORDER BY p.p_partkey"""
 
   /** The shared min-label connected-components twin over any pair
     * query exposing (k1, k2) — one recursive-CTE definition for the

@@ -703,19 +703,36 @@ class ClassifyLinkageSpec extends SparkSpec {
     val part = Tables.part(spark, sf())
     val full = pipeline.Linkage.entityClusters(part)
       .as[(Long, Long)].collect().toMap
-    // generous cap: identical labeling (no block dropped)
-    val loose = pipeline.Linkage.entityClustersCapped(part, maxBlock = 1 << 20)
-      .as[(Long, Long)].collect().toMap
+    // generous cap: identical labeling (no block dropped) and the
+    // ride-along accounting reports exactly that
+    val looseRows = pipeline.Linkage
+      .entityClustersCapped(part, maxBlock = 1 << 20).collect()
+    val loose = looseRows
+      .map(r => r.getAs[Long]("p_partkey") -> r.getAs[Long]("entity_id"))
+      .toMap
     assert(loose == full)
+    assert(looseRows.forall(r => r.getAs[Long]("dropped_blocks") == 0L
+      && r.getAs[Long]("dropped_entries") == 0L))
     // tight cap: a REFINEMENT — records the capped run merges were
-    // also merged uncapped (dropping edges can only split clusters)
-    val tight = pipeline.Linkage.entityClustersCapped(part, maxBlock = 2)
-      .as[(Long, Long)].collect().toMap
+    // also merged uncapped (dropping edges can only split clusters) —
+    // and the accounting reconciles with the block-size frame
+    val tightRows = pipeline.Linkage
+      .entityClustersCapped(part, maxBlock = 2).collect()
+    val tight = tightRows
+      .map(r => r.getAs[Long]("p_partkey") -> r.getAs[Long]("entity_id"))
+      .toMap
     assert(tight.keySet == full.keySet, "every record must stay labeled")
     tight.groupBy(_._2).values.foreach { members =>
       assert(members.keys.map(full).toSet.size == 1,
         "capped clustering merged records the uncapped one separates")
     }
+    val expectedDrops = pipeline.Linkage.blockingQuality(part)
+      .filter(!col("block_key").isin("TOTAL", "TOTAL_DISTINCT")
+        && col("n_records") > 2)
+      .agg(count(lit(1)), coalesce(sum(col("n_records")), lit(0L)))
+      .as[(Long, Long)].collect().head
+    assert(tightRows.head.getAs[Long]("dropped_blocks") == expectedDrops._1)
+    assert(tightRows.head.getAs[Long]("dropped_entries") == expectedDrops._2)
   }
 
   test("entityResolutionCapped: generous cap is identity, tight cap drops monotonically") {

@@ -1174,6 +1174,92 @@ class LlmSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("multi-probe from the index: recall parity with the in-memory multi-probe") {
+    val emb = Tables.embeddings(spark, sf())
+    val path = "target/lsh_idx_mp_test"
+    llm.Similarity.writeLshIndex(emb, path)
+    // the stored-width index gets the SAME pair set as the in-memory
+    // multi-probe (identical width, identical probe ring, identical
+    // exact-cosine verify) — the round-10 recall-lift parity claim
+    val fromIdx = llm.Similarity.multiProbeLshPairsFromIndex(spark, path, 0.3)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val direct = llm.Similarity.multiProbeLshPairs(emb, 0.3)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(fromIdx == direct,
+      s"extra=${(fromIdx -- direct).take(3)} missing=${(direct -- fromIdx).take(3)}")
+    // multi-probe is a superset of single-probe from the same index
+    val single = llm.Similarity.lshNearDupPairsFromIndex(spark, path, 0.3)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(fromIdx))
+    // point lookup with the probe ring: still rank-contiguous, and a
+    // superset-or-equal neighbor reach vs the exact-bucket probe
+    val someId = direct.head._1
+    val exact = llm.Similarity.lshNeighborsFromIndex(spark, path, someId, 1000)
+      .select("neighbor_id").as[Long].collect().toSet
+    val probed = llm.Similarity
+      .lshNeighborsFromIndex(spark, path, someId, 1000, multiProbe = true)
+    val probedRows = probed
+      .select("rnk", "neighbor_id").as[(Int, Long)].collect()
+    assert(probedRows.map(_._1).toSeq == (1 to probedRows.length))
+    assert(exact.subsetOf(probedRows.map(_._2).toSet))
+    spark.catalog.clearCache()
+  }
+
+  test("index write lease: conflicting writers fail loud, same holder reclaims") {
+    val emb = Tables.embeddings(spark, sf())
+    val path = "target/lsh_idx_lease_test"
+    llm.Similarity.writeLshIndex(emb, path)
+    // simulate a crashed compaction: lease left naming 'compact'
+    llm.Similarity.acquireIndexLease(spark, path, "compact")
+    // a conflicting appender must fail loudly, not race the compactor
+    val ex = intercept[IllegalArgumentException] {
+      llm.Similarity.appendLshIndexForBatch(
+        emb.limit(5), path, batchId = 7L)
+    }
+    assert(ex.getMessage.contains("write-locked by 'compact'"))
+    // the compactor itself RECLAIMS its own lease (crash re-run) and
+    // releases it on success...
+    llm.Similarity.compactLshIndex(spark, path)
+    // ...after which the append goes through and releases in turn
+    llm.Similarity.appendLshIndexForBatch(emb.limit(5), path, batchId = 7L)
+    llm.Similarity.compactLshIndex(spark, path)
+    spark.catalog.clearCache()
+  }
+
+  test("index width invariant: mixed-width appends refused; half-present index fails loud") {
+    val emb = Tables.embeddings(spark, sf())
+    val path = "target/lsh_idx_width_test"
+    val np = llm.Similarity.writeLshIndex(emb, path)
+    // an explicit append width differing from the stored one is refused
+    val ex = intercept[IllegalArgumentException] {
+      llm.Similarity.appendLshIndexForBatch(
+        emb.limit(5), path, batchId = 1L, numPlanes = np + 1)
+    }
+    assert(ex.getMessage.contains("mix signature widths"))
+    // a hand-corrupted mixed-width index is refused by every consumer
+    // (localCheckpoint breaks the read-while-write lineage on buckets)
+    spark.read.parquet(s"$path/buckets").limit(10).localCheckpoint()
+      .withColumn("np", lit(np + 1)).withColumn("batch_id", lit(99L))
+      .write.mode("append").partitionBy("batch_id", "tbl")
+      .parquet(s"$path/buckets")
+    val ex2 = intercept[IllegalArgumentException] {
+      llm.Similarity.lshNearDupPairsFromIndex(spark, path, 0.3).count()
+    }
+    assert(ex2.getMessage.contains("mixed signature widths"))
+    // half-present index (vectors gone) fails the incremental prober
+    // instead of silently degrading to within-batch dedup
+    val path2 = "target/lsh_idx_half_test"
+    llm.Similarity.writeLshIndex(emb, path2)
+    val fs = new org.apache.hadoop.fs.Path(path2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path2/vectors"), true)
+    val ex3 = intercept[IllegalArgumentException] {
+      llm.Similarity.lshPairsIncremental(spark, path2, emb.limit(5), 0.3)
+    }
+    assert(ex3.getMessage.contains("half-present"))
+    spark.catalog.clearCache()
+  }
+
   test("frame dedup: hash-based counts equal the change-every arithmetic; decode evidence holds") {
     val vids = (0L until 48L).toDF("doc_id") // covers all (nf, ce, dims) residues
     val out = Multimodal.frameDedup(vids).collect()
