@@ -393,7 +393,10 @@ object SparkEntry {
     // per-source token-mass Gini: concentration diagnostics
     "q_gini_sources" -> ((s, d) => llm.TextStats.giniBySource(Tables.documents(s, d))),
     // ER blocking diagnostics: block sizes + corpus reduction ratio
-    "q_blocking_quality" -> ((s, d) => Linkage.blockingQuality(Tables.part(s, d)))
+    "q_blocking_quality" -> ((s, d) => Linkage.blockingQuality(Tables.part(s, d))),
+    // HTML main-content extraction: strip markup/script/style, measure
+    // boilerplate + link density (the first stage of a web corpus)
+    "q_html_extract" -> ((s, d) => llm.Curate.htmlExtract(Tables.documents(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -722,6 +725,7 @@ object SparkEntry {
     "q_entity_clusters_capped" -> Linkage.sqlEntityClustersCapped(),
     "q_trend_residuals" -> Windows.sqlTrendResiduals,
     "q_gini_sources" -> llm.TextStats.sqlGiniBySource,
-    "q_blocking_quality" -> Linkage.sqlBlockingQuality()
+    "q_blocking_quality" -> Linkage.sqlBlockingQuality(),
+    "q_html_extract" -> llm.Curate.sqlHtmlExtract
   )
 }

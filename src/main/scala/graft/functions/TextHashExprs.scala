@@ -527,6 +527,197 @@ case class TopWordCount(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** HTML/markup main-content extraction — the FIRST stage of every real
+  * web-scale corpus run (C4/RefinedWeb-class boilerplate removal),
+  * implemented as a single-pass state machine so it sits inside
+  * whole-stage codegen as one static call per row (no regex engine,
+  * no DOM allocation). Semantics, pinned for the oracle twin:
+  *
+  *  - `<head>…</head>` is dropped entirely (title/meta are metadata,
+  *    not content); `<script>`/`<style>` bodies are raw-skipped to
+  *    their literal close tag; `<!-- comments -->` are skipped.
+  *  - `<nav>/<header>/<footer>/<aside>` subtree text is BOILERPLATE:
+  *    excluded from the main text but measured (`boiler_chars`), so
+  *    the caller can compute the C4-style boilerplate ratio.
+  *  - every other tag boundary becomes one space; whitespace runs
+  *    collapse to a single space; entities (&amp; &lt; &gt; &quot;
+  *    &apos; &#NN;) decode. `main_text` is the collapsed, trimmed
+  *    result; `text_chars` = its length.
+  *  - `<a>` anchors in KEPT context are links: `n_links` counts them,
+  *    `link_chars` sums their collapsed text lengths — the numerator
+  *    of link density, the classic boilerplate-page signal.
+  *
+  * Malformed input never throws: unmatched closes floor depths at
+  * zero, an unterminated tag/comment/script consumes to end-of-input.
+  */
+object HtmlText {
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r'
+
+  /** Append with collapse-as-you-go: whitespace becomes one ' ', never
+    * leading, never doubled. */
+  private def put(sb: java.lang.StringBuilder, c: Char): Unit =
+    if (isWs(c)) {
+      val n = sb.length
+      if (n > 0 && sb.charAt(n - 1) != ' ') sb.append(' ')
+    } else sb.append(c)
+
+  private def trimmedLen(sb: java.lang.StringBuilder): Int = {
+    val n = sb.length
+    if (n > 0 && sb.charAt(n - 1) == ' ') n - 1 else n
+  }
+
+  /** The entity starting at `i` (s(i) == '&') as (codePoint,
+    * nextIndex) — or (literal '&', i+1) when nothing matches. */
+  private def entityAt(s: String, i: Int): (Int, Int) = {
+    val semi = s.indexOf(';', i + 1)
+    if (semi < 0 || semi - i > 10) return ('&'.toInt, i + 1)
+    val name = s.substring(i + 1, semi)
+    val decoded: Int = name match {
+      case "amp" => '&'
+      case "lt" => '<'
+      case "gt" => '>'
+      case "quot" => '"'
+      case "apos" => '\''
+      case _ =>
+        if (name.length > 1 && name.charAt(0) == '#' &&
+            name.substring(1).forall(_.isDigit))
+          try name.substring(1).toInt catch { case _: Exception => -1 }
+        else -1
+    }
+    if (decoded < 0 || !Character.isValidCodePoint(decoded)) ('&'.toInt, i + 1)
+    else (decoded, semi + 1)
+  }
+
+  def computeHtmlExtract(html: UTF8String): InternalRow = {
+    val s = html.toString
+    val lower = s.toLowerCase // once, for the raw-text close-tag search
+    val n = s.length
+    val main = new java.lang.StringBuilder(math.min(n, 1 << 16))
+    val boiler = new java.lang.StringBuilder(64)
+    val link = new java.lang.StringBuilder(32)
+    var linkChars = 0
+    var nLinks = 0
+    var dropDepth = 0 // <head>
+    var boilDepth = 0 // nav/header/footer/aside
+    var inLink = false
+    var i = 0
+
+    def sep(): Unit = { put(main, ' '); put(boiler, ' '); if (inLink) put(link, ' ') }
+    def closeLink(): Unit =
+      if (inLink) { linkChars += trimmedLen(link); inLink = false }
+    // route one decoded char to the buffers the current state feeds
+    def emit(c: Char): Unit =
+      if (dropDepth == 0) {
+        if (boilDepth > 0) put(boiler, c)
+        else { put(main, c); if (inLink) put(link, c) }
+      }
+
+    /** Skip a raw-text element: advance past the next `</name` + '>'. */
+    def rawSkip(from: Int, name: String): Int = {
+      val close = lower.indexOf("</" + name, from)
+      if (close < 0) n
+      else {
+        val gt = s.indexOf('>', close)
+        if (gt < 0) n else gt + 1
+      }
+    }
+
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (s.startsWith("<!--", i)) {
+          val end = s.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+          sep()
+        } else if (i + 1 < n && (s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
+          val gt = s.indexOf('>', i) // <!DOCTYPE …> / <?xml …?>
+          i = if (gt < 0) n else gt + 1
+          sep()
+        } else {
+          var j = i + 1
+          val closing = j < n && s.charAt(j) == '/'
+          if (closing) j += 1
+          val nameStart = j
+          while (j < n && (s.charAt(j).isLetter || s.charAt(j).isDigit)) j += 1
+          val name = lower.substring(nameStart, j)
+          // scan to the tag's '>' respecting quoted attribute values
+          var quote: Char = 0
+          while (j < n && (quote != 0 || s.charAt(j) != '>')) {
+            val cj = s.charAt(j)
+            if (quote == 0 && (cj == '"' || cj == '\'')) quote = cj
+            else if (cj == quote) quote = 0
+            j += 1
+          }
+          i = if (j < n) j + 1 else n
+          sep()
+          name match {
+            case "script" | "style" if !closing => i = rawSkip(i, name)
+            case "head" => dropDepth = math.max(0, dropDepth + (if (closing) -1 else 1))
+            case "nav" | "header" | "footer" | "aside" =>
+              if (closing) { if (boilDepth > 0) boilDepth -= 1 }
+              else { closeLink(); boilDepth += 1 }
+            case "a" =>
+              if (closing) closeLink()
+              else if (dropDepth == 0 && boilDepth == 0) {
+                closeLink() // an unclosed previous anchor ends here
+                inLink = true; nLinks += 1; link.setLength(0)
+              }
+            case _ => ()
+          }
+        }
+      } else if (c == '&') {
+        val (cp, ni) = entityAt(s, i)
+        if (Character.isBmpCodePoint(cp)) emit(cp.toChar)
+        else if (dropDepth == 0) { // rare astral entity: no collapse needed
+          if (boilDepth > 0) boiler.appendCodePoint(cp)
+          else { main.appendCodePoint(cp); if (inLink) link.appendCodePoint(cp) }
+        }
+        i = ni
+      } else {
+        emit(c)
+        i += 1
+      }
+    }
+    closeLink()
+    val mainText = main.substring(0, trimmedLen(main))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      UTF8String.fromString(mainText),
+      nLinks,
+      mainText.length,
+      linkChars,
+      trimmedLen(boiler)))
+  }
+}
+
+/** `html_extract(html)` → struct(main_text: string, n_links: int,
+  * text_chars: int, link_chars: int, boiler_chars: int). */
+case class HtmlExtract(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("main_text", StringType, nullable = false),
+    StructField("n_links", IntegerType, nullable = false),
+    StructField("text_chars", IntegerType, nullable = false),
+    StructField("link_chars", IntegerType, nullable = false),
+    StructField("boiler_chars", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"html_extract requires a string argument, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlText.computeHtmlExtract(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HtmlText.computeHtmlExtract($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextHashExprs {
   /** Register SQL-callable text-hash functions on a session (idempotent).
     * Delegates to the single [[GraftFunctions]] registry so the two entry

@@ -1319,4 +1319,113 @@ object Curate {
           coalesce(n_tokens > 0, FALSE) AND e.vec_id IS NOT NULL AS complete
         FROM t LEFT JOIN e ON t.doc_id = e.vec_id
         ORDER BY t.doc_id NULLS FIRST"""
+
+  // ---- HTML main-content extraction -----------------------------------
+
+  /** The deterministic HTML fixture, as ONE SQL expression string
+    * evaluated by BOTH engines (Spark `expr(...)` and the DuckDB twin
+    * splice the same text — the sqlPmod rule applied to a whole
+    * generator): every document is wrapped in a page with a dropped
+    * head (title/style/script), nav + footer boilerplate, an HTML
+    * comment, entity escapes, kept anchors, and doc_id-conditional
+    * extra blocks, so one corpus pass exercises every extractor state.
+    * The raw text's markup-active chars are sanitized to spaces before
+    * embedding (whitespace-collapse makes that lossless for the
+    * fixture's word-soup corpus). Only engine-portable functions:
+    * concat / replace / CASE / %. */
+  val HtmlGenSql: String =
+    """concat(
+       '<html><head><title>Doc ', doc_id, '</title>',
+       '<style>p{color:#fff}</style>',
+       '<script>var x=', doc_id, ';</script></head><body>',
+       '<nav><a href="/">home</a><a href="/a">about ', doc_id % 7, '</a></nav>',
+       '<h1>Heading ', doc_id % 100, '</h1>',
+       '<p>', replace(replace(replace(text, '&', ' '), '<', ' '), '>', ' '), '</p>',
+       '<!-- hidden ', doc_id, ' -->',
+       '<p>Visit <a href="/l">link ', doc_id % 5, '</a> now &amp; then.</p>',
+       CASE WHEN doc_id % 3 = 0
+         THEN concat('<p>Extra <a href="/e">extra ', doc_id % 11, '</a> tail.</p>')
+         ELSE '' END,
+       CASE WHEN doc_id % 4 = 1
+         THEN concat('<ul><li>item one ', doc_id % 13, '</li><li>item two</li></ul>')
+         ELSE '' END,
+       '<footer>footer note ', doc_id % 3, '</footer></body></html>')"""
+
+  /** HTML/markup main-content extraction over the generated page —
+    * the FIRST stage of every real web-scale corpus run
+    * (C4/RefinedWeb-class boilerplate removal), and the one
+    * text-pipeline stage this suite previously lacked: documents
+    * entered as clean text. The extraction itself is the native
+    * codegen'd [[graft.functions.HtmlExtract]] state machine (strip
+    * tags/script/style/comments, drop nav/header/footer/aside as
+    * measured boilerplate, decode entities, collapse whitespace,
+    * count kept-anchor text); this query emits the extracted text
+    * plus the two classic page-quality signals — link density and
+    * boilerplate ratio — each ONE IEEE division of exact ints.
+    * Map-only, zero shuffle before the publication sort; at 100 TB
+    * the pass runs at scan speed like [[c4Filter]]. The DuckDB twin
+    * PREDICTS the extractor's exact output from the same generator
+    * arithmetic — every main_text character and count is
+    * hash-gated, the media-twin recipe applied to markup. */
+  def htmlExtract(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(documents.sparkSession)
+    documents
+      .withColumn("x", call_function("html_extract", expr(HtmlGenSql)))
+      .select(col("doc_id"),
+        col("x.main_text").as("main_text"),
+        col("x.n_links").as("n_links"),
+        col("x.text_chars").as("text_chars"),
+        col("x.link_chars").as("link_chars"),
+        col("x.boiler_chars").as("boiler_chars"))
+      .withColumn("link_density",
+        col("link_chars").cast("double") / col("text_chars"))
+      .withColumn("boilerplate_ratio",
+        col("boiler_chars").cast("double") /
+          (col("text_chars") + col("boiler_chars")))
+      .orderBy("doc_id")
+  }
+
+  /** The twin never parses HTML: it rebuilds the pieces the extractor
+    * must keep (heading, sanitized body text, anchor texts,
+    * conditional blocks) and the boilerplate pieces (nav, footer)
+    * from the SAME arithmetic [[HtmlGenSql]] wraps them with, then
+    * collapses/trims exactly as the extractor's pinned semantics do.
+    * An extractor bug of any kind — a dropped block, a kept script,
+    * an undecoded entity, an off-by-one count — lands as a hash
+    * mismatch on this query. */
+  val sqlHtmlExtract: String =
+    s"""WITH src AS (
+          SELECT doc_id,
+            trim(regexp_replace(
+              replace(replace(replace(text, '&', ' '), '<', ' '), '>', ' '),
+              '[ \t\n\r]+', ' ', 'g')) AS t
+          FROM documents),
+        e AS (
+          SELECT doc_id,
+            trim(regexp_replace(concat(
+              'Heading ', doc_id % 100, ' ', t,
+              ' Visit link ', doc_id % 5, ' now & then.',
+              CASE WHEN doc_id % 3 = 0
+                THEN concat(' Extra extra ', doc_id % 11, ' tail.')
+                ELSE '' END,
+              CASE WHEN doc_id % 4 = 1
+                THEN concat(' item one ', doc_id % 13, ' item two')
+                ELSE '' END), '[ \t\n\r]+', ' ', 'g')) AS main_text,
+            concat('home about ', doc_id % 7, ' footer note ', doc_id % 3)
+              AS boiler_text,
+            CAST(length(concat('link ', doc_id % 5)) AS INTEGER)
+              + CASE WHEN doc_id % 3 = 0
+                  THEN CAST(length(concat('extra ', doc_id % 11)) AS INTEGER)
+                  ELSE 0 END AS link_chars,
+            CAST(1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER)
+              AS n_links
+          FROM src)
+        SELECT doc_id, main_text, n_links,
+          CAST(length(main_text) AS INTEGER) AS text_chars,
+          link_chars,
+          CAST(length(boiler_text) AS INTEGER) AS boiler_chars,
+          CAST(link_chars AS DOUBLE) / length(main_text) AS link_density,
+          CAST(length(boiler_text) AS DOUBLE)
+            / (length(main_text) + length(boiler_text)) AS boilerplate_ratio
+        FROM e ORDER BY doc_id"""
 }

@@ -1174,6 +1174,60 @@ class LlmSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("html extraction: boilerplate routing, raw-text skip, entities, malformed input") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def x(html: String): (String, Int, Int, Int, Int) = {
+      val r = graft.functions.HtmlText.computeHtmlExtract(
+        UTF8String.fromString(html))
+      (r.getUTF8String(0).toString, r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4))
+    }
+    // head dropped, body kept, tags become collapsed separators
+    assert(x("<html><head><title>T</title></head><body><p>a</p><p>b</p></body></html>")
+      == (("a b", 0, 3, 0, 0)))
+    // script/style raw-skip even when their bodies contain tag-like text
+    assert(x("<p>keep</p><script>var a = '<p>junk</p>';</script><style>p>a{}</style><p>more</p>")._1
+      == "keep more")
+    // nav/footer subtree text measured as boilerplate, not main —
+    // including anchors inside them (not links)
+    val (m1, l1, tc1, lc1, bc1) =
+      x("<nav><a href='/'>home</a> menu</nav><p>body</p><footer>foot</footer>")
+    assert(m1 == "body" && l1 == 0 && lc1 == 0)
+    assert(tc1 == 4 && bc1 == "home menu foot".length)
+    // nested boilerplate closes correctly
+    assert(x("<header>h <nav>n</nav> t</header><p>x</p>") ==
+      (("x", 0, 1, 0, "h n t".length)))
+    // kept anchors: counted, text measured, entity-decoded
+    val (m2, l2, _, lc2, _) =
+      x("<p>go <a href='/a'>one &amp; two</a> or <a>x</a></p>")
+    assert(m2 == "go one & two or x" && l2 == 2)
+    assert(lc2 == "one & two".length + 1)
+    // entities: named, numeric, unknown left literal, unterminated
+    assert(x("<p>&lt;tag&gt; &#65; &nope; &unterminated</p>")._1
+      == "<tag> A &nope; &unterminated")
+    // comments skipped, even spanning tag-like content
+    assert(x("<p>a</p><!-- <p>no</p> --><p>b</p>")._1 == "a b")
+    // malformed: unterminated comment/script/tag, stray closes
+    assert(x("<p>a<!-- open")._1 == "a")
+    assert(x("<p>a<script>open")._1 == "a")
+    assert(x("<p>a<b")._1 == "a")
+    assert(x("</nav></head><p>still here</p>")._1 == "still here")
+    // attribute values containing '>' do not end the tag
+    assert(x("""<p data-x="a>b">ok</p>""")._1 == "ok")
+    // uppercase tags are recognized
+    assert(x("<NAV>n</NAV><P>body</P>") == (("body", 0, 4, 0, 1)))
+    // whitespace runs collapse; leading/trailing trimmed
+    assert(x("<p>  a\t\n b  </p>") == (("a b", 0, 3, 0, 0)))
+    // DF-level: the codegen'd expression path agrees with the kernel
+    graft.functions.GraftFunctions.registerAll(spark)
+    val df = Seq("<nav>skip</nav><p>hello <a>w</a></p>").toDF("h")
+      .select(call_function("html_extract", col("h")).as("x"))
+      .select("x.main_text", "x.n_links", "x.text_chars", "x.link_chars",
+        "x.boiler_chars")
+      .as[(String, Int, Int, Int, Int)].collect().head
+    assert(df == (("hello w", 1, 7, 1, 4)))
+  }
+
   test("multi-probe from the index: recall parity with the in-memory multi-probe") {
     val emb = Tables.embeddings(spark, sf())
     val path = "target/lsh_idx_mp_test"
