@@ -99,6 +99,9 @@ object PlanAudit {
     "q_blocking_quality" -> Set("BNLJ"),   // single-row corpus-count frame
     // single-row dropped-block stats frame broadcast onto the pairs
     "q_entity_resolution_capped" -> Set("BNLJ"),
+    // same single-row stats frame riding the capped clustering's
+    // output (round 10: the drop accounting is no longer discarded)
+    "q_entity_clusters_capped" -> Set("BNLJ"),
     // same trade: single-row dropped-bucket stats broadcast onto the
     // phash near-dup pairs (see SCALE.md, capped hot-band guardrail)
     "q_phash_pairs" -> Set("BNLJ")

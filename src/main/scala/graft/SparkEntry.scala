@@ -396,7 +396,10 @@ object SparkEntry {
     "q_blocking_quality" -> ((s, d) => Linkage.blockingQuality(Tables.part(s, d))),
     // HTML main-content extraction: strip markup/script/style, measure
     // boilerplate + link density (the first stage of a web corpus)
-    "q_html_extract" -> ((s, d) => llm.Curate.htmlExtract(Tables.documents(s, d)))
+    "q_html_extract" -> ((s, d) => llm.Curate.htmlExtract(Tables.documents(s, d))),
+    // THE capstone: ledger keep -> quality gate -> pack -> shard,
+    // one plan, one manifest row per packed training sequence
+    "q_training_shards" -> ((s, d) => llm.Curate.trainingShards(Tables.documents(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -726,6 +729,7 @@ object SparkEntry {
     "q_trend_residuals" -> Windows.sqlTrendResiduals,
     "q_gini_sources" -> llm.TextStats.sqlGiniBySource,
     "q_blocking_quality" -> Linkage.sqlBlockingQuality(),
-    "q_html_extract" -> llm.Curate.sqlHtmlExtract
+    "q_html_extract" -> llm.Curate.sqlHtmlExtract,
+    "q_training_shards" -> llm.Curate.sqlTrainingShards()
   )
 }

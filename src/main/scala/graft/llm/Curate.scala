@@ -190,14 +190,20 @@ object Curate {
     * rate = floor(quality_score·1000) permille; both engines compute
     * the identical double then floor it, so the cut agrees exactly.
     * Map-only: projection + filter, pushes onto the scan. */
-  def qualityWeightedSample(documents: DataFrame): DataFrame =
+  /** The quality-proportional keep set — ONE selection rule shared by
+    * the published sample query and the [[trainingShards]] capstone
+    * (an inlined copy could silently drift the capstone's quality
+    * gate off the audited sample). */
+  private def qualityKept(documents: DataFrame): DataFrame =
     TextStats.textStatsUnordered(documents)
       .select(col("doc_id"), col("quality_score"))
       .withColumn("rate", floor(col("quality_score") * 1000).cast("long"))
       .withColumn("b", hashBucket("qws", 1000))
       .filter(col("b") < col("rate"))
       .select("doc_id", "rate", "quality_score")
-      .orderBy("doc_id")
+
+  def qualityWeightedSample(documents: DataFrame): DataFrame =
+    qualityKept(documents).orderBy("doc_id")
 
   val sqlQualityWeightedSample: String =
     s"""WITH stats AS (${TextStats.sqlTextStats}),
@@ -264,7 +270,10 @@ object Curate {
     * spans. The LLM-pretraining batching shape. The running sum is a
     * window per (lang) shard — at corpus scale the shard key is the
     * partition key, so no global ordering bottleneck exists. */
-  def packSequences(documents: DataFrame): DataFrame = {
+  /** The unordered packing core — ONE definition of the concat-and-cut
+    * assignment shared by the published per-document query and the
+    * [[trainingShards]] capstone's per-sequence rollup. */
+  private def packCore(documents: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -280,19 +289,28 @@ object Curate {
         expr(s"cum_before DIV $PackCapacity").as("seq_id"),
         expr(s"(cum_before + n_tokens - 1) DIV $PackCapacity" +
           s" - cum_before DIV $PackCapacity + 1").as("n_seqs_spanned"))
-      .orderBy("doc_id")
   }
 
-  val sqlPackSequences: String =
-    s"""WITH t AS (
+  def packSequences(documents: DataFrame): DataFrame =
+    packCore(documents).orderBy("doc_id")
+
+  /** SQL pack core over any doc-shaped source `src` — the twin of
+    * [[packCore]], parameterized like Multimodal's overKeyedDocs so
+    * the capstone packs its SURVIVOR set with the same arithmetic.
+    * Yields CTEs `t` and `c`; the consumer projects seq_id/spans. */
+  private def sqlPackCtes(src: String): String =
+    s"""t AS (
           SELECT doc_id, lang,
             CAST(len(${TextPrep.sqlWords}) AS BIGINT) AS n_tokens
-          FROM documents),
+          FROM $src),
         c AS (
           SELECT doc_id, lang, n_tokens,
             CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-          FROM t)
+          FROM t)"""
+
+  val sqlPackSequences: String =
+    s"""WITH ${sqlPackCtes("documents")}
         SELECT doc_id, lang, n_tokens,
           CAST(cum_before // $PackCapacity AS BIGINT) AS seq_id,
           CAST((cum_before + n_tokens - 1) // $PackCapacity
@@ -1428,4 +1446,83 @@ object Curate {
           CAST(length(boiler_text) AS DOUBLE)
             / (length(main_text) + length(boiler_text)) AS boilerplate_ratio
         FROM e ORDER BY doc_id"""
+
+  // ---- training-shard capstone ----------------------------------------
+
+  /** THE capstone artifact a trainer reads (round 10, VERDICT r9 task
+    * 2): everything the suite curates, composed into ONE declarative
+    * plan with no driver-side glue —
+    *
+    *  1. cross-modal curation verdict
+    *     ([[graft.llm.Multimodal.curationLedger]], `keep` only),
+    *  2. quality-proportional selection (the [[qualityWeightedSample]]
+    *     rule via the shared [[qualityKept]] core),
+    *  3. concat-and-cut sequence packing over the survivors (the
+    *     shared [[packCore]]),
+    *  4. reproducible shard assignment + intra-shard sort key per
+    *     PACKED SEQUENCE (the [[shuffleShards]] md5 recipe keyed on
+    *     (lang, seq_id)).
+    *
+    * One manifest row per packed training sequence: member-document
+    * count, token mass attributed by start-sequence, first/last member
+    * doc, shard, sort key. Scale shape: the ledger's four modality
+    * passes and the quality stats are map-heavy scans joined on the
+    * warehouse key (two LEFT SEMI joins — co-partitionable); packing
+    * shuffles once on the lang shard key; the per-sequence rollup
+    * groups on (lang, seq_id) — the pack window's own output grain —
+    * and sharding is a map-only md5. No other exchange exists in the
+    * plan; the sequence grain keeps the output a fraction of the
+    * corpus at any scale. */
+  def trainingShards(documents: DataFrame,
+                     shards: Int = NumShards): DataFrame = {
+    val kept = Multimodal.curationLedger(documents, ordered = false)
+      .filter(col("keep")).select("doc_id")
+    val survivors = documents
+      .join(kept, Seq("doc_id"), "left_semi")
+      .join(qualityKept(documents).select("doc_id"), Seq("doc_id"), "left_semi")
+    val seqKey = concat(col("lang"), lit(":"), col("seq_id").cast("string"))
+    packCore(survivors)
+      .groupBy("lang", "seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .select(col("lang"), col("seq_id"), col("n_docs"), col("n_tokens"),
+        col("first_doc"), col("last_doc"),
+        hashBucket("shuffle", shards, seqKey).as("shard"),
+        md5(concat(lit("shuffle:"), seqKey)).as("sort_key"))
+      .orderBy("lang", "seq_id")
+  }
+
+  /** The twin composes the SAME published component twins: the full
+    * ledger twin, the quality-sample rule over the shared stats twin,
+    * the shared pack CTEs retargeted at the survivor set, and the
+    * shuffleShards md5 recipe on the sequence key. */
+  def sqlTrainingShards(shards: Int = NumShards): String = {
+    val seqKey = "concat(lang, ':', CAST(seq_id AS VARCHAR))"
+    s"""WITH ledger AS (${Multimodal.sqlCurationLedger}),
+        q AS (
+          SELECT doc_id FROM (${TextStats.sqlTextStats})
+          WHERE ${sqlHashBucket("qws", 1000)}
+            < CAST(floor(quality_score * 1000) AS BIGINT)),
+        surv AS (
+          SELECT d.* FROM documents d
+          SEMI JOIN (SELECT doc_id FROM ledger WHERE keep) k USING (doc_id)
+          SEMI JOIN q USING (doc_id)),
+        ${sqlPackCtes("surv")},
+        p AS (
+          SELECT doc_id, lang, n_tokens,
+            CAST(cum_before // $PackCapacity AS BIGINT) AS seq_id
+          FROM c),
+        g AS (
+          SELECT lang, seq_id,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+            min(doc_id) AS first_doc, max(doc_id) AS last_doc
+          FROM p GROUP BY 1, 2)
+        SELECT lang, seq_id, n_docs, n_tokens, first_doc, last_doc,
+          ${sqlHashBucket("shuffle", shards, seqKey)} AS shard,
+          md5('shuffle:' || $seqKey) AS sort_key
+        FROM g ORDER BY lang, seq_id"""
+  }
 }

@@ -1186,7 +1186,8 @@ object Multimodal {
     * path, not the ledger. Scale shape: four independent map-heavy
     * passes joined on the one key the warehouse is partitioned by —
     * each join co-partitionable, output exactly one row per document. */
-  def curationLedger(documents: DataFrame): DataFrame = {
+  def curationLedger(documents: DataFrame,
+                     ordered: Boolean = true): DataFrame = {
     val base = documents.filter(col("doc_id").isNotNull)
     // ordered = false everywhere: these are JOIN inputs, and each
     // component's publication sort would be a wasted range exchange
@@ -1200,7 +1201,7 @@ object Multimodal {
         col("max_silence_run"))
     val video = frameDedup(base, ordered = false)
       .select(col("doc_id"), col("is_slideshow"))
-    text
+    val core = text
       .join(audio, "doc_id")
       .join(video, "doc_id")
       .join(image, Seq("doc_id"), "left")
@@ -1209,7 +1210,7 @@ object Multimodal {
         col("is_slideshow"),
         (col("text_keep") && coalesce(col("image_keep"), lit(true)) &&
           col("audio_keep") && !col("is_slideshow")).as("keep"))
-      .orderBy("doc_id")
+    if (ordered) core.orderBy("doc_id") else core
   }
 
   /** Rewrite a component twin to read the ledger's id-filtered source

@@ -1174,6 +1174,44 @@ class LlmSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("training shards capstone: manifest reconciles with its component stages") {
+    val docs = Tables.documents(spark, sf())
+    val out = Curate.trainingShards(docs).collect()
+    assert(out.nonEmpty)
+    // rebuild the survivor set from the PUBLISHED component queries —
+    // the capstone must compose exactly them, nothing else
+    val kept = Multimodal.curationLedger(docs).filter(col("keep"))
+      .select("doc_id")
+    val survivors = docs
+      .join(kept, Seq("doc_id"), "left_semi")
+      .join(Curate.qualityWeightedSample(docs).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    val packed = Curate.packSequences(survivors)
+      .groupBy("lang", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out.length == packed.size)
+    out.foreach { r =>
+      val key = (r.getAs[String]("lang"), r.getAs[Long]("seq_id"))
+      val (nd, nt, fd, ld) = packed(key)
+      assert(r.getAs[Long]("n_docs") == nd && r.getAs[Long]("n_tokens") == nt)
+      assert(r.getAs[Long]("first_doc") == fd && r.getAs[Long]("last_doc") == ld)
+      val shard = r.getAs[Long]("shard")
+      assert(shard >= 0 && shard < Curate.NumShards)
+      assert(r.getAs[String]("sort_key").matches("[0-9a-f]{32}"))
+    }
+    // sequences are contiguous per language starting at 0 (concat-and-
+    // cut over the survivor stream can skip nothing)
+    out.groupBy(_.getAs[String]("lang")).values.foreach { rows =>
+      val ids = rows.map(_.getAs[Long]("seq_id")).sorted
+      assert(ids.head == 0L && ids.toSeq == (0L until ids.length).toSeq)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("html extraction: boilerplate routing, raw-text skip, entities, malformed input") {
     import org.apache.spark.unsafe.types.UTF8String
     def x(html: String): (String, Int, Int, Int, Int) = {
