@@ -713,10 +713,14 @@ object Multimodal {
     * shape, no pair expansion); replicas deliver the SAME PCM in
     * DIFFERENT containers, so the dedup demonstrably sees through the
     * container. Map-only + one hash-group aggregation. */
-  def audioDedup(documents: DataFrame,
-                 ordered: Boolean = true): DataFrame = {
+  /** The per-clip decoded half of [[audioDedup]] — PCM features +
+    * rolling-hash fingerprint, one row per document, no grouping.
+    * Exposed for the streaming ledger, which resolves canonicality
+    * against a persisted fingerprint index instead of grouping the
+    * corpus. */
+  private[graft] def audioFpRows(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
-    val rows = speechAudioTable(documents).mapPartitions { batch =>
+    speechAudioTable(documents).mapPartitions { batch =>
       batch.map { m =>
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(m.content))
@@ -746,6 +750,11 @@ object Multimodal {
           nS / AudioSegFrames, nSilent, maxRun, f"$h%08x")
       }
     }.toDF()
+  }
+
+  def audioDedup(documents: DataFrame,
+                 ordered: Boolean = true): DataFrame = {
+    val rows = audioFpRows(documents)
     val groups = rows.groupBy("audio_fp")
       .agg(min(col("doc_id")).as("canonical_id"),
         count(lit(1)).as("n_copies"))

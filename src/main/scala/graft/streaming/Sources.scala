@@ -280,6 +280,112 @@ object Sources {
       }
       .start()
 
+  /** Streaming CURATION LEDGER (round 10, VERDICT r9 task 7) — the
+    * cross-modal keep/drop artifact
+    * ([[graft.llm.Multimodal.curationLedger]]) maintained
+    * incrementally: a new document's verdict lands without
+    * recomputing the corpus. Canonicality, the only corpus-relative
+    * part of the ledger, is resolved against three persisted
+    * fingerprint indexes under `statePath` (text md5 / image
+    * perceptual hash / audio PCM fingerprint — video's slideshow flag
+    * is document-local); per-trigger cost is |batch| decode+hash work
+    * plus three fingerprint joins against stored state. A document
+    * keeps a modality iff its fingerprint is absent from the index
+    * AND it is the min doc_id for that fingerprint within its batch —
+    * under the ledger's monotone-id arrival order this reproduces the
+    * batch verdict exactly ([[graft.llm.Multimodal.curationLedger]]
+    * semantics minus the corpus-global copy COUNT, which an
+    * incremental artifact cannot know ahead of future arrivals — the
+    * one declared schema difference). Exactly-once: ledger rows land
+    * via [[writeBatchIdempotent]]; each index appends only fingerprints
+    * NOVEL relative to previous batches into batch_id partitions with
+    * dynamic overwrite, so a crash-replay of batch N reproduces its
+    * own partitions byte-identically. Eager localCheckpoints stop the
+    * index appends from re-running lineage that reads the same paths. */
+  def curationLedgerQuery(docs: DataFrame, statePath: String,
+                          ledgerDir: String,
+                          checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        batch.persist()
+        try {
+          val base = batch.filter(col("doc_id").isNotNull)
+
+          def seenFps(sub: String): DataFrame = {
+            val p = new org.apache.hadoop.fs.Path(s"$statePath/$sub")
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(p)) spark.read.parquet(p.toString).select("fp")
+            else Seq.empty[String].toDF("fp")
+          }
+          // keep(fp-grain) = first holder of the fingerprint: absent
+          // from the index AND min doc_id within the batch (the same
+          // min-id rule the batch ledger's window applies corpus-wide)
+          def modalVerdict(cur: DataFrame, sub: String,
+                           keepName: String): (DataFrame, DataFrame) = {
+            val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+            val seen = seenFps(sub)
+            val verdict = cur
+              .withColumn("first_in_batch",
+                col("doc_id") === min(col("doc_id")).over(w))
+              .join(seen.withColumn("indexed", lit(true)), Seq("fp"), "left")
+              .withColumn(keepName,
+                col("first_in_batch") && !coalesce(col("indexed"), lit(false)))
+              .drop("first_in_batch", "indexed")
+            val novel = cur.select("fp").distinct()
+              .join(seen, Seq("fp"), "left_anti")
+            (verdict, novel)
+          }
+
+          val (text, textNovel) = modalVerdict(
+            base.select(col("doc_id"), md5(col("text")).as("fp")),
+            "text", "text_keep")
+          val (image, imageNovel) = modalVerdict(
+            graft.llm.Multimodal.imageHashes(base).toDF()
+              .select(col("doc_id"),
+                format_string("%04x%04x%04x%04x",
+                  col("b3"), col("b2"), col("b1"), col("b0")).as("fp")),
+            "image", "image_keep")
+          val (audio, audioNovel) = modalVerdict(
+            graft.llm.Multimodal.audioFpRows(base)
+              .select(col("doc_id"), col("audio_fp").as("fp"),
+                col("max_silence_run")),
+            "audio", "audio_keep")
+          val video = graft.llm.Multimodal.frameDedup(base, ordered = false)
+            .select(col("doc_id"), col("is_slideshow"))
+
+          // same composition rule as the batch ledger: absent image
+          // verdict (hash-ineligible) never blocks the keep
+          val ledger = text.select(col("doc_id"), col("text_keep"))
+            .join(audio.select(col("doc_id"), col("audio_keep"),
+              col("max_silence_run")), "doc_id")
+            .join(video, "doc_id")
+            .join(image.select(col("doc_id"), col("image_keep")),
+              Seq("doc_id"), "left")
+            .select(col("doc_id"), col("text_keep"), col("image_keep"),
+              col("audio_keep"), col("max_silence_run"), col("is_slideshow"),
+              (col("text_keep") && coalesce(col("image_keep"), lit(true)) &&
+                col("audio_keep") && !col("is_slideshow")).as("keep"))
+            .localCheckpoint()
+          val novels = Seq("text" -> textNovel, "image" -> imageNovel,
+            "audio" -> audioNovel).map { case (sub, df) =>
+            sub -> df.localCheckpoint() // sever the read of statePath/sub
+          }
+          writeBatchIdempotent(ledger, ledgerDir, batchId)
+          novels.foreach { case (sub, df) =>
+            df.withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(s"$statePath/$sub")
+          }
+        } finally { batch.unpersist(); () }
+      }
+      .start()
+
   /** The idempotent-replay write used by every exactly-once file sink
     * here: each micro-batch lands in its own `micro_batch_id=N`
     * partition with DYNAMIC partition overwrite, so re-running a batch

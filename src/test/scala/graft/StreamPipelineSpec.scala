@@ -246,6 +246,60 @@ class StreamPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation ledger: incremental verdicts equal the batch ledger") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_stream_ledger").toString
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val docs = mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = Sources.curationLedgerQuery(docs, s"$tmp/state", s"$tmp/ledger",
+      s"$tmp/ckpt")
+    // media content derives from doc_id arithmetic, so consecutive ids
+    // exercise image/audio replicas naturally; text dups are planted
+    // both within batch 1 (5 copies 3) and across batches (12 copies 2)
+    def doc(id: Long, text: String) = (id, text, "en", "s", text.length.toLong)
+    try {
+      mem.addData((0L to 9L).map(i =>
+        doc(i, if (i == 5) "copy target three" else
+          if (i == 3) "copy target three" else s"unique text $i")): _*)
+      q.processAllAvailable()
+      mem.addData((10L to 19L).map(i =>
+        doc(i, if (i == 12) "unique text 2" else s"unique text $i")): _*)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(s"$tmp/ledger")
+        .select("doc_id", "text_keep", "image_keep", "audio_keep",
+          "max_silence_run", "is_slideshow", "keep")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+      // batch-recompute the ledger over ALL docs ever streamed:
+      // verdicts must agree column-for-column (monotone-id arrival)
+      val all = ((0L to 9L).map(i =>
+        doc(i, if (i == 5) "copy target three" else
+          if (i == 3) "copy target three" else s"unique text $i")) ++
+        (10L to 19L).map(i =>
+          doc(i, if (i == 12) "unique text 2" else s"unique text $i")))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val batch = graft.llm.Multimodal.curationLedger(all).collect()
+      assert(batch.length == streamed.size)
+      batch.foreach { b =>
+        val s = streamed(b.getAs[Long]("doc_id"))
+        for (c <- Seq("text_keep", "audio_keep", "is_slideshow", "keep"))
+          assert(s.getAs[Boolean](c) == b.getAs[Boolean](c),
+            s"doc ${b.getAs[Long]("doc_id")} col $c")
+        assert(Option(s.getAs[java.lang.Boolean]("image_keep"))
+          == Option(b.getAs[java.lang.Boolean]("image_keep")),
+          s"doc ${b.getAs[Long]("doc_id")} image_keep")
+        assert(s.getAs[Int]("max_silence_run")
+          == b.getAs[Int]("max_silence_run"))
+      }
+      // the planted text dups resolved as designed
+      assert(streamed(3L).getAs[Boolean]("text_keep"))
+      assert(!streamed(5L).getAs[Boolean]("text_keep"))
+      assert(!streamed(12L).getAs[Boolean]("text_keep"))
+      // indexes grew: every novel fingerprint of both batches stored
+      assert(spark.read.parquet(s"$tmp/state/text").select("fp")
+        .distinct().count() == 18) // 20 docs - 2 dup texts
+    } finally q.stop()
+  }
+
   test("streaming near-dup dedup cold start: first batch creates the index") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = Files.createTempDirectory("graft_neardup_cold").toString
