@@ -191,6 +191,9 @@ object SparkEntry {
     "q_quality_topk" -> ((s, d) => llm.Curate.qualityTopK(Tables.documents(s, d))),
     "q_doc_chunks" -> ((s, d) => llm.Curate.docChunks(Tables.documents(s, d))),
     "q_pack_sequences" -> ((s, d) => llm.Curate.packSequences(Tables.documents(s, d))),
+    // the 100 TB packing path: two-level parallel prefix sum, output
+    // bit-equal to the sequential window (same oracle twin)
+    "q_pack_scalable" -> ((s, d) => llm.Curate.packSequencesScalable(Tables.documents(s, d))),
     // dedup end-game: connected components over the near-dup pair graph
     "q_dup_clusters" -> ((s, d) => llm.Dedup.dupClusters(Tables.documents(s, d))),
     // eval-set decontamination: n-gram overlap vs a held-out benchmark slice
@@ -632,6 +635,9 @@ object SparkEntry {
     "q_quality_topk" -> llm.Curate.sqlQualityTopK(),
     "q_doc_chunks" -> llm.Curate.sqlDocChunks,
     "q_pack_sequences" -> llm.Curate.sqlPackSequences,
+    // IDENTICAL oracle by design: the scalable plan must reproduce the
+    // sequential packing bit-for-bit
+    "q_pack_scalable" -> llm.Curate.sqlPackSequences,
     "q_dup_clusters" -> llm.Dedup.sqlDupClusters(),
     "q_normalize_text" -> llm.Curate.sqlNormalizeText,
     "q_decontaminate" -> llm.Curate.sqlDecontaminate(),

@@ -317,6 +317,67 @@ object Curate {
             - cum_before // $PackCapacity + 1 AS BIGINT) AS n_seqs_spanned
         FROM c ORDER BY doc_id"""
 
+  /** doc_id-range width of one packing bucket in the scalable path.
+    * Order-aligned BY CONSTRUCTION (the packing order IS doc_id, so
+    * contiguous id ranges are contiguous runs of the order, whatever
+    * gaps the corpus has); sized so one bucket's window partition
+    * stays a comfortable single task at any corpus density. */
+  val PackBucketIds = 4096L
+
+  /** The 100 TB twin of [[packSequences]] — IDENTICAL output, computed
+    * as a two-level parallel prefix sum instead of one window per
+    * language. The plain pack's window partitions on `lang` alone: a
+    * handful of values, so at corpus scale one language's entire
+    * token stream funnels through a single window task — the same
+    * unbounded-partition defect the plan audit flags elsewhere,
+    * hidden here behind a low-cardinality partition key. This variant
+    * bounds every partition:
+    *
+    *  1. bucket = doc_id DIV [[PackBucketIds]] — order-aligned id
+    *     ranges, each window partition ≤ PackBucketIds rows;
+    *  2. per-(lang, bucket) LOCAL running sums (bounded window);
+    *  3. per-bucket token totals → one tiny cumulative window over
+    *     #buckets rows per lang (corpus/4096 rows — the only global
+    *     step, over data ~10⁷× smaller than the corpus);
+    *  4. base offsets join back on (lang, bucket) and
+    *     cum_before = bucket_base + local running sum.
+    *
+    * Same `seq_id`/`n_seqs_spanned` arithmetic, bit-equal to the
+    * sequential definition — so the ORACLE IS [[sqlPackSequences]]:
+    * the scalable plan must hash-match the sequential twin exactly,
+    * and a unit test additionally pins it to [[packSequences]]'s
+    * output row-for-row. */
+  def packSequencesScalable(documents: DataFrame,
+                            bucketIds: Long = PackBucketIds): DataFrame = {
+    require(bucketIds > 0, s"bucketIds must be positive, got $bucketIds")
+    import org.apache.spark.sql.expressions.Window
+    val local = Window.partitionBy("lang", "bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // the cross-bucket cumulative window runs over per-bucket TOTALS —
+    // corpus/bucketIds rows — so its per-lang partition is bounded by
+    // the bucket count, not the corpus
+    val acrossBuckets = Window.partitionBy("lang").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val t = documents
+      .select(col("doc_id"), col("lang"),
+        size(TextPrep.wordsCol).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"doc_id DIV $bucketIds"))
+    val bucketBases = t.groupBy("lang", "bucket")
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .withColumn("bucket_base",
+        coalesce(sum(col("bucket_tokens")).over(acrossBuckets), lit(0L)))
+      .select("lang", "bucket", "bucket_base")
+    t.withColumn("local_before",
+        coalesce(sum(col("n_tokens")).over(local), lit(0L)))
+      .join(bucketBases, Seq("lang", "bucket"))
+      .withColumn("cum_before", col("bucket_base") + col("local_before"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"cum_before DIV $PackCapacity").as("seq_id"),
+        expr(s"(cum_before + n_tokens - 1) DIV $PackCapacity" +
+          s" - cum_before DIV $PackCapacity + 1").as("n_seqs_spanned"))
+      .orderBy("doc_id")
+  }
+
   // ---- eval-set decontamination -------------------------------------
 
   val EvalMod = 50L

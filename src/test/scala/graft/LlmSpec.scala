@@ -1174,6 +1174,19 @@ class LlmSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("scalable packing is bit-equal to the sequential window at any bucket width") {
+    val docs = Tables.documents(spark, sf())
+    val seq = Curate.packSequences(docs).collect().map(_.toSeq)
+    // widths straddling the corpus: one-bucket (degenerates to the
+    // sequential shape), mid, and width-1 (every doc its own bucket —
+    // the pure prefix-sum-of-totals extreme)
+    for (w <- Seq(1L, 7L, 4096L, 1L << 40)) {
+      val par = Curate.packSequencesScalable(docs, bucketIds = w)
+        .collect().map(_.toSeq)
+      assert(par.toSeq == seq.toSeq, s"bucketIds=$w diverged")
+    }
+  }
+
   test("training shards capstone: manifest reconciles with its component stages") {
     val docs = Tables.documents(spark, sf())
     val out = Curate.trainingShards(docs).collect()
