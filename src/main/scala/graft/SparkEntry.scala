@@ -402,7 +402,11 @@ object SparkEntry {
     "q_html_extract" -> ((s, d) => llm.Curate.htmlExtract(Tables.documents(s, d))),
     // THE capstone: ledger keep -> quality gate -> pack -> shard,
     // one plan, one manifest row per packed training sequence
-    "q_training_shards" -> ((s, d) => llm.Curate.trainingShards(Tables.documents(s, d)))
+    "q_training_shards" -> ((s, d) => llm.Curate.trainingShards(Tables.documents(s, d))),
+    // URL decomposition (native single-pass parser) + per-domain
+    // crawl profile with the blocklist verdict
+    "q_url_parse" -> ((s, d) => llm.Curate.urlParse(Tables.documents(s, d))),
+    "q_domain_stats" -> ((s, d) => llm.Curate.domainStats(Tables.documents(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -736,6 +740,8 @@ object SparkEntry {
     "q_gini_sources" -> llm.TextStats.sqlGiniBySource,
     "q_blocking_quality" -> Linkage.sqlBlockingQuality(),
     "q_html_extract" -> llm.Curate.sqlHtmlExtract,
-    "q_training_shards" -> llm.Curate.sqlTrainingShards()
+    "q_training_shards" -> llm.Curate.sqlTrainingShards(),
+    "q_url_parse" -> llm.Curate.sqlUrlParse,
+    "q_domain_stats" -> llm.Curate.sqlDomainStats
   )
 }

@@ -33,6 +33,7 @@ object GraftFunctions {
     "winnow_fps" -> (e => WinnowFingerprints(e(0), intArg(e(1)), intArg(e(2)))),
     "top_word_count" -> (e => TopWordCount(e(0))),
     "html_extract" -> (e => HtmlExtract(e(0))),
+    "url_parts" -> (e => UrlParts(e(0))),
     // Spark's own runtime-filter bloom expressions, surfaced as callable
     // functions (they are not in the builtin registry): build over
     // xxhash64 keys, probe with might_contain. Used by the sketch-

@@ -718,6 +718,112 @@ case class HtmlExtract(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** URL decomposition for web-corpus curation — domain-level filtering
+  * (blocklists, per-domain caps, domain dedup priors) is the other
+  * first-mile stage of every crawl pipeline, and it needs one exact
+  * parse, not a regex per field. Single pass, pinned semantics:
+  *
+  *  - scheme = text before "://" (lowercased; absent → "" and the
+  *    whole input is treated as starting at the host);
+  *  - host = after scheme up to the first '/', '?' or '#', with any
+  *    userinfo ("user:pw@") stripped and a trailing ":digits" port
+  *    split off (port 0 when absent); host is lowercased;
+  *  - domain = the LAST TWO dot-labels of the host — the registrable
+  *    domain under the generic TLDs this engine targets (a full
+  *    public-suffix list is a data file, not an algorithm; the
+  *    two-label rule is the documented approximation, exact for
+  *    .com/.org/.net/.io-class hosts);
+  *  - tld = the last label; path_depth = count of non-empty '/'
+  *    segments after the host and before '?'/'#'; has_query = a '?'
+  *    with at least one character of query before any '#'.
+  *
+  * Malformed input never throws: missing parts parse to ""/0/false. */
+object UrlText {
+
+  def computeUrlParts(url: UTF8String): InternalRow = {
+    val s = url.toString
+    val n = s.length
+    val schemeEnd = s.indexOf("://")
+    val scheme = if (schemeEnd < 0) "" else s.substring(0, schemeEnd).toLowerCase
+    val authStart = if (schemeEnd < 0) 0 else schemeEnd + 3
+    var i = authStart
+    while (i < n && s.charAt(i) != '/' && s.charAt(i) != '?' && s.charAt(i) != '#') i += 1
+    var hostPart = s.substring(authStart, i)
+    val at = hostPart.lastIndexOf('@')
+    if (at >= 0) hostPart = hostPart.substring(at + 1)
+    var port = 0
+    val colon = hostPart.lastIndexOf(':')
+    if (colon >= 0 && colon + 1 < hostPart.length &&
+        hostPart.substring(colon + 1).forall(_.isDigit)) {
+      port = try hostPart.substring(colon + 1).toInt catch { case _: Exception => 0 }
+      hostPart = hostPart.substring(0, colon)
+    }
+    val host = hostPart.toLowerCase
+    val labels = host.split('.')
+    val domain =
+      if (labels.length >= 2) labels(labels.length - 2) + "." + labels(labels.length - 1)
+      else host
+    val tld = if (labels.nonEmpty) labels(labels.length - 1) else ""
+    // path: from i to the first '?' or '#'
+    var depth = 0
+    var segLen = 0
+    var j = i
+    var inPath = true
+    while (j < n && inPath) {
+      val c = s.charAt(j)
+      if (c == '?' || c == '#') inPath = false
+      else {
+        if (c == '/') { if (segLen > 0) depth += 1; segLen = 0 }
+        else segLen += 1
+        j += 1
+      }
+    }
+    if (segLen > 0) depth += 1
+    // query: a '?' before any '#', with ≥1 char before the '#'/end
+    val hash = s.indexOf('#', i)
+    val q = s.indexOf('?', i)
+    val hasQuery = q >= 0 && (hash < 0 || q < hash) &&
+      (if (hash < 0) n - q - 1 > 0 else hash - q - 1 > 0)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      UTF8String.fromString(scheme),
+      UTF8String.fromString(host),
+      UTF8String.fromString(domain),
+      UTF8String.fromString(tld),
+      port,
+      depth,
+      hasQuery))
+  }
+}
+
+/** `url_parts(url)` → struct(scheme, host, domain, tld: string,
+  * port, path_depth: int, has_query: boolean). */
+case class UrlParts(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scheme", StringType, nullable = false),
+    StructField("host", StringType, nullable = false),
+    StructField("domain", StringType, nullable = false),
+    StructField("tld", StringType, nullable = false),
+    StructField("port", IntegerType, nullable = false),
+    StructField("path_depth", IntegerType, nullable = false),
+    StructField("has_query", BooleanType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"url_parts requires a string argument, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    UrlText.computeUrlParts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.UrlText.computeUrlParts($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextHashExprs {
   /** Register SQL-callable text-hash functions on a session (idempotent).
     * Delegates to the single [[GraftFunctions]] registry so the two entry
