@@ -406,7 +406,10 @@ object SparkEntry {
     // URL decomposition (native single-pass parser) + per-domain
     // crawl profile with the blocklist verdict
     "q_url_parse" -> ((s, d) => llm.Curate.urlParse(Tables.documents(s, d))),
-    "q_domain_stats" -> ((s, d) => llm.Curate.domainStats(Tables.documents(s, d)))
+    "q_domain_stats" -> ((s, d) => llm.Curate.domainStats(Tables.documents(s, d))),
+    // domain-cap sampling via the bounded-heap aggregate (no window:
+    // a hot domain must not become an unbounded window partition)
+    "q_domain_cap" -> ((s, d) => llm.Curate.domainCap(Tables.documents(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -742,6 +745,7 @@ object SparkEntry {
     "q_html_extract" -> llm.Curate.sqlHtmlExtract,
     "q_training_shards" -> llm.Curate.sqlTrainingShards(),
     "q_url_parse" -> llm.Curate.sqlUrlParse,
-    "q_domain_stats" -> llm.Curate.sqlDomainStats
+    "q_domain_stats" -> llm.Curate.sqlDomainStats,
+    "q_domain_cap" -> llm.Curate.sqlDomainCap()
   )
 }

@@ -294,6 +294,34 @@ object Curate {
   def packSequences(documents: DataFrame): DataFrame =
     packCore(documents).orderBy("doc_id")
 
+  /** Batch packing against externally-carried per-language token
+    * bases — the incremental form of [[packCore]] used by the
+    * streaming pack sink ([[graft.streaming.Sources.packSequencesQuery]]):
+    * cum_before = carried base + within-batch running sum, then the
+    * SAME seq_id / span arithmetic, so streamed packing under
+    * monotone-id arrival is row-identical to a batch repack of the
+    * union. The within-batch window is bounded by the trigger size —
+    * the unbounded-partition concern of the batch window doesn't
+    * arise here. */
+  private[graft] def packBatchWithBases(batch: DataFrame,
+                                        bases: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    batch
+      .select(col("doc_id"), col("lang"),
+        size(TextPrep.wordsCol).cast("long").as("n_tokens"))
+      .withColumn("local_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .join(bases, Seq("lang"), "left")
+      .withColumn("cum_before",
+        coalesce(col("base_tokens"), lit(0L)) + col("local_before"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"cum_before DIV $PackCapacity").as("seq_id"),
+        expr(s"(cum_before + n_tokens - 1) DIV $PackCapacity" +
+          s" - cum_before DIV $PackCapacity + 1").as("n_seqs_spanned"))
+  }
+
   /** SQL pack core over any doc-shaped source `src` — the twin of
     * [[packCore]], parameterized like Multimodal's overKeyedDocs so
     * the capstone packs its SURVIVOR set with the same arithmetic.
@@ -1606,6 +1634,51 @@ object Curate {
           domain IN ($blocked) AS blocked
         FROM p GROUP BY 1, 2 ORDER BY domain"""
   }
+
+  /** Per-domain document cap. */
+  val DomainCapK = 4
+
+  /** Domain-cap sampling (the RefinedWeb-class "no domain dominates"
+    * rule): keep the first [[DomainCapK]] documents of every domain
+    * (deterministic: smallest doc_ids). NOT a window: a hot domain at
+    * corpus scale is exactly the unbounded window partition this
+    * query exists to tame, so the verdict comes from the bounded-heap
+    * `top_k_by` aggregate — per-domain state is K entries whatever
+    * the domain's size (map-side partials), and the K-th-smallest-id
+    * threshold joins back on the domain key (domain-cardinality
+    * frame, co-partitioned equi-join). keep ⟺ doc_id ≤ threshold,
+    * identical to rank ≤ K since ids are unique — the twin verifies
+    * with the straightforward window form. */
+  def domainCap(documents: DataFrame, k: Int = DomainCapK): DataFrame = {
+    require(k > 0, s"cap must be positive, got $k")
+    graft.functions.GraftFunctions.registerAll(documents.sparkSession)
+    graft.functions.TopKByScore.register(documents.sparkSession)
+    val parsed = documents
+      .withColumn("u", call_function("url_parts", expr(UrlGenSql)))
+      .select(col("doc_id"), col("u.domain").as("domain"))
+    val threshold = parsed
+      .groupBy("domain")
+      .agg(call_function("top_k_by",
+        -col("doc_id").cast("double"), col("doc_id"), lit(k)).as("top"))
+      // the heap is score-descending, so the LAST entry is the K-th
+      // smallest id (or the domain's largest when it has < K docs —
+      // then every doc passes, which is the cap's semantics)
+      .select(col("domain"),
+        element_at(col("top"), -1).getField("id").as("kth_id"))
+    parsed.join(threshold, "domain")
+      .select(col("doc_id"), col("domain"),
+        (col("doc_id") <= col("kth_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  def sqlDomainCap(k: Int = DomainCapK): String =
+    s"""WITH $sqlUrlParts,
+        r AS (
+          SELECT doc_id, domain,
+            row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+          FROM p)
+        SELECT doc_id, domain, rn <= $k AS keep
+        FROM r ORDER BY doc_id"""
 
   // ---- training-shard capstone ----------------------------------------
 

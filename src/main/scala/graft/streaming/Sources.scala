@@ -386,6 +386,53 @@ object Sources {
       }
       .start()
 
+  /** Streaming SEQUENCE PACKING — the concat-and-cut training-batch
+    * assignment ([[graft.llm.Curate.packSequences]]) maintained
+    * incrementally: documents arriving in id order get packed into
+    * fixed-capacity sequences WITHOUT re-windowing the corpus. The
+    * only cross-batch state is one token total per language, stored
+    * as per-batch DELTAS (the linear-sketch recipe of [[cmsSinkQuery]]:
+    * read-time total = sum over batch partitions, so a crash-replay of
+    * batch N overwrites its own delta and the state can never
+    * double-count). Per-trigger cost: one bounded within-batch window
+    * + one lang-cardinality join; streamed output is row-identical to
+    * a batch repack of everything streamed (unit-asserted). State
+    * reads grow with trigger count until compacted — the same
+    * small-files trade as the LSH index, and the same remedy applies. */
+  def packSequencesQuery(docs: DataFrame, statePath: String,
+                         packedDir: String,
+                         checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        batch.persist()
+        try {
+          val p = new org.apache.hadoop.fs.Path(statePath)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val bases =
+            if (fs.exists(p))
+              spark.read.parquet(statePath).groupBy("lang")
+                .agg(sum(col("batch_tokens")).as("base_tokens"))
+            else Seq.empty[(String, Long)].toDF("lang", "base_tokens")
+          // eager localCheckpoint: the delta write below must not
+          // re-run a lineage that READS statePath while writing to it
+          val packed = graft.llm.Curate.packBatchWithBases(batch, bases)
+            .localCheckpoint()
+          writeBatchIdempotent(packed, packedDir, batchId)
+          packed.groupBy("lang")
+            .agg(sum(col("n_tokens")).as("batch_tokens"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(statePath)
+        } finally { batch.unpersist(); () }
+      }
+      .start()
+
   /** The idempotent-replay write used by every exactly-once file sink
     * here: each micro-batch lands in its own `micro_batch_id=N`
     * partition with DYNAMIC partition overwrite, so re-running a batch

@@ -300,6 +300,42 @@ class StreamPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sequence packing equals a batch repack of everything streamed") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_stream_pack").toString
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val docs = mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = Sources.packSequencesQuery(docs, s"$tmp/state", s"$tmp/packed",
+      s"$tmp/ckpt")
+    def doc(id: Long, lang: String, words: Int) =
+      (id, Seq.fill(words)("w").mkString(" "), lang, "s", words.toLong)
+    try {
+      // batch 1: two languages, en crosses a 256-token boundary mid-doc
+      mem.addData(doc(1, "en", 200), doc(2, "en", 100), doc(3, "de", 50))
+      q.processAllAvailable()
+      // batch 2: packing must CONTINUE from the carried totals
+      mem.addData(doc(4, "en", 30), doc(5, "de", 300), doc(6, "fr", 10))
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(s"$tmp/packed")
+        .select("doc_id", "lang", "n_tokens", "seq_id", "n_seqs_spanned")
+        .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val all = Seq(doc(1, "en", 200), doc(2, "en", 100), doc(3, "de", 50),
+        doc(4, "en", 30), doc(5, "de", 300), doc(6, "fr", 10))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val batch = graft.llm.Curate.packSequences(all)
+        .as[(Long, String, Long, Long, Long)].collect().toSeq
+      assert(streamed == batch)
+      // the boundary doc really did land where the carried total says:
+      // en doc 4 starts at token 300 -> sequence 1
+      assert(streamed.find(_._1 == 4L).get._4 == 1L)
+      // state is per-batch deltas; totals recover by sum
+      val totals = spark.read.parquet(s"$tmp/state")
+        .groupBy("lang").agg(sum("batch_tokens").as("t"))
+        .as[(String, Long)].collect().toMap
+      assert(totals == Map("en" -> 330L, "de" -> 350L, "fr" -> 10L))
+    } finally q.stop()
+  }
+
   test("streaming near-dup dedup cold start: first batch creates the index") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = Files.createTempDirectory("graft_neardup_cold").toString
