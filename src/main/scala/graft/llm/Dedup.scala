@@ -240,26 +240,91 @@ object Dedup {
         call_function("minhash_sigs", col("ha"), col("hb"), lit(NumHashes)))
   }
 
-  def writeShingleIndex(documents: DataFrame, path: String): Unit =
+  def writeShingleIndex(documents: DataFrame, path: String): Unit = {
     // batch_id = -1 marks the bulk build; the streaming loop's
     // per-batch appends land next to it in batch_id = N partitions, so
     // bulk-built and incrementally-grown indexes share one layout
     // (partition discovery rejects a dir mixing bare files with
-    // partition subdirs).
+    // partition subdirs). The lease refuses to START a build over an
+    // index another writer holds; the static overwrite then wipes the
+    // dir INCLUDING the lease — a bulk build is the destructive
+    // provisioning step by definition, not a concurrent-maintenance
+    // one, so protection during it is not claimed.
+    Similarity.acquireIndexLease(documents.sparkSession, path, "build")
     indexFrame(documents).withColumn("batch_id", lit(-1L))
       .write.mode("overwrite").partitionBy("batch_id").parquet(path)
+    Similarity.releaseIndexLease(documents.sparkSession, path)
+  }
 
   /** Idempotent per-batch index append: rows land in a batch_id=N
     * partition via dynamic partition overwrite, so a crash-replay of
     * micro-batch N REPLACES its own partition instead of duplicating
-    * it — the exactly-once half of the streaming dedup loop. */
+    * it — the exactly-once half of the streaming dedup loop. Takes
+    * the shared index write lease ([[Similarity.acquireIndexLease]] —
+    * one mechanism for every batch-partitioned index): an append
+    * racing [[compactShingleIndex]] fails loudly, a crash-replay of
+    * the same batch reclaims its own lease. The lease file is
+    * dot-prefixed, so partition discovery never sees it. */
   def appendShingleIndexForBatch(documents: DataFrame, path: String,
-                                 batchId: Long): Unit =
+                                 batchId: Long): Unit = {
+    Similarity.acquireIndexLease(documents.sparkSession, path,
+      s"append:$batchId")
     indexFrame(documents).withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(path)
+    Similarity.releaseIndexLease(documents.sparkSession, path)
+  }
+
+  /** Shingle-index maintenance — [[Similarity.compactLshIndex]]'s
+    * small-files remedy for the text-dedup index: fold the per-trigger
+    * batch_id partitions a long-running [[graft.streaming.Sources.nearDupDedupQuery]]
+    * accumulates back into the one bulk partition. Mechanics differ
+    * from the LSH compactor only in layout (this index IS one
+    * partitioned dir, so staging/aside live as dot-prefixed children,
+    * which partition discovery ignores): the rewrite stages into
+    * `.compact/`, original batch partitions are renamed ASIDE into
+    * `.old/` — never deleted before the replacement is renamed in —
+    * and a crash at any step leaves the original restorable (entry
+    * rolls `.old/` back when the live dir has lost its partitions).
+    * Mutually exclusive with appends via the shared write lease;
+    * a compaction re-run after a crash reclaims its own lease. */
+  def compactShingleIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = new HPath(path)
+    val staged = new HPath(s"$path/.compact")
+    val aside = new HPath(s"$path/.old")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Similarity.acquireIndexLease(spark, path, "compact")
+    def partitionDirs(p: HPath): Seq[HPath] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+        .map(_.getPath)
+    // crash recovery FIRST: a previous swap that moved the live
+    // partitions aside but died before renaming the replacement in
+    // leaves zero batch_id dirs at the root — roll the originals back
+    if (partitionDirs(root).isEmpty && partitionDirs(aside).nonEmpty)
+      partitionDirs(aside).foreach { d =>
+        require(fs.rename(d, new HPath(root, d.getName)),
+          s"crash recovery rename failed: $d")
+      }
+    fs.delete(staged, true); fs.delete(aside, true)
+    spark.read.parquet(path)
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .parquet(staged.toString)
+    fs.mkdirs(aside)
+    def mv(src: HPath, dst: HPath): Unit =
+      require(fs.rename(src, dst), s"compaction rename failed: $src -> $dst")
+    partitionDirs(root).foreach(d => mv(d, new HPath(aside, d.getName)))
+    partitionDirs(staged).foreach(d => mv(d, new HPath(root, d.getName)))
+    fs.delete(aside, true)
+    fs.delete(staged, true)
+    Similarity.releaseIndexLease(spark, path)
+  }
 
   /** The persisted shingle index, or None before the first batch has
     * created it — the streaming cold-start path. */

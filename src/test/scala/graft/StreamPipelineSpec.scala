@@ -361,6 +361,30 @@ class StreamPipelineSpec extends SparkSpec {
       q.processAllAvailable()
       assert(spark.read.parquet(s"$tmp/clean").select("doc_id")
         .collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+      // maintenance: compaction folds the per-trigger partitions into
+      // the bulk partition without changing ANY read result, and the
+      // shared write lease excludes a racing appender
+      q.stop()
+      val before = spark.read.parquet(s"$tmp/idx")
+        .select("doc_id", "sig").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+      graft.llm.Similarity.acquireIndexLease(spark, s"$tmp/idx", "compact")
+      val ex = intercept[IllegalArgumentException] {
+        graft.llm.Dedup.appendShingleIndexForBatch(
+          Seq((99L, "x", "en", "s", 1L))
+            .toDF("doc_id", "text", "lang", "source", "n_chars"),
+          s"$tmp/idx", batchId = 9L)
+      }
+      assert(ex.getMessage.contains("write-locked by 'compact'"))
+      graft.llm.Dedup.compactShingleIndex(spark, s"$tmp/idx") // reclaims
+      val after = spark.read.parquet(s"$tmp/idx")
+      assert(after.select("doc_id", "sig").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toSet === before)
+      assert(after.select("batch_id").distinct().as[Long].collect().toSeq
+        === Seq(-1L), "compaction must leave only the bulk partition")
+      // pair generation over the compacted index still works
+      assert(graft.llm.Dedup.minhashLshPairsFromIndex(spark, s"$tmp/idx")
+        .count() >= 0L)
     } finally q.stop()
   }
 
