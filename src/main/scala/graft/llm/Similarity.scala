@@ -612,11 +612,21 @@ object Similarity {
     * Per-trigger cost is |batch| hashing + a band join against STORED
     * buckets — the corpus is never re-hashed
     * ([[graft.llm.Dedup.minhashLshPairsIncremental]]'s argument, in
-    * vector space). Cold start (no index): within-batch only. */
+    * vector space). Cold start (no index): within-batch only.
+    *
+    * `multiProbe` fans the BATCH side out to its Hamming-1 ring at the
+    * resolved width before the band join ([[multiProbeLshPairs]]'
+    * recall lift for the streaming path): the probe explode is
+    * map-side over |batch| rows only — the stored corpus buckets are
+    * never expanded — and one-sided probing is complete for Hamming ≤ 1
+    * collisions by flip symmetry. Extra candidates only ADD true
+    * pairs (exact-cosine verify unchanged), i.e. streaming dedup with
+    * probes can only catch MORE near-dups, never corrupt. */
   def lshPairsIncremental(spark: org.apache.spark.sql.SparkSession,
                           path: String, batch: DataFrame,
                           threshold: Double,
-                          numPlanes: Int = AdaptiveWidth): DataFrame = {
+                          numPlanes: Int = AdaptiveWidth,
+                          multiProbe: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.registerAll(spark)
     // no .cache() anywhere in the per-trigger path: the caller persists
     // the raw batch; everything here is cheap projection over it
@@ -656,7 +666,14 @@ object Similarity {
       .getOrElse(bb)
     val allV = idx.map(_._2.union(nb.select(col("vec_id"), col("v"), col("nrm"))))
       .getOrElse(nb)
-    val cand = bb.as("x").join(allB.as("y"),
+    val probeSide =
+      if (multiProbe) {
+        val probeCols = col("bucket") +:
+          (0 until np).map(p => col("bucket").bitwiseXOR(lit(1L << p)))
+        bb.select(col("vec_id"), col("tbl"),
+          explode(array(probeCols: _*)).as("bucket"))
+      } else bb
+    val cand = probeSide.as("x").join(allB.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))

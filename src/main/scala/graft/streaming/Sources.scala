@@ -245,7 +245,8 @@ object Sources {
     * crash-replay of batch N replaces its own partitions. */
   def semanticDedupQuery(emb: DataFrame, indexPath: String, cleanDir: String,
                          checkpoint: String,
-                         threshold: Double = 0.9): StreamingQuery =
+                         threshold: Double = 0.9,
+                         multiProbe: Boolean = false): StreamingQuery =
     emb.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -259,9 +260,12 @@ object Sources {
           // narrower than the width the dedup actually probed at
           val np = graft.llm.Similarity
             .resolveIndexWidth(spark, indexPath, batch)
-          // directed pairs: vec_a is always a batch member
+          // directed pairs: vec_a is always a batch member; the probe
+          // ring (when on) fans out the batch side only — recall lift
+          // at |batch|-proportional extra cost, never a corpus expand
           val pairs = graft.llm.Similarity
-            .lshPairsIncremental(spark, indexPath, batch, threshold, np)
+            .lshPairsIncremental(spark, indexPath, batch, threshold, np,
+              multiProbe)
           val dupIds = pairs
             .join(batch.select(col("vec_id").as("vec_b"))
                 .withColumn("in_batch", lit(true)),

@@ -1346,6 +1346,29 @@ class LlmSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("incremental LSH probe ring: cold-start equality, indexed superset") {
+    val emb = Tables.embeddings(spark, sf())
+    // cold start (no index): within-batch multi-probe pairs equal the
+    // batch multi-probe operator (same adaptive width, same ring)
+    val inc = llm.Similarity
+      .lshPairsIncremental(spark, "target/lsh_idx_absent", emb, 0.3,
+        multiProbe = true)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    val direct = llm.Similarity.multiProbeLshPairs(emb, 0.3)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(inc == direct)
+    // against a real index: the ring can only ADD verified pairs
+    val path = "target/lsh_idx_incmp_test"
+    llm.Similarity.writeLshIndex(emb, path)
+    val batch = emb.filter(col("vec_id") % 7 === 0)
+    def pairs(mp: Boolean) = llm.Similarity
+      .lshPairsIncremental(spark, path, batch, 0.3, multiProbe = mp)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs(mp = false).subsetOf(pairs(mp = true)))
+    spark.catalog.clearCache()
+  }
+
   test("index write lease: conflicting writers fail loud, same holder reclaims") {
     val emb = Tables.embeddings(spark, sf())
     val path = "target/lsh_idx_lease_test"

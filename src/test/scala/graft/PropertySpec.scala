@@ -213,6 +213,51 @@ class PropertySpec extends AnyFunSuite {
     }, n = 60)
   }
 
+  test("html_extract: wrapping arbitrary escaped text in blocks extracts it back") {
+    // escape markup-active chars the way a generator must, then the
+    // extractor must return exactly the whitespace-collapsed text —
+    // the round-trip law the oracle fixture relies on
+    def esc(s: String) =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def collapse(s: String) =
+      s.replaceAll("[ \t\n\r]+", " ").trim
+    val anyText: Gen[String] = Gen.listOfN(10,
+      Gen.oneOf(word, Gen.const("&"), Gen.const("<"), Gen.const(">"),
+        Gen.const("  "), Gen.const("\t"))).map(_.mkString(" "))
+    check(Prop.forAll(anyText, anyText, anyText) { (a, b, boiler) =>
+      val html = s"<html><head><title>x</title></head><body>" +
+        s"<nav>${esc(boiler)}</nav><p>${esc(a)}</p><div>${esc(b)}</div></body></html>"
+      val r = graft.functions.HtmlText.computeHtmlExtract(
+        UTF8String.fromString(html))
+      val main = r.getUTF8String(0).toString
+      main == collapse(collapse(a) + " " + collapse(b)) &&
+        r.getInt(2) == main.length &&
+        r.getInt(4) == collapse(boiler).length
+    }, n = 200)
+  }
+
+  test("url_parts: parsing a URL built from arbitrary components recovers them") {
+    val label: Gen[String] = Gen.chooseNum(1, 8)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    check(Prop.forAll(label, label, label, Gen.choose(0, 4),
+      Gen.choose(0, 65535), Gen.oneOf(true, false), Gen.oneOf(true, false)) {
+      (sub, site, tld, depth, port, withPort, withQuery) =>
+        val host = s"$sub.$site.$tld"
+        val url = "https://" + host +
+          (if (withPort) s":$port" else "") +
+          (0 until depth).map(i => s"/p$i").mkString +
+          (if (withQuery) "?k=v" else "")
+        val r = graft.functions.UrlText.computeUrlParts(
+          UTF8String.fromString(url))
+        r.getUTF8String(1).toString == host &&
+          r.getUTF8String(2).toString == s"$site.$tld" &&
+          r.getUTF8String(3).toString == tld &&
+          r.getInt(4) == (if (withPort) port else 0) &&
+          r.getInt(5) == depth &&
+          r.getBoolean(6) == withQuery
+    }, n = 300)
+  }
+
   test("heap merge is equivalent to inserting the union") {
     val entry = Gen.zip(Gen.choose(-5.0, 5.0), Gen.choose(0L, 30L))
     check(Prop.forAll(Gen.listOf(entry), Gen.listOf(entry), Gen.choose(1, 6)) {
