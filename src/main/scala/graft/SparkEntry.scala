@@ -409,7 +409,10 @@ object SparkEntry {
     "q_domain_stats" -> ((s, d) => llm.Curate.domainStats(Tables.documents(s, d))),
     // domain-cap sampling via the bounded-heap aggregate (no window:
     // a hot domain must not become an unbounded window partition)
-    "q_domain_cap" -> ((s, d) => llm.Curate.domainCap(Tables.documents(s, d)))
+    "q_domain_cap" -> ((s, d) => llm.Curate.domainCap(Tables.documents(s, d))),
+    // URL-level mirror dedup: (registrable domain, normalized path)
+    // collapses www./m./amp.-class subdomain mirrors, no pair expansion
+    "q_url_dedup" -> ((s, d) => llm.Curate.urlDedup(Tables.documents(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -746,6 +749,7 @@ object SparkEntry {
     "q_training_shards" -> llm.Curate.sqlTrainingShards(),
     "q_url_parse" -> llm.Curate.sqlUrlParse,
     "q_domain_stats" -> llm.Curate.sqlDomainStats,
-    "q_domain_cap" -> llm.Curate.sqlDomainCap()
+    "q_domain_cap" -> llm.Curate.sqlDomainCap(),
+    "q_url_dedup" -> llm.Curate.sqlUrlDedup
   )
 }

@@ -764,7 +764,10 @@ object UrlText {
       if (labels.length >= 2) labels(labels.length - 2) + "." + labels(labels.length - 1)
       else host
     val tld = if (labels.nonEmpty) labels(labels.length - 1) else ""
-    // path: from i to the first '?' or '#'
+    // path: from i to the first '?' or '#', NORMALIZED as it walks —
+    // duplicate slashes collapse, the trailing slash drops — so
+    // /a//b/ and /a/b canonicalize identically for URL-level dedup
+    val path = new java.lang.StringBuilder(16)
     var depth = 0
     var segLen = 0
     var j = i
@@ -774,7 +777,11 @@ object UrlText {
       if (c == '?' || c == '#') inPath = false
       else {
         if (c == '/') { if (segLen > 0) depth += 1; segLen = 0 }
-        else segLen += 1
+        else {
+          if (segLen == 0) path.append('/')
+          path.append(c)
+          segLen += 1
+        }
         j += 1
       }
     }
@@ -789,13 +796,14 @@ object UrlText {
       UTF8String.fromString(host),
       UTF8String.fromString(domain),
       UTF8String.fromString(tld),
+      UTF8String.fromString(path.toString),
       port,
       depth,
       hasQuery))
   }
 }
 
-/** `url_parts(url)` → struct(scheme, host, domain, tld: string,
+/** `url_parts(url)` → struct(scheme, host, domain, tld, path: string,
   * port, path_depth: int, has_query: boolean). */
 case class UrlParts(child: Expression) extends UnaryExpression {
 
@@ -804,6 +812,7 @@ case class UrlParts(child: Expression) extends UnaryExpression {
     StructField("host", StringType, nullable = false),
     StructField("domain", StringType, nullable = false),
     StructField("tld", StringType, nullable = false),
+    StructField("path", StringType, nullable = false),
     StructField("port", IntegerType, nullable = false),
     StructField("path_depth", IntegerType, nullable = false),
     StructField("has_query", BooleanType, nullable = false)))

@@ -1568,13 +1568,14 @@ object Curate {
       .withColumn("u", call_function("url_parts", expr(UrlGenSql)))
       .select(col("doc_id"), col("u.scheme").as("scheme"),
         col("u.host").as("host"), col("u.domain").as("domain"),
-        col("u.tld").as("tld"), col("u.port").as("port"),
+        col("u.tld").as("tld"), col("u.path").as("path"),
+        col("u.port").as("port"),
         col("u.path_depth").as("path_depth"),
         col("u.has_query").as("has_query"))
       .orderBy("doc_id")
   }
 
-  /** The predicted-parts CTE shared by both URL twins. */
+  /** The predicted-parts CTE shared by the URL twins. */
   private val sqlUrlParts: String =
     """t AS (
          SELECT doc_id,
@@ -1585,6 +1586,8 @@ object Curate {
          SELECT doc_id, 'https' AS scheme,
            concat('sub', doc_id % 7, '.site', doc_id % 23, '.', tld) AS host,
            concat('site', doc_id % 23, '.', tld) AS domain, tld,
+           CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN '/a'
+                           WHEN 2 THEN '/a/b' ELSE '/a/b/c' END AS path,
            CAST(CASE WHEN doc_id % 5 = 0 THEN 8443 ELSE 0 END AS INTEGER) AS port,
            CAST(doc_id % 4 AS INTEGER) AS path_depth,
            doc_id % 3 = 0 AS has_query
@@ -1592,7 +1595,8 @@ object Curate {
 
   val sqlUrlParse: String =
     s"""WITH $sqlUrlParts
-        SELECT doc_id, scheme, host, domain, tld, port, path_depth, has_query
+        SELECT doc_id, scheme, host, domain, tld, path, port, path_depth,
+          has_query
         FROM p ORDER BY doc_id"""
 
   /** Domains a crawl pipeline refuses outright — the blocklist shape
@@ -1634,6 +1638,43 @@ object Curate {
           domain IN ($blocked) AS blocked
         FROM p GROUP BY 1, 2 ORDER BY domain"""
   }
+
+  /** URL-level MIRROR dedup — the crawl-side dedup that runs before
+    * any content is even fetched twice: pages reached under different
+    * subdomains of one registrable domain with the same normalized
+    * path (the www./m./amp. mirror class) collapse to one canonical
+    * page, smallest doc_id surviving. Query strings, ports, userinfo,
+    * and fragments are already canonicalized away by the parser; the
+    * path arrives slash-normalized. One hash-group aggregation + one
+    * key join back — NO pair expansion, linear at any mirror density
+    * (the [[graft.llm.Multimodal.phashDedup]] decision-record shape,
+    * keyed on (domain, path)). */
+  def urlDedup(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(documents.sparkSession)
+    val parsed = documents
+      .withColumn("u", call_function("url_parts", expr(UrlGenSql)))
+      .select(col("doc_id"), col("u.domain").as("domain"),
+        col("u.path").as("path"))
+    val groups = parsed.groupBy("domain", "path")
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+    parsed.join(groups, Seq("domain", "path"))
+      .select(col("doc_id"), col("domain"), col("path"),
+        col("canonical_id"), col("n_copies"),
+        (col("doc_id") === col("canonical_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val sqlUrlDedup: String =
+    s"""WITH $sqlUrlParts,
+        g AS (
+          SELECT domain, path, min(doc_id) AS canonical_id,
+            CAST(count(*) AS BIGINT) AS n_copies
+          FROM p GROUP BY 1, 2)
+        SELECT doc_id, domain, path, canonical_id, n_copies,
+          doc_id = canonical_id AS keep
+        FROM p JOIN g USING (domain, path)
+        ORDER BY doc_id"""
 
   /** Per-domain document cap. */
   val DomainCapK = 4

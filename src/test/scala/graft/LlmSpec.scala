@@ -1176,38 +1176,41 @@ class LlmSpec extends SparkSpec {
 
   test("url parsing: userinfo, ports, schemes, paths, query/fragment, malformed") {
     import org.apache.spark.unsafe.types.UTF8String
-    def u(url: String): (String, String, String, String, Int, Int, Boolean) = {
+    def u(url: String): (String, String, String, String, String, Int, Int, Boolean) = {
       val r = graft.functions.UrlText.computeUrlParts(UTF8String.fromString(url))
       (r.getUTF8String(0).toString, r.getUTF8String(1).toString,
         r.getUTF8String(2).toString, r.getUTF8String(3).toString,
-        r.getInt(4), r.getInt(5), r.getBoolean(6))
+        r.getUTF8String(4).toString, r.getInt(5), r.getInt(6),
+        r.getBoolean(7))
     }
     assert(u("https://www.Example.COM/a/b?q=1#f")
-      == (("https", "www.example.com", "example.com", "com", 0, 2, true)))
+      == (("https", "www.example.com", "example.com", "com", "/a/b", 0, 2, true)))
     assert(u("http://user:pw@sub.site.org:8080/x")
-      == (("http", "sub.site.org", "site.org", "org", 8080, 1, false)))
-    // no scheme: whole input starts at the host
+      == (("http", "sub.site.org", "site.org", "org", "/x", 8080, 1, false)))
+    // no scheme: whole input starts at the host; path NORMALIZES —
+    // duplicate slashes collapse, the trailing slash drops
     assert(u("example.net/a//b/") == (("", "example.net", "example.net",
-      "net", 0, 2, false)))
+      "net", "/a/b", 0, 2, false)))
     // empty query / fragment-only query are NOT queries
-    assert(!u("https://a.io/p?")._7 && !u("https://a.io/p?#f")._7)
-    assert(u("https://a.io/p?#f")._6 == 1)
+    assert(!u("https://a.io/p?")._8 && !u("https://a.io/p?#f")._8)
+    assert(u("https://a.io/p?#f")._7 == 1)
     // fragment before '?' means the '?' is fragment text, not a query
-    assert(!u("https://a.io/p#frag?x=1")._7)
+    assert(!u("https://a.io/p#frag?x=1")._8)
     // single-label host: domain == host, tld == host
     assert(u("https://localhost:9999") == (("https", "localhost",
-      "localhost", "localhost", 9999, 0, false)))
+      "localhost", "localhost", "", 9999, 0, false)))
     // non-numeric ':' suffix is not a port
     assert(u("https://a.b.c:notaport/x")._2 == "a.b.c:notaport")
-    assert(u("") == (("", "", "", "", 0, 0, false)))
+    assert(u("") == (("", "", "", "", "", 0, 0, false)))
     // DF path: the codegen'd expression agrees with the kernel
     graft.functions.GraftFunctions.registerAll(spark)
     val df = Seq("https://u@h.d.com:81/a/b/c?x=1").toDF("s")
       .select(call_function("url_parts", col("s")).as("u"))
-      .select("u.scheme", "u.host", "u.domain", "u.tld", "u.port",
+      .select("u.scheme", "u.host", "u.domain", "u.tld", "u.path", "u.port",
         "u.path_depth", "u.has_query")
-      .as[(String, String, String, String, Int, Int, Boolean)].collect().head
-    assert(df == (("https", "h.d.com", "d.com", "com", 81, 3, true)))
+      .as[(String, String, String, String, String, Int, Int, Boolean)]
+      .collect().head
+    assert(df == (("https", "h.d.com", "d.com", "com", "/a/b/c", 81, 3, true)))
   }
 
   test("scalable packing is bit-equal to the sequential window at any bucket width") {

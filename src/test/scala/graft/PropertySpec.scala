@@ -252,9 +252,11 @@ class PropertySpec extends AnyFunSuite {
         r.getUTF8String(1).toString == host &&
           r.getUTF8String(2).toString == s"$site.$tld" &&
           r.getUTF8String(3).toString == tld &&
-          r.getInt(4) == (if (withPort) port else 0) &&
-          r.getInt(5) == depth &&
-          r.getBoolean(6) == withQuery
+          r.getUTF8String(4).toString ==
+            (0 until depth).map(i => s"/p$i").mkString &&
+          r.getInt(5) == (if (withPort) port else 0) &&
+          r.getInt(6) == depth &&
+          r.getBoolean(7) == withQuery
     }, n = 300)
   }
 
