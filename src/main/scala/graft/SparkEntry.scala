@@ -412,7 +412,10 @@ object SparkEntry {
     "q_domain_cap" -> ((s, d) => llm.Curate.domainCap(Tables.documents(s, d))),
     // URL-level mirror dedup: (registrable domain, normalized path)
     // collapses www./m./amp.-class subdomain mirrors, no pair expansion
-    "q_url_dedup" -> ((s, d) => llm.Curate.urlDedup(Tables.documents(s, d)))
+    "q_url_dedup" -> ((s, d) => llm.Curate.urlDedup(Tables.documents(s, d))),
+    // the web-side curation dashboard: raw -> url dedup -> domain cap
+    // -> html quality, docs+tokens surviving each stage
+    "q_web_funnel" -> ((s, d) => llm.Curate.webFunnel(Tables.documents(s, d)))
   )
 
   /** Null-safe validity predicate — DuckDB twin of Validate.isValid. */
@@ -745,11 +748,12 @@ object SparkEntry {
     "q_trend_residuals" -> Windows.sqlTrendResiduals,
     "q_gini_sources" -> llm.TextStats.sqlGiniBySource,
     "q_blocking_quality" -> Linkage.sqlBlockingQuality(),
-    "q_html_extract" -> llm.Curate.sqlHtmlExtract,
+    "q_html_extract" -> llm.Curate.sqlHtmlExtract(),
     "q_training_shards" -> llm.Curate.sqlTrainingShards(),
     "q_url_parse" -> llm.Curate.sqlUrlParse,
     "q_domain_stats" -> llm.Curate.sqlDomainStats,
     "q_domain_cap" -> llm.Curate.sqlDomainCap(),
-    "q_url_dedup" -> llm.Curate.sqlUrlDedup
+    "q_url_dedup" -> llm.Curate.sqlUrlDedup(),
+    "q_web_funnel" -> llm.Curate.sqlWebFunnel()
   )
 }

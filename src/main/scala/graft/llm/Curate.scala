@@ -1474,9 +1474,10 @@ object Curate {
     * PREDICTS the extractor's exact output from the same generator
     * arithmetic — every main_text character and count is
     * hash-gated, the media-twin recipe applied to markup. */
-  def htmlExtract(documents: DataFrame): DataFrame = {
+  def htmlExtract(documents: DataFrame,
+                  ordered: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.registerAll(documents.sparkSession)
-    documents
+    val core = documents
       .withColumn("x", call_function("html_extract", expr(HtmlGenSql)))
       .select(col("doc_id"),
         col("x.main_text").as("main_text"),
@@ -1489,7 +1490,7 @@ object Curate {
       .withColumn("boilerplate_ratio",
         col("boiler_chars").cast("double") /
           (col("text_chars") + col("boiler_chars")))
-      .orderBy("doc_id")
+    if (ordered) core.orderBy("doc_id") else core
   }
 
   /** The twin never parses HTML: it rebuilds the pieces the extractor
@@ -1500,13 +1501,13 @@ object Curate {
     * An extractor bug of any kind — a dropped block, a kept script,
     * an undecoded entity, an off-by-one count — lands as a hash
     * mismatch on this query. */
-  val sqlHtmlExtract: String =
+  def sqlHtmlExtract(src: String = "documents"): String =
     s"""WITH src AS (
           SELECT doc_id,
             trim(regexp_replace(
               replace(replace(replace(text, '&', ' '), '<', ' '), '>', ' '),
               '[ \t\n\r]+', ' ', 'g')) AS t
-          FROM documents),
+          FROM $src),
         e AS (
           SELECT doc_id,
             trim(regexp_replace(concat(
@@ -1575,13 +1576,15 @@ object Curate {
       .orderBy("doc_id")
   }
 
-  /** The predicted-parts CTE shared by the URL twins. */
-  private val sqlUrlParts: String =
-    """t AS (
+  /** The predicted-parts CTE shared by the URL twins, retargetable
+    * at any doc-shaped source (the funnel composes it over survivor
+    * sets). */
+  private def sqlUrlParts(src: String = "documents"): String =
+    s"""t AS (
          SELECT doc_id,
            CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
                            WHEN 2 THEN 'net' ELSE 'io' END AS tld
-         FROM documents),
+         FROM $src),
        p AS (
          SELECT doc_id, 'https' AS scheme,
            concat('sub', doc_id % 7, '.site', doc_id % 23, '.', tld) AS host,
@@ -1594,7 +1597,7 @@ object Curate {
          FROM t)"""
 
   val sqlUrlParse: String =
-    s"""WITH $sqlUrlParts
+    s"""WITH ${sqlUrlParts()}
         SELECT doc_id, scheme, host, domain, tld, path, port, path_depth,
           has_query
         FROM p ORDER BY doc_id"""
@@ -1629,7 +1632,7 @@ object Curate {
 
   def sqlDomainStats: String = {
     val blocked = DomainBlocklist.map(d => s"'$d'").mkString(", ")
-    s"""WITH $sqlUrlParts
+    s"""WITH ${sqlUrlParts()}
         SELECT domain, tld, CAST(count(*) AS BIGINT) AS n_docs,
           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
           CAST(sum(path_depth) AS BIGINT) AS sum_path_depth,
@@ -1649,7 +1652,8 @@ object Curate {
     * key join back — NO pair expansion, linear at any mirror density
     * (the [[graft.llm.Multimodal.phashDedup]] decision-record shape,
     * keyed on (domain, path)). */
-  def urlDedup(documents: DataFrame): DataFrame = {
+  def urlDedup(documents: DataFrame,
+               ordered: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.registerAll(documents.sparkSession)
     val parsed = documents
       .withColumn("u", call_function("url_parts", expr(UrlGenSql)))
@@ -1658,15 +1662,15 @@ object Curate {
     val groups = parsed.groupBy("domain", "path")
       .agg(min(col("doc_id")).as("canonical_id"),
         count(lit(1)).as("n_copies"))
-    parsed.join(groups, Seq("domain", "path"))
+    val core = parsed.join(groups, Seq("domain", "path"))
       .select(col("doc_id"), col("domain"), col("path"),
         col("canonical_id"), col("n_copies"),
         (col("doc_id") === col("canonical_id")).as("keep"))
-      .orderBy("doc_id")
+    if (ordered) core.orderBy("doc_id") else core
   }
 
-  val sqlUrlDedup: String =
-    s"""WITH $sqlUrlParts,
+  def sqlUrlDedup(src: String = "documents"): String =
+    s"""WITH ${sqlUrlParts(src)},
         g AS (
           SELECT domain, path, min(doc_id) AS canonical_id,
             CAST(count(*) AS BIGINT) AS n_copies
@@ -1690,7 +1694,8 @@ object Curate {
     * frame, co-partitioned equi-join). keep ⟺ doc_id ≤ threshold,
     * identical to rank ≤ K since ids are unique — the twin verifies
     * with the straightforward window form. */
-  def domainCap(documents: DataFrame, k: Int = DomainCapK): DataFrame = {
+  def domainCap(documents: DataFrame, k: Int = DomainCapK,
+                ordered: Boolean = true): DataFrame = {
     require(k > 0, s"cap must be positive, got $k")
     graft.functions.GraftFunctions.registerAll(documents.sparkSession)
     graft.functions.TopKByScore.register(documents.sparkSession)
@@ -1706,20 +1711,93 @@ object Curate {
       // then every doc passes, which is the cap's semantics)
       .select(col("domain"),
         element_at(col("top"), -1).getField("id").as("kth_id"))
-    parsed.join(threshold, "domain")
+    val core = parsed.join(threshold, "domain")
       .select(col("doc_id"), col("domain"),
         (col("doc_id") <= col("kth_id")).as("keep"))
-      .orderBy("doc_id")
+    if (ordered) core.orderBy("doc_id") else core
   }
 
-  def sqlDomainCap(k: Int = DomainCapK): String =
-    s"""WITH $sqlUrlParts,
+  def sqlDomainCap(k: Int = DomainCapK,
+                   src: String = "documents"): String =
+    s"""WITH ${sqlUrlParts(src)},
         r AS (
           SELECT doc_id, domain,
             row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
           FROM p)
         SELECT doc_id, domain, rn <= $k AS keep
         FROM r ORDER BY doc_id"""
+
+  // ---- web-corpus funnel ----------------------------------------------
+
+  /** HTML quality gates for the web funnel (both outcomes occur on
+    * the fixture corpus: text_chars spans 84–619, boilerplate_ratio
+    * 0.04–0.24 at sf0.01). */
+  val WebMinTextChars = 200
+  val WebMaxBoilerRatio = 0.12
+
+  /** The WEB-side curation funnel — the round-10 first-mile stages
+    * composed in pipeline order, with doc count and token mass
+    * surviving each (the [[curationFunnel]] dashboard for the crawl
+    * half): raw → URL mirror dedup ([[urlDedup]]) → per-domain cap
+    * over the survivors ([[domainCap]] — thresholds computed WITHIN
+    * the deduped set, as a real pipeline would) → HTML quality gate
+    * over what remains ([[htmlExtract]]'s extracted-length and
+    * boilerplate-ratio signals). Each stage is the PUBLISHED component
+    * run unordered and semi-joined on the warehouse key; four
+    * conditional aggregates produce one row per stage. Output is four
+    * rows whatever the corpus size. */
+  def webFunnel(documents: DataFrame): DataFrame = {
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.select(size(TextPrep.wordsCol).cast("long").as("nt"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("nt")), lit(0L)).as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    val s1 = documents.join(
+      urlDedup(documents, ordered = false)
+        .filter(col("keep")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val s2 = s1.join(
+      domainCap(s1, ordered = false)
+        .filter(col("keep")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val s3 = s2.join(
+      htmlExtract(s2, ordered = false)
+        .filter(col("text_chars") >= WebMinTextChars &&
+          col("boilerplate_ratio") <= WebMaxBoilerRatio)
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    stage("0_raw", documents)
+      .union(stage("1_url_dedup", s1))
+      .union(stage("2_domain_cap", s2))
+      .union(stage("3_html_quality", s3))
+      .orderBy("stage")
+  }
+
+  /** Twin composes the SAME published component twins, each
+    * retargeted at the previous stage's survivor set. */
+  def sqlWebFunnel(): String = {
+    def stage(name: String, src: String): String =
+      s"""SELECT '$name' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(coalesce(sum(len(${TextPrep.sqlWords})), 0) AS BIGINT)
+            AS n_tokens
+          FROM $src"""
+    s"""WITH ud AS (
+          SELECT doc_id FROM (${sqlUrlDedup()}) WHERE keep),
+        s1 AS (SELECT d.* FROM documents d SEMI JOIN ud USING (doc_id)),
+        dc AS (
+          SELECT doc_id FROM (${sqlDomainCap(src = "s1")}) WHERE keep),
+        s2 AS (SELECT d.* FROM s1 d SEMI JOIN dc USING (doc_id)),
+        hq AS (
+          SELECT doc_id FROM (${sqlHtmlExtract("s2")})
+          WHERE text_chars >= $WebMinTextChars
+            AND boilerplate_ratio <= $WebMaxBoilerRatio),
+        s3 AS (SELECT d.* FROM s2 d SEMI JOIN hq USING (doc_id))
+        ${stage("0_raw", "documents")}
+        UNION ALL ${stage("1_url_dedup", "s1")}
+        UNION ALL ${stage("2_domain_cap", "s2")}
+        UNION ALL ${stage("3_html_quality", "s3")}
+        ORDER BY stage"""
+  }
 
   // ---- training-shard capstone ----------------------------------------
 
