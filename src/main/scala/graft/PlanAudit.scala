@@ -8,7 +8,15 @@ import org.apache.spark.sql.SparkSession
   *  - BNLJ: BroadcastNestedLoopJoin (fine for single-row broadcast
   *    aggregates, fatal if either side is corpus-sized — review hits);
   *  - UNPART_WINDOW: a Window whose child exchange is
-  *    SinglePartition — the whole input on one partition.
+  *    SinglePartition — the whole input on one partition;
+  *  - LOWCARD_WINDOW (round 11, VERDICT r10 task 6): a Window whose
+  *    partition spec references ONLY declared low-cardinality columns
+  *    (lang/source/status/type/currency) — the hidden form of the
+  *    unbounded partition: the key exists, but a handful of values
+  *    means one value's entire corpus share funnels through a single
+  *    window task (the q_pack_sequences defect round 10 had to find
+  *    by hand). A window keyed on (lang, bucket) does NOT flag —
+  *    any non-low-card column bounds the partition.
   * Plan shapes only, no execution — runs at sf0.001 in seconds.
   *
   * This is a regression GATE, not a report: every flag must be in
@@ -35,6 +43,17 @@ object PlanAudit {
     "q_embed_neardup" -> Set("BNLJ"),      // all-pairs cosine (q_embed_lsh)
     "q_label_purity" -> Set("BNLJ"),       // all-pairs purity (q_label_purity_ann)
     "q_quality_deciles" -> Set("UNPART_WINDOW"), // exact ntile (…_approx)
+    // the declared sequential-window baseline of q_pack_scalable
+    // (bit-equal output, unit-pinned): its per-lang cumulative window
+    // IS the hidden unbounded partition the scalable form removes —
+    // kept as the oracle form, weak by design (SCALE.md round 10)
+    "q_pack_sequences" -> Set("LOWCARD_WINDOW"),
+    // exact Gini needs the full per-source rank-sum BY DEFINITION
+    // (Σ i·y over every doc) — the declared exact-statistic class
+    // (q_quality_deciles' exact-ntile rationale); the scale path is a
+    // binned Lorenz approximation, not written because the exact form
+    // is the oracle anchor
+    "q_gini_sources" -> Set("LOWCARD_WINDOW"),
     // window over the per-DAY aggregate (rows = #days) — benign at any
     // corpus size; input is already corpus-reduced
     "q_volume_anomaly" -> Set("UNPART_WINDOW"),
@@ -79,6 +98,7 @@ object PlanAudit {
     "q_nb_crossval" -> Set("BNLJ"),        // (K·k)-row fold×class model dim
     "q_nb_auc" -> Set("BNLJ"),             // same k-class model dim crossJoin
     "q_nb_margin" -> Set("BNLJ"),          // same k-class model dim crossJoin
+    "q_quality_classifier" -> Set("BNLJ"), // same 2-class model dim crossJoin
     "q_good_turing" -> Set("BNLJ"),        // single-row token-total frame
     "q_lid_agreement" -> Set("BNLJ"),      // single-row kappa-stats frame
     "q_triangles" -> Set("BNLJ"),          // single-row census totals join
@@ -107,6 +127,17 @@ object PlanAudit {
     "q_phash_pairs" -> Set("BNLJ")
   )
 
+  /** Columns whose domain is a handful of values in this schema —
+    * a window partitioned ONLY by these is an unbounded partition at
+    * corpus scale no matter how legitimate the key looks. */
+  val lowCardCols: Set[String] =
+    Set("lang", "source", "status", "type", "transaction_type", "currency")
+
+  /** `Window [exprs], [partitionCols], [orderCols]` — the two trailing
+    * bracket groups of a physical Window line (inner groups carry no
+    * square brackets; the expression head may, so anchor at the END). */
+  private val WinSpec = """.*\], \[([^\[\]]*)\], \[[^\[\]]*\]\s*$""".r
+
   /** Audit one query's executed plan string → flags found. */
   def flagsOf(plan: String): Seq[String] = {
     val lines = plan.linesIterator.toArray
@@ -115,10 +146,43 @@ object PlanAudit {
         (i + 1 until math.min(i + 5, lines.length)).exists(j =>
           lines(j).contains("Exchange SinglePartition"))
     }
+    val lowcardWindow = lines.indices.exists { i =>
+      val l = lines(i)
+      l.contains("Window [") && !l.contains("WindowGroupLimit") &&
+        (l match {
+          case WinSpec(parts) =>
+            val cols = parts.split(",").toSeq.map(_.trim.takeWhile(_ != '#'))
+              .filter(_.nonEmpty)
+            cols.nonEmpty && cols.forall(lowCardCols) &&
+            // rank-limited windows are exempt: InferWindowGroupLimit
+            // plants a WindowGroupLimit beneath rank/row_number-≤-k
+            // windows, so each map partition forwards AT MOST k rows
+            // per key to the shuffle — bounded state by construction,
+            // the same guarantee the bounded-heap aggregate gives
+            !(i + 1 < lines.length &&
+              lines(i + 1).contains("WindowGroupLimit")) && {
+              // AGGREGATE-FED windows are exempt: a window over a
+              // groupBy output is bounded by the aggregate's key
+              // cardinality (per-lang windows over per-(lang, bucket)
+              // totals, per-source ranks over per-(source, word)
+              // counts), not by the corpus. Scan the child chain down
+              // to its first leaf/scan; an Aggregate there means the
+              // input was already corpus-reduced.
+              val tail = (i + 1 until math.min(i + 10, lines.length))
+                .map(lines)
+              val leaf = tail.indexWhere(t =>
+                t.contains("Scan") || t.contains("Window ["))
+              val chain = if (leaf >= 0) tail.take(leaf) else tail
+              !chain.exists(_.contains("Aggregate"))
+            }
+          case _ => false
+        })
+    }
     Seq(
       "CARTESIAN" -> plan.contains("CartesianProduct"),
       "BNLJ" -> plan.contains("BroadcastNestedLoopJoin"),
-      "UNPART_WINDOW" -> unpartWindow
+      "UNPART_WINDOW" -> unpartWindow,
+      "LOWCARD_WINDOW" -> lowcardWindow
     ).collect { case (f, true) => f }
   }
 

@@ -1,0 +1,22 @@
+package graft
+
+/** Print the executed physical plan of named queries (dev tool, not
+  * driver contract) — the manual side of [[PlanAudit]]: when the audit
+  * flags a shape, this is how you look at it.
+  * Usage: scripts/run.sh graft.PlanPrint q_a q_b ... */
+object PlanPrint {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    args.foreach { q =>
+      println(s"==== $q")
+      println(SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString)
+    }
+    Runtime.getRuntime.halt(0)
+  }
+}

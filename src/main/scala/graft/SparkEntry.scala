@@ -175,6 +175,12 @@ object SparkEntry {
     "q_frame_dedup" -> ((s, d) => llm.Multimodal.frameDedup(Tables.documents(s, d))),
     // perceptual hash over REAL decoded rasters: every bit oracle-gated
     "q_image_phash" -> ((s, d) => llm.Multimodal.imagePhash(Tables.documents(s, d))),
+    // image FEATURE vectors (luma grid off the decoded raster), every
+    // grid cell oracle-gated via the exploded scalar form
+    "q_image_embed" -> ((s, d) => llm.Multimodal.imageEmbed(Tables.documents(s, d))),
+    // ANN over the image modality: decoded features through the SAME
+    // sign-LSH top-k machinery the embeddings table uses
+    "q_image_ann" -> ((s, d) => llm.Multimodal.imageAnnTopK(Tables.documents(s, d), 5)),
     // the multimodal dedup composition: decode feeds Hamming-band LSH
     "q_phash_pairs" -> ((s, d) => llm.Multimodal.phashPairs(Tables.documents(s, d))),
     // bounded image-dedup artifact: per-image keep/drop by full hash
@@ -194,6 +200,9 @@ object SparkEntry {
     // the 100 TB packing path: two-level parallel prefix sum, output
     // bit-equal to the sequential window (same oracle twin)
     "q_pack_scalable" -> ((s, d) => llm.Curate.packSequencesScalable(Tables.documents(s, d))),
+    // WHERE each spanning document is cut: per-(doc, seq) token ranges
+    // a trainer materializes sequences from; scalable prefix-sum core
+    "q_pack_slices" -> ((s, d) => llm.Curate.packSlices(Tables.documents(s, d))),
     // dedup end-game: connected components over the near-dup pair graph
     "q_dup_clusters" -> ((s, d) => llm.Dedup.dupClusters(Tables.documents(s, d))),
     // eval-set decontamination: n-gram overlap vs a held-out benchmark slice
@@ -339,6 +348,9 @@ object SparkEntry {
     // accuracy by decision-margin bucket: calibration for a scorer
     // with no probability output
     "q_nb_margin" -> ((s, d) => llm.Classify.nbMargin(Tables.documents(s, d))),
+    // learned quality filter: NB trained on the curation ledger's own
+    // keep/drop verdict, reported as a margin-band calibration curve
+    "q_quality_classifier" -> ((s, d) => llm.Classify.qualityClassifier(Tables.documents(s, d))),
     // Good–Turing counts-of-counts: smoothed r*, unseen-mass estimate
     "q_good_turing" -> ((s, d) => llm.TextStats.goodTuring(Tables.documents(s, d))),
     // Cohen's kappa between the marker and trained language IDs
@@ -638,6 +650,8 @@ object SparkEntry {
     "q_curation_ledger" -> llm.Multimodal.sqlCurationLedger,
     "q_frame_dedup" -> llm.Multimodal.sqlFrameDedup(),
     "q_image_phash" -> llm.Multimodal.sqlImagePhash,
+    "q_image_embed" -> llm.Multimodal.sqlImageEmbed,
+    "q_image_ann" -> llm.Multimodal.sqlImageAnnTopK(5),
     "q_phash_pairs" -> llm.Multimodal.sqlPhashPairs(),
     "q_phash_dedup" -> llm.Multimodal.sqlPhashDedup,
     "q_sample_manifest" -> llm.Curate.sqlSampleManifest,
@@ -651,6 +665,7 @@ object SparkEntry {
     // IDENTICAL oracle by design: the scalable plan must reproduce the
     // sequential packing bit-for-bit
     "q_pack_scalable" -> llm.Curate.sqlPackSequences,
+    "q_pack_slices" -> llm.Curate.sqlPackSlices,
     "q_dup_clusters" -> llm.Dedup.sqlDupClusters(),
     "q_normalize_text" -> llm.Curate.sqlNormalizeText,
     "q_decontaminate" -> llm.Curate.sqlDecontaminate(),
@@ -722,6 +737,7 @@ object SparkEntry {
     "q_nb_confusion" -> llm.Classify.sqlNbConfusion,
     "q_nb_auc" -> llm.Classify.sqlNbAuc,
     "q_nb_margin" -> llm.Classify.sqlNbMargin,
+    "q_quality_classifier" -> llm.Classify.sqlQualityClassifier,
     "q_good_turing" -> llm.TextStats.sqlGoodTuring,
     "q_lid_agreement" -> llm.TextStats.sqlLidAgreement,
     "q_entity_resolution" -> Linkage.sqlEntityResolution(),

@@ -368,13 +368,19 @@ object Classify {
         GROUP BY 1 ORDER BY 1"""
   }
 
-  private val sqlScoredCtes: String = {
+  private val sqlScoredCtes: String = sqlScoredCtesOver("documents")
+
+  /** The NB scoring CTE chain over a caller-supplied labeled source
+    * (doc_id, text, lang) — the seam that lets [[qualityClassifier]]
+    * train on DERIVED labels (the curation verdict) through the
+    * byte-identical model/scoring SQL the lang-labeled twins gate. */
+  private def sqlScoredCtesOver(src: String): String = {
     val w = TextPrep.sqlWords
     s"""toks AS (
-          SELECT doc_id, lang AS cls, unnest($w) AS word FROM documents),
+          SELECT doc_id, lang AS cls, unnest($w) AS word FROM $src),
         classes AS (SELECT cls AS cand, count(*) AS n_c FROM toks GROUP BY 1),
-        dpc AS (SELECT lang AS cand, count(*) AS nd_c FROM documents GROUP BY 1),
-        tot AS (SELECT count(*) AS nd FROM documents),
+        dpc AS (SELECT lang AS cand, count(*) AS nd_c FROM $src GROUP BY 1),
+        tot AS (SELECT count(*) AS nd FROM $src),
         voc AS (SELECT count(DISTINCT word) AS v FROM toks),
         class_dim AS (
           SELECT cand, n_c, v,
@@ -459,4 +465,82 @@ object Classify {
           CAST(sum(CASE WHEN cls_actual = cls_pred THEN 1 ELSE 0 END)
             AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
         FROM bucketed GROUP BY 1 ORDER BY 1"""
+
+  /** Model-based QUALITY scoring (VERDICT r10 task 5) — the
+    * fasttext-style learned quality filter every modern corpus
+    * pipeline runs (the CCNet/GPT-3-class linear filter), expressed
+    * entirely with components already in the suite: the curation
+    * ledger's own keep/drop verdict labels the corpus
+    * ([[Multimodal.curationLedger]]), the integer-surprisal NB
+    * machinery trains on those labels and scores every document, and
+    * the report is the calibration curve a cutoff choice reads:
+    * per decision-margin band, document count, actual vs predicted
+    * keep mass, agreement count and accuracy. Integer-exact scoring
+    * (no transcendentals — the q_nb_classify recipe), so the twin
+    * hash-matches bit-for-bit. Scale shape = the ledger's plan (four
+    * co-partitionable key joins) feeding nbMargin's (one token
+    * explode × 2 classes, one per-doc window, one ≤ cap+1-row
+    * aggregate); the label join is on the warehouse key. */
+  def qualityClassifier(documents: DataFrame): DataFrame = {
+    val verdicts = Multimodal.curationLedger(documents, ordered = false)
+      .select(col("doc_id"),
+        when(col("keep"), lit("keep")).otherwise(lit("drop")).as(ClassCol))
+    val labeled = documents.drop(ClassCol).join(verdicts, "doc_id")
+    val top2 = scoredTopK(labeled, 2)
+      .groupBy("doc_id")
+      .agg(
+        min(when(col("rn") === 1, col("cand"))).as("cls_pred"),
+        min(when(col("rn") === 1, col("total_bits"))).as("bits1"),
+        min(when(col("rn") === 2, col("total_bits"))).as("bits2"))
+    labeled.select(col("doc_id"), col(ClassCol).as("cls_actual"))
+      .join(top2, "doc_id")
+      .select(col("cls_actual"), col("cls_pred"),
+        when(col("bits2").isNull, lit(MarginBucketCap))
+          .otherwise(least(
+            expr(s"(bits2 - bits1) DIV $MarginBucketBits"),
+            lit(MarginBucketCap))).as("band"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cls_actual") === "keep", 1L).otherwise(0L))
+          .as("n_keep_actual"),
+        sum(when(col("cls_pred") === "keep", 1L).otherwise(0L))
+          .as("n_keep_pred"),
+        sum(when(col("cls_actual") === col("cls_pred"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .select(col("band"), col("n_docs"), col("n_keep_actual"),
+        col("n_keep_pred"), col("n_agree"),
+        (col("n_agree").cast("double") / col("n_docs").cast("double"))
+          .as("accuracy"))
+      .orderBy("band")
+  }
+
+  val sqlQualityClassifier: String =
+    s"""WITH ledger AS (${Multimodal.sqlCurationLedger}),
+        labeled AS (
+          SELECT d.doc_id, d.text,
+            CASE WHEN l.keep THEN 'keep' ELSE 'drop' END AS lang
+          FROM documents d JOIN ledger l USING (doc_id)),
+        ${sqlScoredCtesOver("labeled")},
+        top2 AS (
+          SELECT doc_id,
+            min(CASE WHEN rn = 1 THEN cand END) AS cls_pred,
+            min(CASE WHEN rn = 1 THEN total_bits END) AS bits1,
+            min(CASE WHEN rn = 2 THEN total_bits END) AS bits2
+          FROM scored_rank WHERE rn <= 2 GROUP BY doc_id),
+        banded AS (
+          SELECT l.lang AS cls_actual, t.cls_pred,
+            CASE WHEN t.bits2 IS NULL THEN $MarginBucketCap
+                 ELSE least((t.bits2 - t.bits1) // $MarginBucketBits,
+                            $MarginBucketCap) END AS band
+          FROM labeled l JOIN top2 t USING (doc_id))
+        SELECT band, count(*) AS n_docs,
+          CAST(sum(CASE WHEN cls_actual = 'keep' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_keep_actual,
+          CAST(sum(CASE WHEN cls_pred = 'keep' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_keep_pred,
+          CAST(sum(CASE WHEN cls_actual = cls_pred THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_agree,
+          CAST(sum(CASE WHEN cls_actual = cls_pred THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+        FROM banded GROUP BY 1 ORDER BY 1"""
 }

@@ -294,6 +294,54 @@ object Curate {
   def packSequences(documents: DataFrame): DataFrame =
     packCore(documents).orderBy("doc_id")
 
+  /** Per-sequence pack SLICES (VERDICT r10 task 7): WHERE each
+    * spanning document is cut. [[packSequences]] reports how many
+    * sequences a document spans but not the cut positions; a trainer
+    * materializing actual sequences needs, per (doc, seq), the
+    * within-document token range that lands in that sequence. Exact
+    * integer arithmetic off the same [[packCore]] cumulative sum:
+    * slice s of a doc at cum_before c with n tokens covers global
+    * tokens [max(c, s·cap), min(c+n, (s+1)·cap)) — re-based to
+    * 0-indexed within-doc offsets [tok_start, tok_end). Slice token
+    * sums reconcile with n_tokens per doc BY CONSTRUCTION (asserted
+    * in the spec). Zero-token documents occupy no slice. The explode
+    * is map-side over the window output; row count = Σ n_seqs_spanned
+    * (corpus tokens / capacity + one row per spanned doc) — linear.
+    * Built on [[scalableCum]] (bounded window partitions), so the
+    * production form carries no LOWCARD_WINDOW trade; the oracle is
+    * the sequential-window twin, bit-equal by construction. */
+  def packSlices(documents: DataFrame): DataFrame =
+    scalableCum(documents)
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_before"),
+        explode(sequence(expr(s"cum_before DIV $PackCapacity"),
+          expr(s"(cum_before + n_tokens - 1) DIV $PackCapacity"))).as("seq_id2"))
+      .select(col("doc_id"), col("lang"), col("seq_id2").as("seq_id"),
+        (greatest(col("cum_before"), col("seq_id2") * lit(PackCapacity))
+          - col("cum_before")).as("tok_start"),
+        (least(col("cum_before") + col("n_tokens"),
+          (col("seq_id2") + 1) * lit(PackCapacity))
+          - col("cum_before")).as("tok_end"))
+      .withColumn("n_slice_tokens", col("tok_end") - col("tok_start"))
+      .orderBy("doc_id", "seq_id")
+
+  val sqlPackSlices: String =
+    s"""WITH ${sqlPackCtes("documents")},
+        s AS (
+          SELECT doc_id, lang, n_tokens, cum_before,
+            unnest(generate_series(cum_before // $PackCapacity,
+              (cum_before + n_tokens - 1) // $PackCapacity)) AS seq_id
+          FROM c WHERE n_tokens > 0)
+        SELECT doc_id, lang, seq_id,
+          CAST(greatest(cum_before, seq_id * $PackCapacity) - cum_before
+            AS BIGINT) AS tok_start,
+          CAST(least(cum_before + n_tokens, (seq_id + 1) * $PackCapacity)
+            - cum_before AS BIGINT) AS tok_end,
+          CAST(least(cum_before + n_tokens, (seq_id + 1) * $PackCapacity)
+            - greatest(cum_before, seq_id * $PackCapacity) AS BIGINT)
+            AS n_slice_tokens
+        FROM s ORDER BY doc_id, seq_id"""
+
   /** Batch packing against externally-carried per-language token
     * bases — the incremental form of [[packCore]] used by the
     * streaming pack sink ([[graft.streaming.Sources.packSequencesQuery]]):
@@ -375,8 +423,16 @@ object Curate {
     * the scalable plan must hash-match the sequential twin exactly,
     * and a unit test additionally pins it to [[packSequences]]'s
     * output row-for-row. */
-  def packSequencesScalable(documents: DataFrame,
-                            bucketIds: Long = PackBucketIds): DataFrame = {
+  /** The two-level parallel prefix sum itself: (doc_id, lang,
+    * n_tokens, cum_before) with every window partition bounded —
+    * the shared cumulative core of [[packSequencesScalable]],
+    * [[packSlices]] and [[trainingShards]] (round 11: the latter two
+    * build on THIS, not on [[packCore]]'s per-lang window, so the
+    * LOWCARD_WINDOW plan-audit flag names exactly one query). Bit-
+    * equal to the sequential window's cum_before by associativity of
+    * integer sums over the same (lang, doc_id) order. */
+  private def scalableCum(documents: DataFrame,
+                          bucketIds: Long = PackBucketIds): DataFrame = {
     require(bucketIds > 0, s"bucketIds must be positive, got $bucketIds")
     import org.apache.spark.sql.expressions.Window
     val local = Window.partitionBy("lang", "bucket").orderBy("doc_id")
@@ -398,13 +454,18 @@ object Curate {
     t.withColumn("local_before",
         coalesce(sum(col("n_tokens")).over(local), lit(0L)))
       .join(bucketBases, Seq("lang", "bucket"))
-      .withColumn("cum_before", col("bucket_base") + col("local_before"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("bucket_base") + col("local_before")).as("cum_before"))
+  }
+
+  def packSequencesScalable(documents: DataFrame,
+                            bucketIds: Long = PackBucketIds): DataFrame =
+    scalableCum(documents, bucketIds)
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         expr(s"cum_before DIV $PackCapacity").as("seq_id"),
         expr(s"(cum_before + n_tokens - 1) DIV $PackCapacity" +
           s" - cum_before DIV $PackCapacity + 1").as("n_seqs_spanned"))
       .orderBy("doc_id")
-  }
 
   // ---- eval-set decontamination -------------------------------------
 
@@ -677,29 +738,45 @@ object Curate {
 
   val GroupSampleK = 5
 
-  /** Exactly-k-per-stratum deterministic sample: rank documents within
-    * each language by md5('gs:'||doc_id) (a hash order standing in for
-    * random order, reproducible across runs/clusters) and keep the
-    * first k. The "give me 5 examples per language" eval-set draw.
-    * One shuffle on the stratum key; the rank is a within-partition
-    * sort of hash strings — both engines compare lowercase hex
-    * lexicographically, and doc_id tie-breaks make the order total. */
+  /** Exactly-k-per-stratum deterministic sample: order documents
+    * within each language by a 48-bit md5-derived hash (a hash order
+    * standing in for random order, reproducible across runs/clusters,
+    * doc_id breaking hash ties) and keep the first k. The "give me 5
+    * examples per language" eval-set draw.
+    *
+    * NOT a window (round 11, the LOWCARD_WINDOW audit's first catch):
+    * row_number partitioned by `lang` ranks a language's ENTIRE
+    * corpus share through one task — the hidden unbounded partition.
+    * The verdict comes from the bounded-heap `top_k_by` aggregate
+    * instead (the [[domainCap]] shape): per-language state is k
+    * entries whatever the corpus, map-side partials, score = −hash
+    * so the k highest scores are the k smallest hashes, equal-score
+    * ties resolved id-ascending by the heap — the same total order
+    * the twin's window states declaratively. 48 hash bits (12 hex
+    * chars) keep the score exact in the heap's double. */
   def groupSample(documents: DataFrame, k: Int = GroupSampleK): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang")
-      .orderBy(md5(concat(lit("gs:"), col("doc_id").cast("string"))), col("doc_id"))
+    graft.functions.TopKByScore.register(documents.sparkSession)
+    val h = conv(substring(
+      md5(concat(lit("gs:"), col("doc_id").cast("string"))), 1, 12),
+      16, 10).cast("long")
     documents
-      .withColumn("rnk", row_number().over(w).cast("int"))
-      .filter(col("rnk") <= k)
-      .select(col("lang"), col("rnk"), col("doc_id"))
+      .select(col("lang"), col("doc_id"), h.as("h"))
+      .groupBy("lang")
+      .agg(call_function("top_k_by",
+        -col("h").cast("double"), col("doc_id"), lit(k)).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rnk"),
+        col("entry.id").as("doc_id"))
       .orderBy("lang", "rnk")
   }
 
   def sqlGroupSample(k: Int = GroupSampleK): String =
     s"""SELECT lang, CAST(rnk AS INTEGER) AS rnk, doc_id FROM (
           SELECT lang, doc_id,
-            row_number() OVER (PARTITION BY lang
-              ORDER BY md5('gs:' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+            row_number() OVER (PARTITION BY lang ORDER BY
+              CAST(concat('0x',
+                substr(md5('gs:' || CAST(doc_id AS VARCHAR)), 1, 12))
+                AS BIGINT), doc_id) AS rnk
           FROM documents)
         WHERE rnk <= $k ORDER BY lang, rnk"""
 
@@ -1485,11 +1562,20 @@ object Curate {
         col("x.text_chars").as("text_chars"),
         col("x.link_chars").as("link_chars"),
         col("x.boiler_chars").as("boiler_chars"))
+      // zero-guards (ADVICE r10): the generated fixture guarantees
+      // text_chars > 0 (the heading) and boiler_chars > 0 (nav), but
+      // real HTML can extract to nothing, and NaN here would poison
+      // any downstream quality gate. Mirrored in the DuckDB twin so
+      // the contract stays engine-symmetric.
       .withColumn("link_density",
-        col("link_chars").cast("double") / col("text_chars"))
+        when(col("text_chars") > 0,
+          col("link_chars").cast("double") / col("text_chars"))
+          .otherwise(lit(0.0)))
       .withColumn("boilerplate_ratio",
-        col("boiler_chars").cast("double") /
-          (col("text_chars") + col("boiler_chars")))
+        when(col("text_chars") + col("boiler_chars") > 0,
+          col("boiler_chars").cast("double") /
+            (col("text_chars") + col("boiler_chars")))
+          .otherwise(lit(0.0)))
     if (ordered) core.orderBy("doc_id") else core
   }
 
@@ -1532,9 +1618,13 @@ object Curate {
           CAST(length(main_text) AS INTEGER) AS text_chars,
           link_chars,
           CAST(length(boiler_text) AS INTEGER) AS boiler_chars,
-          CAST(link_chars AS DOUBLE) / length(main_text) AS link_density,
-          CAST(length(boiler_text) AS DOUBLE)
-            / (length(main_text) + length(boiler_text)) AS boilerplate_ratio
+          CASE WHEN length(main_text) > 0
+            THEN CAST(link_chars AS DOUBLE) / length(main_text)
+            ELSE 0.0 END AS link_density,
+          CASE WHEN length(main_text) + length(boiler_text) > 0
+            THEN CAST(length(boiler_text) AS DOUBLE)
+              / (length(main_text) + length(boiler_text))
+            ELSE 0.0 END AS boilerplate_ratio
         FROM e ORDER BY doc_id"""
 
   // ---- URL parsing + domain-level stats --------------------------------
@@ -1826,14 +1916,25 @@ object Curate {
     * plan; the sequence grain keeps the output a fraction of the
     * corpus at any scale. */
   def trainingShards(documents: DataFrame,
-                     shards: Int = NumShards): DataFrame = {
+                     shards: Int = NumShards): DataFrame =
+    trainingShardsCore(documents, shards).orderBy("lang", "seq_id")
+
+  /** The unordered shard manifest — shared by the published query
+    * (publication sort appended) and [[writeTrainingShards]] (which
+    * replaces the sort with the layout-defining repartition). */
+  private def trainingShardsCore(documents: DataFrame,
+                                 shards: Int): DataFrame = {
     val kept = Multimodal.curationLedger(documents, ordered = false)
       .filter(col("keep")).select("doc_id")
     val survivors = documents
       .join(kept, Seq("doc_id"), "left_semi")
       .join(qualityKept(documents).select("doc_id"), Seq("doc_id"), "left_semi")
     val seqKey = concat(col("lang"), lit(":"), col("seq_id").cast("string"))
-    packCore(survivors)
+    // scalableCum, not packCore (round 11): the capstone must not
+    // inherit the per-lang window's unbounded partition; cum_before
+    // is bit-equal so the composed twin is unchanged
+    scalableCum(survivors)
+      .withColumn("seq_id", expr(s"cum_before DIV $PackCapacity"))
       .groupBy("lang", "seq_id")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
@@ -1843,8 +1944,29 @@ object Curate {
         col("first_doc"), col("last_doc"),
         hashBucket("shuffle", shards, seqKey).as("shard"),
         md5(concat(lit("shuffle:"), seqKey)).as("sort_key"))
-      .orderBy("lang", "seq_id")
   }
+
+  /** Shard WRITER (VERDICT r10 task 8) — the on-disk artifact a
+    * trainer actually opens, closing the gap between the
+    * [[trainingShards]] manifest and a consumable layout: written
+    * `partitionBy(shard)` so a trainer's reader lists exactly its own
+    * shard directory (partition PRUNING on read — asserted in the
+    * spec — not a full-corpus listing), with rows inside each shard
+    * file pre-sorted by the reproducible `sort_key`
+    * (`sortWithinPartitions` — the within-shard shuffle order is ON
+    * DISK, a sequential reader consumes it with no sort of its own).
+    * One hash exchange on `shard` replaces the manifest's publication
+    * sort; file count = one per shard per task wave, not per
+    * sequence. The [[graft.streaming.Sources.writeWarehouseTable]]
+    * partition-layout recipe applied to the training artifact. */
+  def writeTrainingShards(documents: DataFrame, path: String,
+                          shards: Int = NumShards): Unit =
+    trainingShardsCore(documents, shards)
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "sort_key")
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .parquet(path)
 
   /** The twin composes the SAME published component twins: the full
     * ledger twin, the quality-sample rule over the shared stats twin,

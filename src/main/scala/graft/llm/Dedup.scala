@@ -292,37 +292,13 @@ object Dedup {
     * a compaction re-run after a crash reclaims its own lease. */
   def compactShingleIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String): Unit = {
-    import org.apache.hadoop.fs.{Path => HPath}
-    val root = new HPath(path)
-    val staged = new HPath(s"$path/.compact")
-    val aside = new HPath(s"$path/.old")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Similarity.acquireIndexLease(spark, path, "compact")
-    def partitionDirs(p: HPath): Seq[HPath] =
-      if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
-        .map(_.getPath)
-    // crash recovery FIRST: a previous swap that moved the live
-    // partitions aside but died before renaming the replacement in
-    // leaves zero batch_id dirs at the root — roll the originals back
-    if (partitionDirs(root).isEmpty && partitionDirs(aside).nonEmpty)
-      partitionDirs(aside).foreach { d =>
-        require(fs.rename(d, new HPath(root, d.getName)),
-          s"crash recovery rename failed: $d")
-      }
-    fs.delete(staged, true); fs.delete(aside, true)
-    spark.read.parquet(path)
-      .withColumn("batch_id", lit(-1L))
-      .write.mode("overwrite").partitionBy("batch_id")
-      .parquet(staged.toString)
-    fs.mkdirs(aside)
-    def mv(src: HPath, dst: HPath): Unit =
-      require(fs.rename(src, dst), s"compaction rename failed: $src -> $dst")
-    partitionDirs(root).foreach(d => mv(d, new HPath(aside, d.getName)))
-    partitionDirs(staged).foreach(d => mv(d, new HPath(root, d.getName)))
-    fs.delete(aside, true)
-    fs.delete(staged, true)
+    // the swap mechanics (staged rewrite, aside rename, roll-back-first
+    // crash recovery — ADVICE r10: recovery must run whenever .old/ is
+    // non-empty, not only when the root lost ALL its partitions) live
+    // in the shared worker, which round 11 also points at the
+    // streaming ledger and pack states
+    Similarity.compactBatchPartitionsLocked(spark, path)
     Similarity.releaseIndexLease(spark, path)
   }
 

@@ -263,63 +263,174 @@ object Multimodal {
     * oracle-predicted without running the codec in the oracle).
     * Map-only: each partition encodes, decodes and hashes its own
     * rows; only (doc_id, dims, 4 band ints) ever moves. */
+  /** Shared decode kernel of [[imageHashes]] (thresholds it to bits)
+    * and [[imageEmbeddings]] (emits it whole as a feature vector):
+    * encode the doc's deterministic image, round-trip it through the
+    * genuine codec, and return the 8×8 block-mean-sample luma grid
+    * (integer luma ×1000) over the DECODED raster — None below the
+    * eligibility dims. A codec fault lands in every consumer. */
+  private def lumaGrid(id: Long): Option[(Int, Int, Array[Long])] = {
+    val cid = java.lang.Math.floorDiv(id, PhashReplica.toLong)
+    def pmod(m: Int) = java.lang.Math.floorMod(cid, m.toLong).toInt
+    val w = 1 + pmod(13)
+    val h = 1 + pmod(7)
+    if (w < PhashMinDim || h < PhashMinDim) None
+    else {
+      val fmt =
+        if (java.lang.Math.floorMod(id, 2L) == 0L) "png" else "bmp"
+      val seed = pmod(PhashSeedMod).toLong
+      val img0 = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img0.setRGB(x, y,
+            ((seed * 2654435761L + x * 31L + y * 17L) & 0xffffffL).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img0, fmt, baos),
+        s"no JDK writer for $fmt")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(baos.toByteArray))
+      require(img != null, s"lossless $fmt round-trip failed for doc $id")
+      val g = new Array[Long](64)
+      var j = 0
+      while (j < 8) {
+        var i = 0
+        while (i < 8) {
+          val rgb = img.getRGB(i * w / 8, j * h / 8) & 0xffffff
+          g(j * 8 + i) = (((rgb >> 16) & 0xff) * 299 +
+            ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114).toLong
+          i += 1
+        }
+        j += 1
+      }
+      Some((w, h, g))
+    }
+  }
+
   def imageHashes(documents: DataFrame): Dataset[ImageHash] = {
     import documents.sparkSession.implicits._
     documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
       javax.imageio.ImageIO.setUseCache(false)
       ids.flatMap { id =>
-        val cid = java.lang.Math.floorDiv(id, PhashReplica.toLong)
-        def pmod(m: Int) = java.lang.Math.floorMod(cid, m.toLong).toInt
-        val w = 1 + pmod(13)
-        val h = 1 + pmod(7)
-        if (w < PhashMinDim || h < PhashMinDim) None
-        else {
-          val fmt =
-            if (java.lang.Math.floorMod(id, 2L) == 0L) "png" else "bmp"
-          val seed = pmod(PhashSeedMod).toLong
-          val img0 = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              img0.setRGB(x, y,
-                ((seed * 2654435761L + x * 31L + y * 17L) & 0xffffffL).toInt)
-              x += 1
-            }
-            y += 1
-          }
-          val baos = new java.io.ByteArrayOutputStream()
-          require(javax.imageio.ImageIO.write(img0, fmt, baos),
-            s"no JDK writer for $fmt")
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(baos.toByteArray))
-          require(img != null, s"lossless $fmt round-trip failed for doc $id")
+        lumaGrid(id).map { case (w, h, g) =>
           // aHash over the DECODED raster — a codec fault lands here
-          val g = new Array[Long](64)
           var tot = 0L
-          var j = 0
-          while (j < 8) {
-            var i = 0
-            while (i < 8) {
-              val rgb = img.getRGB(i * w / 8, j * h / 8) & 0xffffff
-              val v = (((rgb >> 16) & 0xff) * 299 +
-                ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114).toLong
-              g(j * 8 + i) = v; tot += v; i += 1
-            }
-            j += 1
-          }
-          val bands = new Array[Int](PhashBands)
           var b = 0
+          while (b < 64) { tot += g(b); b += 1 }
+          val bands = new Array[Int](PhashBands)
+          b = 0
           while (b < 64) {
             if (g(b) * 64L > tot) bands(b / 16) |= 1 << (b % 16)
             b += 1
           }
-          Some(ImageHash(id, w, h, bands(0), bands(1), bands(2), bands(3)))
+          ImageHash(id, w, h, bands(0), bands(1), bands(2), bands(3))
         }
       }
     }
   }
+
+  /** (vec_id, embedding: array<float>[64]) — deterministic image
+    * FEATURE vectors from the real decoded raster (VERDICT r10 task
+    * 2): the aHash intermediate emitted WHOLE instead of thresholded
+    * to bits, so image similarity ranks by luma-structure closeness
+    * rather than exact-hash equality. Same eligibility as
+    * [[imageHashes]]; map-only.
+    *
+    * The vector is MEAN-CENTERED per image — f(b) = 64·g(b) − Σg,
+    * the exact integer whose SIGN is aHash bit b — and that is a
+    * scale requirement, not a nicety: raw luma grids are all-positive,
+    * every vector sits in one narrow cone of the positive orthant,
+    * and sign-LSH over a cone degenerates to ONE hot bucket per
+    * table — the measured 10× symptom was a single-task n² candidate
+    * join. Centering spreads directions across orthants, restoring
+    * the n/2^np occupancy the banded join is designed around.
+    * |f| ≤ 64·255·1000 < 2²⁴, so float carries it exactly and
+    * [[Similarity.prepared]]'s cast to double is lossless — cosines
+    * stay bit-portable to the oracle. Zero-variance grids (a
+    * constant raster has no direction; cosine would be 0/0 NaN, which
+    * the two engines ORDER differently) are excluded in both engines.
+    * Feeds the EXISTING sign-LSH machinery unchanged
+    * ([[Similarity.lshTopKNeighbors]]). */
+  def imageEmbeddings(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      javax.imageio.ImageIO.setUseCache(false)
+      ids.flatMap(id => lumaGrid(id).flatMap { case (_, _, g) =>
+        var tot = 0L
+        var b = 0
+        while (b < 64) { tot += g(b); b += 1 }
+        if (g.forall(_ == g(0))) None // zero-variance: no direction
+        else Some((id, g.map(v => (v * 64L - tot).toFloat)))
+      })
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** Per-document image feature vector, exploded to (doc_id, b, f)
+    * scalar rows so EVERY grid cell of every eligible image is
+    * oracle-gated (the ANN query alone gates them only through the
+    * cosine/bucket composition). Map-only. */
+  def imageEmbed(documents: DataFrame): DataFrame =
+    imageEmbeddings(documents)
+      .select(col("vec_id").as("doc_id"),
+        posexplode(col("embedding")).as(Seq("b", "f")))
+      .select(col("doc_id"), col("b").cast("int").as("b"),
+        col("f").cast("double").as("f"))
+      .orderBy("doc_id", "b")
+
+  /** The twin predicts the centered grid from the generator
+    * arithmetic — the [[sqlImagePhash]] CTE chain with the threshold
+    * comparison replaced by the centered VALUE it compares. */
+  val sqlImageEmbed: String =
+    s"""WITH $sqlImageHashCtes,
+        vr AS (SELECT doc_id FROM gr GROUP BY doc_id
+               HAVING min(g1000) < max(g1000))
+        SELECT gr.doc_id, CAST(j * 8 + i AS INTEGER) AS b,
+          CAST(64 * g1000 - tg AS DOUBLE) AS f
+        FROM gr JOIN tot ON gr.doc_id = tot.doc_id
+                JOIN vr ON gr.doc_id = vr.doc_id
+        ORDER BY gr.doc_id, b"""
+
+  /** ANN over the IMAGE modality (VERDICT r10 task 2): the decoded
+    * luma-grid features feed [[Similarity.lshTopKNeighbors]] verbatim
+    * — adaptive signature width, banded candidate join, bounded-heap
+    * top-k — closing the "similarity search over multimodal columns"
+    * seam (ANN previously only ever saw the text-side embeddings
+    * table). Near-identical images (the [[PhashReplica]] re-encodes)
+    * rank at cosine ≈ 1 ahead of merely-similar ones; plan shape is
+    * exactly q_embed_lsh_topk's. */
+  def imageAnnTopK(documents: DataFrame, k: Int): DataFrame =
+    Similarity.lshTopKNeighbors(imageEmbeddings(documents), k)
+
+  /** Twin: the image-feature `n` CTE spliced into the SAME LSH top-k
+    * SQL every embedding-table query gates against
+    * ([[Similarity.sqlLshTopKNeighborsOver]]). nv/n are MATERIALIZED:
+    * unlike the embeddings twin (whose n is one parquet scan), these
+    * vectors are CONSTRUCTED from the 64×-exploded grid frame, and
+    * DuckDB's default CTE inlining would re-run that construction for
+    * every one of bkt's 16 table selects plus both verification-join
+    * sides — measured as the difference between OOM and a pass on the
+    * 22k-image derived corpus. */
+  def sqlImageAnnTopK(k: Int): String =
+    Similarity.sqlLshTopKNeighborsOver(
+      s"""$sqlImageHashCtes,
+        nv AS MATERIALIZED (
+          SELECT gr.doc_id AS vec_id,
+            CAST(list((64 * g1000 - tg) * 1.0 ORDER BY j * 8 + i)
+              AS DOUBLE[]) AS v
+          FROM gr JOIN tot ON gr.doc_id = tot.doc_id
+          GROUP BY gr.doc_id
+          HAVING min(g1000) < max(g1000)),
+        n AS MATERIALIZED (
+          SELECT vec_id, v,
+            sqrt(list_reduce(list_transform(v, x -> x * x),
+              (a, b) -> a + b)) AS nrm
+          FROM nv)""", k)
 
   /** Per-document perceptual-hash record — every hash bit of every
     * eligible image is oracle-gated (the pair query alone would only

@@ -436,6 +436,14 @@ object Similarity {
                           path: String): Int = {
     val nps = spark.read.parquet(s"$path/buckets")
       .select(col("np")).distinct().collect().map(_.getInt(0)).sorted
+    // present-but-empty is its own condition (ADVICE r10): a bulk
+    // build over zero eligible vectors leaves a valid empty buckets
+    // table, and folding it into the mixed-width error below would
+    // tell the operator to rebuild for the wrong reason.
+    require(nps.nonEmpty,
+      s"LSH index at $path is EMPTY (zero bucket rows — e.g. a bulk " +
+        "build over zero eligible vectors): nothing to match against; " +
+        "append a first non-empty batch before consuming the index")
     require(nps.length == 1,
       s"LSH index at $path holds mixed signature widths " +
         s"[${nps.mkString(",")}] — candidates across widths are " +
@@ -456,6 +464,56 @@ object Similarity {
     * success — a failed writer leaves it naming itself, so the next
     * CONFLICTING writer fails loudly instead of racing a half-written
     * index, while the same work item retried goes through. */
+  /** Generic compactor WORKER for any batch_id-partitioned parquet
+    * dir (round 11, VERDICT r10 task 3): fold per-trigger `batch_id=N`
+    * partitions into the one bulk `batch_id=-1` partition. -1 sorts
+    * below every real micro-batch id, so the replay-safety read
+    * filter (`batch_id < currentBatch`) keeps seeing compacted state
+    * as PRIOR state. Caller must hold the write lease covering this
+    * dir — compaction is mutually exclusive with appends, and a live
+    * stream's trigger fails loudly on its own acquire rather than
+    * racing a half-swapped dir. Mechanics = [[graft.llm.Dedup.compactShingleIndex]]'s
+    * staged-rename swap: rewrite into `.compact/`, move originals
+    * ASIDE into `.old/`, rename the replacement in, delete the aside
+    * copy last; recovery always rolls `.old/` back FIRST (a crash at
+    * any step leaves the originals restorable). Run it only against a
+    * quiesced stream whose last batch committed: folding an
+    * UNCOMMITTED batch's partition into -1 would make a replay of
+    * that batch read its own writes as prior state. */
+  private[graft] def compactBatchPartitionsLocked(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = new HPath(path)
+    val staged = new HPath(s"$path/.compact")
+    val aside = new HPath(s"$path/.old")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partitionDirs(p: HPath): Seq[HPath] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+        .map(_.getPath)
+    // crash recovery FIRST: see compactShingleIndex — originals in
+    // .old/ always roll back before anything is deleted; a same-name
+    // root dir can only be the disposable staged replacement
+    partitionDirs(aside).foreach { d =>
+      val back = new HPath(root, d.getName)
+      if (fs.exists(back)) fs.delete(back, true)
+      require(fs.rename(d, back), s"crash recovery rename failed: $d")
+    }
+    fs.delete(staged, true); fs.delete(aside, true)
+    spark.read.parquet(path)
+      .drop("batch_id").withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .parquet(staged.toString)
+    fs.mkdirs(aside)
+    def mv(src: HPath, dst: HPath): Unit =
+      require(fs.rename(src, dst), s"compaction rename failed: $src -> $dst")
+    partitionDirs(root).foreach(d => mv(d, new HPath(aside, d.getName)))
+    partitionDirs(staged).foreach(d => mv(d, new HPath(root, d.getName)))
+    fs.delete(aside, true)
+    fs.delete(staged, true)
+  }
+
   private def indexLease(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/.write_lease")
 
@@ -841,7 +899,18 @@ object Similarity {
   }
 
   def sqlLshTopKNeighbors(k: Int, numPlanes: Int = AdaptiveWidth): String =
-    s"""WITH $sqlPrepared,
+    sqlLshTopKNeighborsOver(sqlPrepared, k, numPlanes)
+
+  /** [[sqlLshTopKNeighbors]] over a caller-supplied `n` CTE — the
+    * seam that lets another modality feed the SAME twin machinery:
+    * every bucket/width/cosine CTE downstream reads only `n(vec_id,
+    * v, nrm)` (the adaptive-width `npw` counts FROM n too), so a
+    * vector source other than the embeddings table — e.g. the image
+    * luma-grid features, [[Multimodal.imageEmbeddings]] — gates
+    * against the identical LSH arithmetic. */
+  def sqlLshTopKNeighborsOver(nCte: String, k: Int,
+                              numPlanes: Int = AdaptiveWidth): String =
+    s"""WITH $nCte,
         ${sqlBktCtes(numPlanes)},
         cand AS (
           SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id

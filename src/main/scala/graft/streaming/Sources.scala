@@ -284,6 +284,84 @@ object Sources {
       }
       .start()
 
+  /** Streaming WEB FIRST MILE (round 11, VERDICT r10 task 4) — URL
+    * mirror dedup maintained incrementally, the crawl-side twin of
+    * [[semanticDedupQuery]]: each micro-batch of documents parses its
+    * URLs with the native [[graft.functions.UrlParts]] state machine
+    * and collapses (registrable domain, normalized path) mirrors
+    * against a PERSISTED key index — a page keeps iff its key is
+    * absent from prior batches' index AND it is the min doc_id for
+    * the key within its batch, which under monotone-id arrival
+    * reproduces the batch [[graft.llm.Curate.urlDedup]] keep verdict
+    * exactly (minus the corpus-global n_copies a streaming artifact
+    * cannot know — the curation-ledger schema caveat). Per-trigger
+    * cost: |batch| map-only parsing + one key join against stored
+    * state; no pair expansion at any mirror density. Exactly-once:
+    * verdicts land via [[writeBatchIdempotent]]; novel keys append
+    * into batch_id partitions read back with the `batch_id <
+    * currentBatch` replay filter; the state root's write lease makes
+    * appends and [[compactUrlState]] mutually exclusive. */
+  def urlDedupQuery(docs: DataFrame, statePath: String, outDir: String,
+                    checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        graft.functions.GraftFunctions.registerAll(spark)
+        batch.persist()
+        graft.llm.Similarity.acquireIndexLease(
+          spark, statePath, s"append:$batchId")
+        try {
+          val parsed = batch.filter(col("doc_id").isNotNull)
+            .withColumn("u",
+              call_function("url_parts", expr(graft.llm.Curate.UrlGenSql)))
+            .select(col("doc_id"), col("u.domain").as("domain"),
+              col("u.path").as("path"))
+          val p = new org.apache.hadoop.fs.Path(statePath)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val hasData = fs.exists(p) && fs.listStatus(p).exists(s =>
+            s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+          val seen =
+            if (hasData)
+              spark.read.parquet(statePath)
+                .filter(col("batch_id") < lit(batchId))
+                .select("domain", "path")
+            else Seq.empty[(String, String)].toDF("domain", "path")
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("domain", "path")
+          val verdict = parsed
+            .withColumn("first_in_batch",
+              col("doc_id") === min(col("doc_id")).over(w))
+            .join(seen.withColumn("indexed", lit(true)),
+              Seq("domain", "path"), "left")
+            .withColumn("keep",
+              col("first_in_batch") && !coalesce(col("indexed"), lit(false)))
+            .select("doc_id", "domain", "path", "keep")
+            .localCheckpoint()
+          val novel = parsed.select("domain", "path").distinct()
+            .join(seen, Seq("domain", "path"), "left_anti")
+            .localCheckpoint() // sever the statePath read before writing it
+          writeBatchIdempotent(verdict, outDir, batchId)
+          novel.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(statePath)
+          graft.llm.Similarity.releaseIndexLease(spark, statePath)
+        } finally { batch.unpersist(); () }
+      }
+      .start()
+
+  /** Small-files maintenance for the URL-key state: same contract as
+    * [[compactPackState]] (quiesced stream only, lease-enforced). */
+  def compactUrlState(spark: SparkSession, statePath: String): Unit = {
+    graft.llm.Similarity.acquireIndexLease(spark, statePath, "compact")
+    graft.llm.Similarity.compactBatchPartitionsLocked(spark, statePath)
+    graft.llm.Similarity.releaseIndexLease(spark, statePath)
+  }
+
   /** Streaming CURATION LEDGER (round 10, VERDICT r9 task 7) — the
     * cross-modal keep/drop artifact
     * ([[graft.llm.Multimodal.curationLedger]]) maintained
@@ -316,13 +394,36 @@ object Sources {
         val spark = batch.sparkSession
         import spark.implicits._
         batch.persist()
+        // Lease FIRST, before any state read or output write: a
+        // crashed compactor (mid-swap, lease still naming 'compact')
+        // must fail this trigger loudly BEFORE a half-swapped index
+        // could be read as empty and wrong verdicts written. The
+        // trigger's own crash-replay reclaims its same-holder lease.
+        graft.llm.Similarity.acquireIndexLease(
+          spark, statePath, s"append:$batchId")
         try {
           val base = batch.filter(col("doc_id").isNotNull)
 
+          // "seen" = indexed by a PRIOR batch only. The filter on the
+          // batch_id partition column is the replay-safety boundary
+          // (ADVICE r10): a crash after batch N's novel-fingerprint
+          // write but before the checkpoint commit leaves N's own
+          // partition on disk, and an unfiltered read on replay would
+          // see N's fingerprints as already-indexed, flipping every
+          // keep verdict in the batch to false before the idempotent
+          // ledger overwrite makes the wrong verdicts permanent.
+          // Partition pruning makes the filter free.
           def seenFps(sub: String): DataFrame = {
             val p = new org.apache.hadoop.fs.Path(s"$statePath/$sub")
             val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            if (fs.exists(p)) spark.read.parquet(p.toString).select("fp")
+            // explicit partition-dir check, not bare existence: the
+            // index dir may hold only dot-entries (compaction staging
+            // remnants) and schema inference over zero files throws
+            val hasData = fs.exists(p) && fs.listStatus(p).exists(s =>
+              s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+            if (hasData)
+              spark.read.parquet(p.toString)
+                .filter(col("batch_id") < lit(batchId)).select("fp")
             else Seq.empty[String].toDF("fp")
           }
           // keep(fp-grain) = first holder of the fingerprint: absent
@@ -386,9 +487,35 @@ object Sources {
               .partitionBy("batch_id")
               .parquet(s"$statePath/$sub")
           }
+          // released only on success: a failed trigger leaves the
+          // lease naming this batch, so a CONFLICTING writer (the
+          // compactor) fails loudly while the replay goes through
+          graft.llm.Similarity.releaseIndexLease(spark, statePath)
         } finally { batch.unpersist(); () }
       }
       .start()
+
+  /** Small-files maintenance for the streaming curation ledger's three
+    * fingerprint indexes (round 11, VERDICT r10 task 3): fold every
+    * per-trigger `batch_id=N` partition under `statePath/{text,image,
+    * audio}` into the bulk `batch_id=-1` partition — the
+    * [[graft.llm.Dedup.compactShingleIndex]] remedy applied to the two
+    * remaining accumulating states. Read-back identical (compaction
+    * moves rows, never changes them; -1 still passes the replay filter
+    * `batch_id < currentBatch`). Run only against a QUIESCED stream
+    * whose last batch committed — enforced fail-loud by the shared
+    * write lease at the state root, which the per-trigger appends also
+    * take. */
+  def compactCurationState(spark: SparkSession, statePath: String): Unit = {
+    graft.llm.Similarity.acquireIndexLease(spark, statePath, "compact")
+    Seq("text", "image", "audio").foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(s"$statePath/$sub")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        graft.llm.Similarity.compactBatchPartitionsLocked(spark, p.toString)
+    }
+    graft.llm.Similarity.releaseIndexLease(spark, statePath)
+  }
 
   /** Streaming SEQUENCE PACKING — the concat-and-cut training-batch
     * assignment ([[graft.llm.Curate.packSequences]]) maintained
@@ -413,12 +540,28 @@ object Sources {
         val spark = batch.sparkSession
         import spark.implicits._
         batch.persist()
+        // lease FIRST (see curationLedgerQuery): a crashed compactor
+        // must fail this trigger before bases could read half-swapped
+        // state; the trigger's own replay reclaims its holder string
+        graft.llm.Similarity.acquireIndexLease(
+          spark, statePath, s"append:$batchId")
         try {
           val p = new org.apache.hadoop.fs.Path(statePath)
           val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          // Bases sum PRIOR batches' deltas only (ADVICE r10): batch
+          // N's own delta partition survives a crash-before-commit,
+          // and an unfiltered sum on replay would start N's packing at
+          // cum_before shifted by N's own token mass — wrong
+          // seq_id/n_seqs_spanned overlapping batch N+1. The delta
+          // WRITE is idempotent; the read must not double-count it.
+          // Partition-dir check, not bare existence: the dir may hold
+          // only the lease dot-file on a first-trigger replay.
+          val hasData = fs.exists(p) && fs.listStatus(p).exists(s =>
+            s.isDirectory && s.getPath.getName.startsWith("batch_id="))
           val bases =
-            if (fs.exists(p))
-              spark.read.parquet(statePath).groupBy("lang")
+            if (hasData)
+              spark.read.parquet(statePath)
+                .filter(col("batch_id") < lit(batchId)).groupBy("lang")
                 .agg(sum(col("batch_tokens")).as("base_tokens"))
             else Seq.empty[(String, Long)].toDF("lang", "base_tokens")
           // eager localCheckpoint: the delta write below must not
@@ -433,9 +576,24 @@ object Sources {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(statePath)
+          // released only on success (fail-loud conflict semantics)
+          graft.llm.Similarity.releaseIndexLease(spark, statePath)
         } finally { batch.unpersist(); () }
       }
       .start()
+
+  /** Small-files maintenance for the pack-state deltas (round 11,
+    * VERDICT r10 task 3): per-trigger `batch_id=N` delta partitions
+    * fold into the bulk `batch_id=-1` partition. The state's
+    * read-time contract (total = SUM over partitions) is preserved —
+    * compaction moves delta rows without merging or changing them —
+    * and -1 still passes the replay filter. Quiesced-stream-only,
+    * enforced fail-loud by the shared lease the delta writes take. */
+  def compactPackState(spark: SparkSession, statePath: String): Unit = {
+    graft.llm.Similarity.acquireIndexLease(spark, statePath, "compact")
+    graft.llm.Similarity.compactBatchPartitionsLocked(spark, statePath)
+    graft.llm.Similarity.releaseIndexLease(spark, statePath)
+  }
 
   /** The idempotent-replay write used by every exactly-once file sink
     * here: each micro-batch lands in its own `micro_batch_id=N`

@@ -1264,6 +1264,104 @@ class LlmSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("pack slices reconcile: per-doc slice tokens sum to n_tokens, cuts abut") {
+    val docs = Tables.documents(spark, sf())
+    val slices = Curate.packSlices(docs).collect()
+    val packed = Curate.packSequences(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("seq_id"),
+          r.getAs[Long]("n_seqs_spanned"))).toMap
+    val byDoc = slices.groupBy(_.getAs[Long]("doc_id"))
+    // every tokenized doc appears; zero-token docs occupy no slice
+    assert(byDoc.keySet == packed.filter(_._2._1 > 0).keySet)
+    byDoc.foreach { case (id, rows) =>
+      val (n, seq0, spans) = packed(id)
+      val sorted = rows.sortBy(_.getAs[Long]("seq_id"))
+      // slice set = exactly the spanned sequences of q_pack_sequences
+      assert(sorted.map(_.getAs[Long]("seq_id")).toSeq
+        == (seq0 until seq0 + spans).toSeq, s"doc $id sequence set")
+      // token ranges abut: first starts at 0, each picks up where the
+      // previous ended, last ends at n_tokens — so sums reconcile
+      assert(sorted.head.getAs[Long]("tok_start") == 0L)
+      assert(sorted.last.getAs[Long]("tok_end") == n)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("tok_end") == b.getAs[Long]("tok_start"))
+        case _ => ()
+      }
+      assert(rows.map(_.getAs[Long]("n_slice_tokens")).sum == n)
+      // no empty slices, none longer than the capacity
+      rows.foreach { r =>
+        val w = r.getAs[Long]("n_slice_tokens")
+        assert(w > 0 && w <= Curate.PackCapacity)
+      }
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("shard writer: partitioned layout, pruned reads, intra-shard sort on disk") {
+    val docs = Tables.documents(spark, sf())
+    val path = "target/training_shards_test"
+    Curate.writeTrainingShards(docs, path)
+    val manifest = Curate.trainingShards(docs).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("seq_id"),
+        r.getAs[Long]("shard"), r.getAs[String]("sort_key")))
+    // read-back equals the manifest exactly
+    val disk = spark.read.parquet(path)
+      .select("lang", "seq_id", "shard", "sort_key").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getAs[Number]("shard").longValue(), r.getString(3)))
+    assert(disk.toSet == manifest.toSet)
+    // a trainer reading ONE shard prunes partitions: the scan's
+    // partition filters bind on the shard column and only that
+    // shard's rows come back
+    val shard0 = manifest.filter(_._3 == manifest.head._3)
+    val one = spark.read.parquet(path)
+      .filter(col("shard") === manifest.head._3)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") &&
+      plan.contains("shard"), s"no partition pruning in:\n$plan")
+    assert(one.count() == shard0.length)
+    // intra-shard sort is ON DISK: each parquet file's rows arrive
+    // already ordered by sort_key (no sort in the reading plan)
+    import org.apache.spark.sql.functions.{input_file_name, monotonically_increasing_id}
+    val fileRows = spark.read.parquet(path)
+      .select(col("sort_key"), input_file_name().as("f"),
+        monotonically_increasing_id().as("pos"))
+      .collect().groupBy(_.getString(1))
+    fileRows.values.foreach { rows =>
+      val inOrder = rows.sortBy(_.getLong(2)).map(_.getString(0)).toSeq
+      assert(inOrder == inOrder.sorted, "file rows not sorted by sort_key")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("image ANN: replica re-encodes rank at cosine 1 ahead of other images") {
+    val docs = Tables.documents(spark, sf())
+    val ann = Similarity.lshTopKNeighbors(
+      Multimodal.imageEmbeddings(docs), 5)
+    val rows = ann.collect()
+    assert(rows.nonEmpty)
+    // eligibility matches the hash path: same images feed both
+    val eligible = Multimodal.imageEmbeddings(docs)
+      .select("vec_id").as[Long].collect().toSet
+    assert(rows.map(_.getAs[Long]("query_id")).toSet.subsetOf(eligible))
+    // PhashReplica consecutive ids share content: where a replica pair
+    // is in the candidate set, it must sit at the top with cosine ~ 1
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    val replicaTops = byQuery.flatMap { case (q, rs) =>
+      val top = rs.minBy(_.getAs[Int]("rnk"))
+      val n = top.getAs[Long]("neighbor_id")
+      if (java.lang.Math.floorDiv(q, Multimodal.PhashReplica.toLong)
+        == java.lang.Math.floorDiv(n, Multimodal.PhashReplica.toLong))
+        Some(top.getAs[Double]("cosine"))
+      else None
+    }
+    assert(replicaTops.nonEmpty)
+    replicaTops.foreach(c => assert(c > 0.999999, s"replica cosine $c"))
+    spark.catalog.clearCache()
+  }
+
   test("html extraction: boilerplate routing, raw-text skip, entities, malformed input") {
     import org.apache.spark.unsafe.types.UTF8String
     def x(html: String): (String, Int, Int, Int, Int) = {
@@ -1424,6 +1522,16 @@ class LlmSpec extends SparkSpec {
       llm.Similarity.lshPairsIncremental(spark, path2, emb.limit(5), 0.3)
     }
     assert(ex3.getMessage.contains("half-present"))
+    // present-but-EMPTY index (zero bucket rows, e.g. a bulk build
+    // over zero eligible vectors) gets its own diagnosis, not the
+    // misleading mixed-width rebuild advice (ADVICE r10)
+    val path3 = "target/lsh_idx_empty_test"
+    spark.read.parquet(s"$path/buckets").filter(lit(false))
+      .write.mode("overwrite").parquet(s"$path3/buckets")
+    val ex4 = intercept[IllegalArgumentException] {
+      llm.Similarity.requireUniformWidth(spark, path3)
+    }
+    assert(ex4.getMessage.contains("EMPTY"))
     spark.catalog.clearCache()
   }
 

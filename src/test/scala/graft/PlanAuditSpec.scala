@@ -6,8 +6,9 @@ package graft
   * build — "explain everything before shipping" enforced by test. */
 class PlanAuditSpec extends SparkSpec {
 
+  private lazy val results = PlanAudit.audit(spark, sf())
+
   test("every plan red flag is an allowlisted declared scale trade") {
-    val results = PlanAudit.audit(spark, sf())
     val errors = results.collect {
       case (n, fs) if fs.exists(_.startsWith("ERROR")) => n -> fs
     }
@@ -16,6 +17,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(bad.isEmpty,
       s"non-allowlisted plan flags (fix the shape or declare the trade " +
         s"in PlanAudit.allowlist next to its rationale): $bad")
+  }
+
+  test("LOWCARD_WINDOW fires on exactly the declared allowlisted instances") {
+    // the hidden-unbounded-partition heuristic (VERDICT r10 task 6)
+    // names q_pack_sequences — the defect class round 10 found by
+    // hand — plus q_gini_sources, whose full per-source rank-sum is
+    // the exact-Gini DEFINITION (declared exact-statistic class).
+    // Every other window is either keyed on an unbounded-domain
+    // column or runs over an already-reduced aggregate frame. The
+    // rule's first real catch, q_group_sample, was FIXED instead of
+    // declared (bounded-heap top_k_by, the domainCap shape).
+    val hits = results.collect {
+      case (n, fs) if fs.contains("LOWCARD_WINDOW") => n
+    }
+    assert(hits == Seq("q_gini_sources", "q_pack_sequences"),
+      s"LOWCARD_WINDOW fired on: $hits")
   }
 
   test("allowlist names stay live: no stale entries for removed queries") {

@@ -298,6 +298,27 @@ class StreamPipelineSpec extends SparkSpec {
       assert(spark.read.parquet(s"$tmp/state/text").select("fp")
         .distinct().count() == 18) // 20 docs - 2 dup texts
     } finally q.stop()
+    // maintenance (round 11): compaction is mutually exclusive with a
+    // held append lease, and folds every per-trigger partition into
+    // batch_id=-1 without changing ANY read result
+    val beforeFps = Seq("text", "image", "audio").map { sub =>
+      sub -> spark.read.parquet(s"$tmp/state/$sub").select("fp")
+        .as[String].collect().toSet
+    }.toMap
+    graft.llm.Similarity.acquireIndexLease(spark, s"$tmp/state", "append:99")
+    val ex = intercept[IllegalArgumentException] {
+      Sources.compactCurationState(spark, s"$tmp/state")
+    }
+    assert(ex.getMessage.contains("write-locked by 'append:99'"))
+    graft.llm.Similarity.releaseIndexLease(spark, s"$tmp/state")
+    Sources.compactCurationState(spark, s"$tmp/state")
+    Seq("text", "image", "audio").foreach { sub =>
+      val idx = spark.read.parquet(s"$tmp/state/$sub")
+      assert(idx.select("fp").as[String].collect().toSet === beforeFps(sub),
+        s"compaction changed the $sub fingerprint set")
+      assert(idx.select("batch_id").distinct().as[Long].collect().toSeq
+        === Seq(-1L), s"$sub must hold only the bulk partition")
+    }
   }
 
   test("streaming sequence packing equals a batch repack of everything streamed") {
@@ -334,6 +355,164 @@ class StreamPipelineSpec extends SparkSpec {
         .as[(String, Long)].collect().toMap
       assert(totals == Map("en" -> 330L, "de" -> 350L, "fr" -> 10L))
     } finally q.stop()
+    // maintenance (round 11): delta compaction preserves the sum-over-
+    // partitions contract exactly and leaves only the bulk partition
+    Sources.compactPackState(spark, s"$tmp/state")
+    val compacted = spark.read.parquet(s"$tmp/state")
+    assert(compacted.groupBy("lang").agg(sum("batch_tokens").as("t"))
+      .as[(String, Long)].collect().toMap
+      === Map("en" -> 330L, "de" -> 350L, "fr" -> 10L))
+    assert(compacted.select("batch_id").distinct().as[Long].collect().toSeq
+      === Seq(-1L))
+  }
+
+  test("curation ledger replay: the batch's own crashed index write cannot flip verdicts") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_ledger_replay").toString
+    def doc(id: Long, text: String) = (id, text, "en", "s", text.length.toLong)
+    val b0 = (0L to 9L).map(i => doc(i, s"unique text $i"))
+    val b0df = b0.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // simulate the exact on-disk state a REPLAY of batch 0 sees: the
+    // first attempt wrote every novel fingerprint into batch_id=0 of
+    // all three indexes, then died before the checkpoint commit
+    // (ADVICE r10). The replayed batch must not read its own crashed
+    // partition as "indexed".
+    b0df.select(md5(col("text")).as("fp")).distinct()
+      .withColumn("batch_id", lit(0L))
+      .write.partitionBy("batch_id").parquet(s"$tmp/state/text")
+    graft.llm.Multimodal.imageHashes(b0df).toDF()
+      .select(format_string("%04x%04x%04x%04x",
+        col("b3"), col("b2"), col("b1"), col("b0")).as("fp")).distinct()
+      .withColumn("batch_id", lit(0L))
+      .write.partitionBy("batch_id").parquet(s"$tmp/state/image")
+    graft.llm.Multimodal.audioFpRows(b0df)
+      .select(col("audio_fp").as("fp")).distinct()
+      .withColumn("batch_id", lit(0L))
+      .write.partitionBy("batch_id").parquet(s"$tmp/state/audio")
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val docs = mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = Sources.curationLedgerQuery(docs, s"$tmp/state", s"$tmp/ledger",
+      s"$tmp/ckpt")
+    try {
+      mem.addData(b0: _*)
+      q.processAllAvailable()
+      val keeps = spark.read.parquet(s"$tmp/ledger")
+        .select("doc_id", "text_keep").as[(Long, Boolean)].collect().toMap
+      // all ten texts are unique: every replayed verdict keeps. Before
+      // the batch_id < batchId read filter, the replay saw its own
+      // crashed fingerprints as prior state and flipped all ten to
+      // false — permanently, because the ledger write is an overwrite.
+      assert(keeps.size == 10, s"expected 10 ledger rows, got $keeps")
+      assert(keeps.values.forall(identity),
+        s"replay flipped verdicts: $keeps")
+    } finally q.stop()
+  }
+
+  test("sequence packing replay: the batch's own crashed delta cannot shift bases") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_pack_replay").toString
+    def doc(id: Long, lang: String, words: Int) =
+      (id, Seq.fill(words)("w").mkString(" "), lang, "s", words.toLong)
+    val b0 = Seq(doc(1, "en", 200), doc(2, "en", 100), doc(3, "de", 50))
+    // crash state (ADVICE r10): batch 0's per-lang delta landed, the
+    // checkpoint never committed. The replay's base read must exclude
+    // batch 0's own partition or en packing starts at token 300.
+    Seq(("en", 300L), ("de", 50L)).toDF("lang", "batch_tokens")
+      .withColumn("batch_id", lit(0L))
+      .write.partitionBy("batch_id").parquet(s"$tmp/state")
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val docs = mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = Sources.packSequencesQuery(docs, s"$tmp/state", s"$tmp/packed",
+      s"$tmp/ckpt")
+    try {
+      mem.addData(b0: _*)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(s"$tmp/packed")
+        .select("doc_id", "lang", "n_tokens", "seq_id", "n_seqs_spanned")
+        .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val batch = graft.llm.Curate.packSequences(
+        b0.toDF("doc_id", "text", "lang", "source", "n_chars"))
+        .as[(Long, String, Long, Long, Long)].collect().toSeq
+      assert(streamed == batch,
+        s"replayed pack diverged from fresh pack: $streamed vs $batch")
+      // the delta write stayed idempotent: batch 0's partition was
+      // overwritten with the correct totals, not appended beside
+      val totals = spark.read.parquet(s"$tmp/state")
+        .groupBy("lang").agg(sum("batch_tokens").as("t"))
+        .as[(String, Long)].collect().toMap
+      assert(totals == Map("en" -> 300L, "de" -> 50L))
+    } finally q.stop()
+  }
+
+  test("streaming url dedup equals batch urlDedup under monotone arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_url_stream").toString
+    def doc(id: Long) = (id, s"text $id", "en", "s", 7L)
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val docs = mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = Sources.urlDedupQuery(docs, s"$tmp/state", s"$tmp/out",
+      s"$tmp/ckpt")
+    try {
+      // (domain, path) keys repeat every lcm(23, 4) = 92 ids, so both
+      // batches contain within-batch mirrors AND cross-batch mirrors
+      mem.addData((0L to 99L).map(doc): _*)
+      q.processAllAvailable()
+      mem.addData((100L to 199L).map(doc): _*)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(s"$tmp/out")
+        .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+      val batch = graft.llm.Curate.urlDedup(
+        (0L to 199L).map(doc).toDF("doc_id", "text", "lang", "source", "n_chars"))
+        .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+      assert(streamed.size == 200)
+      assert(streamed === batch)
+      // sanity on the fixture: mirrors exist and were dropped
+      assert(streamed.count(!_._2) > 0)
+    } finally q.stop()
+    // maintenance: compaction preserves the key set, lease excludes
+    val beforeKeys = spark.read.parquet(s"$tmp/state")
+      .select("domain", "path").as[(String, String)].collect().toSet
+    Sources.compactUrlState(spark, s"$tmp/state")
+    val after = spark.read.parquet(s"$tmp/state")
+    assert(after.select("domain", "path").as[(String, String)]
+      .collect().toSet === beforeKeys)
+    assert(after.select("batch_id").distinct().as[Long].collect().toSeq
+      === Seq(-1L))
+  }
+
+  test("shingle compaction recovery: mid-crash aside partitions roll back, never lost") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val tmp = Files.createTempDirectory("graft_compact_recover").toString
+    val idx = s"$tmp/idx"
+    def docsDf(rows: (Long, String)*) =
+      rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    graft.llm.Dedup.appendShingleIndexForBatch(
+      docsDf(1L -> "completely different words here about spark engines today ok"),
+      idx, batchId = 0L)
+    graft.llm.Dedup.appendShingleIndexForBatch(
+      docsDf(2L -> "an entirely novel document with its own unique content words"),
+      idx, batchId = 1L)
+    val before = spark.read.parquet(idx).select("doc_id", "sig").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    // simulate a compaction swap that died MID rename loop: one live
+    // partition moved aside, root still non-empty. The pre-fix
+    // recovery guard (root-must-be-empty) skipped this state and the
+    // entry deletes then destroyed the moved-aside original (ADVICE
+    // r10) — silent loss of batch 0.
+    val fs = new HPath(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new HPath(s"$idx/.old"))
+    assert(fs.rename(new HPath(s"$idx/batch_id=0"),
+      new HPath(s"$idx/.old/batch_id=0")))
+    graft.llm.Dedup.compactShingleIndex(spark, idx)
+    val after = spark.read.parquet(idx)
+    assert(after.select("doc_id", "sig").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSet === before,
+      "compaction after a simulated mid-swap crash lost rows")
+    assert(after.select("batch_id").distinct().as[Long].collect().toSeq
+      === Seq(-1L))
+    assert(!fs.exists(new HPath(s"$idx/.old")))
+    assert(!fs.exists(new HPath(s"$idx/.compact")))
   }
 
   test("streaming near-dup dedup cold start: first batch creates the index") {
