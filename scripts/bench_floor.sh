@@ -25,12 +25,24 @@ for q in "$@"; do
   log="/tmp/floor_$q.log"
   SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
     scripts/run.sh graft.TimeOne "$q" 2>"$log" | tee "/tmp/floor_$q.out"
-  floor=$(awk '{print $3}' "/tmp/floor_$q.out" | sort -n | head -1)
+  iso=$(awk '{print $3}' "/tmp/floor_$q.out" | sort -n | head -1)
   runs=$(awk '{print $3}' "/tmp/floor_$q.out" | paste -sd, -)
-  [ -n "$floor" ] || { echo "FAILED $q — see $log"; exit 1; }
+  [ -n "$iso" ] || { echo "FAILED $q — see $log"; exit 1; }
+  # the floor is the best observed STEADY time under either protocol:
+  # isolated min-of-3 can land in a noisy window while the suite's
+  # cross-pass min (same binary, same data) caught a calm one — take
+  # the min of both and record each so a reader sees the provenance
+  insuite=$(python3 -c "
+import json,sys
+try: print(json.load(open('bench_detail.json'))['queries'].get('$q',''))
+except Exception: print('')")
+  floor=$(python3 -c "
+vals=[v for v in ['$iso','$insuite'] if v]
+print(min(float(v) for v in vals))")
   [ $first -eq 1 ] || echo "," >> "$TMP"
   first=0
-  printf '    "%s": {"floor_s": %s, "runs_s": [%s]}' "$q" "$floor" "$runs" >> "$TMP"
+  printf '    "%s": {"floor_s": %s, "isolated_runs_s": [%s], "insuite_s": %s}' \
+    "$q" "$floor" "$runs" "${insuite:-null}" >> "$TMP"
 done
 echo "" >> "$TMP"
 echo "  }" >> "$TMP"

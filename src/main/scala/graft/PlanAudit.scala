@@ -69,6 +69,7 @@ object PlanAudit {
     "q_heavy_hitters" -> Set("BNLJ"),      // one MG sketch row
     "q_incremental_agg" -> Set("BNLJ"),    // one max-day cutoff row
     "q_keywords" -> Set("BNLJ"),           // corpus doc-count row
+    "q_known_item" -> Set("BNLJ"),         // same corpus doc-count row
     "q_label_purity_ann" -> Set("BNLJ"),   // √n centroid frame
     "q_label_suspects" -> Set("BNLJ"),     // √n centroid frame (same bucketed shape)
     "q_length_histogram" -> Set("BNLJ"),   // one total row
@@ -84,6 +85,9 @@ object PlanAudit {
     // recall evaluation harness: sampled-query × corpus ground truth is
     // the DEFINITION of the measurement (q = fixed eval budget)
     "q_ivf_recall" -> Set("BNLJ"),
+    // same class: sampled-query × corpus scoring IS the truncation
+    // measurement's definition (fixed eval budget)
+    "q_mrl_recall" -> Set("BNLJ"),
     "q_bpe_train" -> Set("BNLJ"),          // single-row best-pair frame per merge round
     "q_bpe_encode" -> Set("BNLJ"),         // same loop: single-row best-pair frames
     "q_skew_report" -> Set("BNLJ"),        // single-row totals frame

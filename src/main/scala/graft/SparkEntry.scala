@@ -148,6 +148,9 @@ object SparkEntry {
     "q_drift_words" -> ((s, d) => llm.TextStats.driftWords(Tables.documents(s, d))),
     // BM25 top-k text retrieval (rational-idf, hash-portable scoring)
     "q_bm25_topk" -> ((s, d) => llm.Retrieval.bm25Search(Tables.documents(s, d))),
+    // known-item retrieval eval: every 20th doc queries its own top-2
+    // keywords; per-query self-rank + reciprocal rank over the probe
+    "q_known_item" -> ((s, d) => llm.Retrieval.knownItemEval(Tables.documents(s, d))),
     // positional inverted-index exact phrase search
     "q_phrase_search" -> ((s, d) => llm.Retrieval.phraseSearch(Tables.documents(s, d))),
     // α=0.5 temperature-sampling language mix weights (UNIMAX-style)
@@ -304,6 +307,9 @@ object SparkEntry {
     "q_pagerank" -> ((s, d) => llm.Dedup.dupPageRank(Tables.documents(s, d))),
     // ANN index evaluation: sampled-query recall@k of IVF vs exact
     "q_ivf_recall" -> ((s, d) => llm.Similarity.ivfRecall(Tables.embeddings(s, d))),
+    // matryoshka/truncation eval: prefix-16-dim top-1 vs full top-1
+    // with the real cosine gap of the truncated pick
+    "q_mrl_recall" -> ((s, d) => llm.Similarity.mrlRecall(Tables.embeddings(s, d))),
     // Deequ-style whole-table column profile (one stack + one agg)
     "q_schema_profile" -> ((s, d) => Validate.schemaProfile(ev(s, d))),
     // the full BPE merge loop: learned merge table over the word dict
@@ -634,6 +640,7 @@ object SparkEntry {
     "q_source_divergence" -> llm.TextStats.sqlSourceDivergence,
     "q_drift_words" -> llm.TextStats.sqlDriftWords(),
     "q_bm25_topk" -> llm.Retrieval.sqlBm25Search(),
+    "q_known_item" -> llm.Retrieval.sqlKnownItemEval(),
     "q_phrase_search" -> llm.Retrieval.sqlPhraseSearch,
     "q_temperature_mix" -> llm.Retrieval.sqlTemperatureMix,
     "q_keywords" -> llm.TextStats.sqlKeywords(),
@@ -717,6 +724,7 @@ object SparkEntry {
     "q_char_lid" -> llm.TextStats.sqlCharTrigramLid,
     "q_pagerank" -> llm.Dedup.sqlDupPageRank(),
     "q_ivf_recall" -> llm.Similarity.sqlIvfRecall(),
+    "q_mrl_recall" -> llm.Similarity.sqlMrlRecall,
     "q_schema_profile" -> Validate.sqlSchemaProfile,
     "q_bpe_train" -> llm.TextStats.sqlBpeTrain(),
     "q_bpe_encode" -> llm.TextStats.sqlBpeEncode(),

@@ -482,9 +482,16 @@ object Classify {
     * explode × 2 classes, one per-doc window, one ≤ cap+1-row
     * aggregate); the label join is on the warehouse key. */
   def qualityClassifier(documents: DataFrame): DataFrame = {
+    // cached: the ledger is the EXPENSIVE side (it decodes every
+    // modality) and the labeled frame is referenced four times
+    // downstream (token explode, class totals, corpus totals, final
+    // actual-label join) — uncached, the whole ledger subplan re-runs
+    // per reference (measured 11 s -> ~7 s at sf0.1). Caller-released
+    // via clearCache, the suite-wide cache lifecycle.
     val verdicts = Multimodal.curationLedger(documents, ordered = false)
       .select(col("doc_id"),
         when(col("keep"), lit("keep")).otherwise(lit("drop")).as(ClassCol))
+      .cache()
     val labeled = documents.drop(ClassCol).join(verdicts, "doc_id")
     val top2 = scoredTopK(labeled, 2)
       .groupBy("doc_id")

@@ -97,6 +97,141 @@ object Retrieval {
         FROM r WHERE rnk <= $k ORDER BY rnk"""
   }
 
+  /** Query-doc sampling rate of the known-item eval: every Mod-th
+    * document becomes a query. The eval-budget knob — the
+    * q_ivf_recall contract: the measurement side is a bounded sample,
+    * the measured side is the production plan. */
+  val KnownItemMod = 20L
+
+  /** KNOWN-ITEM retrieval eval (round 11) — the IR measurement every
+    * retrieval-backed pipeline runs before trusting its index: take
+    * every [[KnownItemMod]]-th document as a "query" whose text is its
+    * own top-2 salient keywords (the [[TextStats.keywords]] ranking),
+    * score the corpus for those terms, and report WHERE the source
+    * document itself ranks. Per-query output (rank, reciprocal rank,
+    * candidate count) rather than one corpus MRR row: the mean of
+    * 1/rank is a cross-row double sum whose partial-aggregation order
+    * differs between engines, while each per-query reciprocal rank is
+    * ONE IEEE division of exact ints — hash-portable, and the reader
+    * aggregates however they like.
+    *
+    * Scoring is the salience form (tf · N/df summed over the query's
+    * ≤2 terms in FIXED term order — each conditional sum touches
+    * exactly one row, so no accumulation-order hazard); rank = 1 +
+    * #candidates strictly ahead under (score desc, doc_id asc) —
+    * counted, never materialized as a ranking.
+    *
+    * Scale shape (100 TB): the term probe IS an inverted-index lookup
+    * (tf grain joined on the term key); queries are a 1/Mod sample;
+    * per-query candidates are the posting lists of two RARE terms
+    * (top-salience keywords are rare by construction). Nothing
+    * concentrates: the rank is a per-query count aggregate. */
+  def knownItemEval(documents: DataFrame,
+                    mod: Long = KnownItemMod): DataFrame = {
+    val words = documents
+      .select(col("doc_id"), explode(TextPrep.wordsCol).as("w"))
+      .filter(!col("w").isin(TextStats.Stopwords: _*))
+    val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n"))
+    // per-(doc, term) salience — BOTH the keyword ranking and each
+    // candidate's per-term score contribution (they are the same
+    // number, so one frame serves both sides). Cached: probe + query
+    // sides re-read it and Spark shares no subplans.
+    val sal = tf.join(dfreq, "w").crossJoin(broadcast(n))
+      .withColumn("s",
+        col("tf").cast("double") * col("n").cast("double") /
+          col("df").cast("double"))
+      .cache()
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("s").desc, col("w").asc)
+    val qterms = sal.filter(col("doc_id") % mod === 0)
+      .withColumn("rnk", row_number().over(w2))
+      .filter(col("rnk") <= 2)
+      .select(col("doc_id").as("query_id"), col("rnk"), col("w"))
+    val qt = qterms.groupBy("query_id").agg(
+      min(when(col("rnk") === 1, col("w"))).as("t1"),
+      min(when(col("rnk") === 2, col("w"))).as("t2"))
+    val scores = qterms
+      .join(sal.select(col("w"), col("doc_id").as("cand_id"), col("s")), "w")
+      .groupBy("query_id", "cand_id")
+      .agg(sum(when(col("rnk") === 1, col("s"))).as("s1"),
+        sum(when(col("rnk") === 2, col("s"))).as("s2"))
+      .select(col("query_id"), col("cand_id"),
+        (coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0)))
+          .as("score"))
+      .cache() // read twice: the self-score extract + the rank count
+    val self = scores.filter(col("query_id") === col("cand_id"))
+      .select(col("query_id"), col("score").as("self_score"))
+    scores.join(self, "query_id")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("score") > col("self_score") ||
+          (col("score") === col("self_score") &&
+            col("cand_id") < col("query_id")), 1L).otherwise(0L))
+          .as("n_ahead"),
+        max(col("self_score")).as("self_score"))
+      .join(qt, "query_id")
+      .select(col("query_id"), col("t1"), col("t2"), col("n_candidates"),
+        (col("n_ahead") + 1L).as("self_rank"),
+        (lit(1.0) / (col("n_ahead") + 1L).cast("double"))
+          .as("reciprocal_rank"),
+        col("self_score"))
+      .orderBy("query_id")
+  }
+
+  def sqlKnownItemEval(mod: Long = KnownItemMod): String = {
+    val w = TextPrep.sqlWords
+    val stop = TextStats.Stopwords.map(s => s"'$s'").mkString("(", ",", ")")
+    s"""WITH wds AS (
+          SELECT doc_id, unnest($w) AS w FROM documents),
+        tf AS (
+          SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM wds
+          WHERE w NOT IN $stop GROUP BY 1, 2),
+        dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        sal AS (
+          SELECT tf.doc_id, tf.w,
+            CAST(tf.tf AS DOUBLE) * CAST(n.n AS DOUBLE)
+              / CAST(dfreq.df AS DOUBLE) AS s
+          FROM tf JOIN dfreq USING (w) CROSS JOIN n),
+        qterms AS (
+          SELECT doc_id AS query_id, w,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY s DESC, w ASC) AS rnk
+          FROM sal WHERE doc_id % $mod = 0
+          QUALIFY rnk <= 2),
+        qt AS (
+          SELECT query_id,
+            min(CASE WHEN rnk = 1 THEN w END) AS t1,
+            min(CASE WHEN rnk = 2 THEN w END) AS t2
+          FROM qterms GROUP BY 1),
+        scores AS (
+          SELECT q.query_id, c.doc_id AS cand_id,
+            COALESCE(sum(CASE WHEN q.rnk = 1 THEN c.s END), 0.0)
+              + COALESCE(sum(CASE WHEN q.rnk = 2 THEN c.s END), 0.0) AS score
+          FROM qterms q JOIN sal c USING (w)
+          GROUP BY 1, 2),
+        self AS (
+          SELECT query_id, score AS self_score FROM scores
+          WHERE query_id = cand_id),
+        ranked AS (
+          SELECT s.query_id,
+            CAST(count(*) AS BIGINT) AS n_candidates,
+            CAST(sum(CASE WHEN s.score > f.self_score
+                  OR (s.score = f.self_score AND s.cand_id < s.query_id)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_ahead,
+            max(f.self_score) AS self_score
+          FROM scores s JOIN self f USING (query_id)
+          GROUP BY 1)
+        SELECT query_id, t1, t2, n_candidates,
+          n_ahead + 1 AS self_rank,
+          1.0 / CAST(n_ahead + 1 AS DOUBLE) AS reciprocal_rank,
+          self_score
+        FROM ranked JOIN qt USING (query_id)
+        ORDER BY query_id"""
+  }
+
   /** UNIMAX/temperature-style corpus mixing weights at α = 0.5, the
     * "upsample the tail languages" sampling policy. The weight is
     * floor(sqrt(tokens)) as an INTEGER: sqrt is IEEE-correctly-rounded

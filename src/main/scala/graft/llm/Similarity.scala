@@ -926,6 +926,106 @@ object Similarity {
         SELECT query_id, rnk, neighbor_id, cosine FROM r
         WHERE rnk <= $k ORDER BY query_id, rnk"""
 
+  /** Prefix width of the truncation eval: the first 16 of 64 dims —
+    * the 4× memory/compute saving a matryoshka-style truncation buys
+    * if the eval says recall survives. */
+  val MrlPrefixDim = 16
+  /** Query sampling rate (the fixed-eval-budget contract of
+    * q_ivf_recall: ground truth on a sample, never the corpus). */
+  val MrlQueryMod = 50L
+
+  /** MATRYOSHKA/truncation eval (round 11) — "how many dims do we
+    * actually need": for a 1/[[MrlQueryMod]] query sample, compare the
+    * top-1 neighbor under FULL 64-dim cosine against the top-1 under
+    * the first-[[MrlPrefixDim]]-dims cosine, and report agreement plus
+    * the real quality cost — the FULL cosine of the prefix-chosen
+    * neighbor and its gap to the true best (a truncation can pick a
+    * different but equally-good neighbor; the gap, not the agree bit,
+    * is the decision number). Per-query rows, no cross-row double
+    * aggregation — every value is dot/sqrt/divide on the same operand
+    * order in both engines.
+    *
+    * Like q_ivf_recall/q_lsh_recall this is a declared EVAL HARNESS:
+    * the sampled-query × corpus scoring is the definition of the
+    * measurement (fixed eval budget), not a production search path —
+    * production reads the verdict and picks a stored-vector width. */
+  def mrlRecall(embeddings: DataFrame): DataFrame = {
+    graft.functions.TopKByScore.register(embeddings.sparkSession)
+    val np = prepared(embeddings)
+      .withColumn("vp", slice(col("v"), 1, MrlPrefixDim))
+      .withColumn("nrmp", sqrt(call_function("dot_d", col("vp"), col("vp"))))
+      .cache()
+    val q = np.filter(pmod(col("vec_id"), lit(MrlQueryMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("vp").as("qvp"), col("nrmp").as("qnrmp"))
+    val scored = np.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        (call_function("dot_d", col("v"), col("qv")) /
+          (col("nrm") * col("qnrm"))).as("full_cos"),
+        (call_function("dot_d", col("vp"), col("qvp")) /
+          (col("nrmp") * col("qnrmp"))).as("pre_cos"))
+      .cache()
+    val full1 = scored.groupBy("query_id")
+      .agg(call_function("top_k_by",
+        col("full_cos"), col("cand_id"), lit(1)).as("t"))
+      .select(col("query_id"),
+        col("t").getItem(0).getField("id").as("full_top1"),
+        col("t").getItem(0).getField("score").as("full_cos"))
+    val pre1 = scored.groupBy("query_id")
+      .agg(call_function("top_k_by",
+        col("pre_cos"), col("cand_id"), lit(1)).as("t"))
+      .select(col("query_id"),
+        col("t").getItem(0).getField("id").as("pre_top1"))
+    val preFull = pre1.join(scored.select(col("query_id"),
+        col("cand_id").as("pre_top1"), col("full_cos").as("pre_full_cos")),
+      Seq("query_id", "pre_top1"))
+    full1.join(preFull, "query_id")
+      .select(col("query_id"), col("full_top1"), col("full_cos"),
+        col("pre_top1"), col("pre_full_cos"),
+        (col("full_top1") === col("pre_top1")).as("agree"),
+        (col("full_cos") - col("pre_full_cos")).as("cos_gap"))
+      .orderBy("query_id")
+  }
+
+  def sqlMrlRecall: String =
+    s"""WITH $sqlPrepared,
+        np AS (
+          SELECT vec_id, v, nrm,
+            sqrt(list_reduce(list_transform(v[1:$MrlPrefixDim],
+              x -> x * x), (a, b) -> a + b)) AS nrmp
+          FROM n),
+        q AS (
+          SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, nrmp AS qnrmp
+          FROM np WHERE vec_id % $MrlQueryMod = 0),
+        scored AS (
+          SELECT q.query_id, c.vec_id AS cand_id,
+            list_reduce(list_transform(generate_series(1, $Dim),
+              i -> c.v[i] * q.qv[i]), (x, y) -> x + y)
+              / (c.nrm * q.qnrm) AS full_cos,
+            list_reduce(list_transform(generate_series(1, $MrlPrefixDim),
+              i -> c.v[i] * q.qv[i]), (x, y) -> x + y)
+              / (c.nrmp * q.qnrmp) AS pre_cos
+          FROM np c JOIN q ON c.vec_id <> q.query_id),
+        f1 AS (
+          SELECT query_id, cand_id AS full_top1, full_cos,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY full_cos DESC, cand_id ASC) AS r
+          FROM scored QUALIFY r = 1),
+        p1 AS (
+          SELECT query_id, cand_id AS pre_top1,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY pre_cos DESC, cand_id ASC) AS r
+          FROM scored QUALIFY r = 1),
+        pf AS (
+          SELECT p1.query_id, p1.pre_top1, s.full_cos AS pre_full_cos
+          FROM p1 JOIN scored s
+            ON s.query_id = p1.query_id AND s.cand_id = p1.pre_top1)
+        SELECT f1.query_id, f1.full_top1, f1.full_cos,
+          pf.pre_top1, pf.pre_full_cos,
+          f1.full_top1 = pf.pre_top1 AS agree,
+          f1.full_cos - pf.pre_full_cos AS cos_gap
+        FROM f1 JOIN pf USING (query_id) ORDER BY query_id"""
+
   /** Multi-probe sign-LSH near-dup (Lv et al., VLDB'07): each vector
     * probes its own bucket AND the NumPlanes buckets at Hamming
     * distance 1 in every table, so a pair collides if their codes
