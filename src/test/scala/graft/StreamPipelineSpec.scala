@@ -444,6 +444,47 @@ class StreamPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming semantic dedup over IMAGE vectors: replicas drop against the index") {
+    // the round-11 composition seam end-to-end in streaming: the image
+    // feature extractor feeds the SAME incremental LSH dedup the
+    // embeddings table uses — no image-specific streaming code at all.
+    // PhashReplica consecutive doc_ids carry identical rasters, so
+    // their centered feature vectors are exact copies (cosine 1).
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_img_stream").toString
+    val rep = graft.llm.Multimodal.PhashReplica.toLong
+    // choose one eligible content id (w,h >= PhashMinDim) and stream
+    // its three replicas across two batches plus one distinct image
+    val base = graft.llm.Multimodal.imageEmbeddings(
+        (0L until 200L).toDF("doc_id"))
+      .select("vec_id").as[Long].collect().toSet
+    val cid = (0L until 200L).find(id => id % rep == 0 &&
+      base(id) && base(id + 1) && base(id + 2)).get
+    val other = base.find(id => id / rep != cid / rep).get
+    def embOf(ids: Seq[Long]) =
+      graft.llm.Multimodal.imageEmbeddings(ids.toDF("doc_id"))
+        .as[(Long, Array[Float])].collect().toSeq.map {
+          case (i, v) => (i, Option(v.map(_.toDouble).toSeq))
+        }
+    val mem = MemoryStream[(Long, Option[Seq[Double]])]
+    val emb = mem.toDF().toDF("vec_id", "embedding")
+    val q = Sources.semanticDedupQuery(emb, s"$tmp/idx", s"$tmp/clean",
+      s"$tmp/ckpt", threshold = 0.9999)
+    try {
+      // batch 1: replica pair in-batch (lower id survives) + distinct
+      mem.addData(embOf(Seq(cid, cid + 1, other)): _*)
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$tmp/clean").select("vec_id")
+        .as[Long].collect().toSet === Set(cid, other))
+      // batch 2: the third replica arrives later and drops against the
+      // persisted index — cross-batch image dedup through ANN state
+      mem.addData(embOf(Seq(cid + 2)): _*)
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$tmp/clean").select("vec_id")
+        .as[Long].collect().toSet === Set(cid, other))
+    } finally q.stop()
+  }
+
   test("streaming url dedup equals batch urlDedup under monotone arrival") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = Files.createTempDirectory("graft_url_stream").toString
