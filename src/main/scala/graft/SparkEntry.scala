@@ -206,6 +206,8 @@ object SparkEntry {
     // WHERE each spanning document is cut: per-(doc, seq) token ranges
     // a trainer materializes sequences from; scalable prefix-sum core
     "q_pack_slices" -> ((s, d) => llm.Curate.packSlices(Tables.documents(s, d))),
+    // per-lang packing utilization/padding + boundary-spanning doc count
+    "q_pack_efficiency" -> ((s, d) => llm.Curate.packEfficiency(Tables.documents(s, d))),
     // dedup end-game: connected components over the near-dup pair graph
     "q_dup_clusters" -> ((s, d) => llm.Dedup.dupClusters(Tables.documents(s, d))),
     // eval-set decontamination: n-gram overlap vs a held-out benchmark slice
@@ -673,6 +675,7 @@ object SparkEntry {
     // sequential packing bit-for-bit
     "q_pack_scalable" -> llm.Curate.sqlPackSequences,
     "q_pack_slices" -> llm.Curate.sqlPackSlices,
+    "q_pack_efficiency" -> llm.Curate.sqlPackEfficiency,
     "q_dup_clusters" -> llm.Dedup.sqlDupClusters(),
     "q_normalize_text" -> llm.Curate.sqlNormalizeText,
     "q_decontaminate" -> llm.Curate.sqlDecontaminate(),

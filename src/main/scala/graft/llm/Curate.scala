@@ -325,6 +325,55 @@ object Curate {
       .withColumn("n_slice_tokens", col("tok_end") - col("tok_start"))
       .orderBy("doc_id", "seq_id")
 
+  /** Packing EFFICIENCY report (round 11) — the number that justifies
+    * concat-and-cut packing at all: per language, document/token mass,
+    * how many capacity-token sequences the stream cuts into, the
+    * padding the LAST partial sequence wastes, utilization (one IEEE
+    * division of exact ints), and how many documents span a cut
+    * (the attention-mask/document-boundary cost a trainer pays).
+    * Built on [[scalableCum]]; one bounded-window pass + one
+    * lang-cardinality aggregate. */
+  def packEfficiency(documents: DataFrame): DataFrame =
+    scalableCum(documents)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"(cum_before + n_tokens - 1) DIV $PackCapacity" +
+          s" - cum_before DIV $PackCapacity + 1").as("spans"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("spans") > 1, 1L).otherwise(0L)).as("n_spanning_docs"))
+      .withColumn("n_seqs",
+        expr(s"(total_tokens + ${PackCapacity - 1}) DIV $PackCapacity"))
+      .withColumn("pad_tokens",
+        col("n_seqs") * lit(PackCapacity) - col("total_tokens"))
+      .withColumn("utilization",
+        col("total_tokens").cast("double") /
+          (col("n_seqs") * lit(PackCapacity)).cast("double"))
+      .orderBy("lang")
+
+  val sqlPackEfficiency: String =
+    s"""WITH ${sqlPackCtes("documents")},
+        d AS (
+          SELECT lang, n_tokens,
+            (cum_before + n_tokens - 1) // $PackCapacity
+              - cum_before // $PackCapacity + 1 AS spans
+          FROM c),
+        g AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+            CAST(sum(CASE WHEN spans > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_spanning_docs
+          FROM d GROUP BY 1)
+        SELECT lang, n_docs, total_tokens, n_spanning_docs,
+          CAST((total_tokens + ${PackCapacity - 1}) // $PackCapacity
+            AS BIGINT) AS n_seqs,
+          CAST((total_tokens + ${PackCapacity - 1}) // $PackCapacity
+            * $PackCapacity - total_tokens AS BIGINT) AS pad_tokens,
+          CAST(total_tokens AS DOUBLE) /
+            CAST((total_tokens + ${PackCapacity - 1}) // $PackCapacity
+              * $PackCapacity AS DOUBLE) AS utilization
+        FROM g ORDER BY lang"""
+
   val sqlPackSlices: String =
     s"""WITH ${sqlPackCtes("documents")},
         s AS (
