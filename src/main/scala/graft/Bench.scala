@@ -67,6 +67,23 @@ object Bench {
   private case class Failed(err: String) extends Outcome
   private case class TimedOut(capS: Double) extends Outcome
 
+  /** Pass-1 times within this factor of the committed floor count as
+    * measured-clean: no pass-2 re-run. */
+  private val FloorSlack = 1.5
+
+  /** Committed steady-state floors from bench_floor.json — parsed
+    * with a regex over the flat `"name": {"floor_s": x, ...}` layout
+    * (the bench binary deliberately has no JSON dependency; the file
+    * is repo-controlled). Missing/unreadable file → empty map → pass 2
+    * degrades to the old re-measure-everything behavior. */
+  private def loadFloors(): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_floor.json")), "UTF-8")
+      val Re = """"(q_[A-Za-z0-9_]+)"\s*:\s*\{[^{}]*?"floor_s"\s*:\s*([0-9.eE+-]+)""".r
+      Re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1500").toDouble
     val wall0 = System.nanoTime()
@@ -200,16 +217,30 @@ object Bench {
       attempt(n, clamp((p1Deadline - elapsedS) / remaining, 15.0, 180.0), "pass1")
     }
 
-    // PASS 2, slowest-first: the re-measurement reaches the most-
-    // inflated (most steal-suspect) numbers first if the budget cuts
-    // it short. Cross-pass min is the contention defense this shared
-    // VM needs: a host-scheduler stall lasting minutes covers both
-    // back-to-back runs of one query, but to distort a cross-pass min
-    // it would have to span the entire suite.
-    val p2Order = names.sortBy { n =>
+    // PASS 2 is FLOOR-AWARE (round 12, VERDICT r11 task 1): the suite
+    // outgrew two full passes of the driver budget (r11: 163 pass-2
+    // runs skipped, the re-measurement budget spent on queries already
+    // at their floor). A query whose pass-1 time is within FloorSlack
+    // of its committed bench_floor.json floor measured CLEAN — a
+    // second run can only confirm it; re-measure ONLY queries above
+    // the slack (the steal suspects) plus queries with no committed
+    // floor, slowest-first so the most-inflated numbers are reached
+    // first if the budget still cuts short. Cross-pass min remains the
+    // contention defense: a host-scheduler stall covering both runs of
+    // one query happens; one spanning pass 1 AND its targeted pass-2
+    // re-run would have to span most of the suite.
+    val floors = loadFloors()
+    val p2Order = names.filter { n =>
+      floors.get(n) match {
+        case Some(f) => succ(n) == Double.MaxValue || succ(n) > FloorSlack * f
+        case None => true
+      }
+    }.sortBy { n =>
       -(if (succ(n) < Double.MaxValue) succ(n)
         else sawTimeout.getOrElse(n, Double.MaxValue / 2))
     }
+    progress.println(s"floor-aware pass 2: ${names.size - p2Order.size} " +
+      s"at floor (skipped), ${p2Order.size} to re-measure")
     val p2Deadline = 0.85 * budgetS
     var skipped = 0
     p2Order.zipWithIndex.foreach { case (n, i) =>

@@ -85,9 +85,8 @@ object PlanAudit {
     // recall evaluation harness: sampled-query × corpus ground truth is
     // the DEFINITION of the measurement (q = fixed eval budget)
     "q_ivf_recall" -> Set("BNLJ"),
-    // same class: sampled-query × corpus scoring IS the truncation
-    // measurement's definition (fixed eval budget)
-    "q_mrl_recall" -> Set("BNLJ"),
+    // (q_mrl_recall needed this until round 12: the truncation eval
+    // now scores over LSH bucket candidates — equi-joins only)
     "q_bpe_train" -> Set("BNLJ"),          // single-row best-pair frame per merge round
     "q_bpe_encode" -> Set("BNLJ"),         // same loop: single-row best-pair frames
     "q_skew_report" -> Set("BNLJ"),        // single-row totals frame
@@ -137,10 +136,78 @@ object PlanAudit {
   val lowCardCols: Set[String] =
     Set("lang", "source", "status", "type", "transaction_type", "currency")
 
+  /** Grouping keys that are themselves corpus-grain row ids: an
+    * aggregate keyed by one of these does NOT reduce the corpus (one
+    * output row per document/vector), so it must not exempt a
+    * low-card window above it — the ADVICE r11 over-broad-exemption
+    * class (a groupBy(doc_id) feeding a per-lang window is still an
+    * unbounded partition). */
+  val corpusGrainKeys: Set[String] =
+    Set("doc_id", "vec_id", "query_id", "cand_id", "event_id")
+
   /** `Window [exprs], [partitionCols], [orderCols]` — the two trailing
     * bracket groups of a physical Window line (inner groups carry no
-    * square brackets; the expression head may, so anchor at the END). */
+    * square brackets; the expression head may, so anchor at the END).
+    * KNOWN FALSE-NEGATIVE (documented per ADVICE r11, not silent): a
+    * partition expression that itself contains square brackets (e.g.
+    * an array element or a bracketed function render) defeats the
+    * regex and the window silently passes this gate — if a window key
+    * ever needs such an expression, extend the regex alongside it. */
   private val WinSpec = """.*\], \[([^\[\]]*)\], \[[^\[\]]*\]\s*$""".r
+
+  /** keys=[...] of a physical aggregate line. */
+  private val AggKeys = """.*Aggregate\(keys=\[(.*?)\], functions.*""".r
+
+  /** Does this aggregate line CORPUS-REDUCE its input — i.e. group by
+    * at least one key, none of which is a corpus-grain row id? Only
+    * such an aggregate may exempt a low-card window above it. */
+  private def aggReducesCorpus(l: String): Boolean = l match {
+    case AggKeys(ks) =>
+      ks.trim.nonEmpty && !corpusGrainKeys.exists(k => ks.contains(k + "#"))
+    case _ => false
+  }
+
+  /** CORPUS_CACHE (round 12, VERDICT r11 task 6): an InMemoryRelation
+    * whose cached subtree explodes a corpus text column to TOKEN grain
+    * (`Generate explode(split(...)` over a documents/embeddings scan)
+    * with no fixed-budget bound (TakeOrdered / a Limit operator)
+    * anywhere in the subtree — the q_known_item round-11 defect
+    * class: a `.cache()` that materializes the tokenized corpus (a
+    * spilled corpus-scale artifact at 100 TB) instead of a
+    * probe-bounded frame. A cache whose TOPMOST aggregate (first
+    * aggregate line of the cached subtree in print order — the
+    * operator that fixes the cached frame's grain) corpus-reduces
+    * ([[aggReducesCorpus]]) is exempt: a per-(source, word) or
+    * per-(class, word) counts cache is vocabulary grain, the standard
+    * sublinear model table, however token-grain its producer explode
+    * is. KNOWN FALSE-NEGATIVE CLASSES (documented, not silent): a
+    * corpus-scale cache whose subtree contains an unrelated limit; a
+    * reducing aggregate printed first from a SIBLING branch of the
+    * actual cache spine; corpus-scale caches at non-token grain built
+    * without Generate (e.g. mapPartitions decode frames). The gate
+    * catches the exploded-text class it exists for. */
+  private def corpusCache(lines: Array[String]): Boolean = {
+    def markerCol(l: String): Int = l.indexOf("+-")
+    lines.indices.exists { i =>
+      lines(i).contains("InMemoryRelation") && {
+        val col = markerCol(lines(i))
+        val subtree = lines.drop(i + 1)
+          .takeWhile(l => markerCol(l) > col)
+        val tokenExplode = subtree.exists(_.contains("Generate explode(split("))
+        val corpusScan = subtree.exists(l => l.contains("FileScan") &&
+          (l.contains("documents.parquet") || l.contains("embeddings.parquet")))
+        // WindowGroupLimit deliberately does NOT count as a bound: it
+        // caps rows per window KEY, not the frame's corpus growth
+        val bounded = subtree.exists(l =>
+          l.contains("TakeOrderedAndProject(limit=") ||
+            l.contains("GlobalLimit") || l.contains("LocalLimit") ||
+            l.contains("CollectLimit"))
+        val grainFixedByAgg = subtree.find(_.contains("Aggregate("))
+          .exists(aggReducesCorpus)
+        tokenExplode && corpusScan && !bounded && !grainFixedByAgg
+      }
+    }
+  }
 
   /** Audit one query's executed plan string → flags found. */
   def flagsOf(plan: String): Seq[String] = {
@@ -170,14 +237,17 @@ object PlanAudit {
               // cardinality (per-lang windows over per-(lang, bucket)
               // totals, per-source ranks over per-(source, word)
               // counts), not by the corpus. Scan the child chain down
-              // to its first leaf/scan; an Aggregate there means the
-              // input was already corpus-reduced.
+              // to its first leaf/scan; a CORPUS-REDUCING aggregate
+              // there (round 12, ADVICE r11: keyed, and by no
+              // corpus-grain row id — a groupBy(doc_id) emits one row
+              // per document and bounds nothing) means the input was
+              // already corpus-reduced.
               val tail = (i + 1 until math.min(i + 10, lines.length))
                 .map(lines)
               val leaf = tail.indexWhere(t =>
                 t.contains("Scan") || t.contains("Window ["))
               val chain = if (leaf >= 0) tail.take(leaf) else tail
-              !chain.exists(_.contains("Aggregate"))
+              !chain.exists(aggReducesCorpus)
             }
           case _ => false
         })
@@ -186,7 +256,8 @@ object PlanAudit {
       "CARTESIAN" -> plan.contains("CartesianProduct"),
       "BNLJ" -> plan.contains("BroadcastNestedLoopJoin"),
       "UNPART_WINDOW" -> unpartWindow,
-      "LOWCARD_WINDOW" -> lowcardWindow
+      "LOWCARD_WINDOW" -> lowcardWindow,
+      "CORPUS_CACHE" -> corpusCache(lines)
     ).collect { case (f, true) => f }
   }
 

@@ -173,6 +173,8 @@ object SparkEntry {
     // audio dedup + dead-air detection: PCM-exact fingerprint groups
     // (cross-container replicas) + silent-segment runs, twin-predicted
     "q_audio_dedup" -> ((s, d) => llm.Multimodal.audioDedup(Tables.documents(s, d))),
+    "q_audio_embed" -> ((s, d) => llm.Multimodal.audioEmbed(Tables.documents(s, d))),
+    "q_audio_ann" -> ((s, d) => llm.Multimodal.audioAnnTopK(Tables.documents(s, d), 5)),
     // slideshow detection: per-video duplicate/static frame stats over
     // the stride-sampled real MJPEG corpus (content-hash fingerprints)
     "q_frame_dedup" -> ((s, d) => llm.Multimodal.frameDedup(Tables.documents(s, d))),
@@ -656,6 +658,8 @@ object SparkEntry {
     "q_video_frames" -> llm.Multimodal.sqlVideoFrames,
     "q_video_sample" -> llm.Multimodal.sqlVideoFrameSample(),
     "q_audio_dedup" -> llm.Multimodal.sqlAudioDedup,
+    "q_audio_embed" -> llm.Multimodal.sqlAudioEmbed,
+    "q_audio_ann" -> llm.Multimodal.sqlAudioAnnTopK(5),
     "q_curation_ledger" -> llm.Multimodal.sqlCurationLedger,
     "q_frame_dedup" -> llm.Multimodal.sqlFrameDedup(),
     "q_image_phash" -> llm.Multimodal.sqlImagePhash,

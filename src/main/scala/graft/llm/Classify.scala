@@ -53,21 +53,28 @@ object Classify {
     * the AUC property test can compute its brute-force pairwise
     * reference from the same scores. */
   private[graft] def perClassScores(documents: DataFrame): DataFrame = {
-    val toks = tokens(documents).cache()
-    // model: per-class token totals + doc counts (k rows, bounded)
-    val classes = toks.groupBy(col("cls").as("cand"))
-      .agg(count(lit(1)).as("n_c"))
+    val toks = tokens(documents)
+    // model: per-(class, word) counts — one corpus-sized hash
+    // aggregate, CACHED at (k-class × vocabulary) grain. Round 12
+    // (the CORPUS_CACHE audit class): this replaces caching the raw
+    // token explode — one row per token OCCURRENCE, a spilled
+    // tokenized-corpus artifact at 100 TB — and the class totals and
+    // vocabulary size are derived FROM the counts (identical integers:
+    // n_c = Σ_w n_cw, v = distinct words of the counts table), so the
+    // explode only ever runs as a map-side producer feeding
+    // aggregates, never materialized.
+    val counts = toks.groupBy(col("cls").as("cand"), col("word"))
+      .agg(count(lit(1)).as("n_cw"))
+      .cache()
+    val classes = counts.groupBy("cand").agg(sum(col("n_cw")).as("n_c"))
     val docsPerClass = documents.groupBy(col(ClassCol).as("cand"))
       .agg(count(lit(1)).as("nd_c"))
     val totals = documents.agg(count(lit(1)).as("nd"))
-    val vocab = toks.agg(countDistinct(col("word")).as("v"))
+    val vocab = counts.agg(countDistinct(col("word")).as("v"))
     val classDim = classes.join(docsPerClass, "cand")
       .crossJoin(totals).crossJoin(vocab)
       .select(col("cand"), col("n_c"), col("v"),
         ilog2(expr("nd DIV nd_c")).as("prior_bits"))
-    // model: per-(class, word) counts — one corpus-sized hash aggregate
-    val counts = toks.groupBy(col("cls").as("cand"), col("word"))
-      .agg(count(lit(1)).as("n_cw"))
     // score: token explode × k candidate classes, word bits from the
     // model join (missing (cand, word) ⇒ n_cw = 0 via the left join)
     val perClass = toks.select(col("doc_id"), col("word"))
@@ -231,11 +238,23 @@ object Classify {
   def nbCrossval(documents: DataFrame, k: Int = CvFolds): DataFrame = {
     val toks = tokens(documents)
       .withColumn("fold", pmod(col("doc_id"), lit(k.toLong)))
+    // THE one cached frame is the (fold, class, word) count table —
+    // (K·k·vocabulary) grain, the sublinear model table — from which
+    // every other model statistic derives as identical integers
+    // (n_all = Σ_folds, n_c = Σ_words, v_all / word-fold spans =
+    // distinct counts over it). Round 12 (the CORPUS_CACHE audit
+    // class): previously the raw token explode was cached and read
+    // six times — one row per token OCCURRENCE, a spilled
+    // tokenized-corpus artifact at 100 TB. The explode now only runs
+    // as a map-side producer (here and in the scoring pass), never
+    // materialized.
+    val cwFold = toks.groupBy(col("fold"), col("cls").as("cand"), col("word"))
+      .agg(count(lit(1)).as("n_in_fold"))
       .cache()
     // class dimension per (fold, cand): held-out totals by subtraction
-    val nC = toks.groupBy(col("cls").as("cand")).agg(count(lit(1)).as("n_c"))
-    val nCf = toks.groupBy(col("fold"), col("cls").as("cand"))
-      .agg(count(lit(1)).as("n_cf"))
+    val nC = cwFold.groupBy(col("cand")).agg(sum(col("n_in_fold")).as("n_c"))
+    val nCf = cwFold.groupBy(col("fold"), col("cand"))
+      .agg(sum(col("n_in_fold")).as("n_cf"))
     val ndC = documents.groupBy(col(ClassCol).as("cand"))
       .agg(count(lit(1)).as("nd_c"))
     val ndCf = documents
@@ -247,8 +266,8 @@ object Classify {
       .withColumn("fold", pmod(col("doc_id"), lit(k.toLong)))
       .groupBy("fold").agg(count(lit(1)).as("nd_f"))
     // held-out vocab: V − #words whose every occurrence is in this fold
-    val vAll = toks.agg(countDistinct(col("word")).as("v_all"))
-    val wordFolds = toks.groupBy("word")
+    val vAll = cwFold.agg(countDistinct(col("word")).as("v_all"))
+    val wordFolds = cwFold.groupBy("word")
       .agg(countDistinct(col("fold")).as("nf"), min(col("fold")).as("only_fold"))
     val vOnly = wordFolds.filter(col("nf") === 1)
       .groupBy(col("only_fold").as("fold"))
@@ -268,10 +287,8 @@ object Classify {
         (col("nd_c") - coalesce(col("nd_cf"), lit(0L))).as("nd_c_f"))
       .filter(col("nd_c_f") > 0) // class absent from the held-out folds
       .withColumn("prior_bits", ilog2(expr("nd_ho DIV nd_c_f")))
-    val cwAll = toks.groupBy(col("cls").as("cand"), col("word"))
-      .agg(count(lit(1)).as("n_all"))
-    val cwFold = toks.groupBy(col("fold"), col("cls").as("cand"), col("word"))
-      .agg(count(lit(1)).as("n_in_fold"))
+    val cwAll = cwFold.groupBy(col("cand"), col("word"))
+      .agg(sum(col("n_in_fold")).as("n_all"))
     val perClass = toks.select(col("doc_id"), col("fold"), col("word"))
       .join(broadcast(classDim), Seq("fold"))
       .join(cwAll, Seq("cand", "word"), "left")

@@ -194,7 +194,7 @@ object Curate {
     * the published sample query and the [[trainingShards]] capstone
     * (an inlined copy could silently drift the capstone's quality
     * gate off the audited sample). */
-  private def qualityKept(documents: DataFrame): DataFrame =
+  private[graft] def qualityKept(documents: DataFrame): DataFrame =
     TextStats.textStatsUnordered(documents)
       .select(col("doc_id"), col("quality_score"))
       .withColumn("rate", floor(col("quality_score") * 1000).cast("long"))
@@ -1978,12 +1978,24 @@ object Curate {
     val survivors = documents
       .join(kept, Seq("doc_id"), "left_semi")
       .join(qualityKept(documents).select("doc_id"), Seq("doc_id"), "left_semi")
-    val seqKey = concat(col("lang"), lit(":"), col("seq_id").cast("string"))
     // scalableCum, not packCore (round 11): the capstone must not
     // inherit the per-lang window's unbounded partition; cum_before
     // is bit-equal so the composed twin is unchanged
-    scalableCum(survivors)
-      .withColumn("seq_id", expr(s"cum_before DIV $PackCapacity"))
+    shardSummary(
+      scalableCum(survivors)
+        .withColumn("seq_id", expr(s"cum_before DIV $PackCapacity")),
+      shards)
+  }
+
+  /** The per-(lang, seq_id) shard rollup of any packed doc frame
+    * (doc_id, lang, n_tokens, seq_id) — ONE definition shared by the
+    * batch capstone and the streaming shard writer
+    * ([[graft.streaming.Sources.trainingShardsQuery]]), so the two
+    * artifacts can never drift on shard assignment or sort key. */
+  private[graft] def shardSummary(packed: DataFrame,
+                                  shards: Int = NumShards): DataFrame = {
+    val seqKey = concat(col("lang"), lit(":"), col("seq_id").cast("string"))
+    packed
       .groupBy("lang", "seq_id")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
@@ -1994,6 +2006,32 @@ object Curate {
         hashBucket("shuffle", shards, seqKey).as("shard"),
         md5(concat(lit("shuffle:"), seqKey)).as("sort_key"))
   }
+
+  /** Merged read-back of the STREAMED shard artifact
+    * ([[graft.streaming.Sources.trainingShardsQuery]]'s layout:
+    * per-micro-batch PARTIAL sequence summaries under
+    * `micro_batch_id=N/shard=M`): a sequence spanning a trigger
+    * boundary has one partial row per touching batch, and every
+    * summary statistic merges associatively — n_docs/n_tokens sum,
+    * first/last min/max; shard and sort_key are functions of
+    * (lang, seq_id), constant across the partials. One grouped
+    * aggregate at sequence grain (a fraction of the corpus), after
+    * which the rows are IDENTICAL to [[writeTrainingShards]]'s — the
+    * linear-sketch read-time-merge recipe
+    * ([[graft.streaming.Sources.readCmsSketch]]) applied to the
+    * training artifact. Shard pruning survives: `shard=` stays a
+    * partition column, so a reader filtering one shard lists only
+    * that shard's directories before merging. */
+  def readTrainingShards(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy("lang", "seq_id", "shard", "sort_key")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("first_doc")).as("first_doc"),
+        max(col("last_doc")).as("last_doc"))
+      .select("lang", "seq_id", "n_docs", "n_tokens",
+        "first_doc", "last_doc", "shard", "sort_key")
 
   /** Shard WRITER (VERDICT r10 task 8) — the on-disk artifact a
     * trainer actually opens, closing the gap between the

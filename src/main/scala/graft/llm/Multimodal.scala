@@ -939,6 +939,154 @@ object Multimodal {
         ORDER BY doc_id"""
   }
 
+  // ---- audio feature vectors + ANN (round 12, VERDICT r11 task 4) ----
+
+  /** Dimensionality of the audio feature vector = [[Similarity.Dim]]
+    * (64): the vectors feed the SAME sign-LSH machinery — 64-dim
+    * plane tables, the 64-term twin cosine — every other modality
+    * uses, so nothing downstream is re-derived. */
+  val AudioEmbedDim: Int = Similarity.Dim
+
+  /** (vec_id, embedding: array<float>[64]) — deterministic audio
+    * FEATURE vectors from the REAL decoded PCM stream (VERDICT r11
+    * task 4, closing the modality matrix: image ANN landed round 11,
+    * audio similarity was exact-fingerprint-only): sample i's 8-bit
+    * amplitude (the unsigned 16-bit sample's high byte — quantization
+    * before feature extraction) accumulates into comb dimension
+    * i mod 64, giving a fixed-dim per-window energy profile of the
+    * clip that is exact integer arithmetic end to end. Same replica
+    * semantics as [[audioDedup]]: identical PCM in different
+    * containers yields identical vectors (cosine 1), near branches
+    * rank below.
+    *
+    * The vector is MEAN-CENTERED — f(d) = 64·s(d) − Σs — the image
+    * lesson ([[imageEmbeddings]]) applied structurally: raw energy
+    * profiles are all-positive, every vector sits in one cone of the
+    * positive orthant, and sign-LSH over a cone degenerates to ONE
+    * hot bucket per table (the measured 10× n² symptom). Centering
+    * spreads directions across orthants, restoring the n/2^np bucket
+    * occupancy the banded join is designed around. |f| ≤ 64·(⌈600/64⌉
+    * ·255) < 2²⁴, so float carries it exactly and
+    * [[Similarity.prepared]]'s cast to double is lossless — cosines
+    * stay bit-portable to the oracle. Zero-variance profiles (a
+    * constant comb has no direction; cosine would be 0/0 NaN, ordered
+    * differently by the two engines) are excluded in both engines.
+    * PCM is LOSSLESS and cid-predictable, so the twin regenerates
+    * every sample arithmetically — the [[sqlAudioDedup]] recipe —
+    * and the features are exact SQL. Map-only; feeds
+    * [[Similarity.lshTopKNeighbors]] verbatim. */
+  def audioEmbeddings(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    speechAudioTable(documents).mapPartitions { batch =>
+      batch.flatMap { m =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.content))
+        val big = ais.getFormat.isBigEndian
+        val bytes = ais.readAllBytes()
+        val nS = bytes.length / 2
+        val s = new Array[Long](AudioEmbedDim)
+        var i = 0
+        while (i < nS) {
+          val hi = if (big) bytes(2 * i) else bytes(2 * i + 1)
+          val lo = if (big) bytes(2 * i + 1) else bytes(2 * i)
+          val v = ((hi << 8) | (lo & 0xff)) & 0xffff
+          s(i % AudioEmbedDim) += (v >> 8)
+          i += 1
+        }
+        var t = 0L
+        var d = 0
+        while (d < AudioEmbedDim) { t += s(d); d += 1 }
+        if (s.forall(_ == s(0))) None // zero-variance: no direction
+        else Some((m.doc_id, s.map(x => (x * AudioEmbedDim - t).toFloat)))
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** Per-document audio feature vector, exploded to (doc_id, d, f)
+    * scalar rows so EVERY comb dimension of every eligible clip is
+    * oracle-gated (the ANN query alone gates them only through the
+    * cosine/bucket composition) — the [[imageEmbed]] pattern. */
+  def audioEmbed(documents: DataFrame): DataFrame =
+    audioEmbeddings(documents)
+      .select(col("vec_id").as("doc_id"),
+        posexplode(col("embedding")).as(Seq("d", "f")))
+      .select(col("doc_id"), col("d").cast("int").as("d"),
+        col("f").cast("double").as("f"))
+      .orderBy("doc_id", "d")
+
+  /** The feature CTE chain both audio-embedding twins splice: the
+    * [[sqlAudioDedup]] sample regeneration, summed into 64 comb
+    * dimensions of 8-bit-quantized amplitudes. */
+  private def sqlAudioFeatureCtes: String = {
+    def pc(m: Int) = s"(((cid % $m) + $m) % $m)"
+    val sample = s"(seed * 31153 + i * 40503) % $AudioSeedMod"
+    val silent = s"((((cid + i // $AudioSegFrames) % $AudioSilentPeriod) + " +
+      s"$AudioSilentPeriod) % $AudioSilentPeriod) < runlen"
+    s"""dd AS (
+          SELECT doc_id, ${sqlFloorDiv("doc_id", AudioDedupReplica)} AS cid
+          FROM documents),
+        pp AS (
+          SELECT doc_id, cid,
+            ${pc(AudioSeedMod)} AS seed,
+            CAST($AudioSegFrames * ($AudioSegBase + ${pc(AudioSegMod)})
+              AS BIGINT) AS ns,
+            ${pc(AudioSilentRunMod)} AS runlen
+          FROM dd),
+        ee AS (SELECT doc_id, cid, seed, runlen,
+                 unnest(generate_series(0, ns - 1)) AS i FROM pp),
+        qv AS (SELECT doc_id, CAST(i % $AudioEmbedDim AS INTEGER) AS dim,
+                 (CASE WHEN $silent THEN 0 ELSE $sample END) // 256 AS q
+               FROM ee),
+        sd AS (SELECT doc_id, dim, CAST(sum(q) AS BIGINT) AS s
+               FROM qv GROUP BY 1, 2),
+        tg AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS t
+               FROM sd GROUP BY 1)"""
+  }
+
+  /** Twin of [[audioEmbed]]: the centered comb VALUE predicted from
+    * the generator arithmetic, zero-variance clips excluded by the
+    * same min<max rule. */
+  val sqlAudioEmbed: String =
+    s"""WITH $sqlAudioFeatureCtes,
+        vr AS (SELECT doc_id FROM sd GROUP BY doc_id
+               HAVING min(s) < max(s))
+        SELECT sd.doc_id, dim AS d,
+          CAST($AudioEmbedDim * s - t AS DOUBLE) AS f
+        FROM sd JOIN tg ON sd.doc_id = tg.doc_id
+                JOIN vr ON sd.doc_id = vr.doc_id
+        ORDER BY sd.doc_id, d"""
+
+  /** ANN over the AUDIO modality: the decoded PCM comb features feed
+    * [[Similarity.lshTopKNeighbors]] verbatim — adaptive signature
+    * width, banded candidate join, bounded-heap top-k — the exact
+    * [[imageAnnTopK]] composition. Container-blind by construction:
+    * the [[AudioDedupReplica]] re-encodes rank at cosine 1 ahead of
+    * merely-similar clips. */
+  def audioAnnTopK(documents: DataFrame, k: Int): DataFrame =
+    Similarity.lshTopKNeighbors(audioEmbeddings(documents), k)
+
+  /** Twin: the audio-feature `n` CTE spliced into the SAME LSH top-k
+    * SQL ([[Similarity.sqlLshTopKNeighborsOver]]). nv/n MATERIALIZED
+    * for the same reason as [[sqlImageAnnTopK]]: the vectors are
+    * CONSTRUCTED from a 200–600×-exploded sample frame, and default
+    * CTE inlining would re-run that construction for every bucket
+    * select plus both verification-join sides. */
+  def sqlAudioAnnTopK(k: Int): String =
+    Similarity.sqlLshTopKNeighborsOver(
+      s"""$sqlAudioFeatureCtes,
+        nv AS MATERIALIZED (
+          SELECT sd.doc_id AS vec_id,
+            CAST(list(($AudioEmbedDim * s - t) * 1.0 ORDER BY dim)
+              AS DOUBLE[]) AS v
+          FROM sd JOIN tg ON sd.doc_id = tg.doc_id
+          GROUP BY sd.doc_id, tg.t
+          HAVING min(s) < max(s)),
+        n AS MATERIALIZED (
+          SELECT vec_id, v,
+            sqrt(list_reduce(list_transform(v, x -> x * x),
+              (a, b) -> a + b)) AS nrm
+          FROM nv)""", k)
+
   // ---- video: REAL MJPEG-in-AVI ------------------------------------
 
   /** Video parameters shared by the AVI writer and the DuckDB twin:

@@ -97,63 +97,95 @@ object Retrieval {
         FROM r WHERE rnk <= $k ORDER BY rnk"""
   }
 
-  /** Query-doc sampling rate of the known-item eval: every Mod-th
-    * document becomes a query. The eval-budget knob — the
-    * q_ivf_recall contract: the measurement side is a bounded sample,
-    * the measured side is the production plan. */
-  val KnownItemMod = 20L
+  /** FIXED query budget of the known-item eval (round 12, VERDICT r11
+    * task 3): exactly this many documents become queries — the
+    * smallest doc_ids, selected by TakeOrdered — no matter how large
+    * the corpus grows. Replaces the round-11 modulus sample whose
+    * query count was n/20, linear in the corpus. */
+  val KnownItemQueryCount = 200
+  /** Posting-list df-cap: a probe term whose document frequency
+    * exceeds this is DROPPED from scoring, with per-query accounting
+    * (`n_probe_dropped`) — the [[graft.llm.Dedup]] jaccardPairsCapped
+    * / [[graft.llm.Multimodal.phashPairs]] trade. Top-salience
+    * keywords are rare by construction, so the cap almost never
+    * binds; when it does (a query doc whose best keyword is
+    * corpus-common), the probe would otherwise walk an unbounded
+    * candidate set. */
+  val KnownItemDfCap = 500L
 
-  /** KNOWN-ITEM retrieval eval (round 11) — the IR measurement every
-    * retrieval-backed pipeline runs before trusting its index: take
-    * every [[KnownItemMod]]-th document as a "query" whose text is its
-    * own top-2 salient keywords (the [[TextStats.keywords]] ranking),
-    * score the corpus for those terms, and report WHERE the source
-    * document itself ranks. Per-query output (rank, reciprocal rank,
-    * candidate count) rather than one corpus MRR row: the mean of
-    * 1/rank is a cross-row double sum whose partial-aggregation order
-    * differs between engines, while each per-query reciprocal rank is
-    * ONE IEEE division of exact ints — hash-portable, and the reader
+  /** KNOWN-ITEM retrieval eval (round 11; re-shaped round 12) — the
+    * IR measurement every retrieval-backed pipeline runs before
+    * trusting its index: take the [[KnownItemQueryCount]] smallest
+    * doc_ids as "queries" whose text is their own top-2 salient
+    * keywords (the [[TextStats.keywords]] ranking), probe the corpus
+    * for those terms, and report WHERE the source document itself
+    * ranks. Per-query output (rank, reciprocal rank, candidate count)
+    * rather than one corpus MRR row: the mean of 1/rank is a
+    * cross-row double sum whose partial-aggregation order differs
+    * between engines, while each per-query reciprocal rank is ONE
+    * IEEE division of exact ints — hash-portable, and the reader
     * aggregates however they like.
     *
     * Scoring is the salience form (tf · N/df summed over the query's
-    * ≤2 terms in FIXED term order — each conditional sum touches
+    * ≤2 kept terms in FIXED term order — each conditional sum touches
     * exactly one row, so no accumulation-order hazard); rank = 1 +
     * #candidates strictly ahead under (score desc, doc_id asc) —
     * counted, never materialized as a ranking.
     *
+    * Round 12 scale re-shape (VERDICT r11 "What's wrong" #3): the
+    * corpus-token-grain salience frame is never cached — the scoring
+    * side is SEMI-JOINED to the distinct probe terms FIRST, so the
+    * one cached frame is bounded by (≤ 2·[[KnownItemQueryCount]]
+    * probe terms × their ≤ [[KnownItemDfCap]]-row posting lists).
+    * Probe terms over the cap are dropped with per-query accounting;
+    * a query whose EVERY term is dropped stays in the output with
+    * NULL rank columns (visible accounting, never a silent vanish).
+    *
     * Scale shape (100 TB): the term probe IS an inverted-index lookup
-    * (tf grain joined on the term key); queries are a 1/Mod sample;
-    * per-query candidates are the posting lists of two RARE terms
-    * (top-salience keywords are rare by construction). Nothing
-    * concentrates: the rank is a per-query count aggregate. */
+    * (tf grain joined on the term key); queries are a fixed-count
+    * TakeOrdered sample; per-query candidates are capped posting
+    * lists. Nothing concentrates: the rank is a per-query count
+    * aggregate. */
   def knownItemEval(documents: DataFrame,
-                    mod: Long = KnownItemMod): DataFrame = {
+                    k: Int = KnownItemQueryCount,
+                    dfCap: Long = KnownItemDfCap): DataFrame = {
     val words = documents
       .select(col("doc_id"), explode(TextPrep.wordsCol).as("w"))
       .filter(!col("w").isin(TextStats.Stopwords: _*))
     val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val n = documents.agg(count(lit(1)).as("n"))
-    // per-(doc, term) salience — BOTH the keyword ranking and each
-    // candidate's per-term score contribution (they are the same
-    // number, so one frame serves both sides). Cached: probe + query
-    // sides re-read it and Spark shares no subplans.
-    val sal = tf.join(dfreq, "w").crossJoin(broadcast(n))
+    val qids = documents.select(col("doc_id")).orderBy("doc_id").limit(k)
+      .select(col("doc_id").as("query_id"))
+    // salience ONLY for the query docs (k-row semi-join before any
+    // wide work) — the keyword-ranking side
+    val qsal = tf.join(broadcast(qids), col("doc_id") === col("query_id"))
+      .join(dfreq, "w").crossJoin(broadcast(n))
       .withColumn("s",
         col("tf").cast("double") * col("n").cast("double") /
           col("df").cast("double"))
-      .cache()
     val w2 = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("s").desc, col("w").asc)
-    val qterms = sal.filter(col("doc_id") % mod === 0)
+      .partitionBy("query_id").orderBy(col("s").desc, col("w").asc)
+    val qterms = qsal
       .withColumn("rnk", row_number().over(w2))
       .filter(col("rnk") <= 2)
-      .select(col("doc_id").as("query_id"), col("rnk"), col("w"))
+      .select(col("query_id"), col("rnk"), col("w"), col("df"))
     val qt = qterms.groupBy("query_id").agg(
       min(when(col("rnk") === 1, col("w"))).as("t1"),
-      min(when(col("rnk") === 2, col("w"))).as("t2"))
-    val scores = qterms
-      .join(sal.select(col("w"), col("doc_id").as("cand_id"), col("s")), "w")
+      min(when(col("rnk") === 2, col("w"))).as("t2"),
+      sum(when(col("df") > dfCap, 1L).otherwise(0L)).as("n_probe_dropped"))
+    val kept = qterms.filter(col("df") <= dfCap)
+      .select("query_id", "rnk", "w")
+    // the scoring side: salience recomputed ONLY for rows whose term
+    // is a kept probe term — the semi-join runs BEFORE the cache, so
+    // the cached frame is (probe terms × capped postings)-bounded,
+    // never the tokenized corpus
+    val postings = tf.join(kept.select("w").distinct(), "w")
+      .join(dfreq, "w").crossJoin(broadcast(n))
+      .select(col("w"), col("doc_id").as("cand_id"),
+        (col("tf").cast("double") * col("n").cast("double") /
+          col("df").cast("double")).as("s"))
+    val scores = kept.join(postings, "w")
       .groupBy("query_id", "cand_id")
       .agg(sum(when(col("rnk") === 1, col("s"))).as("s1"),
         sum(when(col("rnk") === 2, col("s"))).as("s2"))
@@ -163,7 +195,7 @@ object Retrieval {
       .cache() // read twice: the self-score extract + the rank count
     val self = scores.filter(col("query_id") === col("cand_id"))
       .select(col("query_id"), col("score").as("self_score"))
-    scores.join(self, "query_id")
+    val ranked = scores.join(self, "query_id")
       .groupBy("query_id")
       .agg(count(lit(1)).as("n_candidates"),
         sum(when(col("score") > col("self_score") ||
@@ -171,8 +203,12 @@ object Retrieval {
             col("cand_id") < col("query_id")), 1L).otherwise(0L))
           .as("n_ahead"),
         max(col("self_score")).as("self_score"))
-      .join(qt, "query_id")
-      .select(col("query_id"), col("t1"), col("t2"), col("n_candidates"),
+    // LEFT join: a query whose every probe term was df-dropped keeps
+    // its accounting row (NULL ranks) instead of silently vanishing
+    qt.join(ranked, Seq("query_id"), "left")
+      .select(col("query_id"), col("t1"), col("t2"),
+        col("n_probe_dropped"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         (col("n_ahead") + 1L).as("self_rank"),
         (lit(1.0) / (col("n_ahead") + 1L).cast("double"))
           .as("reciprocal_rank"),
@@ -180,7 +216,8 @@ object Retrieval {
       .orderBy("query_id")
   }
 
-  def sqlKnownItemEval(mod: Long = KnownItemMod): String = {
+  def sqlKnownItemEval(k: Int = KnownItemQueryCount,
+                       dfCap: Long = KnownItemDfCap): String = {
     val w = TextPrep.sqlWords
     val stop = TextStats.Stopwords.map(s => s"'$s'").mkString("(", ",", ")")
     s"""WITH wds AS (
@@ -190,27 +227,36 @@ object Retrieval {
           WHERE w NOT IN $stop GROUP BY 1, 2),
         dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-        sal AS (
-          SELECT tf.doc_id, tf.w,
-            CAST(tf.tf AS DOUBLE) * CAST(n.n AS DOUBLE)
-              / CAST(dfreq.df AS DOUBLE) AS s
-          FROM tf JOIN dfreq USING (w) CROSS JOIN n),
+        qids AS (
+          SELECT doc_id AS query_id FROM documents
+          ORDER BY doc_id LIMIT $k),
         qterms AS (
-          SELECT doc_id AS query_id, w,
-            row_number() OVER (PARTITION BY doc_id
-              ORDER BY s DESC, w ASC) AS rnk
-          FROM sal WHERE doc_id % $mod = 0
+          SELECT qids.query_id, tf.w, dfreq.df,
+            row_number() OVER (PARTITION BY qids.query_id
+              ORDER BY CAST(tf.tf AS DOUBLE) * CAST(n.n AS DOUBLE)
+                / CAST(dfreq.df AS DOUBLE) DESC, tf.w ASC) AS rnk
+          FROM tf JOIN qids ON tf.doc_id = qids.query_id
+                  JOIN dfreq USING (w) CROSS JOIN n
           QUALIFY rnk <= 2),
         qt AS (
           SELECT query_id,
             min(CASE WHEN rnk = 1 THEN w END) AS t1,
-            min(CASE WHEN rnk = 2 THEN w END) AS t2
+            min(CASE WHEN rnk = 2 THEN w END) AS t2,
+            CAST(sum(CASE WHEN df > $dfCap THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_probe_dropped
           FROM qterms GROUP BY 1),
+        kept AS (SELECT query_id, rnk, w FROM qterms WHERE df <= $dfCap),
+        postings AS (
+          SELECT tf.w, tf.doc_id AS cand_id,
+            CAST(tf.tf AS DOUBLE) * CAST(n.n AS DOUBLE)
+              / CAST(dfreq.df AS DOUBLE) AS s
+          FROM tf JOIN dfreq USING (w) CROSS JOIN n
+          WHERE tf.w IN (SELECT DISTINCT w FROM kept)),
         scores AS (
-          SELECT q.query_id, c.doc_id AS cand_id,
+          SELECT q.query_id, c.cand_id,
             COALESCE(sum(CASE WHEN q.rnk = 1 THEN c.s END), 0.0)
               + COALESCE(sum(CASE WHEN q.rnk = 2 THEN c.s END), 0.0) AS score
-          FROM qterms q JOIN sal c USING (w)
+          FROM kept q JOIN postings c USING (w)
           GROUP BY 1, 2),
         self AS (
           SELECT query_id, score AS self_score FROM scores
@@ -224,11 +270,12 @@ object Retrieval {
             max(f.self_score) AS self_score
           FROM scores s JOIN self f USING (query_id)
           GROUP BY 1)
-        SELECT query_id, t1, t2, n_candidates,
+        SELECT qt.query_id, t1, t2, n_probe_dropped,
+          COALESCE(n_candidates, 0) AS n_candidates,
           n_ahead + 1 AS self_rank,
           1.0 / CAST(n_ahead + 1 AS DOUBLE) AS reciprocal_rank,
           self_score
-        FROM ranked JOIN qt USING (query_id)
+        FROM qt LEFT JOIN ranked USING (query_id)
         ORDER BY query_id"""
   }
 

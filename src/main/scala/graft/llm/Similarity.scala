@@ -475,8 +475,18 @@ object Similarity {
     * racing a half-swapped dir. Mechanics = [[graft.llm.Dedup.compactShingleIndex]]'s
     * staged-rename swap: rewrite into `.compact/`, move originals
     * ASIDE into `.old/`, rename the replacement in, delete the aside
-    * copy last; recovery always rolls `.old/` back FIRST (a crash at
-    * any step leaves the originals restorable). Run it only against a
+    * copy last. Recovery DISCRIMINATES how far the crash got before
+    * touching anything (ADVICE r11): the staged replacement is exactly
+    * ONE partition dir (`batch_id=-1`), so its swap-in is a single
+    * atomic rename, and `.compact/` still holding a partition dir is
+    * the ground truth that the swap has NOT happened — only then are
+    * the originals in `.old/` authoritative and rolled back. If
+    * `.compact/` holds no partition dir while `.old/` does, the swap
+    * COMPLETED and the root already holds the full replacement:
+    * `.old/` is a disposable copy that must be DELETED, never restored
+    * — the unconditional roll-back-first rule this replaces would have
+    * restored the originals BESIDE the complete `-1` replacement and
+    * baked every row in twice on the rerun. Run it only against a
     * quiesced stream whose last batch committed: folding an
     * UNCOMMITTED batch's partition into -1 would make a replay of
     * that batch read its own writes as prior state. */
@@ -492,13 +502,19 @@ object Similarity {
       else fs.listStatus(p).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
         .map(_.getPath)
-    // crash recovery FIRST: see compactShingleIndex — originals in
-    // .old/ always roll back before anything is deleted; a same-name
-    // root dir can only be the disposable staged replacement
-    partitionDirs(aside).foreach { d =>
-      val back = new HPath(root, d.getName)
-      if (fs.exists(back)) fs.delete(back, true)
-      require(fs.rename(d, back), s"crash recovery rename failed: $d")
+    // crash recovery FIRST. Swap completion is discriminated by where
+    // the staged batch_id=-1 dir sits: still under .compact/ (swap not
+    // done — originals authoritative, roll .old/ back; a same-name
+    // root dir in this window can only be stale garbage) vs drained
+    // out of it (swap done — root holds the complete replacement,
+    // .old/ is a disposable copy; restoring it would duplicate every
+    // row, the ADVICE r11 silent-duplication window).
+    if (partitionDirs(staged).nonEmpty) {
+      partitionDirs(aside).foreach { d =>
+        val back = new HPath(root, d.getName)
+        if (fs.exists(back)) fs.delete(back, true)
+        require(fs.rename(d, back), s"crash recovery rename failed: $d")
+      }
     }
     fs.delete(staged, true); fs.delete(aside, true)
     spark.read.parquet(path)
@@ -930,41 +946,73 @@ object Similarity {
     * the 4× memory/compute saving a matryoshka-style truncation buys
     * if the eval says recall survives. */
   val MrlPrefixDim = 16
-  /** Query sampling rate (the fixed-eval-budget contract of
-    * q_ivf_recall: ground truth on a sample, never the corpus). */
-  val MrlQueryMod = 50L
+  /** FIXED query budget (round 12, VERDICT r11 task 2): the eval
+    * scores exactly this many queries no matter how large the corpus
+    * grows — the q_ivf_recall contract ("fixed eval budget is the
+    * scale contract"), replacing the round-11 modulus sample whose
+    * query count was n/50, linear in the corpus. */
+  val MrlQueryCount = 64
 
-  /** MATRYOSHKA/truncation eval (round 11) — "how many dims do we
-    * actually need": for a 1/[[MrlQueryMod]] query sample, compare the
-    * top-1 neighbor under FULL 64-dim cosine against the top-1 under
-    * the first-[[MrlPrefixDim]]-dims cosine, and report agreement plus
+  /** MATRYOSHKA/truncation eval (round 11; re-shaped round 12) —
+    * "how many dims do we actually need": for a FIXED
+    * [[MrlQueryCount]]-query sample (the smallest eligible vec_ids —
+    * deterministic, and selected by TakeOrdered, never a corpus
+    * sort), compare the top-1 LSH-candidate neighbor under FULL
+    * 64-dim cosine against the top-1 under the
+    * first-[[MrlPrefixDim]]-dims cosine, and report agreement plus
     * the real quality cost — the FULL cosine of the prefix-chosen
-    * neighbor and its gap to the true best (a truncation can pick a
-    * different but equally-good neighbor; the gap, not the agree bit,
-    * is the decision number). Per-query rows, no cross-row double
-    * aggregation — every value is dot/sqrt/divide on the same operand
-    * order in both engines.
+    * neighbor and its gap to the full-cosine best (a truncation can
+    * pick a different but equally-good neighbor; the gap, not the
+    * agree bit, is the decision number). Per-query rows, no cross-row
+    * double aggregation — every value is dot/sqrt/divide on the same
+    * operand order in both engines.
     *
-    * Like q_ivf_recall/q_lsh_recall this is a declared EVAL HARNESS:
-    * the sampled-query × corpus scoring is the definition of the
-    * measurement (fixed eval budget), not a production search path —
-    * production reads the verdict and picks a stored-vector width. */
+    * Round 12 scale re-shape (VERDICT r11 "What's wrong" #2): the
+    * candidate set per query is the production LSH bucket probe
+    * ([[lshTopKNeighbors]]'s banded join, query-side restricted to
+    * the sample), NOT a query × corpus cross frame — so the scored
+    * frame is bounded by [[MrlQueryCount]] × bucket occupancy, the
+    * broadcast side is the 64-row query sample instead of a 1/50
+    * corpus sample, and both top-1s are measured over the SAME
+    * candidate set the production search would actually rank. A
+    * query whose buckets yield no candidates is absent (LSH recall,
+    * the declared trade q_lsh_recall measures).
+    *
+    * Vectors whose first [[MrlPrefixDim]] dims are all zero have no
+    * prefix direction — pre_cos would be 0/0 NaN, which the two
+    * engines ORDER differently (ADVICE r11) — and are excluded from
+    * both sides in both engines, mirroring the zero-variance
+    * exclusion [[Multimodal.imageEmbeddings]] applies. nrmp > 0
+    * implies nrm > 0 (the prefix sum is a subset of the full sum),
+    * so no separate full-norm guard is needed. */
   def mrlRecall(embeddings: DataFrame): DataFrame = {
     graft.functions.TopKByScore.register(embeddings.sparkSession)
-    val np = prepared(embeddings)
+    val n = prepared(embeddings)
       .withColumn("vp", slice(col("v"), 1, MrlPrefixDim))
       .withColumn("nrmp", sqrt(call_function("dot_d", col("vp"), col("vp"))))
-      .cache()
-    val q = np.filter(pmod(col("vec_id"), lit(MrlQueryMod)) === 0)
+      .filter(col("nrmp") > 0)
+      .cache() // the materialized-index frame every ANN query shares
+    val width = resolveWidth(n, AdaptiveWidth)
+    val b = bucketFrame(n, width)
+    val q = n.orderBy("vec_id").limit(MrlQueryCount)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("vp").as("qvp"), col("nrmp").as("qnrmp"))
-    val scored = np.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("cand_id"),
+    val qb = b.join(broadcast(q.select(col("query_id"))),
+        col("vec_id") === col("query_id"))
+      .select(col("query_id"), col("tbl"), col("bucket"))
+    val cand = qb.join(b, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"))
+      .distinct()
+    val scored = cand
+      .join(broadcast(q), "query_id")
+      .join(n, col("cand_id") === col("vec_id"))
+      .select(col("query_id"), col("cand_id"),
         (call_function("dot_d", col("v"), col("qv")) /
           (col("nrm") * col("qnrm"))).as("full_cos"),
         (call_function("dot_d", col("vp"), col("qvp")) /
           (col("nrmp") * col("qnrmp"))).as("pre_cos"))
-      .cache()
+      .cache() // bounded: MrlQueryCount queries x bucket occupancy
     val full1 = scored.groupBy("query_id")
       .agg(call_function("top_k_by",
         col("full_cos"), col("cand_id"), lit(1)).as("t"))
@@ -987,25 +1035,42 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Twin: the prefix-eligible `n` CTE (nrmp > 0 — the same exclusion
+    * as the Spark side) feeds the SAME adaptive-width bucket CTEs
+    * every LSH twin uses; candidates come from the bucket join
+    * restricted to the LIMIT-[[MrlQueryCount]] query sample, so the
+    * scored CTE is bounded exactly like the Spark plan. */
   def sqlMrlRecall: String =
-    s"""WITH $sqlPrepared,
-        np AS (
-          SELECT vec_id, v, nrm,
-            sqrt(list_reduce(list_transform(v[1:$MrlPrefixDim],
+    s"""WITH n0 AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+            sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]),
+              x -> x * x), (a, b) -> a + b)) AS nrm,
+            sqrt(list_reduce(list_transform(
+              CAST(embedding AS DOUBLE[])[1:$MrlPrefixDim],
               x -> x * x), (a, b) -> a + b)) AS nrmp
-          FROM n),
+          FROM embeddings WHERE embedding IS NOT NULL),
+        n AS (SELECT * FROM n0 WHERE nrmp > 0),
+        ${sqlBktCtes(AdaptiveWidth)},
         q AS (
           SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, nrmp AS qnrmp
-          FROM np WHERE vec_id % $MrlQueryMod = 0),
+          FROM n ORDER BY vec_id LIMIT $MrlQueryCount),
+        qb AS (
+          SELECT q.query_id, b.tbl, b.bucket
+          FROM bkt b JOIN q ON b.vec_id = q.query_id),
+        cand AS (
+          SELECT DISTINCT qb.query_id, b.vec_id AS cand_id
+          FROM qb JOIN bkt b USING (tbl, bucket)
+          WHERE b.vec_id <> qb.query_id),
         scored AS (
-          SELECT q.query_id, c.vec_id AS cand_id,
+          SELECT cand.query_id, cand.cand_id,
             list_reduce(list_transform(generate_series(1, $Dim),
               i -> c.v[i] * q.qv[i]), (x, y) -> x + y)
               / (c.nrm * q.qnrm) AS full_cos,
             list_reduce(list_transform(generate_series(1, $MrlPrefixDim),
               i -> c.v[i] * q.qv[i]), (x, y) -> x + y)
               / (c.nrmp * q.qnrmp) AS pre_cos
-          FROM np c JOIN q ON c.vec_id <> q.query_id),
+          FROM cand JOIN q USING (query_id)
+                    JOIN n c ON cand.cand_id = c.vec_id),
         f1 AS (
           SELECT query_id, cand_id AS full_top1, full_cos,
             row_number() OVER (PARTITION BY query_id

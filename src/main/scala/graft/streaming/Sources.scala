@@ -311,9 +311,13 @@ object Sources {
         import spark.implicits._
         graft.functions.GraftFunctions.registerAll(spark)
         batch.persist()
-        graft.llm.Similarity.acquireIndexLease(
-          spark, statePath, s"append:$batchId")
         try {
+          // acquire INSIDE the try (ADVICE r11): a lease-conflict
+          // require must reach the finally's unpersist, or the failed
+          // trigger leaks the persisted batch in the executor cache
+          // for the lifetime of the stopped query
+          graft.llm.Similarity.acquireIndexLease(
+            spark, statePath, s"append:$batchId")
           val parsed = batch.filter(col("doc_id").isNotNull)
             .withColumn("u",
               call_function("url_parts", expr(graft.llm.Curate.UrlGenSql)))
@@ -392,16 +396,43 @@ object Sources {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        import spark.implicits._
         batch.persist()
-        // Lease FIRST, before any state read or output write: a
-        // crashed compactor (mid-swap, lease still naming 'compact')
-        // must fail this trigger loudly BEFORE a half-swapped index
-        // could be read as empty and wrong verdicts written. The
-        // trigger's own crash-replay reclaims its same-holder lease.
-        graft.llm.Similarity.acquireIndexLease(
-          spark, statePath, s"append:$batchId")
         try {
+          // Lease FIRST among the try's work, before any state read or
+          // output write: a crashed compactor (mid-swap, lease still
+          // naming 'compact') must fail this trigger loudly BEFORE a
+          // half-swapped index could be read as empty and wrong
+          // verdicts written. Inside the try (ADVICE r11) so the
+          // conflict failure still reaches the finally's unpersist.
+          // The trigger's own crash-replay reclaims its same-holder
+          // lease.
+          graft.llm.Similarity.acquireIndexLease(
+            spark, statePath, s"append:$batchId")
+          val (ledger, novels) = ledgerVerdictForBatch(batch, statePath, batchId)
+          writeBatchIdempotent(ledger, ledgerDir, batchId)
+          writeLedgerNovels(novels, statePath, batchId)
+          // released only on success: a failed trigger leaves the
+          // lease naming this batch, so a CONFLICTING writer (the
+          // compactor) fails loudly while the replay goes through
+          graft.llm.Similarity.releaseIndexLease(spark, statePath)
+        } finally { batch.unpersist(); () }
+      }
+      .start()
+
+  /** The per-batch half of [[curationLedgerQuery]], extracted (round
+    * 12) so the streaming shard writer ([[trainingShardsQuery]]) can
+    * resolve the SAME incremental keep/drop verdicts against its own
+    * state root: returns the batch's ledger verdict frame plus the
+    * per-modality NOVEL fingerprints to append ((sub-dir, frame)
+    * pairs — written by [[writeLedgerNovels]] under the caller's
+    * lease). Both returned frames are eagerly localCheckpointed: the
+    * caller writes INTO the same state paths this computation reads. */
+  private[streaming] def ledgerVerdictForBatch(
+      batch: DataFrame, statePath: String, batchId: Long)
+    : (DataFrame, Seq[(String, DataFrame)]) = {
+        val spark = batch.sparkSession
+        import spark.implicits._
+        {
           val base = batch.filter(col("doc_id").isNotNull)
 
           // "seen" = indexed by a PRIOR batch only. The filter on the
@@ -479,21 +510,23 @@ object Sources {
             "audio" -> audioNovel).map { case (sub, df) =>
             sub -> df.localCheckpoint() // sever the read of statePath/sub
           }
-          writeBatchIdempotent(ledger, ledgerDir, batchId)
-          novels.foreach { case (sub, df) =>
-            df.withColumn("batch_id", lit(batchId))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("batch_id")
-              .parquet(s"$statePath/$sub")
-          }
-          // released only on success: a failed trigger leaves the
-          // lease naming this batch, so a CONFLICTING writer (the
-          // compactor) fails loudly while the replay goes through
-          graft.llm.Similarity.releaseIndexLease(spark, statePath)
-        } finally { batch.unpersist(); () }
-      }
-      .start()
+          (ledger, novels)
+        }
+  }
+
+  /** Append the batch's novel fingerprints into their per-modality
+    * batch_id partitions — dynamic overwrite, so a crash-replay of
+    * batch N reproduces its own partitions byte-identically. Caller
+    * must hold the state root's write lease. */
+  private def writeLedgerNovels(novels: Seq[(String, DataFrame)],
+                                statePath: String, batchId: Long): Unit =
+    novels.foreach { case (sub, df) =>
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(s"$statePath/$sub")
+    }
 
   /** Small-files maintenance for the streaming curation ledger's three
     * fingerprint indexes (round 11, VERDICT r10 task 3): fold every
@@ -509,6 +542,102 @@ object Sources {
   def compactCurationState(spark: SparkSession, statePath: String): Unit = {
     graft.llm.Similarity.acquireIndexLease(spark, statePath, "compact")
     Seq("text", "image", "audio").foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(s"$statePath/$sub")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        graft.llm.Similarity.compactBatchPartitionsLocked(spark, p.toString)
+    }
+    graft.llm.Similarity.releaseIndexLease(spark, statePath)
+  }
+
+  /** Streaming TRAINING-SHARD WRITER (round 12, VERDICT r11 task 5) —
+    * the capstone composition maintained incrementally: each
+    * micro-batch of documents resolves its cross-modal keep/drop
+    * verdicts against the persisted fingerprint indexes
+    * ([[ledgerVerdictForBatch]] — the curation-ledger state machinery
+    * verbatim), applies the SAME document-local quality gate as the
+    * batch capstone ([[graft.llm.Curate.qualityKept]] — stateless, no
+    * index needed), packs the survivors against per-language
+    * survivor-token bases carried as batch deltas under
+    * `statePath/pack` (the [[packSequencesQuery]] recipe), and lands
+    * the per-(lang, seq_id) PARTIAL sequence summaries
+    * ([[graft.llm.Curate.shardSummary]] — the one shared shard/sort-key
+    * definition) under `micro_batch_id=N/shard=M` partitions.
+    *
+    * The artifact's read contract is
+    * [[graft.llm.Curate.readTrainingShards]]: a sequence spanning a
+    * trigger boundary has one partial row per touching batch, merged
+    * associatively at read time — under monotone-id arrival the merged
+    * rows are IDENTICAL to a batch [[graft.llm.Curate.writeTrainingShards]]
+    * over everything streamed (unit-asserted, including crash replay).
+    * Exactly-once: summaries land via [[writeBatchIdempotent]]; the
+    * fingerprint and pack states append batch_id partitions read back
+    * with the `batch_id < currentBatch` replay filter; all four state
+    * dirs share the one write lease at the state root, mutually
+    * exclusive with [[compactShardState]]. */
+  def trainingShardsQuery(docs: DataFrame, statePath: String,
+                          shardDir: String, checkpoint: String,
+                          shards: Int = graft.llm.Curate.NumShards)
+    : StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        batch.persist()
+        try {
+          // lease FIRST inside the try (see curationLedgerQuery)
+          graft.llm.Similarity.acquireIndexLease(
+            spark, statePath, s"append:$batchId")
+          val (ledger, novels) = ledgerVerdictForBatch(batch, statePath, batchId)
+          val survivors = batch
+            .join(ledger.filter(col("keep")).select("doc_id"),
+              Seq("doc_id"), "left_semi")
+            .join(graft.llm.Curate.qualityKept(batch).select("doc_id"),
+              Seq("doc_id"), "left_semi")
+          val packPath = s"$statePath/pack"
+          val p = new org.apache.hadoop.fs.Path(packPath)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val hasData = fs.exists(p) && fs.listStatus(p).exists(s =>
+            s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+          // bases sum PRIOR batches' survivor-token deltas only — the
+          // packSequencesQuery replay-safety rule: batch N's own delta
+          // must not shift its replayed packing
+          val bases =
+            if (hasData)
+              spark.read.parquet(packPath)
+                .filter(col("batch_id") < lit(batchId)).groupBy("lang")
+                .agg(sum(col("batch_tokens")).as("base_tokens"))
+            else Seq.empty[(String, Long)].toDF("lang", "base_tokens")
+          // eager localCheckpoint: the delta write below must not
+          // re-run a lineage that READS packPath while writing to it
+          val packed = graft.llm.Curate.packBatchWithBases(survivors, bases)
+            .localCheckpoint()
+          writeBatchIdempotent(
+            graft.llm.Curate.shardSummary(packed, shards),
+            shardDir, batchId, extraPartitions = Seq("shard"))
+          writeLedgerNovels(novels, statePath, batchId)
+          packed.groupBy("lang")
+            .agg(sum(col("n_tokens")).as("batch_tokens"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(packPath)
+          // released only on success (fail-loud conflict semantics)
+          graft.llm.Similarity.releaseIndexLease(spark, statePath)
+        } finally { batch.unpersist(); () }
+      }
+      .start()
+
+  /** Small-files maintenance for the shard writer's four state dirs
+    * (three fingerprint indexes + the pack deltas) — the
+    * [[compactCurationState]] sweep plus `pack`, under the one shared
+    * lease. Quiesced-stream-only, like every compactor here. */
+  def compactShardState(spark: SparkSession, statePath: String): Unit = {
+    graft.llm.Similarity.acquireIndexLease(spark, statePath, "compact")
+    Seq("text", "image", "audio", "pack").foreach { sub =>
       val p = new org.apache.hadoop.fs.Path(s"$statePath/$sub")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p))
@@ -540,12 +669,14 @@ object Sources {
         val spark = batch.sparkSession
         import spark.implicits._
         batch.persist()
-        // lease FIRST (see curationLedgerQuery): a crashed compactor
-        // must fail this trigger before bases could read half-swapped
-        // state; the trigger's own replay reclaims its holder string
-        graft.llm.Similarity.acquireIndexLease(
-          spark, statePath, s"append:$batchId")
         try {
+          // lease FIRST inside the try (see curationLedgerQuery): a
+          // crashed compactor must fail this trigger before bases
+          // could read half-swapped state, and the conflict failure
+          // must still reach the finally's unpersist (ADVICE r11);
+          // the trigger's own replay reclaims its holder string
+          graft.llm.Similarity.acquireIndexLease(
+            spark, statePath, s"append:$batchId")
           val p = new org.apache.hadoop.fs.Path(statePath)
           val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           // Bases sum PRIOR batches' deltas only (ADVICE r10): batch

@@ -35,6 +35,42 @@ class PlanAuditSpec extends SparkSpec {
       s"LOWCARD_WINDOW fired on: $hits")
   }
 
+  test("CORPUS_CACHE fires on token-grain caches and spares bounded/reduced ones") {
+    // the q_known_item round-11 defect shape: a cached frame whose
+    // subtree explodes corpus text to token grain with no fixed
+    // budget — reconstructed as a minimal plan string so the gate's
+    // semantics stay pinned even with zero live instances
+    def plan(extra: String): String =
+      s"""Sort [q ASC]
+         |+- InMemoryTableScan [a]
+         |      +- InMemoryRelation [a], StorageLevel(disk, memory)
+         |            +- AdaptiveSparkPlan isFinalPlan=false
+         |               +- Project [a]
+         |$extra
+         |                     +- Generate explode(split(lower(text#1),  , -1)), [doc_id#0L], false, [w#6]
+         |                        +- FileScan parquet [doc_id#0L,text#1] Location: InMemoryFileIndex(1 paths)[file:/x/documents.parquet]
+         |+- FileScan parquet [doc_id#9L] Location: InMemoryFileIndex(1 paths)[file:/x/documents.parquet]""".stripMargin
+    val tokenGrain = plan("""                  +- Filter isnotnull(w#6)""")
+    assert(PlanAudit.flagsOf(tokenGrain).contains("CORPUS_CACHE"),
+      "unbounded token-grain cache must flag")
+    // a TakeOrdered bound anywhere in the cached subtree exempts
+    val budgeted = plan(
+      """                  +- TakeOrderedAndProject(limit=200, orderBy=[doc_id ASC], output=[a])""")
+    assert(!PlanAudit.flagsOf(budgeted).contains("CORPUS_CACHE"),
+      "fixed-budget cache must not flag")
+    // a topmost corpus-REDUCING aggregate fixes the grain (vocab-level
+    // model tables: per-(source, word) counts)
+    val reduced = plan(
+      """                  +- HashAggregate(keys=[source#3, w#6], functions=[count(1)], output=[source#3, w#6, c#7L])""")
+    assert(!PlanAudit.flagsOf(reduced).contains("CORPUS_CACHE"),
+      "vocabulary-grain aggregate cache must not flag")
+    // ...but an aggregate keyed by a corpus-grain row id does NOT
+    val docGrain = plan(
+      """                  +- HashAggregate(keys=[doc_id#0L, w#6], functions=[count(1)], output=[doc_id#0L, w#6, tf#8L])""")
+    assert(PlanAudit.flagsOf(docGrain).contains("CORPUS_CACHE"),
+      "doc_id-keyed aggregate cache must still flag")
+  }
+
   test("allowlist names stay live: no stale entries for removed queries") {
     val known = SparkEntry.queries.keySet
     val stale = PlanAudit.allowlist.keySet -- known

@@ -537,12 +537,17 @@ class StreamPipelineSpec extends SparkSpec {
     val before = spark.read.parquet(idx).select("doc_id", "sig").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
     // simulate a compaction swap that died MID rename loop: one live
-    // partition moved aside, root still non-empty. The pre-fix
-    // recovery guard (root-must-be-empty) skipped this state and the
-    // entry deletes then destroyed the moved-aside original (ADVICE
-    // r10) — silent loss of batch 0.
+    // partition moved aside, root still non-empty, and — as in every
+    // real mid-aside crash — the staged replacement still sitting
+    // complete under .compact/ (the aside loop only starts after the
+    // staged write commits; its presence is what tells recovery the
+    // swap-in has NOT happened). The pre-fix recovery guard
+    // (root-must-be-empty) skipped this state and the entry deletes
+    // then destroyed the moved-aside original (ADVICE r10) — silent
+    // loss of batch 0.
     val fs = new HPath(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new HPath(s"$idx/.old"))
+    fs.mkdirs(new HPath(s"$idx/.compact/batch_id=-1"))
     assert(fs.rename(new HPath(s"$idx/batch_id=0"),
       new HPath(s"$idx/.old/batch_id=0")))
     graft.llm.Dedup.compactShingleIndex(spark, idx)
@@ -554,6 +559,204 @@ class StreamPipelineSpec extends SparkSpec {
       === Seq(-1L))
     assert(!fs.exists(new HPath(s"$idx/.old")))
     assert(!fs.exists(new HPath(s"$idx/.compact")))
+  }
+
+  test("shingle compaction recovery: crash AFTER swap-in deletes the aside copy, never duplicates") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val tmp = Files.createTempDirectory("graft_compact_postswap").toString
+    val idx = s"$tmp/idx"
+    def docsDf(rows: (Long, String)*) =
+      rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    graft.llm.Dedup.appendShingleIndexForBatch(
+      docsDf(1L -> "completely different words here about spark engines today ok"),
+      idx, batchId = 0L)
+    graft.llm.Dedup.appendShingleIndexForBatch(
+      docsDf(2L -> "an entirely novel document with its own unique content words"),
+      idx, batchId = 1L)
+    val before = spark.read.parquet(idx).select("doc_id", "sig").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    val beforeCount = spark.read.parquet(idx).count()
+    // simulate a crash in the window AFTER the staged batch_id=-1
+    // swapped in but BEFORE the aside delete finished: root holds ONLY
+    // the complete replacement, .old/ holds every original partition,
+    // .compact/ is drained of partition dirs. The pre-fix recovery
+    // rolled the originals back BESIDE the replacement — every row
+    // duplicated, and the rerun baked the duplicates into the new -1
+    // (ADVICE r11 high). Recovery must recognize the drained .compact/
+    // as swap-complete and DELETE the aside copy instead.
+    val fs = new HPath(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new HPath(s"$idx/.old"))
+    assert(fs.rename(new HPath(s"$idx/batch_id=0"),
+      new HPath(s"$idx/.old/batch_id=0")))
+    assert(fs.rename(new HPath(s"$idx/batch_id=1"),
+      new HPath(s"$idx/.old/batch_id=1")))
+    // the complete replacement the real swap-in would have moved to
+    // the root: the same rows rewritten under batch_id=-1
+    spark.read.parquet(s"$idx/.old")
+      .drop("batch_id").withColumn("batch_id", lit(-1L))
+      .write.partitionBy("batch_id").parquet(s"$idx/.stage_tmp")
+    assert(fs.rename(new HPath(s"$idx/.stage_tmp/batch_id=-1"),
+      new HPath(s"$idx/batch_id=-1")))
+    fs.delete(new HPath(s"$idx/.stage_tmp"), true)
+    fs.mkdirs(new HPath(s"$idx/.compact")) // exists, drained
+    graft.llm.Dedup.compactShingleIndex(spark, idx)
+    val after = spark.read.parquet(idx)
+    assert(after.count() === beforeCount,
+      "post-swap crash recovery duplicated rows")
+    assert(after.select("doc_id", "sig").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSet === before)
+    assert(after.select("batch_id").distinct().as[Long].collect().toSeq
+      === Seq(-1L))
+    assert(!fs.exists(new HPath(s"$idx/.old")))
+    assert(!fs.exists(new HPath(s"$idx/.compact")))
+  }
+
+  /** Real corpus rows for the shard-writer tests: the ledger's media
+    * replica structure and the quality gate drop synthetic fixtures
+    * wholesale; the batch capstone's own tests use the real table for
+    * the same reason. Monotone doc_id order — the streaming pack
+    * contract. */
+  private def realDocRows(n: Int): Seq[(Long, String, String, String, Long)] =
+    Tables.documents(spark, sf())
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id").limit(n)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+
+  test("streaming shard writer: merged shards row-identical to the batch capstone") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_shards_stream").toString
+    val docRows = realDocRows(240)
+    val (b1, b2) = docRows.splitAt(120)
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val docs = mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = Sources.trainingShardsQuery(docs, s"$tmp/state", s"$tmp/shards",
+      s"$tmp/ckpt")
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = docRows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    graft.llm.Curate.writeTrainingShards(all, s"$tmp/batch_shards")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("lang"), col("seq_id"), col("n_docs"), col("n_tokens"),
+        col("first_doc"), col("last_doc"), col("shard").cast("int"),
+        col("sort_key"))
+      .as[(String, Long, Long, Long, Long, Long, Int, String)]
+      .collect().toSet
+    val streamed = rows(graft.llm.Curate.readTrainingShards(spark, s"$tmp/shards"))
+    val batch = rows(spark.read.parquet(s"$tmp/batch_shards"))
+    assert(streamed.nonEmpty, "fixture produced no shard rows")
+    assert(streamed === batch,
+      "streamed shard artifact diverged from the batch capstone")
+    // maintenance: compacting all four state dirs under the shared
+    // lease leaves the artifact read-back unchanged
+    Sources.compactShardState(spark, s"$tmp/state")
+    assert(rows(graft.llm.Curate.readTrainingShards(spark, s"$tmp/shards"))
+      === batch)
+  }
+
+  test("streaming shard writer replay: crashed state writes cannot change the artifact") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_shards_replay").toString
+    val b0 = realDocRows(120)
+    val b0df = b0.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // simulate the on-disk state a REPLAY of batch 0 sees: the first
+    // attempt landed every novel fingerprint AND the pack delta, then
+    // died before the checkpoint commit. The replay must not read its
+    // own crashed partitions — or every verdict flips to drop AND the
+    // (deliberately inflated) pack delta shifts every seq_id, both of
+    // which would diverge from the batch capstone below.
+    b0df.select(md5(col("text")).as("fp")).distinct()
+      .withColumn("batch_id", lit(0L))
+      .write.partitionBy("batch_id").parquet(s"$tmp/state/text")
+    graft.llm.Multimodal.imageHashes(b0df).toDF()
+      .select(format_string("%04x%04x%04x%04x",
+        col("b3"), col("b2"), col("b1"), col("b0")).as("fp")).distinct()
+      .withColumn("batch_id", lit(0L))
+      .write.partitionBy("batch_id").parquet(s"$tmp/state/image")
+    graft.llm.Multimodal.audioFpRows(b0df)
+      .select(col("audio_fp").as("fp")).distinct()
+      .withColumn("batch_id", lit(0L))
+      .write.partitionBy("batch_id").parquet(s"$tmp/state/audio")
+    Seq(("en", 99999L), ("de", 99999L), ("fr", 99999L))
+      .toDF("lang", "batch_tokens")
+      .withColumn("batch_id", lit(0L))
+      .write.partitionBy("batch_id").parquet(s"$tmp/state/pack")
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val docs = mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = Sources.trainingShardsQuery(docs, s"$tmp/state", s"$tmp/shards",
+      s"$tmp/ckpt")
+    try {
+      mem.addData(b0: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    graft.llm.Curate.writeTrainingShards(b0df, s"$tmp/batch_shards")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("lang"), col("seq_id"), col("n_docs"), col("n_tokens"),
+        col("first_doc"), col("last_doc"), col("shard").cast("int"),
+        col("sort_key"))
+      .as[(String, Long, Long, Long, Long, Long, Int, String)]
+      .collect().toSet
+    assert(rows(graft.llm.Curate.readTrainingShards(spark, s"$tmp/shards"))
+      === rows(spark.read.parquet(s"$tmp/batch_shards")),
+      "replayed batch diverged from the batch capstone")
+  }
+
+  test("concurrent streams: mid-stream compaction between triggers, lease serializes") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_concurrent_compact").toString
+    // two co-running streaming queries sharing nothing but the engine:
+    // URL dedup and the curation ledger, each with its own state root,
+    // each compacted BETWEEN triggers while both queries stay live
+    // (VERDICT r11 task 7)
+    def udoc(id: Long) = (id, s"text $id", "en", "s", 7L)
+    def ldoc(id: Long) = (id, s"unique ledger text $id", "en", "s", 20L)
+    val memU = MemoryStream[(Long, String, String, String, Long)]
+    val memL = MemoryStream[(Long, String, String, String, Long)]
+    val qU = Sources.urlDedupQuery(
+      memU.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$tmp/ustate", s"$tmp/uout", s"$tmp/uckpt")
+    val qL = Sources.curationLedgerQuery(
+      memL.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      s"$tmp/lstate", s"$tmp/ledger", s"$tmp/lckpt")
+    try {
+      memU.addData((0L to 99L).map(udoc): _*)
+      memL.addData((0L to 49L).map(ldoc): _*)
+      qU.processAllAvailable(); qL.processAllAvailable()
+      // compact BOTH states while the other query is live — the lease
+      // is per state root, so a compactor never races the other stream
+      Sources.compactUrlState(spark, s"$tmp/ustate")
+      Sources.compactCurationState(spark, s"$tmp/lstate")
+      // next triggers append against the compacted states
+      memU.addData((100L to 199L).map(udoc): _*)
+      memL.addData((50L to 99L).map(ldoc): _*)
+      qU.processAllAvailable(); qL.processAllAvailable()
+      val streamedU = spark.read.parquet(s"$tmp/uout")
+        .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+      val batchU = graft.llm.Curate.urlDedup(
+        (0L to 199L).map(udoc).toDF("doc_id", "text", "lang", "source", "n_chars"))
+        .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+      assert(streamedU === batchU,
+        "URL verdicts changed across mid-stream compaction")
+      val keepsL = spark.read.parquet(s"$tmp/ledger")
+        .select("doc_id", "text_keep").as[(Long, Boolean)].collect().toMap
+      assert(keepsL.size == 100 && keepsL.values.forall(identity),
+        "ledger verdicts changed across mid-stream compaction")
+      // lease serialization, asserted fail-loud: while a compactor
+      // holds the state root's lease, a live trigger must REFUSE to
+      // append rather than race the swap
+      graft.llm.Similarity.acquireIndexLease(spark, s"$tmp/ustate", "compact")
+      memU.addData(udoc(200L))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        qU.processAllAvailable()
+      }
+      assert(e.getMessage.contains("write-locked"),
+        s"expected a lease-conflict failure, got: ${e.getMessage}")
+      graft.llm.Similarity.releaseIndexLease(spark, s"$tmp/ustate")
+    } finally { qU.stop(); qL.stop() }
   }
 
   test("streaming near-dup dedup cold start: first batch creates the index") {
