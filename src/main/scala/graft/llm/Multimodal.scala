@@ -959,21 +959,39 @@ object Multimodal {
     * containers yields identical vectors (cosine 1), near branches
     * rank below.
     *
-    * The vector is MEAN-CENTERED — f(d) = 64·s(d) − Σs — the image
-    * lesson ([[imageEmbeddings]]) applied structurally: raw energy
-    * profiles are all-positive, every vector sits in one cone of the
-    * positive orthant, and sign-LSH over a cone degenerates to ONE
-    * hot bucket per table (the measured 10× n² symptom). Centering
-    * spreads directions across orthants, restoring the n/2^np bucket
-    * occupancy the banded join is designed around. |f| ≤ 64·(⌈600/64⌉
-    * ·255) < 2²⁴, so float carries it exactly and
-    * [[Similarity.prepared]]'s cast to double is lossless — cosines
-    * stay bit-portable to the oracle. Zero-variance profiles (a
-    * constant comb has no direction; cosine would be 0/0 NaN, ordered
-    * differently by the two engines) are excluded in both engines.
+    * The vector is a signed COUNTSKETCH of the quantized sample
+    * stream (Charikar–Chen–Farach-Colton): nonzero sample (i, vᵢ)
+    * contributes ±(vᵢ >> 8) to the dimension picked by a
+    * multiply-XOR-fold hash of (vᵢ, i) — the streaming L2 sketch, so
+    * cosine over the sketches estimates the true similarity of the
+    * (position, value) streams, identical PCM maps to identical
+    * vectors, and a few edited samples move only their own
+    * coordinates. The sketch form is a 10× SCALE REQUIREMENT here,
+    * not just taste — two comb-profile designs failed the
+    * ProbeBuckets Σc² occupancy test first (SCALE.md round 12): a
+    * mean-centered energy comb (the [[imageEmbeddings]] recipe) left
+    * every clip of a length class sharing its deterministic
+    * count-imbalance sawtooth (measured 498 s of n²/9 bucket collapse
+    * at the 10× corpus), and even count-weighted centering left the
+    * per-dim sums of this fixture's linear-congruential PCM on a
+    * low-dimensional manifold (every clip's samples are an arithmetic
+    * progression mod 2¹⁶, so per-comb-dim sums are cyclic-shift
+    * samples of ONE fixed curve — Σc² stayed 6× the isotropic
+    * baseline). The XOR fold is the nonlinear step an arithmetic
+    * stream cannot pass through; signs make E[f] = 0 with no cone and
+    * no centering term at all. Zero samples are excluded
+    * symmetrically in both engines (a silent-segment zero and a
+    * hash-collision zero are indistinguishable in the decoded stream
+    * — the feature is defined over nonzero samples, which needs no
+    * such distinction). All integer: |f(d)| ≤ 600·255 < 2²⁴, so float
+    * carries it exactly and [[Similarity.prepared]]'s cast to double
+    * is lossless — cosines stay bit-portable to the oracle. An
+    * all-zero sketch has no direction (cosine would be 0/0 NaN,
+    * ordered differently by the two engines) and is excluded in both.
     * PCM is LOSSLESS and cid-predictable, so the twin regenerates
     * every sample arithmetically — the [[sqlAudioDedup]] recipe —
-    * and the features are exact SQL. Map-only; feeds
+    * and the sketch is exact SQL (mod-2³² multiply + xor, all inside
+    * checked BIGINT). Map-only; feeds
     * [[Similarity.lshTopKNeighbors]] verbatim. */
   def audioEmbeddings(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
@@ -984,20 +1002,27 @@ object Multimodal {
         val big = ais.getFormat.isBigEndian
         val bytes = ais.readAllBytes()
         val nS = bytes.length / 2
-        val s = new Array[Long](AudioEmbedDim)
+        val f = new Array[Long](AudioEmbedDim)
         var i = 0
         while (i < nS) {
           val hi = if (big) bytes(2 * i) else bytes(2 * i + 1)
           val lo = if (big) bytes(2 * i + 1) else bytes(2 * i)
           val v = ((hi << 8) | (lo & 0xff)) & 0xffff
-          s(i % AudioEmbedDim) += (v >> 8)
+          if (v != 0) {
+            // multiply-XOR-fold of (v, i), all mod 2^32 — mirrored
+            // term for term by the twin's BIGINT arithmetic
+            val m1 = (v.toLong * 2654435761L) & 0xffffffffL
+            val h0 = m1 ^ (m1 >>> 16)
+            val h1 = (h0 + i.toLong * 40503L) & 0xffffffffL
+            val h = h1 ^ (h1 >>> 16)
+            val d = (h % AudioEmbedDim).toInt
+            val q = (v >> 8).toLong
+            f(d) += (if (((h / AudioEmbedDim) & 1L) == 0L) q else -q)
+          }
           i += 1
         }
-        var t = 0L
-        var d = 0
-        while (d < AudioEmbedDim) { t += s(d); d += 1 }
-        if (s.forall(_ == s(0))) None // zero-variance: no direction
-        else Some((m.doc_id, s.map(x => (x * AudioEmbedDim - t).toFloat)))
+        if (f.forall(_ == 0L)) None // no direction
+        else Some((m.doc_id, f.map(_.toFloat)))
       }
     }.toDF("vec_id", "embedding")
   }
@@ -1015,8 +1040,13 @@ object Multimodal {
       .orderBy("doc_id", "d")
 
   /** The feature CTE chain both audio-embedding twins splice: the
-    * [[sqlAudioDedup]] sample regeneration, summed into 64 comb
-    * dimensions of 8-bit-quantized amplitudes. */
+    * [[sqlAudioDedup]] sample regeneration, sketched into 64
+    * CountSketch dimensions — the multiply-XOR-fold hash mirrored
+    * term for term in checked BIGINT (v < 2¹⁶ keeps every product
+    * below 2⁴⁸), with a dims×docs frame LEFT-joined in so dims no
+    * sample hashed to still carry their zero (a ~600-sample clip
+    * misses one of 64 dims with probability ~0.17 — the list() the
+    * ANN twin builds must always have 64 entries). */
   private def sqlAudioFeatureCtes: String = {
     def pc(m: Int) = s"(((cid % $m) + $m) % $m)"
     val sample = s"(seed * 31153 + i * 40503) % $AudioSeedMod"
@@ -1034,26 +1064,39 @@ object Multimodal {
           FROM dd),
         ee AS (SELECT doc_id, cid, seed, runlen,
                  unnest(generate_series(0, ns - 1)) AS i FROM pp),
-        qv AS (SELECT doc_id, CAST(i % $AudioEmbedDim AS INTEGER) AS dim,
-                 (CASE WHEN $silent THEN 0 ELSE $sample END) // 256 AS q
+        sv AS (SELECT doc_id, i,
+                 CASE WHEN $silent THEN 0 ELSE $sample END AS v
                FROM ee),
-        sd AS (SELECT doc_id, dim, CAST(sum(q) AS BIGINT) AS s
-               FROM qv GROUP BY 1, 2),
-        tg AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS t
-               FROM sd GROUP BY 1)"""
+        h0x AS (SELECT doc_id, i, v,
+                  (v * 2654435761) % 4294967296 AS m1
+                FROM sv WHERE v <> 0),
+        h1x AS (SELECT doc_id, v,
+                  (xor(m1, m1 // 65536) + i * 40503) % 4294967296 AS h1
+                FROM h0x),
+        hx AS (SELECT doc_id, v, xor(h1, h1 // 65536) AS h FROM h1x),
+        ct AS (SELECT doc_id, CAST(h % $AudioEmbedDim AS INTEGER) AS dim,
+                 CAST(sum(CASE WHEN (h // $AudioEmbedDim) % 2 = 0
+                   THEN v // 256 ELSE -(v // 256) END) AS BIGINT) AS f0
+               FROM hx GROUP BY 1, 2),
+        dims AS (SELECT doc_id,
+                   CAST(unnest(generate_series(0, ${AudioEmbedDim - 1}))
+                     AS INTEGER) AS dim
+                 FROM pp),
+        sd AS (SELECT dims.doc_id, dims.dim,
+                 CAST(COALESCE(f0, 0) AS BIGINT) AS f
+               FROM dims LEFT JOIN ct
+                 ON dims.doc_id = ct.doc_id AND dims.dim = ct.dim)"""
   }
 
-  /** Twin of [[audioEmbed]]: the centered comb VALUE predicted from
-    * the generator arithmetic, zero-variance clips excluded by the
-    * same min<max rule. */
+  /** Twin of [[audioEmbed]]: the CountSketch coordinate predicted
+    * from the generator arithmetic; no-direction clips (every
+    * f(d) = 0) excluded by the same rule as the Spark side. */
   val sqlAudioEmbed: String =
     s"""WITH $sqlAudioFeatureCtes,
         vr AS (SELECT doc_id FROM sd GROUP BY doc_id
-               HAVING min(s) < max(s))
-        SELECT sd.doc_id, dim AS d,
-          CAST($AudioEmbedDim * s - t AS DOUBLE) AS f
-        FROM sd JOIN tg ON sd.doc_id = tg.doc_id
-                JOIN vr ON sd.doc_id = vr.doc_id
+               HAVING max(abs(f)) > 0)
+        SELECT sd.doc_id, dim AS d, CAST(f AS DOUBLE) AS f
+        FROM sd JOIN vr ON sd.doc_id = vr.doc_id
         ORDER BY sd.doc_id, d"""
 
   /** ANN over the AUDIO modality: the decoded PCM comb features feed
@@ -1075,12 +1118,10 @@ object Multimodal {
     Similarity.sqlLshTopKNeighborsOver(
       s"""$sqlAudioFeatureCtes,
         nv AS MATERIALIZED (
-          SELECT sd.doc_id AS vec_id,
-            CAST(list(($AudioEmbedDim * s - t) * 1.0 ORDER BY dim)
-              AS DOUBLE[]) AS v
-          FROM sd JOIN tg ON sd.doc_id = tg.doc_id
-          GROUP BY sd.doc_id, tg.t
-          HAVING min(s) < max(s)),
+          SELECT doc_id AS vec_id,
+            CAST(list(f * 1.0 ORDER BY dim) AS DOUBLE[]) AS v
+          FROM sd GROUP BY doc_id
+          HAVING max(abs(f)) > 0),
         n AS MATERIALIZED (
           SELECT vec_id, v,
             sqrt(list_reduce(list_transform(v, x -> x * x),
