@@ -230,17 +230,18 @@ object Bench {
     // one query happens; one spanning pass 1 AND its targeted pass-2
     // re-run would have to span most of the suite.
     val floors = loadFloors()
-    val p2Order = names.filter { n =>
+    val (suspects, atFloor) = names.partition { n =>
       floors.get(n) match {
         case Some(f) => succ(n) == Double.MaxValue || succ(n) > FloorSlack * f
         case None => true
       }
-    }.sortBy { n =>
+    }
+    val p2Order = suspects.sortBy { n =>
       -(if (succ(n) < Double.MaxValue) succ(n)
         else sawTimeout.getOrElse(n, Double.MaxValue / 2))
     }
-    progress.println(s"floor-aware pass 2: ${names.size - p2Order.size} " +
-      s"at floor (skipped), ${p2Order.size} to re-measure")
+    progress.println(s"floor-aware pass 2: ${atFloor.size} at floor, " +
+      s"${p2Order.size} steal suspects to re-measure")
     val p2Deadline = 0.85 * budgetS
     var skipped = 0
     p2Order.zipWithIndex.foreach { case (n, i) =>
@@ -250,6 +251,23 @@ object Bench {
       } else skipped += 1
     }
     if (skipped > 0) progress.println(s"budget: $skipped pass-2 runs skipped")
+    // BONUS tier: whatever pass-2 budget the suspects left over goes to
+    // the at-floor queries in descending pass-1-excess-over-floor order
+    // — each re-run strips up to (p1 − floor) of residual JIT/window
+    // noise from the total, so the budget lands where the recoverable
+    // inflation is. These are extras by construction (the query already
+    // measured clean), so running out of budget here is not a skip.
+    val bonus = atFloor
+      .filter(n => succ(n) < Double.MaxValue)
+      .sortBy(n => -(succ(n) - floors.getOrElse(n, 0.0)))
+    var bonusRan = 0
+    bonus.foreach { n =>
+      if (elapsedS < p2Deadline) {
+        attempt(n, clamp(p2Deadline - elapsedS, 15.0, 60.0), "pass2b")
+        bonusRan += 1
+      }
+    }
+    progress.println(s"pass 2 bonus: $bonusRan of ${bonus.size} at-floor re-runs")
 
     // Targeted third try for stragglers still slow after two passes —
     // one more chance to land outside a contention window.
