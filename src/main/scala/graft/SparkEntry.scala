@@ -201,6 +201,8 @@ object SparkEntry {
     "q_stratified_sample" -> ((s, d) => llm.Curate.stratifiedSample(Tables.documents(s, d))),
     "q_quality_topk" -> ((s, d) => llm.Curate.qualityTopK(Tables.documents(s, d))),
     "q_doc_chunks" -> ((s, d) => llm.Curate.docChunks(Tables.documents(s, d))),
+    "q_span_corruption" -> ((s, d) => llm.Curate.spanCorruption(Tables.documents(s, d))),
+    "q_fim_split" -> ((s, d) => llm.Curate.fimSplit(Tables.documents(s, d))),
     "q_pack_sequences" -> ((s, d) => llm.Curate.packSequences(Tables.documents(s, d))),
     // the 100 TB packing path: two-level parallel prefix sum, output
     // bit-equal to the sequential window (same oracle twin)
@@ -674,6 +676,8 @@ object SparkEntry {
     "q_stratified_sample" -> llm.Curate.sqlStratifiedSample,
     "q_quality_topk" -> llm.Curate.sqlQualityTopK(),
     "q_doc_chunks" -> llm.Curate.sqlDocChunks,
+    "q_span_corruption" -> llm.Curate.sqlSpanCorruption,
+    "q_fim_split" -> llm.Curate.sqlFimSplit,
     "q_pack_sequences" -> llm.Curate.sqlPackSequences,
     // IDENTICAL oracle by design: the scalable plan must reproduce the
     // sequential packing bit-for-bit

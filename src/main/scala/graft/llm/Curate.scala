@@ -104,17 +104,24 @@ object Curate {
   val TrainPct = 80
   val ValPct = 10 // test gets the remainder
 
-  /** 60-bit integer from the first 15 hex digits of md5(salt:doc_id) —
+  /** 60-bit integer from the first 15 hex digits of md5(salt:key) —
     * the same md5-arithmetic portability trick as the MinHash base
-    * hashes (TextPrep.sqlShingleCtes). */
+    * hashes (TextPrep.sqlShingleCtes). Non-negative, so `% m` needs
+    * no pmod dance in either engine. */
+  private def hash60(salt: String, c: Column): Column =
+    conv(substring(md5(concat(lit(s"$salt:"), c.cast("string"))), 1, 15),
+      16, 10).cast("long")
+
+  private def sqlHash60(salt: String, e: String): String =
+    s"CAST(concat('0x', substr(md5('$salt:' || CAST($e AS VARCHAR)), 1, 15)) AS BIGINT)"
+
   private def hashBucket(salt: String, mod: Int,
                          c: Column = col("doc_id")): Column =
-    conv(substring(md5(concat(lit(s"$salt:"), c.cast("string"))), 1, 15),
-      16, 10).cast("long") % mod
+    hash60(salt, c) % mod
 
   private def sqlHashBucket(salt: String, mod: Int,
                             e: String = "doc_id"): String =
-    s"CAST(concat('0x', substr(md5('$salt:' || CAST($e AS VARCHAR)), 1, 15)) AS BIGINT) % $mod"
+    s"${sqlHash60(salt, e)} % $mod"
 
   /** The split label for a bucket column — ONE definition shared by
     * [[splitAssign]] and the [[splitLeakage]] audit, so the audit can
@@ -258,6 +265,113 @@ object Curate {
           array_to_string(words[chunk_id * $ChunkStride + 1 : chunk_id * $ChunkStride + $ChunkLen], ' ') AS chunk_text,
           least($ChunkLen, n - chunk_id * $ChunkStride) AS n_chunk_tokens
         FROM c ORDER BY doc_id, chunk_id"""
+
+  // ---- training-objective span planning (round 12) -------------------
+
+  /** Span-corruption parameters, T5's published setting expressed as
+    * exact integer arithmetic: mask ratio 15%, mean span length 3 →
+    * k = ⌊n·15/300⌋ = ⌊0.05·n⌋ spans per n-token document. */
+  val SpanMaskNum = 15
+  val SpanMaskDen = 300
+  /** Span lengths cycle 2..4 by hash (mean 3). */
+  val SpanLenBase = 2L
+  val SpanLenMod = 3
+
+  /** SPAN-CORRUPTION PLAN (the T5/UL2 denoising-objective prep step):
+    * for each document, emit the deterministic list of token spans a
+    * trainer masks — one span per equal-width segment, so spans are
+    * NON-OVERLAPPING BY CONSTRUCTION (samplers that re-draw on
+    * collision are not reproducible across engines; a per-segment
+    * placement is, and k ≥ 1 implies segment width ≥ 20 ≥ span
+    * length). Span length 2..4 and in-segment offset both derive from
+    * md5(doc_id:span_id) integer arithmetic — the [[splitAssign]]
+    * portability recipe — so the plan is a pure map over the corpus:
+    * project + explode, no shuffle at any scale, and the twin
+    * reproduces every span byte-for-byte. Documents under 20 tokens
+    * get no spans (k = 0) and are absent, exactly as in both engines. */
+  def spanCorruption(documents: DataFrame): DataFrame = {
+    val key = concat(col("doc_id").cast("string"), lit(":"),
+      col("span_id").cast("string"))
+    documents
+      .select(col("doc_id"),
+        size(TextPrep.wordsCol).cast("long").as("n_tokens"))
+      .withColumn("k", expr(s"n_tokens * $SpanMaskNum DIV $SpanMaskDen"))
+      .filter(col("k") >= 1)
+      .withColumn("seg_len", expr("n_tokens DIV k"))
+      .select(col("doc_id"), col("n_tokens"), col("k").as("n_spans"),
+        col("seg_len"), explode(expr("sequence(0L, k - 1)")).as("span_id"))
+      .withColumn("span_len", lit(SpanLenBase) + hash60("spanlen", key) % SpanLenMod)
+      .withColumn("span_start",
+        col("span_id") * col("seg_len") +
+          hash60("spanoff", key) % (col("seg_len") - col("span_len") + 1L))
+      .select(col("doc_id"), col("span_id").cast("int").as("span_id"),
+        col("span_start"), col("span_len"), col("n_tokens"), col("n_spans"))
+      .orderBy("doc_id", "span_id")
+  }
+
+  val sqlSpanCorruption: String = {
+    val key = "CAST(doc_id AS VARCHAR) || ':' || CAST(span_id AS VARCHAR)"
+    s"""WITH b AS (
+          SELECT doc_id, CAST(len(${TextPrep.sqlWords}) AS BIGINT) AS n_tokens
+          FROM documents),
+        kk AS (
+          SELECT doc_id, n_tokens,
+            n_tokens * $SpanMaskNum // $SpanMaskDen AS k
+          FROM b),
+        e AS (
+          SELECT doc_id, n_tokens, k AS n_spans, n_tokens // k AS seg_len,
+            unnest(generate_series(CAST(0 AS BIGINT), k - 1)) AS span_id
+          FROM kk WHERE k >= 1),
+        s AS (
+          SELECT doc_id, span_id, n_tokens, n_spans, seg_len,
+            $SpanLenBase + ${sqlHash60("spanlen", key)} % $SpanLenMod AS span_len
+          FROM e)
+        SELECT doc_id, CAST(span_id AS INTEGER) AS span_id,
+          span_id * seg_len +
+            ${sqlHash60("spanoff", key)} % (seg_len - span_len + 1)
+            AS span_start,
+          span_len, n_tokens, n_spans
+        FROM s ORDER BY doc_id, span_id"""
+  }
+
+  /** FILL-IN-MIDDLE split plan (the code-model FIM data op, Bavarian
+    * et al.): per document two deterministic cut points 1 ≤ c1 < c2 ≤
+    * n−1 from md5(doc_id) arithmetic, emitted as the three segment
+    * lengths (each ≥ 1 by the arithmetic: c1 = 1 + h1 mod (n−2),
+    * c2 = c1 + 1 + h2 mod (n−c1−1), needing n ≥ 3). Pure map,
+    * shuffle-free at any scale; the twin mirrors the cut arithmetic
+    * exactly. */
+  def fimSplit(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        size(TextPrep.wordsCol).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 3)
+      .withColumn("c1",
+        lit(1L) + hash60("fim1", col("doc_id")) % (col("n_tokens") - 2L))
+      .withColumn("c2",
+        col("c1") + 1L +
+          hash60("fim2", col("doc_id")) % (col("n_tokens") - col("c1") - 1L))
+      .select(col("doc_id"), col("n_tokens"),
+        col("c1").as("prefix_len"),
+        (col("c2") - col("c1")).as("middle_len"),
+        (col("n_tokens") - col("c2")).as("suffix_len"))
+      .orderBy("doc_id")
+
+  val sqlFimSplit: String =
+    s"""WITH b AS (
+          SELECT doc_id, CAST(len(${TextPrep.sqlWords}) AS BIGINT) AS n_tokens
+          FROM documents),
+        c1s AS (
+          SELECT doc_id, n_tokens,
+            1 + ${sqlHash60("fim1", "doc_id")} % (n_tokens - 2) AS c1
+          FROM b WHERE n_tokens >= 3),
+        c2s AS (
+          SELECT doc_id, n_tokens, c1,
+            c1 + 1 + ${sqlHash60("fim2", "doc_id")} % (n_tokens - c1 - 1) AS c2
+          FROM c1s)
+        SELECT doc_id, n_tokens,
+          c1 AS prefix_len, c2 - c1 AS middle_len, n_tokens - c2 AS suffix_len
+        FROM c2s ORDER BY doc_id"""
 
   // ---- sequence packing ---------------------------------------------
 

@@ -398,6 +398,17 @@ object Retrieval {
       table: String, phrases: Seq[String] = Phrases): DataFrame =
     phraseSearchOverPostings(spark.table(table), phrases)
 
+  /** Probe the STREAMED postings index
+    * ([[graft.streaming.Sources.postingsIndexQuery]]'s batch_id-
+    * partitioned parquet layout) — the identical anchor-count plan;
+    * batch_id is just a partition column the term filter never needs,
+    * and compaction (all rows folded into batch_id=-1) is invisible
+    * here by construction. */
+  def phraseSearchFromParquetIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, phrases: Seq[String] = Phrases): DataFrame =
+    phraseSearchOverPostings(
+      spark.read.parquet(path).select("term", "doc_id", "pos"), phrases)
+
   /** Oracle: a phrase of length L occurs at each position where the
     * document's L-gram equals it — the listing enumerates every
     * (overlapping) occurrence, exactly what the anchor count yields. */

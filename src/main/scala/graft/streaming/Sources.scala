@@ -631,6 +631,55 @@ object Sources {
       }
       .start()
 
+  /** Streaming POSITIONAL POSTINGS INDEX maintenance (round 12) — the
+    * standing-retrieval-workload half of
+    * [[graft.llm.Retrieval.writePostingsIndex]] kept fresh by the
+    * ingest stream instead of rebuilt: each micro-batch tokenizes its
+    * own documents (map-only posexplode — a document's postings never
+    * depend on any other document, so there is NO cross-batch state
+    * read and no replay filter to need) and appends (term, doc_id,
+    * pos) rows into a `batch_id=N` partition with dynamic overwrite,
+    * so a crash-replay of batch N replaces its own partition instead
+    * of duplicating postings. Appends and [[compactPostingsState]]
+    * are mutually exclusive via the shared write lease. Probes
+    * ([[graft.llm.Retrieval.phraseSearchFromParquetIndex]]) run the
+    * same anchor-count plan as every other postings source; the term
+    * filter prunes at the scan. */
+  def postingsIndexQuery(docs: DataFrame, statePath: String,
+                         checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        batch.persist()
+        try {
+          graft.llm.Similarity.acquireIndexLease(
+            spark, statePath, s"append:$batchId")
+          batch.filter(col("doc_id").isNotNull)
+            .select(col("doc_id"),
+              posexplode(graft.llm.TextPrep.wordsCol))
+            .toDF("doc_id", "pos", "term")
+            .select(col("term"), col("doc_id"), col("pos"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(statePath)
+          graft.llm.Similarity.releaseIndexLease(spark, statePath)
+        } finally { batch.unpersist(); () }
+      }
+      .start()
+
+  /** Small-files maintenance for the streamed postings index — the
+    * generic batch-partition fold, lease-enforced like every
+    * compactor here. Quiesced-stream-only. */
+  def compactPostingsState(spark: SparkSession, statePath: String): Unit = {
+    graft.llm.Similarity.acquireIndexLease(spark, statePath, "compact")
+    graft.llm.Similarity.compactBatchPartitionsLocked(spark, statePath)
+    graft.llm.Similarity.releaseIndexLease(spark, statePath)
+  }
+
   /** Small-files maintenance for the shard writer's four state dirs
     * (three fingerprint indexes + the pack deltas) — the
     * [[compactCurationState]] sweep plus `pack`, under the one shared

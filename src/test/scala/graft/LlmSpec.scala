@@ -294,6 +294,43 @@ class LlmSpec extends SparkSpec {
     assert(out.filter(_._1 == 1L).toSeq === Seq((1L, 0L, 3, 3L)))
   }
 
+  test("span corruption: non-overlapping in-range spans at the declared mask ratio") {
+    val docs = Tables.documents(spark, sf())
+    val rows = Curate.spanCorruption(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (doc, spans) =>
+      val n = spans.head._5
+      val sorted = spans.sortBy(_._3)
+      // every span inside the document, lengths in 2..4
+      sorted.foreach { case (_, _, start, len, _, _) =>
+        assert(start >= 0 && start + len <= n, s"doc $doc span out of range")
+        assert(len >= Curate.SpanLenBase &&
+          len < Curate.SpanLenBase + Curate.SpanLenMod)
+      }
+      // non-overlap BY CONSTRUCTION (one span per segment)
+      sorted.sliding(2).foreach { w =>
+        if (w.length == 2)
+          assert(w(0)._3 + w(0)._4 <= w(1)._3, s"doc $doc spans overlap")
+      }
+      // span count is the declared integer mask budget
+      assert(spans.length == (n * Curate.SpanMaskNum / Curate.SpanMaskDen),
+        s"doc $doc span count off")
+    }
+  }
+
+  test("fim split: three positive segment lengths summing to the token count") {
+    val docs = Tables.documents(spark, sf())
+    val rows = Curate.fimSplit(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, n, p, m, s) =>
+      assert(p >= 1 && m >= 1 && s >= 1, s"doc $doc degenerate segment")
+      assert(p + m + s == n, s"doc $doc lengths do not sum")
+    }
+  }
+
   test("sequence packing: contiguous seq ids, span math, shard independence") {
     val d = Seq(
       (0L, (1 to 200).map(_ => "w").mkString(" "), "en"),

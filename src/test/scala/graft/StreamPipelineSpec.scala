@@ -705,6 +705,45 @@ class StreamPipelineSpec extends SparkSpec {
       "replayed batch diverged from the batch capstone")
   }
 
+  test("streaming postings index: probe equals batch phrase search across compaction") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_postings_stream").toString
+    def doc(id: Long, text: String) = (id, text, "en", "s", text.length.toLong)
+    // planted phrase occurrences: in-batch repeats, cross-doc hits,
+    // and a doc with none
+    val b1 = Seq(
+      doc(1, "alpha slow hash batch omega"),
+      doc(2, "row column sort then slow hash batch again slow hash batch"),
+      doc(3, "nothing phrase shaped here at all"))
+    val b2 = Seq(
+      doc(4, "stream table hash stream table hash"),
+      doc(5, "slow hash batch"))
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val docs = mem.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = Sources.postingsIndexQuery(docs, s"$tmp/idx", s"$tmp/ckpt")
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      // compact BETWEEN triggers while the query is live: the probe
+      // and the next trigger's append must both see compacted state
+      // transparently
+      Sources.compactPostingsState(spark, s"$tmp/idx")
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("phrase", "doc_id", "n_hits")
+        .as[(String, Long, Long)].collect().toSet
+    val streamed = rows(
+      graft.llm.Retrieval.phraseSearchFromParquetIndex(spark, s"$tmp/idx"))
+    val batch = rows(graft.llm.Retrieval.phraseSearch(
+      (b1 ++ b2).toDF("doc_id", "text", "lang", "source", "n_chars")))
+    assert(streamed.nonEmpty && streamed.exists(_._3 > 1L),
+      "fixture must plant repeated phrase hits")
+    assert(streamed === batch,
+      "streamed postings probe diverged from the batch phrase search")
+  }
+
   test("concurrent streams: mid-stream compaction between triggers, lease serializes") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = Files.createTempDirectory("graft_concurrent_compact").toString
