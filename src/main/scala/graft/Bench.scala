@@ -75,13 +75,28 @@ object Bench {
     * with a regex over the flat `"name": {"floor_s": x, ...}` layout
     * (the bench binary deliberately has no JSON dependency; the file
     * is repo-controlled). Missing/unreadable file → empty map → pass 2
-    * degrades to the old re-measure-everything behavior. */
-  private def loadFloors(): Map[String, Double] =
+    * degrades to the old re-measure-everything behavior. Floors are
+    * SF-SCOPED (ADVICE r12): the file's "sf" field must match this
+    * run's — floors committed at a larger scale factor applied to a
+    * smaller-SF run would classify everything as at-floor and skip
+    * pass 2 entirely, losing the cross-pass-min contention defense. */
+  private def loadFloors(log: String => Unit): Map[String, Double] =
     try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("bench_floor.json")), "UTF-8")
-      val Re = """"(q_[A-Za-z0-9_]+)"\s*:\s*\{[^{}]*?"floor_s"\s*:\s*([0-9.eE+-]+)""".r
-      Re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val SfRe = """"sf"\s*:\s*"([^"]*)"""".r
+      val fileSf = SfRe.findFirstMatchIn(txt).map(_.group(1))
+      // compare by trailing sf token (the file may carry either the
+      // full dir or the sfN.NN name; both end in the same token)
+      def tok(s: String) = s.split('/').lastOption.getOrElse(s)
+      if (fileSf.exists(s => tok(s) != tok(sfDir))) {
+        log(s"floors: sf mismatch (file ${fileSf.get} vs run $sfDir) " +
+          "- ignoring committed floors, pass 2 re-measures everything")
+        Map.empty
+      } else {
+        val Re = """"(q_[A-Za-z0-9_]+)"\s*:\s*\{[^{}]*?"floor_s"\s*:\s*([0-9.eE+-]+)""".r
+        Re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
     } catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {
@@ -229,7 +244,16 @@ object Bench {
     // contention defense: a host-scheduler stall covering both runs of
     // one query happens; one spanning pass 1 AND its targeted pass-2
     // re-run would have to span most of the suite.
-    val floors = loadFloors()
+    val floors = loadFloors(s => progress.println(f"[${elapsedS}%8.1f] $s"))
+    // unlisted = registered queries with NO committed floor: they fall
+    // back to the always-re-measure path. LOGGED (round 13, VERDICT
+    // r12 task 2), not just tolerated — the round-close protocol is
+    // to merge_floors.py every new query before the driver bench runs,
+    // so a nonzero count here means the floor file lags the surface.
+    val unlisted = names.filterNot(floors.contains)
+    if (floors.nonEmpty && unlisted.nonEmpty)
+      progress.println(s"floors: ${unlisted.size} unlisted (no committed " +
+        s"floor): ${unlisted.mkString(",")}")
     val (suspects, atFloor) = names.partition { n =>
       floors.get(n) match {
         case Some(f) => succ(n) == Double.MaxValue || succ(n) > FloorSlack * f
@@ -262,8 +286,17 @@ object Bench {
       .sortBy(n => -(succ(n) - floors.getOrElse(n, 0.0)))
     var bonusRan = 0
     bonus.foreach { n =>
-      if (elapsedS < p2Deadline) {
-        attempt(n, clamp(p2Deadline - elapsedS, 15.0, 60.0), "pass2b")
+      val avail = p2Deadline - elapsedS
+      // ADVICE r12: near the deadline the old 15 s bonus watchdog sat
+      // BELOW committed floors up to ~10 s (at-floor times to ~15 s
+      // under the slack) — a clean query could time out, and every
+      // timeout costs a session rebuild out of the pass-3 budget. A
+      // re-run needs ~2x its best-known time of watchdog headroom to
+      // be worth starting: floor the bonus timeout there, and skip
+      // re-runs the remaining budget can't cover (they're extras by
+      // construction — the query already measured clean).
+      if (avail > 0 && 2.0 * succ(n) <= avail) {
+        attempt(n, clamp(avail, math.max(15.0, 2.0 * succ(n)), 60.0), "pass2b")
         bonusRan += 1
       }
     }
@@ -287,8 +320,20 @@ object Bench {
     val values = names.map(n => n -> bestKnown(n)).toMap
     val total = values.values.sum
 
+    // failed/timeout queries are MARKED in the detail file (ADVICE
+    // r12): their "queries" values are the FailPenaltyS poison or a
+    // watchdog cap, not measurements — merge_floors.py must never
+    // seed a floor from them (a poisoned floor makes the floor-aware
+    // pass 2 accept anything up to 1.5x the poison as clean). The
+    // detail file is not tail-capped, so the lists are complete.
+    def jarr(ns: Seq[String]): String =
+      ns.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // suspect = the reported value is a poison/cap, i.e. NO attempt
+    // ever succeeded (a query that timed out once but later measured
+    // clean reports its clean min — a genuine floor candidate)
+    val suspectNames = (failedNames ++ timeoutOnly).distinct.sorted
     val full = values.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString(s"""{"total":${f3(total)},"sf":"$sfDir","queries":{""", ",", "}}")
+      .mkString(s"""{"total":${f3(total)},"sf":"$sfDir","suspect":${jarr(suspectNames)},"queries":{""", ",", "}}")
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

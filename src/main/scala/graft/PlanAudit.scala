@@ -37,7 +37,7 @@ object PlanAudit {
     *    (q_cosine_topk/q_embed_neardup → q_ann_ivf/q_embed_lsh/
     *    q_adc_topk; q_label_purity → q_label_purity_ann;
     *    q_quality_deciles → q_quality_deciles_approx). */
-  val allowlist: Map[String, Set[String]] = Map(
+  private val baseAllowlist: Map[String, Set[String]] = Map(
     // --- declared exact baselines (scale twin in parentheses) ---
     "q_cosine_topk" -> Set("BNLJ"),        // all-pairs kNN (q_ann_ivf, q_adc_topk)
     "q_embed_neardup" -> Set("BNLJ"),      // all-pairs cosine (q_embed_lsh)
@@ -130,6 +130,51 @@ object PlanAudit {
     "q_phash_pairs" -> Set("BNLJ")
   )
 
+  /** DECLARED corpus-resident caches (round 13, VERDICT r12 task 4a):
+    * queries whose plan caches ONE NARROW ROW PER CORPUS ELEMENT for
+    * multi-branch reuse — the broadened CORPUS_CACHE detector (no
+    * token-explode requirement) sees them all; they are declared HERE
+    * with their rationale instead of passing by accident of grain
+    * (the r12 verdict's finding). Two classes, both of which a
+    * production deployment replaces with a persisted artifact so the
+    * cache drops out of the plan:
+    *  - the ANN VECTOR INDEX: `Similarity.prepared()` normalizes
+    *    (vec_id, v, nrm) once and every bucket table, candidate join
+    *    side, and verification branch reads it — at 10⁹ vectors this
+    *    IS the ANN serving set, and the streaming path
+    *    (semanticDedupQuery) persists the identical frame on disk
+    *    (q_embed_lsh*, q_semantic_*, q_ann_ivf, q_pq/adc, recalls,
+    *    cluster/purity/negatives, image/audio/video ANN);
+    *  - the per-document STATS/SIGNATURE LEDGER: (doc_id, n_tokens,
+    *    quality_score, fingerprint) / minhash-shingle signatures /
+    *    phash bands, computed by one decode-or-tokenize pass and read
+    *    by several funnel stages or both sides of a banded candidate
+    *    join — the warehouse's materialized columnar table at scale
+    *    (q_curation_funnel, q_decontaminate*, q_jaccard*,
+    *    q_minhash_est, q_simhash_pairs, q_dup_spans/q_strip_dup_spans,
+    *    q_containment, q_novelty, q_memorization_risk, q_dsir_weights,
+    *    q_phash_pairs above). */
+  private val corpusResidentCache: Set[String] = Set(
+    // vector-index class
+    "q_adc_topk", "q_ann_ivf", "q_audio_ann", "q_cluster_quality",
+    "q_cluster_text_quality", "q_embed_lsh", "q_embed_lsh_mp",
+    "q_embed_lsh_topk", "q_hard_negatives", "q_image_ann", "q_ivf_recall",
+    "q_label_purity_ann", "q_label_suspects", "q_lsh_recall",
+    "q_memorization_risk", "q_mrl_recall", "q_positive_pairs", "q_pq_codes",
+    "q_semantic_decontam", "q_semantic_dedup", "q_video_ann",
+    // per-document stats/signature ledger class
+    "q_containment", "q_curation_funnel", "q_decontaminate",
+    "q_decontaminate_bloom", "q_dsir_weights", "q_dup_spans",
+    "q_jaccard_capped", "q_jaccard_pairs", "q_minhash_est", "q_novelty",
+    "q_simhash_pairs", "q_strip_dup_spans", "q_phash_pairs")
+
+  /** The gate's effective allowlist: the per-query flag declarations
+    * plus CORPUS_CACHE for every declared corpus-resident cache. */
+  val allowlist: Map[String, Set[String]] =
+    corpusResidentCache.foldLeft(baseAllowlist) { (m, q) =>
+      m.updated(q, m.getOrElse(q, Set.empty[String]) + "CORPUS_CACHE")
+    }
+
   /** Columns whose domain is a handful of values in this schema —
     * a window partitioned ONLY by these is an unbounded partition at
     * corpus scale no matter how legitimate the key looks. */
@@ -148,116 +193,186 @@ object PlanAudit {
   /** `Window [exprs], [partitionCols], [orderCols]` — the two trailing
     * bracket groups of a physical Window line (inner groups carry no
     * square brackets; the expression head may, so anchor at the END).
-    * KNOWN FALSE-NEGATIVE (documented per ADVICE r11, not silent): a
-    * partition expression that itself contains square brackets (e.g.
-    * an array element or a bracketed function render) defeats the
-    * regex and the window silently passes this gate — if a window key
-    * ever needs such an expression, extend the regex alongside it. */
+    * Spark ALSO prints two-group forms when one spec is absent —
+    * `Window [exprs], [partitionCols]` (no order) and
+    * `Window [exprs], [orderCols]` (no partition: a GLOBAL window) —
+    * which round 11's single 3-group regex silently skipped; 15
+    * registered queries' windows were invisible to the LOWCARD gate
+    * through that hole (round 13, VERDICT r12 task 4b). The two forms
+    * disambiguate by content: order entries always render as
+    * `col ASC|DESC NULLS FIRST|LAST`, partition entries never do.
+    * A Window line NONE of the forms parse now raises the
+    * `WINSPEC_PARSE` flag, which fails the gate unless allowlisted —
+    * loud, not documented-silent. */
   private val WinSpec = """.*\], \[([^\[\]]*)\], \[[^\[\]]*\]\s*$""".r
+  private val WinSpec2 = """.*\], \[([^\[\]]*)\]\s*$""".r
+  private def isOrderSpec(grp: String): Boolean =
+    grp.contains(" ASC NULLS ") || grp.contains(" DESC NULLS ")
+  private def splitCols(grp: String): Seq[String] =
+    grp.split(",").toSeq.map(_.trim.takeWhile(_ != '#')).filter(_.nonEmpty)
+
+  /** PARTITION columns of a physical Window line: Some(cols) when a
+    * print form parsed (empty = global / unpartitioned window), None
+    * when unparseable (→ WINSPEC_PARSE). WinSpec must be tried first:
+    * the 2-group regex would match a 3-group line's trailing ORDER
+    * group. */
+  private def winPartitionCols(l: String): Option[Seq[String]] = {
+    // a line with two `], [` separators is structurally 3-group; if
+    // the 3-group regex still failed (a bracketed expression inside a
+    // spec group), it must land on WINSPEC_PARSE — not be misread by
+    // the 2-group fallback as an order-only global window
+    val seps = "\\], \\[".r.findAllIn(l).length
+    l match {
+      case WinSpec(parts) => Some(splitCols(parts))
+      case WinSpec2(grp) if seps == 1 =>
+        if (isOrderSpec(grp)) Some(Seq.empty) else Some(splitCols(grp))
+      case _ => None
+    }
+  }
+
+  /** Child markers in physical-plan strings are '+-' AND ':-' (the
+    * left child of a binary node prints ':-'; ADVICE r12: matching
+    * only '+-' truncated subtree walks at the first join child). */
+  private def markerCol(l: String): Int = {
+    val a = l.indexOf("+-"); val b = l.indexOf(":-")
+    if (a < 0) b else if (b < 0) a else math.min(a, b)
+  }
+
+  /** The plan lines strictly beneath line i in the operator tree. */
+  private def subtreeOf(lines: Array[String], i: Int): Array[String] = {
+    val col = markerCol(lines(i))
+    lines.drop(i + 1).takeWhile(l => markerCol(l) > col)
+  }
+
+  /** Is this subtree row-bounded by a limit operator?
+    * (WindowGroupLimit deliberately does NOT count: it caps rows per
+    * window KEY, not the frame's corpus growth.) */
+  private def limitBounded(subtree: Array[String]): Boolean =
+    subtree.exists(l =>
+      l.contains("TakeOrderedAndProject(limit=") ||
+        l.contains("GlobalLimit") || l.contains("LocalLimit") ||
+        l.contains("CollectLimit"))
 
   /** keys=[...] of a physical aggregate line. */
   private val AggKeys = """.*Aggregate\(keys=\[(.*?)\], functions.*""".r
 
   /** Does this aggregate line CORPUS-REDUCE its input — i.e. group by
-    * at least one key, none of which is a corpus-grain row id? Only
-    * such an aggregate may exempt a low-card window above it. */
+    * keys none of which is a corpus-grain row id? A GLOBAL aggregate
+    * (keys=[], one output row — funnel totals, sketch builds) is
+    * maximal reduction and counts (round 13: the round-12 nonEmpty
+    * requirement mis-flagged cached single-row totals frames once the
+    * CORPUS_CACHE gate stopped requiring a Generate). Only such an
+    * aggregate may exempt a low-card window or a corpus cache above
+    * it. */
   private def aggReducesCorpus(l: String): Boolean = l match {
-    case AggKeys(ks) =>
-      ks.trim.nonEmpty && !corpusGrainKeys.exists(k => ks.contains(k + "#"))
+    case AggKeys(ks) => !corpusGrainKeys.exists(k => ks.contains(k + "#"))
     case _ => false
   }
 
-  /** CORPUS_CACHE (round 12, VERDICT r11 task 6): an InMemoryRelation
-    * whose cached subtree explodes a corpus text column to TOKEN grain
-    * (`Generate explode(split(...)` over a documents/embeddings scan)
-    * with no fixed-budget bound (TakeOrdered / a Limit operator)
-    * anywhere in the subtree — the q_known_item round-11 defect
-    * class: a `.cache()` that materializes the tokenized corpus (a
-    * spilled corpus-scale artifact at 100 TB) instead of a
-    * probe-bounded frame. A cache whose TOPMOST aggregate (first
-    * aggregate line of the cached subtree in print order — the
-    * operator that fixes the cached frame's grain) corpus-reduces
-    * ([[aggReducesCorpus]]) is exempt: a per-(source, word) or
-    * per-(class, word) counts cache is vocabulary grain, the standard
-    * sublinear model table, however token-grain its producer explode
-    * is. KNOWN FALSE-NEGATIVE CLASSES (documented, not silent): a
-    * corpus-scale cache whose subtree contains an unrelated limit; a
-    * reducing aggregate printed first from a SIBLING branch of the
-    * actual cache spine; corpus-scale caches at non-token grain built
-    * without Generate (e.g. mapPartitions decode frames). The gate
-    * catches the exploded-text class it exists for. */
-  private def corpusCache(lines: Array[String]): Boolean = {
-    def markerCol(l: String): Int = l.indexOf("+-")
+  /** CORPUS_CACHE (round 12, VERDICT r11 task 6; BROADENED round 13,
+    * VERDICT r12 task 4a): an InMemoryRelation whose cached subtree
+    * scans a corpus table (documents/embeddings parquet) with no
+    * fixed-budget bound (TakeOrdered / a Limit operator) anywhere in
+    * the subtree and no corpus-reducing TOPMOST aggregate — a
+    * `.cache()` that materializes a corpus-scale artifact (spilled at
+    * 100 TB) instead of a probe-bounded or corpus-reduced frame. The
+    * round-12 form additionally required a token-grain
+    * `Generate explode(split(` producer, which is exactly the
+    * q_known_item defect class but misses corpus-scale caches at
+    * non-token grain — a mapPartitions decode frame, a per-document
+    * ledger — so the Generate requirement is GONE: any unbounded
+    * unreduced corpus cache flags, and the legitimate
+    * materialized-index / corpus-resident-artifact caches are
+    * DECLARED in [[allowlist]] with their rationale instead of
+    * passing by accident of grain (the r12 verdict's "exempt by
+    * accident of grain, not by declaration").
+    *
+    * A cache whose TOPMOST aggregate (first aggregate line of the
+    * cached subtree in print order — the operator that fixes the
+    * cached frame's grain) corpus-reduces ([[aggReducesCorpus]]) is
+    * exempt: a per-(source, word) or per-(class, word) counts cache
+    * is vocabulary grain, the standard sublinear model table.
+    * REMAINING KNOWN FALSE-NEGATIVE CLASSES (documented, not silent):
+    * a corpus-scale cache whose subtree contains an unrelated limit;
+    * a reducing aggregate printed first from a SIBLING branch of the
+    * actual cache spine. */
+  private def corpusCache(lines: Array[String]): Boolean =
     lines.indices.exists { i =>
       lines(i).contains("InMemoryRelation") && {
-        val col = markerCol(lines(i))
-        val subtree = lines.drop(i + 1)
-          .takeWhile(l => markerCol(l) > col)
-        val tokenExplode = subtree.exists(_.contains("Generate explode(split("))
+        val subtree = subtreeOf(lines, i)
         val corpusScan = subtree.exists(l => l.contains("FileScan") &&
           (l.contains("documents.parquet") || l.contains("embeddings.parquet")))
-        // WindowGroupLimit deliberately does NOT count as a bound: it
-        // caps rows per window KEY, not the frame's corpus growth
-        val bounded = subtree.exists(l =>
-          l.contains("TakeOrderedAndProject(limit=") ||
-            l.contains("GlobalLimit") || l.contains("LocalLimit") ||
-            l.contains("CollectLimit"))
         val grainFixedByAgg = subtree.find(_.contains("Aggregate("))
           .exists(aggReducesCorpus)
-        tokenExplode && corpusScan && !bounded && !grainFixedByAgg
+        corpusScan && !limitBounded(subtree) && !grainFixedByAgg
       }
     }
-  }
 
   /** Audit one query's executed plan string → flags found. */
   def flagsOf(plan: String): Seq[String] = {
     val lines = plan.linesIterator.toArray
+    // two UNPART detectors, belt and suspenders: the round-7 exchange
+    // lookahead (catches a SinglePartition exchange feeding any
+    // window), plus the round-13 SPEC-based form — an EMPTY partition
+    // spec is a single-partition window BY CONSTRUCTION, whatever the
+    // exchange layout (the q_rrf_rank class the lookahead missed) —
+    // exempt only when the window's own subtree is limit-bounded (a
+    // global rank over a TakeOrdered top-N frame is constant-sized)
     val unpartWindow = lines.zipWithIndex.exists { case (l, i) =>
       l.contains("Window ") &&
         (i + 1 until math.min(i + 5, lines.length)).exists(j =>
           lines(j).contains("Exchange SinglePartition"))
+    } || lines.indices.exists { i =>
+      val l = lines(i)
+      l.contains("Window [") && !l.contains("WindowGroupLimit") &&
+        winPartitionCols(l).exists(_.isEmpty) &&
+        !limitBounded(subtreeOf(lines, i))
     }
     val lowcardWindow = lines.indices.exists { i =>
       val l = lines(i)
       l.contains("Window [") && !l.contains("WindowGroupLimit") &&
-        (l match {
-          case WinSpec(parts) =>
-            val cols = parts.split(",").toSeq.map(_.trim.takeWhile(_ != '#'))
-              .filter(_.nonEmpty)
-            cols.nonEmpty && cols.forall(lowCardCols) &&
-            // rank-limited windows are exempt: InferWindowGroupLimit
-            // plants a WindowGroupLimit beneath rank/row_number-≤-k
-            // windows, so each map partition forwards AT MOST k rows
-            // per key to the shuffle — bounded state by construction,
-            // the same guarantee the bounded-heap aggregate gives
-            !(i + 1 < lines.length &&
-              lines(i + 1).contains("WindowGroupLimit")) && {
-              // AGGREGATE-FED windows are exempt: a window over a
-              // groupBy output is bounded by the aggregate's key
-              // cardinality (per-lang windows over per-(lang, bucket)
-              // totals, per-source ranks over per-(source, word)
-              // counts), not by the corpus. Scan the child chain down
-              // to its first leaf/scan; a CORPUS-REDUCING aggregate
-              // there (round 12, ADVICE r11: keyed, and by no
-              // corpus-grain row id — a groupBy(doc_id) emits one row
-              // per document and bounds nothing) means the input was
-              // already corpus-reduced.
-              val tail = (i + 1 until math.min(i + 10, lines.length))
-                .map(lines)
-              val leaf = tail.indexWhere(t =>
-                t.contains("Scan") || t.contains("Window ["))
-              val chain = if (leaf >= 0) tail.take(leaf) else tail
-              !chain.exists(aggReducesCorpus)
-            }
-          case _ => false
-        })
+        winPartitionCols(l).exists { cols =>
+          cols.nonEmpty && cols.forall(lowCardCols) &&
+          // rank-limited windows are exempt: InferWindowGroupLimit
+          // plants a WindowGroupLimit beneath rank/row_number-≤-k
+          // windows, so each map partition forwards AT MOST k rows
+          // per key to the shuffle — bounded state by construction,
+          // the same guarantee the bounded-heap aggregate gives
+          !(i + 1 < lines.length &&
+            lines(i + 1).contains("WindowGroupLimit")) && {
+            // AGGREGATE-FED windows are exempt: a window over a
+            // groupBy output is bounded by the aggregate's key
+            // cardinality (per-lang windows over per-(lang, bucket)
+            // totals, per-source ranks over per-(source, word)
+            // counts), not by the corpus. Scan the child chain down
+            // to its first leaf/scan; a CORPUS-REDUCING aggregate
+            // there (round 12, ADVICE r11: keyed, and by no
+            // corpus-grain row id — a groupBy(doc_id) emits one row
+            // per document and bounds nothing) means the input was
+            // already corpus-reduced.
+            val tail = (i + 1 until math.min(i + 10, lines.length))
+              .map(lines)
+            val leaf = tail.indexWhere(t =>
+              t.contains("Scan") || t.contains("Window ["))
+            val chain = if (leaf >= 0) tail.take(leaf) else tail
+            !chain.exists(aggReducesCorpus)
+          }
+        }
+    }
+    // fail-loud flag for Window lines NO spec form parses (round 13,
+    // VERDICT r12 task 4b): a silently-skipped window was the one
+    // undetectable hole in the LOWCARD gate
+    val winSpecUnparsed = lines.exists { l =>
+      l.contains("Window [") && !l.contains("WindowGroupLimit") &&
+        winPartitionCols(l).isEmpty
     }
     Seq(
       "CARTESIAN" -> plan.contains("CartesianProduct"),
       "BNLJ" -> plan.contains("BroadcastNestedLoopJoin"),
       "UNPART_WINDOW" -> unpartWindow,
       "LOWCARD_WINDOW" -> lowcardWindow,
-      "CORPUS_CACHE" -> corpusCache(lines)
+      "CORPUS_CACHE" -> corpusCache(lines),
+      "WINSPEC_PARSE" -> winSpecUnparsed
     ).collect { case (f, true) => f }
   }
 

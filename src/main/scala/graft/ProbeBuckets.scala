@@ -21,6 +21,7 @@ object ProbeBuckets {
     val emb = src match {
       case "audio" => llm.Multimodal.audioEmbeddings(Tables.documents(spark, sfDir))
       case "image" => llm.Multimodal.imageEmbeddings(Tables.documents(spark, sfDir))
+      case "video" => llm.Multimodal.videoEmbeddings(Tables.documents(spark, sfDir))
       case _       => Tables.embeddings(spark, sfDir)
     }
     val n = emb.filter(col("embedding").isNotNull)

@@ -175,6 +175,11 @@ object SparkEntry {
     "q_audio_dedup" -> ((s, d) => llm.Multimodal.audioDedup(Tables.documents(s, d))),
     "q_audio_embed" -> ((s, d) => llm.Multimodal.audioEmbed(Tables.documents(s, d))),
     "q_audio_ann" -> ((s, d) => llm.Multimodal.audioAnnTopK(Tables.documents(s, d), 5)),
+    // video CLIP vectors (pooled per-frame luma grids off the REAL
+    // parsed uncompressed-DIB AVI), every cell oracle-gated exploded
+    "q_video_embed" -> ((s, d) => llm.Multimodal.videoEmbed(Tables.documents(s, d))),
+    // ANN over the video modality: the last cell of the modality matrix
+    "q_video_ann" -> ((s, d) => llm.Multimodal.videoAnnTopK(Tables.documents(s, d), 5)),
     // slideshow detection: per-video duplicate/static frame stats over
     // the stride-sampled real MJPEG corpus (content-hash fingerprints)
     "q_frame_dedup" -> ((s, d) => llm.Multimodal.frameDedup(Tables.documents(s, d))),
@@ -662,6 +667,8 @@ object SparkEntry {
     "q_audio_dedup" -> llm.Multimodal.sqlAudioDedup,
     "q_audio_embed" -> llm.Multimodal.sqlAudioEmbed,
     "q_audio_ann" -> llm.Multimodal.sqlAudioAnnTopK(5),
+    "q_video_embed" -> llm.Multimodal.sqlVideoEmbed,
+    "q_video_ann" -> llm.Multimodal.sqlVideoAnnTopK(5),
     "q_curation_ledger" -> llm.Multimodal.sqlCurationLedger,
     "q_frame_dedup" -> llm.Multimodal.sqlFrameDedup(),
     "q_image_phash" -> llm.Multimodal.sqlImagePhash,

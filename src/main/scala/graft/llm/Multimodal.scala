@@ -1188,16 +1188,23 @@ object Multimodal {
     b.toByteArray
   }
 
-  /** Container assembly shared by [[aviBytes]] and [[slideAviBytes]]
-    * (pure refactor of the round-8 writer: byte-identical output). */
+  /** Container assembly shared by [[aviBytes]], [[slideAviBytes]]
+    * (pure refactor of the round-8 writer: byte-identical output for
+    * the default MJPG codec) and [[dibAviBytes]] (round 13: `codec =
+    * "DIB "` emits the spec's UNCOMPRESSED path — BI_RGB
+    * biCompression 0, '00db' frame chunks of raw bottom-up BGR
+    * rasters — the lossless route that makes decoded video pixels
+    * twin-predictable the way png/bmp made image pixels so). */
   private def buildAvi(w: Int, h: Int, nFrames: Int, frameUs: Int,
-                       frames: Seq[Array[Byte]]): Array[Byte] = {
+                       frames: Seq[Array[Byte]],
+                       codec: String = "MJPG"): Array[Byte] = {
+    val compressed = codec == "MJPG"
     val avih = new java.io.ByteArrayOutputStream()
     le32(avih, frameUs); le32(avih, 0); le32(avih, 0); le32(avih, 0)
     le32(avih, nFrames); le32(avih, 0); le32(avih, 1); le32(avih, 0)
     le32(avih, w); le32(avih, h); (0 until 4).foreach(_ => le32(avih, 0))
     val strh = new java.io.ByteArrayOutputStream()
-    fourCC(strh, "vids"); fourCC(strh, "MJPG")
+    fourCC(strh, "vids"); fourCC(strh, codec)
     le32(strh, 0); le32(strh, 0); le32(strh, 0)
     le32(strh, frameUs); le32(strh, 1000000) // rate/scale = fps
     le32(strh, 0); le32(strh, nFrames); le32(strh, 0); le32(strh, 0)
@@ -1205,7 +1212,13 @@ object Multimodal {
     val strf = new java.io.ByteArrayOutputStream() // BITMAPINFOHEADER
     le32(strf, 40); le32(strf, w); le32(strf, h)
     strf.write(1); strf.write(0); strf.write(24); strf.write(0) // planes, bpp
-    fourCC(strf, "MJPG"); le32(strf, w * h * 3)
+    // biCompression: the codec fourcc for MJPEG, the BI_RGB DWORD 0
+    // for uncompressed DIB (per the BITMAPINFOHEADER spec)
+    if (compressed) fourCC(strf, codec) else le32(strf, 0)
+    // biSizeImage: the round-8 writer's nominal w*h*3 for MJPEG
+    // (byte-identity preserved), the true padded raster size for DIB
+    if (compressed) le32(strf, w * h * 3)
+    else le32(strf, frames.headOption.map(_.length).getOrElse(0))
     (0 until 4).foreach(_ => le32(strf, 0))
     def list(tpe: String, body: Array[Byte]): Array[Byte] = {
       val o = new java.io.ByteArrayOutputStream()
@@ -1224,7 +1237,10 @@ object Multimodal {
     }
     val movi = {
       val o = new java.io.ByteArrayOutputStream()
-      frames.foreach(f => chunk(o, "00dc", f))
+      // '00dc' = stream-0 compressed video, '00db' = uncompressed DIB
+      // (the RIFF/AVI two-letter chunk-type convention)
+      val cid = if (compressed) "00dc" else "00db"
+      frames.foreach(f => chunk(o, cid, f))
       list("movi", o.toByteArray)
     }
     val out = new java.io.ByteArrayOutputStream()
@@ -1478,6 +1494,275 @@ object Multimodal {
           max_static_run, n_distinct < n_sampled AS is_slideshow,
           TRUE AS probe_decoded
         FROM a ORDER BY doc_id"""
+
+  // ---- video feature vectors + ANN (round 13, VERDICT r12 task 1) ----
+
+  /** Re-encode replica factor for the video-ANN fixture — the
+    * [[PhashReplica]]/[[AudioDedupReplica]] convention: consecutive
+    * doc_ids sharing floorDiv(id, 3) carry IDENTICAL frame content in
+    * containers that differ only in header metadata (fps from id, not
+    * cid), so the vectors are provably container-blind: replicas land
+    * at cosine 1 ahead of merely-similar clips. */
+  val VideoAnnReplica = 3
+  /** seed = cid mod this BEFORE the Knuth multiply — keeps
+    * seed·2654435761 < 2⁴⁸ inside DuckDB's CHECKED BIGINT at the
+    * 9·10⁹-id derived-corpus domain (the q_audio_stats lesson, same
+    * bound as [[PhashSeedMod]]/[[AudioSeedMod]]). */
+  val VideoSeedMod = 65536
+  /** Clip length of the ANN fixture: 6..11 frames — long enough that
+    * stride-[[VideoSampleStride]] sampling sees 3..6 frames to pool
+    * (the decode-gate videos' 2..5 frames would leave 1-frame clips,
+    * i.e. plain image vectors). */
+  val VideoAnnFrameBase = 6; val VideoAnnFrameMod = 6
+  /** Pixel-texture hash of the DIB fixture — NOISE-like rasters, by
+    * measurement, not taste: the first design reused the image
+    * generator's near-linear `base + x·31 + y·17` texture, and
+    * `graft.ProbeBuckets` Σc² read 78.7M vs the 19.5M isotropic ideal
+    * (4.0×) at the 10× corpus — per-frame luma is approximately
+    * affine in the cell offset, so every clip of a (w,h) class pools
+    * onto one low-dimensional sawtooth manifold (the EXACT audio
+    * round-12 failure shape; the shipped image vectors sit at 10.8×
+    * on the same probe, tolerable only because images pay it at half
+    * the vector count). Natural video is not an arithmetic gradient;
+    * hashing (frame, y, x) — which packs into 16 bits, f<16, y<64,
+    * x<64 — through two Knuth-multiply-XOR-fold rounds makes each
+    * sampled cell's luma pseudo-random, and the probe reads 29.9M =
+    * 1.53× ideal (max bucket 1411 → 171), the committed audio
+    * sketch's own ratio. Every multiply takes a <2¹⁶ operand, the
+    * audio twin's checked-BIGINT envelope, so DuckDB mirrors it term
+    * for term. */
+  private[graft] def dibPixel(seed: Long, f: Int, x: Int, y: Int): Int = {
+    val p = ((f * 64 + y) * 64 + x).toLong
+    val u = (p * 2654435761L) & 0xffffffffL
+    val v0 = u ^ (u >>> 16)
+    val w0 = (v0 + seed * 40503L) & 0xffffffffL
+    val t = w0 ^ (w0 >>> 16)
+    val z = ((t & 0xffffL) * 2654435761L) & 0xffffffffL
+    ((z ^ (z >>> 8)) & 0xffffffL).toInt
+  }
+
+  /** A spec-valid UNCOMPRESSED AVI: same RIFF skeleton as
+    * [[aviBytes]] but the stream is raw bottom-up BGR DIB rasters in
+    * '00db' chunks (BI_RGB, rows padded to 4 bytes per the DIB spec).
+    * This is the lossless route that closes the video cell of the
+    * modality matrix: MJPEG pixels are NOT twin-predictable (JPEG is
+    * lossy), so a feature vector off them could never be oracle-gated
+    * — exactly the reason [[imageHashes]] restricted itself to
+    * png/bmp. Uncompressed DIB is to video what bmp is to images:
+    * every decoded byte is the written byte.
+    *
+    * Content derives from cid = floorDiv(id, [[VideoAnnReplica]]);
+    * only the frame DURATION derives from the raw id — so replica
+    * ids are distinct files (different fps header) with identical
+    * rasters, the container-blindness probe. */
+  def dibAviBytes(id: Long): Array[Byte] = {
+    val cid = java.lang.Math.floorDiv(id, VideoAnnReplica.toLong)
+    def pmod(m: Int) = java.lang.Math.floorMod(cid, m.toLong).toInt
+    val w = VideoWidthBase + pmod(VideoWidthMod) * VideoWidthStep
+    val h = VideoHeightBase + pmod(VideoHeightMod) * VideoHeightStep
+    val nFrames = VideoAnnFrameBase + pmod(VideoAnnFrameMod)
+    val frameUs = VideoFrameUs(
+      java.lang.Math.floorMod(id, VideoFrameUs.size.toLong).toInt)
+    val seed = pmod(VideoSeedMod).toLong
+    val rowStride = (w * 3 + 3) & ~3
+    val frames = (0 until nFrames).map { f =>
+      val raster = new Array[Byte](rowStride * h)
+      var y = 0
+      while (y < h) {
+        val rowOff = (h - 1 - y) * rowStride // bottom-up rows, per DIB
+        var x = 0
+        while (x < w) {
+          val rgb = dibPixel(seed, f, x, y)
+          raster(rowOff + x * 3) = (rgb & 0xff).toByte          // B
+          raster(rowOff + x * 3 + 1) = ((rgb >> 8) & 0xff).toByte  // G
+          raster(rowOff + x * 3 + 2) = ((rgb >> 16) & 0xff).toByte // R
+          x += 1
+        }
+        y += 1
+      }
+      raster
+    }
+    buildAvi(w, h, nFrames, frameUs, frames, codec = "DIB ")
+  }
+
+  /** (vec_id, embedding: array<float>[64]) — deterministic video CLIP
+    * vectors from the REAL parsed container and rasters (VERDICT r12
+    * task 1, the last open cell of the modality matrix): the RIFF
+    * walker parses avih dims and '00db' DIB chunks, every
+    * stride-[[VideoSampleStride]]-th frame's raster is sampled on the
+    * [[lumaGrid]] 8×8 nearest-neighbor grid (integer luma, truncated
+    * /1000 so the POOLED magnitude stays float-exact), per-cell luma
+    * SUMS over the sampled frames, and the pooled grid is
+    * mean-centered — Σ over frames of the per-frame centered grids,
+    * associativity making "center then pool" = "pool then center".
+    * Centering is the same 10× scale requirement [[imageEmbeddings]]
+    * records: raw all-positive luma sits in one cone and sign-LSH
+    * over a cone degenerates to one hot bucket. |f| ≤ 64·6·255 <
+    * 2¹⁷ ≪ 2²⁴, so float carries it exactly and
+    * [[Similarity.prepared]]'s cast to double is lossless — cosines
+    * stay bit-portable to the oracle. Zero-variance pooled grids
+    * (no direction; cosine would be 0/0 NaN, ordered differently by
+    * the two engines) are excluded in both engines. DIB is lossless
+    * and cid-predictable, so the twin regenerates every sampled
+    * pixel arithmetically — a writer bug, a walker misparse, a
+    * stride slip, or a row-padding/bottom-up error all
+    * hash-mismatch. Map-only: blobs are born, walked, and reduced
+    * inside their partition; feeds [[Similarity.lshTopKNeighbors]]
+    * verbatim. Occupancy validated by `graft.ProbeBuckets` Σc²
+    * BEFORE commit (the recorded two-failure audio lesson). */
+  def videoEmbeddings(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.flatMap { id =>
+        val bytes = dibAviBytes(id)
+        var w = 0; var h = 0
+        val pooled = new Array[Long](64)
+        var frameIdx = 0
+        walkRiff(bytes) {
+          case ("avih", _, buf) =>
+            (0 until 8).foreach(_ => buf.getInt())
+            w = buf.getInt(); h = buf.getInt()
+          case ("00db", size, buf) =>
+            if (frameIdx % VideoSampleStride == 0) {
+              val raster = new Array[Byte](size); buf.get(raster)
+              val rowStride = (w * 3 + 3) & ~3
+              var j = 0
+              while (j < 8) {
+                var i = 0
+                while (i < 8) {
+                  val px = i * w / 8; val py = j * h / 8
+                  val off = (h - 1 - py) * rowStride + px * 3
+                  val bb = raster(off) & 0xff
+                  val gg = raster(off + 1) & 0xff
+                  val rr = raster(off + 2) & 0xff
+                  pooled(j * 8 + i) +=
+                    (rr * 299 + gg * 587 + bb * 114) / 1000
+                  i += 1
+                }
+                j += 1
+              }
+            }
+            frameIdx += 1
+          case _ => ()
+        }
+        var tot = 0L
+        var b = 0
+        while (b < 64) { tot += pooled(b); b += 1 }
+        if (pooled.forall(_ == pooled(0))) None // zero variance: no direction
+        else Some((id, pooled.map(v => (v * 64L - tot).toFloat)))
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** Per-document video clip vector, exploded to (doc_id, b, f)
+    * scalar rows so EVERY pooled grid cell of every clip is
+    * oracle-gated (the ANN query alone gates them only through the
+    * cosine/bucket composition) — the [[imageEmbed]]/[[audioEmbed]]
+    * pattern. */
+  def videoEmbed(documents: DataFrame): DataFrame =
+    videoEmbeddings(documents)
+      .select(col("vec_id").as("doc_id"),
+        posexplode(col("embedding")).as(Seq("b", "f")))
+      .select(col("doc_id"), col("b").cast("int").as("b"),
+        col("f").cast("double").as("f"))
+      .orderBy("doc_id", "b")
+
+  /** The feature CTE chain both video-embedding twins splice: the
+    * sampled-frame rasters regenerated arithmetically at the 64 grid
+    * coordinates only (the twin never builds a raster — it evaluates
+    * the generator at the sampled pixels, 64 cells × 3..6 frames per
+    * doc), pooled and centered in exact BIGINT. Every doc emits all
+    * 64 cells (the grid is always 8×8), so no missing-dim LEFT JOIN
+    * is needed — unlike the audio sketch. Ends with
+    * `sd(doc_id, b, f)`. */
+  private def sqlVideoFeatureCtes: String = {
+    def pc(m: Int) = s"(((cid % $m) + $m) % $m)"
+    s"""vd AS (
+          SELECT doc_id, ${sqlFloorDiv("doc_id", VideoAnnReplica)} AS cid
+          FROM documents),
+        vp AS (
+          SELECT doc_id,
+            CAST($VideoWidthBase + ${pc(VideoWidthMod)} * $VideoWidthStep
+              AS BIGINT) AS w,
+            CAST($VideoHeightBase + ${pc(VideoHeightMod)} * $VideoHeightStep
+              AS BIGINT) AS h,
+            ${pc(VideoSeedMod)} AS seed,
+            CAST($VideoAnnFrameBase + ${pc(VideoAnnFrameMod)} AS BIGINT) AS nf
+          FROM vd),
+        vf AS (SELECT doc_id, w, h, seed,
+                 unnest(generate_series(0, nf - 1)) AS fr
+               FROM vp),
+        vc AS (
+          SELECT doc_id, seed, i, j,
+            ((fr * 64 + (j * h) // 8) * 64 + (i * w) // 8) AS p
+          FROM vf, generate_series(0, 7) gi(i), generate_series(0, 7) gj(j)
+          WHERE fr % $VideoSampleStride = 0),
+        vu AS (SELECT doc_id, seed, i, j,
+                 (p * 2654435761) % 4294967296 AS u
+               FROM vc),
+        vw AS (SELECT doc_id, i, j,
+                 (xor(u, u // 65536) + seed * 40503) % 4294967296 AS w0
+               FROM vu),
+        vz AS (SELECT doc_id, i, j,
+                 ((xor(w0, w0 // 65536) % 65536) * 2654435761)
+                   % 4294967296 AS z
+               FROM vw),
+        vg AS (
+          SELECT doc_id, i, j,
+            (((rgb >> 16) & 255) * 299 + ((rgb >> 8) & 255) * 587
+              + (rgb & 255) * 114) // 1000 AS g
+          FROM (SELECT doc_id, i, j,
+                  xor(z, z // 256) % 16777216 AS rgb
+                FROM vz)),
+        vpl AS (SELECT doc_id, CAST(j * 8 + i AS INTEGER) AS b,
+                  sum(g) AS p
+                FROM vg GROUP BY 1, 2),
+        vtot AS (SELECT doc_id, sum(p) AS tp FROM vpl GROUP BY doc_id),
+        sd AS (SELECT vpl.doc_id, b, CAST(64 * p - tp AS BIGINT) AS f
+               FROM vpl JOIN vtot ON vpl.doc_id = vtot.doc_id)"""
+  }
+
+  /** Twin of [[videoEmbed]]: every pooled-centered grid cell
+    * predicted from the generator arithmetic; zero-variance clips
+    * (all centered cells 0) excluded by the same rule as Spark. */
+  val sqlVideoEmbed: String =
+    s"""WITH $sqlVideoFeatureCtes,
+        vr AS (SELECT doc_id FROM sd GROUP BY doc_id
+               HAVING max(abs(f)) > 0)
+        SELECT sd.doc_id, b, CAST(f AS DOUBLE) AS f
+        FROM sd JOIN vr ON sd.doc_id = vr.doc_id
+        ORDER BY sd.doc_id, b"""
+
+  /** ANN over the VIDEO modality — the last cell of the modality
+    * matrix (text r8, image r11, audio r12): pooled DIB clip vectors
+    * feed [[Similarity.lshTopKNeighbors]] verbatim — adaptive
+    * signature width, banded candidate join, bounded-heap top-k —
+    * the exact [[imageAnnTopK]]/[[audioAnnTopK]] composition.
+    * Container-blind by construction: [[VideoAnnReplica]] re-encodes
+    * (same rasters, different fps headers) rank at cosine 1 ahead of
+    * merely-similar clips. */
+  def videoAnnTopK(documents: DataFrame, k: Int): DataFrame =
+    Similarity.lshTopKNeighbors(videoEmbeddings(documents), k)
+
+  /** Twin: the video-feature `n` CTE spliced into the SAME LSH top-k
+    * SQL ([[Similarity.sqlLshTopKNeighborsOver]]). nv/n MATERIALIZED
+    * for the same reason as [[sqlImageAnnTopK]]: the vectors are
+    * CONSTRUCTED from a frames×64-exploded generator frame, and
+    * default CTE inlining would re-run that construction for every
+    * bucket select plus both verification-join sides. */
+  def sqlVideoAnnTopK(k: Int): String =
+    Similarity.sqlLshTopKNeighborsOver(
+      s"""$sqlVideoFeatureCtes,
+        nv AS MATERIALIZED (
+          SELECT doc_id AS vec_id,
+            CAST(list(f * 1.0 ORDER BY b) AS DOUBLE[]) AS v
+          FROM sd GROUP BY doc_id
+          HAVING max(abs(f)) > 0),
+        n AS MATERIALIZED (
+          SELECT vec_id, v,
+            sqrt(list_reduce(list_transform(v, x -> x * x),
+              (a, b) -> a + b)) AS nrm
+          FROM nv)""", k)
 
   // ---- cross-modal curation ledger -----------------------------------
 

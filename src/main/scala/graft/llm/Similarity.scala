@@ -491,19 +491,52 @@ object Similarity {
     * UNCOMMITTED batch's partition into -1 would make a replay of
     * that batch read its own writes as prior state. */
   private[graft] def compactBatchPartitionsLocked(
-      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    compactPartitionsLocked(spark, path)
+
+  /** The general lease-guarded partition compactor behind
+    * [[compactBatchPartitionsLocked]] (round 13: parameterized so the
+    * streamed SHARD-SUMMARY artifact — `micro_batch_id=N/shard=M`
+    * layout, with an associative pre-merge of the partials — can ride
+    * the identical swap/recovery protocol instead of growing a
+    * second, subtly different one).
+    *
+    *  - `merge` runs over the selected partitions' rows before the
+    *    staged write — identity for row-preserving state (the LSH
+    *    index), the read-time associative aggregate for partial
+    *    summaries (pre-merging is sound exactly because the read-side
+    *    merge is associative; [[graft.llm.Curate.readTrainingShards]]
+    *    output is unchanged by construction).
+    *  - `uptoExclusive` bounds WHICH partitions fold: an IN-TRIGGER
+    *    occupancy compaction must only fold ids < the current batch
+    *    id — folding the current batch's own partition into -1 would
+    *    double-count it when a crash replays the trigger (the
+    *    partition re-appears beside its copy inside -1), and a
+    *    prior-batch reader's `< batchId` filter must keep matching
+    *    the folded -1 partition. Maintenance calls (stream quiesced)
+    *    pass the default unbounded value.
+    *
+    * Caller must hold the state lease. */
+  private[graft] def compactPartitionsLocked(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      partitionCol: String = "batch_id",
+      extraPartitions: Seq[String] = Seq.empty,
+      merge: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        identity,
+      uptoExclusive: Long = Long.MaxValue): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val root = new HPath(path)
     val staged = new HPath(s"$path/.compact")
     val aside = new HPath(s"$path/.old")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = s"$partitionCol="
     def partitionDirs(p: HPath): Seq[HPath] =
       if (!fs.exists(p)) Seq.empty
       else fs.listStatus(p).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
         .map(_.getPath)
     // crash recovery FIRST. Swap completion is discriminated by where
-    // the staged batch_id=-1 dir sits: still under .compact/ (swap not
+    // the staged -1 dir sits: still under .compact/ (swap not
     // done — originals authoritative, roll .old/ back; a same-name
     // root dir in this window can only be stale garbage) vs drained
     // out of it (swap done — root holds the complete replacement,
@@ -517,14 +550,21 @@ object Similarity {
       }
     }
     fs.delete(staged, true); fs.delete(aside, true)
-    spark.read.parquet(path)
-      .drop("batch_id").withColumn("batch_id", lit(-1L))
-      .write.mode("overwrite").partitionBy("batch_id")
+    val selected = partitionDirs(root).filter { d =>
+      scala.util.Try(d.getName.stripPrefix(prefix).toLong)
+        .toOption.exists(_ < uptoExclusive)
+    }
+    if (selected.isEmpty) return
+    merge(spark.read.option("basePath", path)
+        .parquet(selected.map(_.toString): _*))
+      .drop(partitionCol).withColumn(partitionCol, lit(-1L))
+      .write.mode("overwrite")
+      .partitionBy(partitionCol +: extraPartitions: _*)
       .parquet(staged.toString)
     fs.mkdirs(aside)
     def mv(src: HPath, dst: HPath): Unit =
       require(fs.rename(src, dst), s"compaction rename failed: $src -> $dst")
-    partitionDirs(root).foreach(d => mv(d, new HPath(aside, d.getName)))
+    selected.foreach(d => mv(d, new HPath(aside, d.getName)))
     partitionDirs(staged).foreach(d => mv(d, new HPath(root, d.getName)))
     fs.delete(aside, true)
     fs.delete(staged, true)

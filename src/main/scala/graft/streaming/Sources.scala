@@ -575,9 +575,65 @@ object Sources {
     * with the `batch_id < currentBatch` replay filter; all four state
     * dirs share the one write lease at the state root, mutually
     * exclusive with [[compactShardState]]. */
+  /** Occupancy bound of the streamed shard/pack state (round 13,
+    * VERDICT r12 task 6): when a trigger finds MORE than this many
+    * per-batch partial partitions, it folds the prior batches into
+    * the `-1` base partition before doing its own work — so a
+    * months-long stream's read-side merge cost (`readTrainingShards`
+    * groups over every partial; the pack-base read sums every delta)
+    * is bounded by K + triggers-since-compaction instead of growing
+    * with stream lifetime. The WHEN contract the maintenance-only
+    * compactor lacked. */
+  val ShardPartialMaxPartitions = 8
+
+  /** Associative pre-merge of per-batch partial sequence summaries —
+    * the [[graft.llm.Curate.readTrainingShards]] read-time aggregate
+    * applied at compaction time. Sound because the merge is
+    * associative: reading (compacted base + later partials) groups to
+    * exactly what reading all partials would. */
+  private def mergeShardPartials(df: DataFrame): DataFrame =
+    df.groupBy("lang", "seq_id", "shard", "sort_key")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("first_doc")).as("first_doc"),
+        max(col("last_doc")).as("last_doc"))
+
+  /** Per-lang sum of pack token deltas — linear-sketch merge, same
+    * soundness argument. */
+  private def mergePackDeltas(df: DataFrame): DataFrame =
+    df.groupBy("lang").agg(sum(col("batch_tokens")).as("batch_tokens"))
+
+  /** The occupancy trigger itself. MUST run with the state lease held
+    * and `currentBatchId` = the trigger's own (uncommitted) batch id:
+    * only ids < it fold, because folding the current batch's partition
+    * into -1 would double-count it on crash-replay (the replayed
+    * dynamic overwrite re-creates the partition BESIDE its copy
+    * inside -1) — the packSequencesQuery replay-safety rule extended
+    * to compaction. */
+  private[graft] def maybeCompactShardPartials(
+      spark: SparkSession, shardDir: String, packPath: String,
+      currentBatchId: Long,
+      maxPartials: Int = ShardPartialMaxPartitions): Unit = {
+    def nPartitions(path: String, prefix: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(s =>
+        s.isDirectory && s.getPath.getName.startsWith(prefix))
+    }
+    if (nPartitions(shardDir, "micro_batch_id=") > maxPartials)
+      graft.llm.Similarity.compactPartitionsLocked(spark, shardDir,
+        partitionCol = "micro_batch_id", extraPartitions = Seq("shard"),
+        merge = mergeShardPartials, uptoExclusive = currentBatchId)
+    if (nPartitions(packPath, "batch_id=") > maxPartials)
+      graft.llm.Similarity.compactPartitionsLocked(spark, packPath,
+        merge = mergePackDeltas, uptoExclusive = currentBatchId)
+  }
+
   def trainingShardsQuery(docs: DataFrame, statePath: String,
                           shardDir: String, checkpoint: String,
-                          shards: Int = graft.llm.Curate.NumShards)
+                          shards: Int = graft.llm.Curate.NumShards,
+                          maxPartials: Int = ShardPartialMaxPartitions)
     : StreamingQuery =
     docs.writeStream
       .outputMode("append")
@@ -590,6 +646,10 @@ object Sources {
           // lease FIRST inside the try (see curationLedgerQuery)
           graft.llm.Similarity.acquireIndexLease(
             spark, statePath, s"append:$batchId")
+          // occupancy-triggered fold of PRIOR batches' partials (the
+          // round-13 growth bound); holds the lease this trigger owns
+          maybeCompactShardPartials(spark, shardDir, s"$statePath/pack",
+            batchId, maxPartials)
           val (ledger, novels) = ledgerVerdictForBatch(batch, statePath, batchId)
           val survivors = batch
             .join(ledger.filter(col("keep")).select("doc_id"),

@@ -1399,6 +1399,59 @@ class LlmSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("video ANN: replica re-encodes rank at cosine 1 ahead of other clips") {
+    val docs = Tables.documents(spark, sf())
+    val ann = Multimodal.videoAnnTopK(docs, 5)
+    val rows = ann.collect()
+    assert(rows.nonEmpty)
+    val eligible = Multimodal.videoEmbeddings(docs)
+      .select("vec_id").as[Long].collect().toSet
+    assert(rows.map(_.getAs[Long]("query_id")).toSet.subsetOf(eligible))
+    // VideoAnnReplica consecutive ids share rasters (containers differ
+    // only in fps header): where a replica pair is in the candidate
+    // set, it must sit at the top with cosine ~ 1 — container-blind
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    val replicaTops = byQuery.flatMap { case (q, rs) =>
+      val top = rs.minBy(_.getAs[Int]("rnk"))
+      val n = top.getAs[Long]("neighbor_id")
+      if (java.lang.Math.floorDiv(q, Multimodal.VideoAnnReplica.toLong)
+        == java.lang.Math.floorDiv(n, Multimodal.VideoAnnReplica.toLong))
+        Some(top.getAs[Double]("cosine"))
+      else None
+    }
+    assert(replicaTops.nonEmpty)
+    replicaTops.foreach(c => assert(c > 0.999999, s"replica cosine $c"))
+    spark.catalog.clearCache()
+  }
+
+  test("DIB AVI fixture: spec-valid container, replicas differ only in fps header") {
+    // the uncompressed path must still be a well-formed AVI the
+    // existing RIFF machinery reads: parseAvi (header facts off the
+    // bytes) sees the right dims/frame count, decodes ZERO frames
+    // through the JPEG codec (there are none — '00db', not '00dc'),
+    // and flags nothing
+    val cid0 = 12L // any id; content derives from floorDiv(id, 3)
+    val f = Multimodal.parseAvi(Multimodal.MediaFile(
+      cid0, "avi", Multimodal.dibAviBytes(cid0),
+      Multimodal.dibAviBytes(cid0).length.toLong))
+    assert(f.decoded && f.frames_decoded == 0L)
+    def pm(id: Long, m: Int) =
+      java.lang.Math.floorMod(java.lang.Math.floorDiv(id, 3L), m.toLong).toInt
+    assert(f.width == Multimodal.VideoWidthBase +
+      pm(cid0, Multimodal.VideoWidthMod) * Multimodal.VideoWidthStep)
+    assert(f.n_frames == Multimodal.VideoAnnFrameBase +
+      pm(cid0, Multimodal.VideoAnnFrameMod))
+    // replicas: same movi payload bytes, different fps header
+    val a = Multimodal.dibAviBytes(12L); val b = Multimodal.dibAviBytes(13L)
+    assert(!java.util.Arrays.equals(a, b)) // headers differ (fps)
+    def moviOf(bytes: Array[Byte]) = {
+      val s = new String(bytes, "ISO-8859-1")
+      s.substring(s.indexOf("movi"))
+    }
+    assert(moviOf(a) == moviOf(b), "replica rasters must be byte-identical")
+    spark.catalog.clearCache()
+  }
+
   test("html extraction: boilerplate routing, raw-text skip, entities, malformed input") {
     import org.apache.spark.unsafe.types.UTF8String
     def x(html: String): (String, Int, Int, Int, Int) = {
