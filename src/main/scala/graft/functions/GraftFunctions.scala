@@ -23,6 +23,7 @@ object GraftFunctions {
   /** (name, builder) for every SQL-callable function. */
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "dot_d" -> (e => DotProductD(e(0), e(1))),
+    "lsh_bucket_codes" -> (e => LshBucketCodes(e(0), intArg(e(1)))),
     "top_k_by" -> (e => TopKByScore(e(0), e(1), intArg(e(2))).toAggregateExpression()),
     "shingle_hashes" -> (e => ShingleHashes(e(0), intArg(e(1)))),
     "gram_hashes_pos" -> (e => GramHashesPos(e(0), intArg(e(1)))),

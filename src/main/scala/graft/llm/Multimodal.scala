@@ -42,6 +42,29 @@ object Multimodal {
       decoded: Boolean,
       frame_offsets: Seq[Long])
 
+  /** The doc_id scan behind every fixture builder below, FANNED OUT
+    * to the session's default parallelism when the source scan carries
+    * fewer partitions (round 13, guide §2.5 "input skew: one huge
+    * unsplittable file — repartition immediately after the read"). The
+    * builders do CPU-heavy per-row work — media ENCODE plus real codec
+    * DECODE — and the driver testdata is a single-row-group parquet
+    * file, i.e. ONE scan task: without this every multimodal query ran
+    * its whole encode/decode on one core (measured: q_frame_dedup
+    * 3.7 s → ~1 s at 32 cores; OPTIMIZATION_r13.md). Round-robin of an
+    * 8-byte column is microseconds; row content is a pure function of
+    * doc_id and every consumer aggregates or totally orders, so
+    * placement cannot change results. At cluster scale a corpus scan
+    * already has ≥ defaultParallelism splits and this is a no-op — a
+    * scale-adaptive guard, not a local tuning constant. */
+  private def docIds(documents: DataFrame): Dataset[Long] = {
+    import documents.sparkSession.implicits._
+    val ids = documents.select(col("doc_id"))
+    val target = documents.sparkSession.sparkContext.defaultParallelism
+    val fanned =
+      if (ids.rdd.getNumPartitions < target) ids.repartition(target) else ids
+    fanned.as[Long]
+  }
+
   /** Manufacture a deterministic multimodal table from `documents`:
     * the utf-8 text bytes stand in for encoded media content. */
   def mediaTable(documents: DataFrame): DataFrame =
@@ -155,7 +178,7 @@ object Multimodal {
     * rows; nothing shuffles. */
   def imageTable(documents: DataFrame): Dataset[MediaFile] = {
     import documents.sparkSession.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    docIds(documents).mapPartitions { ids =>
       javax.imageio.ImageIO.setUseCache(false)
       ids.map { id =>
         // floorMod, not %: a negative doc_id must select a valid format
@@ -315,7 +338,7 @@ object Multimodal {
 
   def imageHashes(documents: DataFrame): Dataset[ImageHash] = {
     import documents.sparkSession.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    docIds(documents).mapPartitions { ids =>
       javax.imageio.ImageIO.setUseCache(false)
       ids.flatMap { id =>
         lumaGrid(id).map { case (w, h, g) =>
@@ -359,7 +382,7 @@ object Multimodal {
     * ([[Similarity.lshTopKNeighbors]]). */
   def imageEmbeddings(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    docIds(documents).mapPartitions { ids =>
       javax.imageio.ImageIO.setUseCache(false)
       ids.flatMap(id => lumaGrid(id).flatMap { case (_, _, g) =>
         var tot = 0L
@@ -653,7 +676,7 @@ object Multimodal {
     * Map-only, same shape as [[imageTable]]. */
   def audioTable(documents: DataFrame): Dataset[MediaFile] = {
     import documents.sparkSession.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    docIds(documents).mapPartitions { ids =>
       ids.map { id =>
         def pmod(m: Int) = java.lang.Math.floorMod(id, m.toLong).toInt
         val container = AudioFormats(pmod(AudioFormats.size))
@@ -682,7 +705,7 @@ object Multimodal {
           case _      => javax.sound.sampled.AudioFileFormat.Type.AU
         }
         val baos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais, tpe, baos)
+        AudioIo.write(ais, tpe, baos)
         val bytes = baos.toByteArray
         MediaFile(id, container, bytes, bytes.length.toLong)
       }
@@ -705,8 +728,7 @@ object Multimodal {
     audioTable(documents).mapPartitions { batch =>
       batch.map { m =>
         try {
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(m.content))
+          val ais = AudioIo.read(m.content)
           val f = ais.getFormat
           val rate = f.getSampleRate.toInt
           val frames = ais.getFrameLength
@@ -756,7 +778,7 @@ object Multimodal {
     * [[audioTable]]. */
   def speechAudioTable(documents: DataFrame): Dataset[MediaFile] = {
     import documents.sparkSession.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    docIds(documents).mapPartitions { ids =>
       ids.map { id =>
         val cid = java.lang.Math.floorDiv(id, AudioDedupReplica.toLong)
         def pc(m: Int) = java.lang.Math.floorMod(cid, m.toLong).toInt
@@ -793,7 +815,7 @@ object Multimodal {
           case _      => javax.sound.sampled.AudioFileFormat.Type.AU
         }
         val baos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais, tpe, baos)
+        AudioIo.write(ais, tpe, baos)
         val bytes = baos.toByteArray
         MediaFile(id, container, bytes, bytes.length.toLong)
       }
@@ -833,8 +855,7 @@ object Multimodal {
     import documents.sparkSession.implicits._
     speechAudioTable(documents).mapPartitions { batch =>
       batch.map { m =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(m.content))
+        val ais = AudioIo.read(m.content)
         val big = ais.getFormat.isBigEndian
         val bytes = ais.readAllBytes()
         val nS = bytes.length / 2
@@ -997,8 +1018,7 @@ object Multimodal {
     import documents.sparkSession.implicits._
     speechAudioTable(documents).mapPartitions { batch =>
       batch.flatMap { m =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(m.content))
+        val ais = AudioIo.read(m.content)
         val big = ais.getFormat.isBigEndian
         val bytes = ais.readAllBytes()
         val nS = bytes.length / 2
@@ -1266,7 +1286,7 @@ object Multimodal {
     * document. Map-only, same shape as [[imageTable]]/[[audioTable]]. */
   def videoTable(documents: DataFrame): Dataset[MediaFile] = {
     import documents.sparkSession.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    docIds(documents).mapPartitions { ids =>
       javax.imageio.ImageIO.setUseCache(false) // in-memory JPEG encode
       ids.map { id =>
         val bytes = aviBytes(id)
@@ -1432,7 +1452,7 @@ object Multimodal {
                  ordered: Boolean = true): DataFrame = {
     import documents.sparkSession.implicits._
     require(stride > 0, s"stride must be positive, got $stride")
-    val rows = documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    val rows = docIds(documents).mapPartitions { ids =>
       javax.imageio.ImageIO.setUseCache(false)
       val sha = java.security.MessageDigest.getInstance("SHA-256")
       ids.map { id =>
@@ -1612,7 +1632,7 @@ object Multimodal {
     * BEFORE commit (the recorded two-failure audio lesson). */
   def videoEmbeddings(documents: DataFrame): DataFrame = {
     import documents.sparkSession.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    docIds(documents).mapPartitions { ids =>
       ids.flatMap { id =>
         val bytes = dibAviBytes(id)
         var w = 0; var h = 0
@@ -1972,8 +1992,7 @@ object Multimodal {
     audioTable(documents).mapPartitions { batch =>
       batch.map { m =>
         try {
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(m.content))
+          val ais = AudioIo.read(m.content)
           val big = ais.getFormat.isBigEndian
           val bytes = ais.readAllBytes()
           val nS = bytes.length / 2

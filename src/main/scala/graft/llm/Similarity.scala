@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  val Dim = 64
+  val Dim: Int = graft.functions.LshPlanes.Dim
 
   /** Hard input bound for the O(n²) exact baselines. They exist as
     * ground truth for the IVF/LSH/PQ scale twins and for small query
@@ -149,7 +149,7 @@ object Similarity {
         WHERE cosine >= $threshold ORDER BY vec_a, vec_b"""
 
   val NumPlanes = 6
-  val NumTables = 16
+  val NumTables: Int = graft.functions.LshPlanes.NumTables
 
   /** Deterministic random hyperplanes for sign-projection LSH: weight
     * (t,p,d) = (md5("t:p:d") mod 2001 - 1000)/1000 ∈ [-1,1]. Computed
@@ -218,44 +218,39 @@ object Similarity {
     if (numPlanes == AdaptiveWidth) adaptivePlanes(math.max(1L, n.count()))
     else numPlanes
 
-  def planesFor(numPlanes: Int): Seq[Seq[Seq[Double]]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until NumTables).map { t =>
-      (0 until numPlanes).map { p =>
-        (0 until Dim).map { d =>
-          val hex = md.digest(s"$t:$p:$d".getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString.take(15)
-          ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
-        }
-      }
-    }
-  }
+  /** Delegates to the ONE derivation in [[graft.functions.LshPlanes]]
+    * — the same weights the fused `lsh_bucket_codes` kernel streams,
+    * so the SQL twins (built from these Seqs as literals) and the
+    * Spark kernel can never diverge. */
+  def planesFor(numPlanes: Int): Seq[Seq[Seq[Double]]] =
+    graft.functions.LshPlanes.planesFor(numPlanes)
 
   lazy val planes: Seq[Seq[Seq[Double]]] = planesFor(NumPlanes)
-
-  private def bucketCol(t: Int, pl: Seq[Seq[Seq[Double]]]): Column =
-    pl(t).indices.map { p =>
-      when(dot(col("v"), array(pl(t)(p).map(lit): _*)) >= 0, lit(1L << p))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
 
   /** (vec_id, tbl, bucket) over all NumTables — THE LSH index frame,
     * one definition shared by single- and multi-probe pair generation
     * (they must hash into bit-identical buckets or the multi-probe
-    * candidate-superset guarantee silently breaks). Cached: it feeds
-    * both sides of the candidate self-join, and Spark does not share
-    * subplans — uncached, the 96 codegen'd dot products per row run
-    * twice. Caller-released lifecycle (Bench/Verify clearCache); at
-    * cluster scale this is the materialized LSH index table. */
+    * candidate-superset guarantee silently breaks). Round 13: the
+    * per-table bucket codes come from the FUSED
+    * [[graft.functions.LshBucketCodes]] kernel (`lsh_bucket_codes`)
+    * instead of 16×numPlanes separate `when(dot_d(v, <64 literals>)
+    * >= 0, …)` columns — bit-identical buckets (same d-ascending IEEE
+    * fold per plane, same `>= 0` semantics; equivalence pinned by
+    * LshKernelSpec), but the expression tree shrinks from ~6k literal
+    * leaves to one node, cutting seconds of Catalyst/janino
+    * PLANNING+COMPILE time per LSH query and reading each vector once
+    * instead of 96 times per row at run time (guide §4). Cached: it
+    * feeds both sides of the candidate self-join, and Spark does not
+    * share subplans. Caller-released lifecycle (Bench/Verify
+    * clearCache); at cluster scale this is the materialized LSH index
+    * table. */
   private def bucketFrame(n: DataFrame,
                           numPlanes: Int = NumPlanes,
                           cache: Boolean = true): DataFrame = {
-    val pl = if (numPlanes == NumPlanes) planes else planesFor(numPlanes)
-    val tableBuckets = (0 until NumTables).map { t =>
-      struct(lit(t).as("tbl"), bucketCol(t, pl).as("bucket"))
-    }
-    val b = n.select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    graft.functions.GraftFunctions.registerAll(n.sparkSession)
+    val b = n.select(col("vec_id"),
+        posexplode(call_function("lsh_bucket_codes", col("v"), lit(numPlanes)))
+          .as(Seq("tbl", "bucket")))
     // per-MICRO-BATCH callers skip the cache: a long-running stream
     // would otherwise accumulate one orphaned cached frame per trigger
     if (cache) b.cache() else b
