@@ -41,6 +41,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // guide §2.2: coalesce by advisory size, not parallelism —
+      // Spark's own recommendation; the default true pins every tiny
+      // post-shuffle read at `cpus` tasks and the per-task fixed
+      // overhead dominates the suite's small iterative shuffles.
+      // Scale-adaptive (AQE), not a local constant: real shuffle
+      // volumes coalesce toward the advisory bytes instead.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       // /tmp is reaped by the host (r4: shuffle index file vanished
       // mid-stage 42 min into the run; the executor's uncaught

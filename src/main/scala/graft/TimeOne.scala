@@ -17,6 +17,16 @@ object TimeOne {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Round 13 (guide §2.2 "let AQE coalesce small partitions"):
+      // respect the advisory partition size instead of parallelism
+      // when coalescing post-shuffle reads — Spark's own docs
+      // recommend false; the default true pins every tiny shuffle at
+      // `shuffle.partitions` tasks, and the suite's iterative queries
+      // (PageRank, connected components, BPE rounds) pay per-task
+      // fixed overhead ~10× their actual row work. Scale-adaptive by
+      // mechanism: at real shuffle sizes AQE targets the advisory
+      // bytes and parallelism returns on its own.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", localDir)
       .config("spark.cleaner.referenceTracking.blocking", "false")

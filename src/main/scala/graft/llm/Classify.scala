@@ -37,7 +37,13 @@ object Classify {
     * language ID — this is its learned twin). */
   private val ClassCol = "lang"
 
-  /** (doc_id, word) one row per token occurrence. */
+  /** (doc_id, word) one row per token occurrence. NOT fanned out
+    * (round 13): a Scans.fanOut here was measured NEGATIVE — the NB
+    * explode+aggregate stages are so small that 32 pinned tasks cost
+    * more in per-task fixed overhead than the parallelism returns
+    * (q_nb_classify 1.4 s → 1.9 s fanned, and 2 cores beat 32 on the
+    * unfanned shape); the shingle/media roots keep theirs because
+    * their per-row work is 10–100× heavier. */
   private def tokens(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), col(ClassCol).as("cls"),
       explode(TextPrep.wordsCol).as("word"))
@@ -75,13 +81,24 @@ object Classify {
       .crossJoin(totals).crossJoin(vocab)
       .select(col("cand"), col("n_c"), col("v"),
         ilog2(expr("nd DIV nd_c")).as("prior_bits"))
-    // score: token explode × k candidate classes, word bits from the
-    // model join (missing (cand, word) ⇒ n_cw = 0 via the left join)
-    val perClass = toks.select(col("doc_id"), col("word"))
+    // score at (doc, DISTINCT word) grain, not per occurrence (round
+    // 13, guide §2.3 "aggregate before you shuffle"): a document's
+    // word_bits is Σ_occurrences bits(word) = Σ_distinct-words
+    // n_occ · bits(word) — the same integers in a different grouping —
+    // so the k-class fan-out and both model joins run over doc×vocab
+    // rows instead of every token occurrence (~13× fewer rows here;
+    // at corpus scale the ratio is the mean word frequency). The
+    // occurrence count n_occ comes from one (doc_id, word) hash
+    // aggregate on the same explode that feeds the model counts.
+    val docWord = toks.select(col("doc_id"), col("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("n_occ"))
+    val perClass = docWord
       .crossJoin(broadcast(classDim))
       .join(counts, Seq("cand", "word"), "left")
       .select(col("doc_id"), col("cand"), col("prior_bits"),
-        ilog2(expr("(n_c + v) DIV (coalesce(n_cw, 0L) + 1)")).as("bits"))
+        (col("n_occ") *
+          ilog2(expr("(n_c + v) DIV (coalesce(n_cw, 0L) + 1)"))).as("bits"))
       .groupBy(col("doc_id"), col("cand"), col("prior_bits"))
       .agg(sum(col("bits")).as("word_bits"))
       .select(col("doc_id"), col("cand"),
@@ -289,14 +306,22 @@ object Classify {
       .withColumn("prior_bits", ilog2(expr("nd_ho DIV nd_c_f")))
     val cwAll = cwFold.groupBy(col("cand"), col("word"))
       .agg(sum(col("n_in_fold")).as("n_all"))
-    val perClass = toks.select(col("doc_id"), col("fold"), col("word"))
+    // (doc, DISTINCT word) grain, same rewrite as perClassScores
+    // (round 13): word_bits = Σ n_occ · bits(word) — identical
+    // integers, the scoring joins run over doc×vocab rows instead of
+    // token occurrences. fold rides along for free (it is a function
+    // of doc_id).
+    val docWord = toks.select(col("doc_id"), col("fold"), col("word"))
+      .groupBy(col("doc_id"), col("fold"), col("word"))
+      .agg(count(lit(1)).as("n_occ"))
+    val perClass = docWord
       .join(broadcast(classDim), Seq("fold"))
       .join(cwAll, Seq("cand", "word"), "left")
       .join(cwFold, Seq("fold", "cand", "word"), "left")
       .select(col("doc_id"), col("fold"), col("cand"), col("prior_bits"),
-        ilog2(expr(
+        (col("n_occ") * ilog2(expr(
           """(n_c_f + v_f) DIV
-             (coalesce(n_all, 0L) - coalesce(n_in_fold, 0L) + 1)"""))
+             (coalesce(n_all, 0L) - coalesce(n_in_fold, 0L) + 1)""")))
           .as("bits"))
       .groupBy(col("doc_id"), col("fold"), col("cand"), col("prior_bits"))
       .agg(sum(col("bits")).as("word_bits"))

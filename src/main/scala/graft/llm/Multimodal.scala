@@ -58,11 +58,7 @@ object Multimodal {
     * scale-adaptive guard, not a local tuning constant. */
   private def docIds(documents: DataFrame): Dataset[Long] = {
     import documents.sparkSession.implicits._
-    val ids = documents.select(col("doc_id"))
-    val target = documents.sparkSession.sparkContext.defaultParallelism
-    val fanned =
-      if (ids.rdd.getNumPartitions < target) ids.repartition(target) else ids
-    fanned.as[Long]
+    graft.util.Scans.fanOut(documents.select(col("doc_id"))).as[Long]
   }
 
   /** Manufacture a deterministic multimodal table from `documents`:

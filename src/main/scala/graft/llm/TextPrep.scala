@@ -43,13 +43,19 @@ object TextPrep {
     * seed family (one md5 per shingle, every MinHash seed derived
     * arithmetically).
     *
-    * No repartition: at cluster scale the parquet scan is already
-    * split; locally the per-row expression is cheap enough that a
-    * shuffle would cost more than it saves.
+    * Fanned out (round 13): the driver testdata is a single-row-group
+    * parquet file, so without [[graft.util.Scans.fanOut]] the whole
+    * shingle-hash pass (one md5 per distinct shingle per document) ran
+    * in ONE scan task; the guard skips the repartition on any source
+    * that already carries enough partitions (a real corpus scan), so
+    * at cluster scale this is a no-op. Downstream state is small
+    * (count/heap aggregates keyed by shingle), so the fan-out cannot
+    * multiply aggregation buffers the way the reverted whole-table
+    * fan-out did (see Scans' doc).
     */
   def docShingles(documents: DataFrame): DataFrame = {
     graft.functions.TextHashExprs.register(documents.sparkSession)
-    documents
+    graft.util.Scans.fanOut(documents)
       .select(col("doc_id"), col("lang"),
         call_function("shingle_hashes", col("text"), lit(ShingleWords)).as("d"))
       .select(col("doc_id"), col("lang"),

@@ -194,20 +194,34 @@ object Windows {
     * output is the EXACT count plus a tolerance boolean: the row
     * hash-matches iff Spark's sketch lands within 5% of the exact
     * count the oracle computes (which emits literal TRUE). */
-  def approxDistinctUsers(events: DataFrame): DataFrame =
-    events.groupBy("event_type")
-      .agg(
-        countDistinct(col("user_id")).as("n_users"),
-        count(lit(1)).as("n_events"),
-        // rsd 1%: the default 5% rsd is a 1-sigma bound, so the 5%
-        // tolerance check actually failed at sf0.1; at 1% rsd the
-        // check is a ~5-sigma bound (sketch still fixed-size)
-        approx_count_distinct(col("user_id"), 0.01).as("approx"))
+  def approxDistinctUsers(events: DataFrame): DataFrame = {
+    // TWO aggregations joined on the group key, NOT one mixed
+    // distinct+HLL agg (round 13): mixing countDistinct with
+    // approx_count_distinct makes RewriteDistinctAggregates evaluate
+    // the HLL at the first-level (event_type, user_id) grain — one
+    // ~22 KB rsd-0.01 sketch buffer PER USER per task (at corpus
+    // scale, per-user sketch state for a 5-row report; measured 2.3 s
+    // at sf0.1, 15 s once the scan was fanned out). Split, each agg
+    // keeps its natural grain: the exact side is a plain two-phase
+    // distinct, the sketch side keeps #event_type buffers. HLL
+    // registers are max-merged, so the estimate is independent of row
+    // order/partitioning — values identical to the mixed form.
+    // Null-safe join key: a NULL event_type group must survive.
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+    // rsd 1%: the default 5% rsd is a 1-sigma bound, so the 5%
+    // tolerance check actually failed at sf0.1; at 1% rsd the
+    // check is a ~5-sigma bound (sketch still fixed-size)
+    val approx = events.groupBy(col("event_type").as("et"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx"))
+    exact.join(approx, col("event_type") <=> col("et"))
       .select(
         col("event_type"), col("n_users"), col("n_events"),
         (abs(col("approx") - col("n_users")) <=
           lit(0.05) * col("n_users")).as("approx_within_5pct"))
       .orderBy("event_type")
+  }
 
   val sqlApproxDistinctUsers: String =
     """SELECT event_type, count(DISTINCT user_id) AS n_users,
