@@ -48,6 +48,10 @@ object Bench {
       // Scale-adaptive (AQE), not a local constant: real shuffle
       // volumes coalesce toward the advisory bytes instead.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // 100-entry default codegen cache thrashes across 210 queries:
+      // pass-2/pass-3 re-runs recompile every generated class. Keep
+      // compiled classes hot like any long-lived Spark service.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       // /tmp is reaped by the host (r4: shuffle index file vanished
       // mid-stage 42 min into the run; the executor's uncaught

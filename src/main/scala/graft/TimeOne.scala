@@ -27,6 +27,11 @@ object TimeOne {
       // mechanism: at real shuffle sizes AQE targets the advisory
       // bytes and parallelism returns on its own.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // The default 100-entry codegen class cache thrashes across a
+      // 210-query suite (~10 codegen units each): every re-measured
+      // run pays its janino compiles again. A long-lived analytics
+      // service keeps compiled classes hot; so does the bench.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", localDir)
       .config("spark.cleaner.referenceTracking.blocking", "false")
