@@ -248,7 +248,14 @@ object Similarity {
                           numPlanes: Int = NumPlanes,
                           cache: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.registerAll(n.sparkSession)
-    val b = n.select(col("vec_id"),
+    // fan the vector frame out before hashing (round 13): the callers'
+    // cached `n` inherits the single-row-group scan's ONE partition,
+    // so the hash pass AND — far worse — the downstream banded
+    // candidate self-join + distinct (multi-probe generates millions
+    // of duplicate pairs at suite density) ran in one task. No-op on
+    // sources that already carry enough partitions (Scans.fanOut).
+    val b = graft.util.Scans.fanOut(n.select(col("vec_id"), col("v")))
+      .select(col("vec_id"),
         posexplode(call_function("lsh_bucket_codes", col("v"), lit(numPlanes)))
           .as(Seq("tbl", "bucket")))
     // per-MICRO-BATCH callers skip the cache: a long-running stream

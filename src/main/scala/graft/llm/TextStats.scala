@@ -1192,6 +1192,8 @@ object TextStats {
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
       .localCheckpoint()
     val steps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val spark = documents.sparkSession
+    import spark.implicits._
     for (t <- 1 to merges) {
       val pc = seqs.filter(size(col("syms")) >= 2)
         .select(col("cnt"), explode(expr(
@@ -1199,16 +1201,29 @@ object TextStats {
             "(x, y) -> named_struct('a', x, 'b', y))")).as("pr"))
         .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
         .agg(sum(col("cnt")).as("pcnt"))
-      val best = pc.orderBy(col("pcnt").desc, col("a").asc, col("b").asc).limit(1)
-        .select(col("a").as("ba"), col("b").as("bb"),
-          concat(col("a"), col("b")).as("bm"), col("pcnt"))
-        .localCheckpoint()
-      steps += best.select(lit(t).as("step"), col("ba").as("a"), col("bb").as("b"),
-        col("bm").as("merged"), col("pcnt").as("pair_count"))
+      // BOUNDED 1-row collect of the round's argmax pair (round 13) —
+      // the k-means-centroid pattern: the pair becomes plan LITERALS,
+      // replacing a localCheckpoint job + a broadcast join per round
+      // (the merge machinery runs per query × 4 BPE queries × 8
+      // rounds). Deterministic: (pcnt desc, a, b) is a total order.
+      val bestRow = pc.orderBy(col("pcnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (bestRow.isEmpty) {
+        // no pair left (every word fully merged): the round is a no-op
+        // — the old broadcast-join form produced occ=false everywhere
+        // and an empty step frame; keep both behaviors without jobs.
+        steps += Seq.empty[(Int, String, String, String, Long)]
+          .toDF("step", "a", "b", "merged", "pair_count")
+      } else {
+      val (ba, bb, pcnt) =
+        (bestRow(0).getString(0), bestRow(0).getString(1), bestRow(0).getLong(2))
+      val bm = ba + bb
+      steps += Seq((t, ba, bb, bm, pcnt))
+        .toDF("step", "a", "b", "merged", "pair_count")
       val w = Window.partitionBy("word").orderBy("p")
       seqs = seqs
-        .join(broadcast(best.select("ba", "bb", "bm")), lit(true), "left")
-        .select(col("word"), col("cnt"), col("ba"), col("bb"), col("bm"),
+        .select(col("word"), col("cnt"),
+          lit(ba).as("ba"), lit(bb).as("bb"), lit(bm).as("bm"),
           posexplode(col("syms")).as(Seq("p0", "s")))
         .withColumn("p", col("p0") + 1).drop("p0")
         .withColumn("occ",
@@ -1230,6 +1245,7 @@ object TextStats {
         .agg(expr("transform(array_sort(collect_list(struct(p, s2))), x -> x.s2)")
           .as("syms"))
         .localCheckpoint()
+      }
     }
     (steps.toSeq, seqs)
   }
